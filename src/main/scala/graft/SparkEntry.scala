@@ -1,13 +1,356 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Aggregate, Dedup, Ingest, Serve}
+
+/** Driver contract — query registry + DuckDB oracle SQL.
+  *
+  * Numeric-determinism convention (SURVEY §7.5 hard-part d): every
+  * floating-point SUM is computed as an exact DECIMAL sum and cast to
+  * double at the end, in BOTH the Spark query and the oracle SQL. Decimal
+  * addition is associative, so partial-aggregation order (Spark) vs
+  * single-threaded order (DuckDB) cannot produce differing doubles.
+  * Divisions happen in double after the exact sums — IEEE-deterministic.
+  * Every query ends with a total ORDER BY so row order is reproducible.
+  */
 object SparkEntry {
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(27, scale))).cast("double")
+
+  /** lineitem revenue term: extendedprice * (1 - discount), exact. */
+  private def revTerm(): Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** events with epoch-ms + 180-s bucket derived columns (SURVEY §2.2 P4). */
+  private def silverBase(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .withColumn("event_timestamp", unix_millis(col("ts")))
+      .withColumn("minute_timestamp", Ingest.minuteBucket(col("event_timestamp")))
+
+  /** Flagship: dedup'd per-group running aggregates (SURVEY §7.3) —
+    * the batch analog of the reference's silver→gold pipeline.
+    */
+  def goldFlagship(s: SparkSession, dir: String): DataFrame = {
+    val ev = silverBase(s, dir)
+    val ded = Dedup.latestPerKey(ev, Seq("event_id"),
+      Seq(col("ts").asc, col("user_id").asc))
+    ded.groupBy(col("user_id")).agg(
+        dsum(col("value")).as("cumulative_score"),
+        count(lit(1)).as("event_count"),
+        (dsum(col("value")) / count(lit(1))).as("avg_score"),
+        min(col("event_timestamp")).as("first_event_timestamp"),
+        max(col("event_timestamp")).as("last_event_timestamp"))
+      .orderBy(col("user_id"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    goldFlagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtEntry.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ExtEntry.oracleSql
+
+  // ————————————————— reference surface (SURVEY §2) —————————————————
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_flagship" -> ((s, dir) => goldFlagship(s, dir)),
+
+    // P1-P5, P9: projections, casts, JSON parse, derived time columns
+    "silver_projection" -> ((s, dir) =>
+      Ingest.silverProjection(s, dir).orderBy(col("event_id"))),
+
+    // P6 + P8: NOT-IN filter, column drop
+    "filter_notin" -> ((s, dir) =>
+      silverBase(s, dir)
+        .filter(!col("event_type").isin("error", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("event_timestamp"))
+        .orderBy(col("event_id"))),
+
+    // P7: SQL-string predicate
+    "filter_sqlexpr" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .filter(expr("value > 100 AND event_type <> 'error'"))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // J1: insert-only MERGE as left-anti join with target-scan pruning
+    "antijoin_dedup" -> ((s, dir) => {
+      val ev = silverBase(s, dir)
+      val batch = ev.filter(col("ts") >= lit("2024-01-25").cast("timestamp"))
+      val target = ev.filter(col("event_id") % 3 === 0)
+      Dedup.insertOnlyMerge(batch, target, "minute_timestamp", "event_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("minute_timestamp"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J2/A2: fold a batch partial aggregate into the running gold table
+    "upsert_fold" -> ((s, dir) => {
+      val ev = silverBase(s, dir)
+      val cut = lit("2024-01-21").cast("timestamp")
+      val gold1 = Aggregate.partial(ev.filter(col("ts") < cut),
+          "user_id", "value", "event_timestamp")
+        .select(col("user_id"),
+          col("batch_score").as("cumulative_score"),
+          col("batch_events").as("event_count"),
+          (col("batch_score") / col("batch_events")).as("avg_score"),
+          col("batch_first").as("first_event_timestamp"),
+          col("batch_last").as("last_event_timestamp"))
+      val batch2 = Aggregate.partial(ev.filter(col("ts") >= cut),
+        "user_id", "value", "event_timestamp")
+      Aggregate.fold(gold1, batch2, "user_id")
+        .select(col("user_id"),
+          col("cumulative_score").cast(DecimalType(27, 4)).cast("double")
+            .as("cumulative_score"),
+          col("event_count"),
+          col("avg_score"),
+          col("first_event_timestamp"), col("last_event_timestamp"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A1: per-group batch partial aggregate
+    "agg_groups" -> ((s, dir) =>
+      Aggregate.partial(silverBase(s, dir), "user_id", "value", "event_timestamp")
+        .select(col("user_id"),
+          col("batch_score").cast(DecimalType(27, 4)).cast("double")
+            .as("batch_score"),
+          col("batch_events"), col("batch_first"), col("batch_last"))
+        .orderBy(col("user_id"))),
+
+    // A3: distinct clustering buckets
+    "distinct_buckets" -> ((s, dir) =>
+      silverBase(s, dir).select(col("minute_timestamp")).distinct()
+        .orderBy(col("minute_timestamp"))),
+
+    // A4: count
+    "count_rows" -> ((s, dir) =>
+      Ingest.events(s, dir).agg(count(lit(1)).as("n"))),
+
+    // W1: latest-per-key window dedup
+    "latest_per_key" -> ((s, dir) =>
+      Dedup.latestPerKey(silverBase(s, dir), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_timestamp"),
+          col("value"))
+        .orderBy(col("user_id"))),
+
+    // S12 + P9: deterministic pagination over gold, with Mongo _id shape
+    "serve_page" -> ((s, dir) => {
+      val gold = silverBase(s, dir).groupBy(col("user_id")).agg(
+        dsum(col("value")).as("cumulative_score"),
+        count(lit(1)).as("event_count"))
+      Serve.page(Serve.withDocId(gold, "user_id"), Seq(col("user_id")),
+          pageNo = 2, pageSize = 20)
+        .select(col("user_id"), col("_id"), col("cumulative_score"),
+          col("event_count"))
+    }),
+
+    // top-k serving (TakeOrderedAndProject — no global sort)
+    "serve_topk" -> ((s, dir) => {
+      val gold = silverBase(s, dir).groupBy(col("user_id"))
+        .agg(dsum(col("value")).as("cumulative_score"))
+      Serve.topK(gold, Seq(col("cumulative_score").desc, col("user_id").asc), 10)
+    }),
+
+    // TPC-H-ish anchors: scan-heavy agg, broadcast-dim join, multi-way join
+    "tpch_q1" -> ((s, dir) =>
+      Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revTerm()).cast("double").as("sum_disc_price"),
+          sum(revTerm() * (lit(1).cast(DecimalType(18, 2)) +
+            col("l_tax").cast(DecimalType(18, 2)))).cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "tpch_q3" -> ((s, dir) => {
+      val cust = Ingest.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revTerm()).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "tpch_q5" -> ((s, dir) => {
+      val region = Ingest.table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Ingest.table(s, dir, "nation")
+      val supp = Ingest.table(s, dir, "supplier")
+      val cust = Ingest.table(s, dir, "customer")
+      val ord = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Ingest.table(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revTerm()).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    })
+  )
+
+  private def coreOracleSql: Map[String, String] = Map(
+    "gold_flagship" ->
+      """WITH ded AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
+        |  count(*) AS event_count,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_score,
+        |  min(epoch_ms(ts)) AS first_event_timestamp,
+        |  max(epoch_ms(ts)) AS last_event_timestamp
+        |FROM ded GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "silver_projection" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_ms(ts) AS event_timestamp,
+        |  CAST(floor(epoch_ms(ts) / 1000.0 / 180.0) AS BIGINT) AS minute_timestamp,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "filter_notin" ->
+      """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS event_timestamp
+        |FROM events WHERE event_type NOT IN ('error', 'view')
+        |ORDER BY event_id""".stripMargin,
+
+    "filter_sqlexpr" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE value > 100 AND event_type <> 'error' ORDER BY event_id""".stripMargin,
+
+    "antijoin_dedup" ->
+      """WITH base AS (
+        |  SELECT *, epoch_ms(ts) AS ems,
+        |    CAST(floor(epoch_ms(ts) / 1000.0 / 180.0) AS BIGINT) AS minute_timestamp
+        |  FROM events),
+        |batch AS (SELECT * FROM base WHERE ts >= TIMESTAMP '2024-01-25'),
+        |target AS (SELECT * FROM base WHERE event_id % 3 = 0)
+        |SELECT b.event_id, b.user_id, b.value, b.minute_timestamp
+        |FROM batch b WHERE NOT EXISTS (
+        |  SELECT 1 FROM target t
+        |  WHERE t.minute_timestamp = b.minute_timestamp AND t.event_id = b.event_id)
+        |ORDER BY b.event_id""".stripMargin,
+
+    "upsert_fold" ->
+      """WITH p1 AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(27,4))) AS s, count(*) AS c,
+        |    min(epoch_ms(ts)) AS f, max(epoch_ms(ts)) AS l
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id),
+        |p2 AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(27,4))) AS s, count(*) AS c,
+        |    min(epoch_ms(ts)) AS f, max(epoch_ms(ts)) AS l
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY user_id)
+        |SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
+        |  CAST(coalesce(p1.s, 0) + coalesce(p2.s, 0) AS DOUBLE) AS cumulative_score,
+        |  coalesce(p1.c, 0) + coalesce(p2.c, 0) AS event_count,
+        |  CAST(coalesce(p1.s, 0) + coalesce(p2.s, 0) AS DOUBLE)
+        |    / (coalesce(p1.c, 0) + coalesce(p2.c, 0)) AS avg_score,
+        |  coalesce(p2.f, p1.f) AS first_event_timestamp,
+        |  coalesce(p2.l, p1.l) AS last_event_timestamp
+        |FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "agg_groups" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS batch_score,
+        |  count(*) AS batch_events,
+        |  min(epoch_ms(ts)) AS batch_first, max(epoch_ms(ts)) AS batch_last
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "distinct_buckets" ->
+      """SELECT DISTINCT CAST(floor(epoch_ms(ts) / 1000.0 / 180.0) AS BIGINT)
+        |  AS minute_timestamp
+        |FROM events ORDER BY minute_timestamp""".stripMargin,
+
+    "count_rows" -> "SELECT count(*) AS n FROM events",
+
+    "latest_per_key" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS event_timestamp, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "serve_page" ->
+      """SELECT user_id, user_id AS _id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
+        |  count(*) AS event_count
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 20 OFFSET 20""".stripMargin,
+
+    "serve_topk" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score
+        |FROM events GROUP BY user_id
+        |ORDER BY cumulative_score DESC, user_id LIMIT 10""".stripMargin,
+
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($revSql * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
+         |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation surface (SURVEY §2.4 A1-A4) + the gold fold (A2/J2).
+  *
+  * The reference computes per-batch partial aggregates
+  * (processing/gold.py:11-16) and folds them into running totals with a
+  * Delta MERGE (gold.py:19-45). Batch analog: one groupBy.agg; incremental
+  * analog: [[fold]] — a full-outer join + coalesce arithmetic, the exact
+  * MERGE semantics without Delta.
+  *
+  * Scale notes: groupBy(group_id) is a single shuffle with map-side partial
+  * aggregation (Spark's hash-agg does the partial/final split the reference
+  * gets from MERGE). The fold joins two group-keyed tables — both already
+  * shuffled on group_id, so AQE can plan a shuffle-reuse sort-merge join;
+  * when the per-batch partials are small relative to gold, Catalyst
+  * broadcasts them.
+  *
+  * All score math is double internally; cast to float only at a table
+  * boundary (SURVEY §1.3 float trap).
+  */
+object Aggregate {
+
+  /** A1: per-group partial aggregate of a batch (gold.py:11-16).
+    * `batch_score` is an exact DECIMAL sum so downstream folds stay
+    * order-independent (see SparkEntry's determinism convention).
+    */
+  def partial(events: DataFrame, groupCol: String, scoreCol: String,
+              tsCol: String): DataFrame =
+    events.groupBy(col(groupCol)).agg(
+      sum(col(scoreCol).cast(DecimalType(27, 4))).as("batch_score"),
+      count(lit(1)).as("batch_events"),
+      min(col(tsCol)).as("batch_first"),
+      max(col(tsCol)).as("batch_last"))
+
+  /** One-shot gold: the batch equivalent of running every event through the
+    * incremental pipeline (dedup assumed done upstream).
+    */
+  def oneShotGold(events: DataFrame, groupCol: String, scoreCol: String,
+                  tsCol: String): DataFrame = {
+    val exact = sum(col(scoreCol).cast(DecimalType(27, 4)))
+    events.groupBy(col(groupCol)).agg(
+      exact.cast("double").as("cumulative_score"),
+      count(lit(1)).as("event_count"),
+      (exact.cast("double") / count(lit(1))).as("avg_score"),
+      min(col(tsCol)).as("first_event_timestamp"),
+      max(col(tsCol)).as("last_event_timestamp"))
+  }
+
+  /** A2/J2: fold a batch partial into the running gold table — faithful
+    * MERGE semantics of gold.py:23-44:
+    *   - cumulative_score += batch_score, event_count += batch_events;
+    *   - avg_score recomputed from the new totals (exact, not
+    *     average-of-averages);
+    *   - first/last_event_timestamp OVERWRITTEN by the batch's min/max when
+    *     the batch touches the group (trap SURVEY §7.5-3 — deliberately
+    *     faithful; see [[foldAllTime]] for the corrected variant).
+    */
+  def fold(gold: DataFrame, batchPartial: DataFrame, groupCol: String): DataFrame = {
+    val g = gold.alias("t")
+    val b = batchPartial.alias("s")
+    val joined = g.join(b, Seq(groupCol), "full_outer")
+    // lit(0) (integral) so a decimal input stays decimal through coalesce —
+    // a 0.0 double literal would promote the whole sum to double
+    val newScore = coalesce(col("t.cumulative_score"), lit(0)) +
+      coalesce(col("s.batch_score"), lit(0))
+    val newCount = coalesce(col("t.event_count"), lit(0L)) +
+      coalesce(col("s.batch_events"), lit(0L))
+    joined.select(
+      col(groupCol),
+      newScore.as("cumulative_score"),
+      newCount.as("event_count"),
+      // divide in double AFTER the exact sum — decimal division would
+      // introduce engine-specific scale/rounding rules
+      (newScore.cast("double") / newCount).as("avg_score"),
+      coalesce(col("s.batch_first"), col("t.first_event_timestamp"))
+        .as("first_event_timestamp"),
+      coalesce(col("s.batch_last"), col("t.last_event_timestamp"))
+        .as("last_event_timestamp"))
+  }
+
+  /** Corrected fold: true all-time min/max instead of batch-overwrite. */
+  def foldAllTime(gold: DataFrame, batchPartial: DataFrame, groupCol: String): DataFrame = {
+    val folded = fold(gold, batchPartial, groupCol)
+    // fold() already consumed the aliases; recompute the two columns from
+    // a fresh join to keep this variant self-contained.
+    val g = gold.alias("t")
+    val b = batchPartial.alias("s")
+    g.join(b, Seq(groupCol), "full_outer").select(
+      col(groupCol),
+      least(col("t.first_event_timestamp"), col("s.batch_first"))
+        .as("first_alltime"),
+      greatest(col("t.last_event_timestamp"), col("s.batch_last"))
+        .as("last_alltime"))
+      .join(folded, Seq(groupCol))
+      .select(col(groupCol), col("cumulative_score"), col("event_count"),
+        col("avg_score"),
+        coalesce(col("first_alltime"), col("first_event_timestamp"))
+          .as("first_event_timestamp"),
+        coalesce(col("last_alltime"), col("last_event_timestamp"))
+          .as("last_event_timestamp"))
+  }
+}

