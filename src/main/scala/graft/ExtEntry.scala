@@ -1,13 +1,213 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
-  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+  * dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash), embedding
   * similarity search, text analysis, multimodal plumbing. Split from
   * SparkEntry to keep the driver contract file readable.
+  *
+  * Oracle parity: hashes are md5/sha256 hex strings (identical in both
+  * engines); ratios are exact small-integer divisions in double; the only
+  * transcendental (cosine sim) folds element-wise left-to-right in double
+  * in both engines and is rounded to 6 digits for display.
   */
 object ExtEntry {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      TextDedup.exactGroups(s, dir).orderBy(col("keep_doc_id"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      TextDedup.candidatePairs(s, dir).orderBy(col("d1"), col("d2"))),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      TextDedup.nearDupPairs(s, dir, 0.5).orderBy(col("d1"), col("d2"))),
+
+    "text_simhash" -> ((s, dir) =>
+      TextDedup.simhash(s, dir).orderBy(col("doc_id"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      TextDedup.simhashPairs(s, dir, 3).orderBy(col("d1"), col("d2"))),
+
+    "ann_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s, dir, nQueries = 10, k = 5)),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(s, dir).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(s, dir).orderBy(col("doc_id"))),
+
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(s, dir, 20)),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s, dir).orderBy(col("doc_id"))),
+
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.meta(s, dir).orderBy(col("doc_id")))
+  )
+
+  // DuckDB equivalents. Shared fragments:
+  private val shinglesCte =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |  generate_series(1, greatest(len(w) - 2, 1)),
+      |  i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM docs)""".stripMargin
+
+  private val bandsCte =
+    """mh AS (SELECT doc_id, j, min(CASE WHEN j < 4
+      |    THEN substr(md5(s), j * 8 + 1, 8)
+      |    ELSE substr(md5('x:' || s), (j - 4) * 8 + 1, 8) END) AS m
+      |  FROM sh, UNNEST(shingles) AS t(s), UNNEST([0,1,2,3,4,5,6,7]) AS u(j)
+      |  GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, array_agg(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+      |  FROM sig, UNNEST([0,1,2,3]) AS bb(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b
+      |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashCte =
+    """tok AS (SELECT doc_id, substr(md5(t), 1, 16) AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(w) AS u(t)),
+      |bits AS (SELECT doc_id, b,
+      |    CASE WHEN (strpos('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1)
+      |      // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+      |      % 2 = 1 THEN 1 ELSE -1 END AS v
+      |  FROM tok, UNNEST(generate_series(0, 63)) AS bb(b)),
+      |agg AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM bits GROUP BY doc_id, b),
+      |nib AS (SELECT doc_id, b // 4 AS ni,
+      |    sum(bit * (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS nv
+      |  FROM agg GROUP BY doc_id, b // 4),
+      |hexed AS (SELECT doc_id, string_agg(substr('0123456789abcdef',
+      |    CAST(nv AS INT) + 1, 1), '' ORDER BY ni) AS simhash
+      |  FROM nib GROUP BY doc_id)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+         |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "text_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM hexed ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashCte,
+         |chunks AS (SELECT doc_id, simhash, c, substr(simhash, 1 + 4*c, 4) AS chunk
+         |  FROM hexed, UNNEST([0,1,2,3]) AS cc(c)),
+         |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         |    l.simhash AS h1, r.simhash AS h2
+         |  FROM chunks l JOIN chunks r
+         |  ON l.c = r.c AND l.chunk = r.chunk AND l.doc_id < r.doc_id),
+         |ham AS (SELECT d1, d2,
+         |  (SELECT sum(bit_count(xor(
+         |      strpos('0123456789abcdef', substr(h1, i, 1)) - 1,
+         |      strpos('0123456789abcdef', substr(h2, i, 1)) - 1)))
+         |   FROM UNNEST(generate_series(1, 16)) AS g(i)) AS hamming
+         |  FROM cand)
+         |SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |sims AS (SELECT qid, cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS sim
+        |  FROM q, c),
+        |rk AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM sims)
+        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "text_langid" ->
+      """WITH dicts AS (SELECT
+        |  ['the','a','of','and','to','in','is','it','you','that'] AS en,
+        |  ['der','die','das','und','ist','nicht','mit','ein','ich','zu'] AS de,
+        |  ['el','la','que','y','en','un','por','con','los','se'] AS es,
+        |  ['le','la','et','les','des','en','un','une','que','dans'] AS fr),
+        |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(w, x -> list_contains(en, x))) AS DOUBLE) / len(w) AS s_en,
+        |    CAST(len(list_filter(w, x -> list_contains(de, x))) AS DOUBLE) / len(w) AS s_de,
+        |    CAST(len(list_filter(w, x -> list_contains(es, x))) AS DOUBLE) / len(w) AS s_es,
+        |    CAST(len(list_filter(w, x -> list_contains(fr, x))) AS DOUBLE) / len(w) AS s_fr
+        |  FROM t, dicts)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess,
+        |  round(greatest(s_en, s_de, s_es, s_fr), 6) AS lang_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH en AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d)
+        |SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_re,
+        |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> list_contains(d, x))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+        |  round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |      / length(text)) * 0.5 +
+        |    least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> list_contains(d, x))) AS DOUBLE)
+        |      / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5, 6) AS quality_score
+        |FROM documents, en ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT t AS token, count(*) AS freq
+        |FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
+        |GROUP BY t ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm FROM documents),
+        |s AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM t)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  (SELECT min(md5(array_to_string(w[i:i+4], ' ')))
+        |   FROM UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS g(i)) AS min_shingle
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

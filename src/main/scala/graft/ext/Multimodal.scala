@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ingest
+
+/** Multimodal-column plumbing (SURVEY §7.6): media as opaque `binary`
+  * columns + typed metadata, with decode / feature-extract as
+  * per-partition batch operators.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * deterministic fake (byte stats standing in for pixels/samples); the
+  * Spark-side shape — binary column, metadata struct, mapPartitions with
+  * per-partition batching, explicit output schema — is the real, tested
+  * contract a production decoder (JNI or Pandas-UDF-style vectorized
+  * worker) would plug into.
+  *
+  * Scale notes: media bytes never shuffle — decode is a narrow
+  * mapPartitions directly over the scan; only extracted features (small,
+  * fixed-width) flow into joins/aggregations downstream. Partition sizing
+  * is governed by `spark.sql.files.maxPartitionBytes` so a partition of
+  * blobs fits executor memory.
+  */
+object Multimodal {
+
+  /** A media row: payload + the typed metadata carried alongside it. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      n_bytes: Long)
+
+  /** Extracted features (the decoder's fixed-width output). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           checksum: Long, mean_byte: Double, frames: Int)
+
+  /** Manufacture a binary media table from the documents corpus (UTF-8
+    * payloads with synthetic kinds) — the testdata has no true media, so
+    * this provides the binary-typed input for plumbing tests.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Ingest.table(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** Deterministic stand-in for the real media decoder: consumes the
+    * payload bytes per partition and emits fixed-width features. A real
+    * deployment swaps the body for the codec call; signature, batching,
+    * and schema stay identical.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      var sum = 0L
+      var crc = 1L
+      var i = 0
+      while (i < r.payload.length) {
+        sum += r.payload(i) & 0xff
+        crc = crc * 31 + (r.payload(i) & 0xff)
+        i += 1
+      }
+      val frames = r.kind match {
+        case "video" => (r.n_bytes / 64 + 1).toInt // fake frame-sampling
+        case "audio" => (r.n_bytes / 16 + 1).toInt
+        case _       => 1
+      }
+      MediaFeatures(r.media_id, r.kind, r.n_bytes, crc,
+        if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length,
+        frames)
+    }
+
+  /** The decode pipeline: narrow mapPartitions over the binary scan. */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(decodeStub)
+  }
+
+  /** SQL-visible metadata projection (oracle-checked): byte length and
+    * sha256 of the payload, plus the synthetic kind.
+    */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    Ingest.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("sha256"))
+}

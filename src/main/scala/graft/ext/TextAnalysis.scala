@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ingest
+
+/** Text-analysis operators for the LLM-data-pipeline extension set
+  * (SURVEY §7.6): language ID (stopword n-gram heuristic), quality
+  * scoring, token counting (whitespace + regex), vocabulary stats, and
+  * document fingerprinting.
+  *
+  * Everything here is built from codegen'd built-in functions (split,
+  * regexp_*, higher-order array functions) — no UDFs, so the whole operator
+  * set stays inside WholeStageCodegen and is a narrow projection over the
+  * documents scan (zero shuffles except where a groupBy is the semantics,
+  * e.g. vocabulary). At 100 TB that means text analysis is scan-bound.
+  */
+object TextAnalysis {
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    Ingest.table(spark, dir, "documents")
+
+  /** Whitespace tokens (the synthetic corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-language stopword dictionaries (tiny, deterministic — the
+    * heuristic's quality is bounded, by design; the operator shape is what
+    * scales to a real lexicon broadcast to executors).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "por", "con", "los", "se"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "une", "que", "dans"))
+
+  private def dictCol(lang: String): Column =
+    array(stopwords(lang).map(lit): _*)
+
+  /** Fraction of tokens present in `dict` — exact rational in double. */
+  def dictRatio(toks: Column, dict: Column): Column =
+    size(filter(toks, t => array_contains(dict, t))).cast("double") / size(toks)
+
+  /** Language-ID: argmax of per-language stopword ratios with a fixed
+    * priority order (en > de > es > fr) for ties — deterministic.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(lower(col("text")))
+    val scored = documents(spark, dir)
+      .withColumn("s_en", dictRatio(w, dictCol("en")))
+      .withColumn("s_de", dictRatio(w, dictCol("de")))
+      .withColumn("s_es", dictRatio(w, dictCol("es")))
+      .withColumn("s_fr", dictRatio(w, dictCol("fr")))
+    scored.select(col("doc_id"), col("lang"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr").as("lang_guess"),
+      round(greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")), 6)
+        .as("lang_score"))
+  }
+
+  /** Quality metrics: char/token counts, regex token count, punctuation
+    * ratio, mean token length, stopword ratio, and a composite score.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val punctRatio =
+      length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+        length(col("text"))
+    val stopRatio = dictRatio(tokens(lower(col("text"))), dictCol("en"))
+    documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(w).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_tokens_re"),
+      punctRatio.as("punct_ratio"),
+      (length(col("text")).cast("double") / size(w)).as("mean_tok_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round((lit(1.0) - punctRatio) * 0.5 +
+        least(stopRatio * 10, lit(1.0)) * 0.5, 6).as("quality_score"))
+  }
+
+  /** Vocabulary: token → frequency, top-k. The one genuinely shuffling
+    * text op (groupBy token with map-side combine — classic wordcount).
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** Fingerprints: md5 of the whitespace-normalized text plus the minimum
+    * 5-gram shingle hash (a 1-hash winnowing sketch) — both stable under
+    * leading/trailing/duplicate whitespace.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    documents(spark, dir)
+      .withColumn("norm", norm)
+      .withColumn("w", tokens(col("norm")))
+      .select(col("doc_id"),
+        md5(col("norm")).as("fp"),
+        array_min(transform(
+          sequence(lit(1), greatest(size(col("w")) - 4, lit(1))),
+          i => md5(concat_ws(" ", slice(col("w"), i, lit(5)))))).as("min_shingle"))
+  }
+}

@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ingest
+
+/** Near-duplicate detection for the LLM-data-pipeline extension set
+  * (SURVEY §7.6): exact hash dedup, MinHash+LSH banding, n-gram Jaccard
+  * verification, and SimHash.
+  *
+  * Scale design (the point of these operators at 100 TB):
+  *   - Signatures (MinHash, SimHash, shingle sets) are computed with
+  *     higher-order array functions on each document row — a narrow,
+  *     codegen'd projection; NO shuffle and no all-pairs comparison.
+  *   - Candidate generation shuffles only (band_id, band_hash, doc_id)
+  *     tuples — a few dozen bytes per doc — and joins docs within a
+  *     bucket. Work is proportional to Σ bucket² which LSH keeps tiny;
+  *     a hot bucket (degenerate boilerplate docs) is the skew risk and is
+  *     handled by AQE skew-join or capping bucket size upstream.
+  *   - Jaccard verification joins the shingle sets back only for the
+  *     candidate pairs (≪ n²).
+  *
+  * Hashes are md5 hex strings so the DuckDB oracle computes bit-identical
+  * values; minima are taken lexicographically on the hex, which is
+  * order-isomorphic to the numeric hash value.
+  */
+object TextDedup {
+
+  val numHashes = 8
+  val numBands = 4 // 2 rows per band
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    Ingest.table(spark, dir, "documents")
+
+  /** Distinct word n-gram shingles of a token-array column. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** docs → (doc_id, shingles) with 3-word shingles.
+    *
+    * The repartition matters: signature hashing is CPU-bound, and a small
+    * parquet file arrives as ONE input split — without a rebalance every
+    * downstream hash runs on a single core. At 100 TB the scan itself
+    * yields thousands of splits and this becomes a cheap no-op-ish
+    * round-robin of (doc_id, text) rows.
+    */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("shingles"))
+
+  /** (doc_id, shingles, sig0..sig7): full signature, no shuffle beyond the
+    * ingest rebalance. The 8 minhashes come from 8-hex-char chunks of TWO
+    * md5 evaluations per shingle (md5(s) and md5("x:"+s)) — same
+    * independence as 8 salted hashes at a quarter of the hashing cost;
+    * lexicographic min on a fixed-width hex chunk ≡ numeric min.
+    */
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = docShingles(spark, dir)
+      .withColumn("h1", transform(col("shingles"), s => md5(s)))
+      .withColumn("h2", transform(col("shingles"), s => md5(concat(lit("x:"), s))))
+    val withSigs = (0 until numHashes).foldLeft(base) { (df, j) =>
+      val src = if (j < 4) col("h1") else col("h2")
+      val off = (j % 4) * 8 + 1
+      df.withColumn(s"sig$j",
+        array_min(transform(src, h => substring(h, off, 8))))
+    }
+    withSigs.drop("h1", "h2")
+  }
+
+  /** (doc_id, band, band_hash): one row per band per doc. */
+  def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      (0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("band_hash"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+
+  /** LSH candidate pairs: docs sharing any band hash (d1 < d2). */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(signatures(spark, dir))
+    val l = b.alias("l")
+    val r = b.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Candidates + exact Jaccard over the 3-gram shingle sets; keep pairs
+    * with jaccard >= `threshold`. This is the full
+    * shingle → minhash → band → bucket-join → verify pipeline.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = docShingles(spark, dir)
+    candidatePairs(spark, dir)
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact dedup over text: one group per md5(text) with the surviving
+    * (minimum) doc_id and the copy count. Single map-side-combined shuffle.
+    */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  // ——————————————————————— SimHash ———————————————————————
+
+  /** 64-bit SimHash of the whitespace tokens, as a 16-char lowercase hex
+    * string. Bit b is 1 iff Σ_tokens (bit b of md5(token) ? +1 : -1) > 0.
+    * Expressed in SQL expression form so the DuckDB oracle can reproduce
+    * it digit-for-digit (md5 hex → nibble → bit arithmetic).
+    *
+    * Staged as three projections (token hashes → bit array → hex) so each
+    * intermediate is computed once per row — CollapseProject keeps
+    * multiply-referenced non-trivial aliases materialized instead of
+    * inlining the 64-bit aggregate 64 times.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // per-token 64-bit hash = first 16 hex chars of md5(token)
+    val tokenHashes = "transform(split(text, ' '), t -> substring(md5(t), 1, 16))"
+    // contribution of token-hash h to bit b: +1 / -1
+    val contrib =
+      """CASE WHEN ((instr('0123456789abcdef', substring(h, 1 + b div 4, 1)) - 1)
+        |  div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+        |THEN 1 ELSE -1 END""".stripMargin
+    val bits =
+      s"""transform(sequence(0, 63), b ->
+         |  CASE WHEN aggregate(hs, 0, (acc, h) -> acc + ($contrib)) > 0
+         |  THEN 1 ELSE 0 END)""".stripMargin
+    val hexed =
+      """concat_ws('', transform(sequence(0, 15), ni ->
+        |  substring('0123456789abcdef',
+        |    1 + element_at(bb, 4 * ni + 1) * 8 + element_at(bb, 4 * ni + 2) * 4
+        |      + element_at(bb, 4 * ni + 3) * 2 + element_at(bb, 4 * ni + 4), 1)))"""
+        .stripMargin
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(tokenHashes).as("hs"))
+      .select(col("doc_id"), expr(bits).as("bb"))
+      .select(col("doc_id"), expr(hexed).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of the four 16-bit
+    * chunks (the standard pigeonhole trick: hamming ≤ 3 ⇒ at least one of
+    * 4 chunks identical), verified by exact hamming distance ≤ maxDist.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
+    val sh = simhash(spark, dir)
+    val chunks = sh.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(c => struct(lit(c).as("c"),
+        substring(col("simhash"), 1 + 4 * c, 4).as("chunk"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c"), col("cc.chunk"))
+    val l = chunks.alias("l")
+    val r = chunks.alias("r")
+    l.join(r,
+        col("l.c") === col("r.c") && col("l.chunk") === col("r.chunk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        col("l.simhash").as("simhash"), col("r.simhash").as("simhash2"))
+      .distinct()
+      .withColumn("hamming", expr(
+        """aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count(
+          |  (instr('0123456789abcdef', substring(simhash, i, 1)) - 1) ^
+          |  (instr('0123456789abcdef', substring(simhash2, i, 1)) - 1)))"""
+          .stripMargin))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}
