@@ -1,0 +1,204 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Schemas
+import graft.ops.{Aggregate, Dedup}
+
+/** The reference's medallion streaming pipeline, rebuilt on Structured
+  * Streaming without Delta (SURVEY §2.9, §7.4):
+  *
+  *   raw event stream (Kafka / MemoryStream / file)
+  *     → parse + derived cols (P1-P4)
+  *     → watermark + dropDuplicatesWithinWatermark (T1/T2, reference
+  *       silver.py:62-66)
+  *     → foreachBatch insert-only MERGE into partitioned silver parquet
+  *       (J1 left-anti on (minute_timestamp, id) with the dynamic IN-list
+  *       bucket prune — reference silver.py:10-40)
+  *   silver parquet dir
+  *     → file-source stream (the Delta-CDF-insert analog: silver is
+  *       insert-only, so new files ARE the inserts — SURVEY §7.4)
+  *     → per-batch partial aggregate (A1) + full-outer fold into gold
+  *       (A2/J2, reference gold.py:7-46)
+  *   gold snapshot
+  *     → serving projection with `_id` (S7/P9, reference tomongo.py:6-17)
+  *
+  * Exactly-once notes: silver is idempotent under micro-batch replay (the
+  * MERGE key guard absorbs reprocessing — T5). The gold fold, like the
+  * reference's, is at-least-once across driver crashes inside foreachBatch;
+  * the checkpointed file-source offsets make replays rare, and the
+  * batch-id guard [[GoldState.lastBatchId]] skips folds already applied.
+  *
+  * Scale notes: dedup state lives in RocksDB with changelog checkpointing
+  * (reference utils.py:41-42) so the hot set stays off-heap and restarts
+  * replay only the changelog tail. Silver is partitioned by
+  * minute_timestamp (the liquid-clustering fallback, SURVEY §7.4) so the
+  * MERGE's bucket IN-list becomes real partition pruning on the target
+  * scan. The fold shuffles only per-group partials (≤ one row per
+  * group_id per batch), never raw events.
+  */
+object Pipeline {
+
+  final case class Config(
+      baseDir: String,
+      watermarkDelay: String = "30 seconds",
+      triggerMs: Long = 0L) {
+    def silverPath: String = s"$baseDir/silver"
+    def goldPath: String = s"$baseDir/gold"
+    def servePath: String = s"$baseDir/serve"
+    def checkpoint(name: String): String = s"$baseDir/checkpoints/$name"
+  }
+
+  /** Session configs mirroring the reference's state-store tuning. */
+  def rocksDbConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** P1-P4 over a raw Kafka-shaped stream: binary key/value → parsed
+    * struct → flat columns + ingest/bucket/watermark columns.
+    * (reference silver.py:54-62)
+    */
+  def parseKafkaShaped(raw: DataFrame): DataFrame =
+    raw.select(col("value").cast("string").as("value"))
+      .withColumn("json", from_json(col("value"), Schemas.eventSchema))
+      .select("json.*")
+      .transform(withDerived)
+
+  /** Same derivations when the stream is already typed (MemoryStream). */
+  def withDerived(events: DataFrame): DataFrame =
+    events
+      .withColumn("ingest_timestamp", unix_timestamp(current_timestamp()))
+      .withColumn("minute_timestamp",
+        (col("event_timestamp") / lit(1000) / lit(180)).cast("long"))
+      .withColumn("timestamp",
+        (col("event_timestamp") / lit(1000)).cast("timestamp"))
+
+  /** Stage 1: raw → watermark dedup → insert-only MERGE into silver. */
+  def startSilver(spark: SparkSession, raw: DataFrame, cfg: Config): StreamingQuery = {
+    val deduped = withDerived(raw)
+      .withWatermark("timestamp", cfg.watermarkDelay)
+      .dropDuplicatesWithinWatermark("id")
+      .drop("timestamp")
+    deduped.writeStream
+      .queryName("graft_silver")
+      .option("checkpointLocation", cfg.checkpoint("silver"))
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeToSilver(spark, batch, cfg)
+      }
+      .start()
+  }
+
+  /** J1: anti-join the batch against the already-written buckets only
+    * (dynamic IN-list prune → parquet partition pruning), then append.
+    * Idempotent per (minute_timestamp, id).
+    */
+  def mergeToSilver(spark: SparkSession, batch: DataFrame, cfg: Config): Unit = {
+    val out = new Path(cfg.silverPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDedup = Dedup.latestPerKey(batch,
+      Seq("minute_timestamp", "id"), Seq(col("event_timestamp").asc))
+    val fresh =
+      if (!fs.exists(out)) batchDedup
+      else {
+        // P10: collect the touched buckets, prune the target scan to them
+        val buckets = batchDedup.select("minute_timestamp").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val existing = spark.read
+          .schema(Schemas.silverSchema)
+          .parquet(cfg.silverPath)
+          .filter(col("minute_timestamp").isin(buckets: _*))
+        Dedup.insertOnlyMerge(batchDedup, existing, "minute_timestamp", "id",
+          Some(buckets))
+      }
+    fresh.select(Schemas.silverSchema.fieldNames.map(col): _*)
+      .write.mode("append").partitionBy("minute_timestamp")
+      .parquet(cfg.silverPath)
+  }
+
+  /** Stage 2: silver files as a stream (insert-only ⇒ new files are the
+    * change feed) → per-batch partial agg → fold into the gold snapshot.
+    */
+  def startGold(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val silver = spark.readStream
+      .schema(Schemas.silverSchema)
+      .option("maxFilesPerTrigger", 50)
+      .parquet(cfg.silverPath)
+    silver.writeStream
+      .queryName("graft_gold")
+      .option("checkpointLocation", cfg.checkpoint("gold"))
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldToGold(spark, batch, batchId, cfg)
+      }
+      .start()
+  }
+
+  /** A2/J2 with the faithful batch-overwrite first/last semantics, plus
+    * `updated_at` (excluded from any oracle compare). The snapshot swap is
+    * write-new → atomic rename, and a batch-id marker makes replays no-ops.
+    */
+  def foldToGold(spark: SparkSession, batch: DataFrame, batchId: Long,
+                 cfg: Config): Unit = {
+    val goldDir = new Path(cfg.goldPath)
+    val fs = goldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (GoldState.lastBatchId(fs, cfg) >= batchId) return // replayed batch
+    val partial = Aggregate.partial(batch, "group_id", "score", "event_timestamp")
+    val folded =
+      if (!fs.exists(goldDir)) {
+        partial.select(col("group_id"),
+          col("batch_score").as("cumulative_score"),
+          col("batch_events").as("event_count"),
+          (col("batch_score").cast("double") / col("batch_events")).as("avg_score"),
+          col("batch_first").as("first_event_timestamp"),
+          col("batch_last").as("last_event_timestamp"))
+      } else {
+        val gold = spark.read.parquet(cfg.goldPath)
+          .drop("updated_at")
+        Aggregate.fold(gold, partial, "group_id")
+      }
+    val out = folded
+      .withColumn("cumulative_score", col("cumulative_score").cast("double"))
+      .withColumn("updated_at",
+        (unix_timestamp(current_timestamp()) * 1000).cast("long"))
+    val tmp = new Path(cfg.goldPath + s"_tmp_$batchId")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(goldDir)) fs.delete(goldDir, true)
+    fs.rename(tmp, goldDir)
+    GoldState.writeBatchId(fs, cfg, batchId)
+  }
+
+  /** Stage 3: gold snapshot → serving shape (`_id` = group key), the
+    * Mongo-sink analog (S7/P9). Batch projection over the snapshot.
+    */
+  def serveProjection(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(cfg.goldPath)
+      .withColumn("_id", col("group_id"))
+
+  /** Tiny marker for gold-fold replay protection. */
+  private object GoldState {
+    def markerPath(cfg: Config) = new Path(cfg.baseDir + "/gold_batch_id")
+    def lastBatchId(fs: org.apache.hadoop.fs.FileSystem, cfg: Config): Long = {
+      val p = markerPath(cfg)
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    def writeBatchId(fs: org.apache.hadoop.fs.FileSystem, cfg: Config,
+                     id: Long): Unit = {
+      val out = fs.create(markerPath(cfg), true)
+      try out.write(id.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+}

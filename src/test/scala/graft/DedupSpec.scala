@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("latestPerKey keeps exactly one row per key, ordered") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 3L, 30.0), ("a", 2L, 20.0),
+      ("b", 5L, 50.0)).toDF("id", "ts", "v")
+    val latest = Dedup.latestPerKey(df, Seq("id"), Seq(col("ts").desc))
+      .orderBy("id").collect()
+    assert(latest.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 5L)))
+    val first = Dedup.latestPerKey(df, Seq("id"), Seq(col("ts").asc))
+      .orderBy("id").collect()
+    assert(first.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 5L)))
+  }
+
+  test("insertOnlyMerge drops rows whose keys already exist in target") {
+    val batch = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("bucket", "id")
+    val target = Seq((1L, "x"), (9L, "z")).toDF("bucket", "id")
+    val out = Dedup.insertOnlyMerge(batch, target, "bucket", "id")
+      .orderBy("bucket", "id").collect()
+    // (1,x) exists; (2,z) survives because bucket differs from (9,z)
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "y"), (2L, "z")))
+  }
+
+  test("insertOnlyMerge with bucket pruning only consults listed buckets") {
+    val batch = Seq((1L, "x")).toDF("bucket", "id")
+    val target = Seq((1L, "x"), (2L, "x")).toDF("bucket", "id")
+    val out = Dedup.insertOnlyMerge(batch, target, "bucket", "id",
+      Some(Seq(1L))).collect()
+    assert(out.isEmpty) // the (1,x) duplicate is found within the pruned set
+  }
+
+  test("exact dedup keeps the minimum tie-break row") {
+    val df = Seq(("t", 3L), ("t", 1L), ("u", 2L)).toDF("text", "doc")
+    val out = Dedup.exact(df, Seq("text"), "doc").orderBy("doc").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t", 1L), ("u", 2L)))
+  }
+}

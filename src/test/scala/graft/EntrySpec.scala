@@ -1,0 +1,27 @@
+package graft
+
+/** Driver-contract sanity: entry() returns rows; every query runs on the
+  * smoke SF; every oracle key has a query (column-name parity between the
+  * two sides is enforced by the DuckDB compare in tools/check_oracle.py).
+  */
+class EntrySpec extends SparkTestBase {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("all queries execute and are non-degenerate on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    // serve_page is legitimately empty at sf0.001 (only 15 groups < offset)
+    val allowEmpty = Set("serve_page")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0 && (allowEmpty(name) || n > 0), s"$name returned $n rows")
+    }
+  }
+}
