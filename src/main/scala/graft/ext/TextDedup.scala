@@ -80,18 +80,28 @@ object TextDedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
 
-  /** LSH candidate pairs: docs sharing any band hash (d1 < d2). */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(signatures(spark, dir))
-    val l = b.alias("l")
-    val r = b.alias("r")
-    l.join(r,
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+  /** All ordered (d1 < d2) pairs within a sorted id-array column. */
+  def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("d1"), y.as("d2")))))
+
+  /** LSH candidate pairs: docs sharing any band hash (d1 < d2).
+    *
+    * Implemented as groupBy(bucket) → sorted id set → in-bucket pair
+    * explosion, NOT a self-join: one shuffle of (band, hash, id) tuples,
+    * the signature pipeline evaluated once, and bucket skew is directly
+    * observable (a pathological bucket of n docs yields n²/2 pairs — cap
+    * or salt upstream if a real corpus has degenerate boilerplate).
+    */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    bands(signatures(spark, dir))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-  }
 
   /** Candidates + exact Jaccard over the 3-gram shingle sets; keep pairs
     * with jaccard >= `threshold`. This is the full
@@ -163,13 +173,16 @@ object TextDedup {
       (0 until 4).map(c => struct(lit(c).as("c"),
         substring(col("simhash"), 1 + 4 * c, 4).as("chunk"))): _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.c"), col("cc.chunk"))
-    val l = chunks.alias("l")
-    val r = chunks.alias("r")
-    l.join(r,
-        col("l.c") === col("r.c") && col("l.chunk") === col("r.chunk") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-        col("l.simhash").as("simhash"), col("r.simhash").as("simhash2"))
+    // same bucketed pair generation as candidatePairs: one shuffle, the
+    // simhash projection evaluated once
+    chunks
+      .groupBy(col("c"), col("chunk"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(col("p.d1.doc_id").as("d1"), col("p.d2.doc_id").as("d2"),
+        col("p.d1.simhash").as("simhash"), col("p.d2.simhash").as("simhash2"))
       .distinct()
       .withColumn("hamming", expr(
         """aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count(

@@ -25,11 +25,15 @@ object Profile {
     time("docShingles")(TextDedup.docShingles(spark, dir).count())
     time("signatures")(TextDedup.signatures(spark, dir).count())
     time("bands")(TextDedup.bands(TextDedup.signatures(spark, dir)).count())
+    time("bands2")(TextDedup.bands(TextDedup.signatures(spark, dir)).count())
+    time("groupOnly")(TextDedup.bands(TextDedup.signatures(spark, dir))
+      .groupBy(org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("band_hash"))
+      .count().count())
     time("candidatePairs")(TextDedup.candidatePairs(spark, dir).count())
+    time("candidatePairs2")(TextDedup.candidatePairs(spark, dir).count())
     time("nearDupPairs")(TextDedup.nearDupPairs(spark, dir, 0.5).count())
-    time("simhash")(TextDedup.simhash(spark, dir).count())
     time("simhashPairs")(TextDedup.simhashPairs(spark, dir, 3).count())
-    TextDedup.candidatePairs(spark, dir).explain("formatted")
     spark.stop()
   }
 }
