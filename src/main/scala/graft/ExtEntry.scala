@@ -36,6 +36,13 @@ object ExtEntry {
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s, dir, nQueries = 10, k = 5)),
 
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(s, dir, nQueries = 10, k = 3)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.labelBlockedPairs(s, dir, 0.4)
+        .orderBy(col("v1"), col("v2"))),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, dir).orderBy(col("doc_id"))),
 
@@ -149,6 +156,47 @@ object ExtEntry {
         |  FROM sims)
         |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "ann_lsh_topk" ->
+      """WITH planes AS (SELECT p, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p || ':' || i), 1, 1)) - 1) % 2 = 1
+        |    THEN 1.0 ELSE -1.0 END) AS r
+        |  FROM UNNEST([0,1,2,3]) AS pp(p)),
+        |sigs AS (SELECT vec_id, embedding, string_agg(CASE WHEN
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * r[i])) > 0
+        |    THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM embeddings, planes GROUP BY vec_id, embedding),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    q.embedding AS qe, c.embedding AS ce
+        |  FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+        |  AND q.vec_id < 10 AND c.vec_id >= 10),
+        |sims AS (SELECT qid, cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS sim
+        |  FROM cand),
+        |rk AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM sims)
+        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT v1, v2, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+        |ORDER BY v1, v2""".stripMargin,
 
     "text_langid" ->
       """WITH dicts AS (SELECT

@@ -165,6 +165,75 @@ object SparkEntry {
       Serve.topK(gold, Seq(col("cumulative_score").desc, col("user_id").asc), 10)
     }),
 
+    // Corrected fold variant: true all-time min/max (SURVEY §7.5-3)
+    "upsert_fold_alltime" -> ((s, dir) => {
+      val ev = silverBase(s, dir)
+      val cut = lit("2024-01-21").cast("timestamp")
+      val gold1 = Aggregate.partial(ev.filter(col("ts") < cut),
+          "user_id", "value", "event_timestamp")
+        .select(col("user_id"),
+          col("batch_score").as("cumulative_score"),
+          col("batch_events").as("event_count"),
+          col("batch_first").as("first_event_timestamp"),
+          col("batch_last").as("last_event_timestamp"))
+      val batch2 = Aggregate.partial(ev.filter(col("ts") >= cut),
+        "user_id", "value", "event_timestamp")
+      Aggregate.foldAllTime(gold1, batch2, "user_id")
+        .select(col("user_id"),
+          col("cumulative_score").cast("double").as("cumulative_score"),
+          col("event_count"), col("avg_score"),
+          col("first_event_timestamp"), col("last_event_timestamp"))
+        .orderBy(col("user_id"))
+    }),
+
+    // exact count-distinct (expand-based, oracle-exact — HLL sketches are
+    // engine-specific so the approximate variant is unit-tested instead)
+    "agg_count_distinct" -> ((s, dir) =>
+      Ingest.events(s, dir).agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))),
+
+    // sessionization: 30-min-gap sessions via lag + running sum windows
+    "window_sessionize" -> ((s, dir) => {
+      val ev = silverBase(s, dir)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val marked = ev
+        .withColumn("prev", lag(col("event_timestamp"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("event_timestamp") - col("prev") > 1800000L, 1).otherwise(0))
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_timestamp").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      marked.withColumn("session_id", sum(col("new_s")).over(run).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_timestamp")).as("session_start"),
+          max(col("event_timestamp")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // rollup: hierarchical totals (event_type, cohort) → type → grand
+    "agg_rollup" -> ((s, dir) =>
+      silverBase(s, dir)
+        .withColumn("cohort", (col("user_id") % 10).cast("long"))
+        .rollup(col("event_type"), col("cohort"))
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)),
+
+    // set ops over the 180-s buckets: INTERSECT / EXCEPT (distinct set
+    // semantics in both engines)
+    "set_ops_buckets" -> ((s, dir) => {
+      val b = silverBase(s, dir).select(col("minute_timestamp").as("bucket"),
+        col("event_type"))
+      def of(t: String) = b.filter(col("event_type") === t).select(col("bucket"))
+      of("purchase").intersect(of("click")).except(of("error"))
+        .orderBy(col("bucket"))
+    }),
+
     // TPC-H-ish anchors: scan-heavy agg, broadcast-dim join, multi-way join
     "tpch_q1" -> ((s, dir) =>
       Ingest.table(s, dir, "lineitem")
@@ -314,6 +383,60 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score
         |FROM events GROUP BY user_id
         |ORDER BY cumulative_score DESC, user_id LIMIT 10""".stripMargin,
+
+    "upsert_fold_alltime" ->
+      """WITH p1 AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(27,4))) AS s, count(*) AS c,
+        |    min(epoch_ms(ts)) AS f, max(epoch_ms(ts)) AS l
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id),
+        |p2 AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(27,4))) AS s, count(*) AS c,
+        |    min(epoch_ms(ts)) AS f, max(epoch_ms(ts)) AS l
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY user_id)
+        |SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
+        |  CAST(coalesce(p1.s, 0) + coalesce(p2.s, 0) AS DOUBLE) AS cumulative_score,
+        |  coalesce(p1.c, 0) + coalesce(p2.c, 0) AS event_count,
+        |  CAST(coalesce(p1.s, 0) + coalesce(p2.s, 0) AS DOUBLE)
+        |    / (coalesce(p1.c, 0) + coalesce(p2.c, 0)) AS avg_score,
+        |  least(coalesce(p1.f, p2.f), coalesce(p2.f, p1.f)) AS first_event_timestamp,
+        |  greatest(coalesce(p1.l, p2.l), coalesce(p2.l, p1.l)) AS last_event_timestamp
+        |FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types, count(*) AS n_events
+        |FROM events""".stripMargin,
+
+    "window_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ems,
+        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ems, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ems) AS session_start, max(ems) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type, cohort)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+
+    "set_ops_buckets" ->
+      """WITH b AS (SELECT CAST(floor(epoch_ms(ts)/1000.0/180.0) AS BIGINT) AS bucket,
+        |    event_type FROM events)
+        |SELECT * FROM (
+        |  (SELECT bucket FROM b WHERE event_type = 'purchase'
+        |   INTERSECT SELECT bucket FROM b WHERE event_type = 'click')
+        |  EXCEPT SELECT bucket FROM b WHERE event_type = 'error')
+        |ORDER BY bucket""".stripMargin,
 
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

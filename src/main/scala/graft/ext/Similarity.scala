@@ -35,6 +35,72 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Deterministic random-hyperplane directions: component (p, i) is ±1
+    * by the parity of the first hex digit of md5("p:i") — reproducible in
+    * any engine (the DuckDB oracle regenerates the same planes).
+    */
+  def planeVectors(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (1 to dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        val firstHexDigit = (h(0) >> 4) & 0xf
+        if (firstHexDigit % 2 == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-LSH bucket: one bit per hyperplane (sign of the projection). */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    concat(planes.map { r =>
+      val rlit = array(r.map(lit): _*)
+      when(dot(vec, rlit) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** The 100 TB ANN path: sign-LSH bucketing, then exact cosine only
+    * within a query's bucket. One shuffle on the (tiny) bucket key; the
+    * candidate set shrinks ~2^planes-fold at some recall cost. The same
+    * bucket-join shape as [[graft.ext.TextDedup.candidatePairs]].
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+              nPlanes: Int = 4): DataFrame = {
+    val planes = planeVectors(nPlanes, 64)
+    val sigs = embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), planes))
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"))
+    val c = sigs.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
+    * blocking column stands in for any coarse partitioner — at scale the
+    * all-pairs join happens only within blocks).
+    */
+  def labelBlockedPairs(spark: SparkSession, dir: String,
+                        threshold: Double): DataFrame = {
+    val e = embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("e1"))
+    val b = e.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    a.join(b, Seq("label"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector (vec_id < nQueries)
     * among the rest of the table.
     */

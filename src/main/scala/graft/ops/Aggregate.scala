@@ -82,25 +82,27 @@ object Aggregate {
         .as("last_event_timestamp"))
   }
 
-  /** Corrected fold: true all-time min/max instead of batch-overwrite. */
+  /** Corrected fold: true all-time min/max instead of batch-overwrite
+    * (the documented fix for trap SURVEY §7.5-3). Same single full-outer
+    * join as [[fold]].
+    */
   def foldAllTime(gold: DataFrame, batchPartial: DataFrame, groupCol: String): DataFrame = {
-    val folded = fold(gold, batchPartial, groupCol)
-    // fold() already consumed the aliases; recompute the two columns from
-    // a fresh join to keep this variant self-contained.
-    val g = gold.alias("t")
-    val b = batchPartial.alias("s")
-    g.join(b, Seq(groupCol), "full_outer").select(
+    val joined = gold.alias("t").join(batchPartial.alias("s"),
+      Seq(groupCol), "full_outer")
+    val newScore = coalesce(col("t.cumulative_score"), lit(0)) +
+      coalesce(col("s.batch_score"), lit(0))
+    val newCount = coalesce(col("t.event_count"), lit(0L)) +
+      coalesce(col("s.batch_events"), lit(0L))
+    val tFirst = col("t.first_event_timestamp")
+    val tLast = col("t.last_event_timestamp")
+    joined.select(
       col(groupCol),
-      least(col("t.first_event_timestamp"), col("s.batch_first"))
-        .as("first_alltime"),
-      greatest(col("t.last_event_timestamp"), col("s.batch_last"))
-        .as("last_alltime"))
-      .join(folded, Seq(groupCol))
-      .select(col(groupCol), col("cumulative_score"), col("event_count"),
-        col("avg_score"),
-        coalesce(col("first_alltime"), col("first_event_timestamp"))
-          .as("first_event_timestamp"),
-        coalesce(col("last_alltime"), col("last_event_timestamp"))
-          .as("last_event_timestamp"))
+      newScore.as("cumulative_score"),
+      newCount.as("event_count"),
+      (newScore.cast("double") / newCount).as("avg_score"),
+      least(coalesce(tFirst, col("s.batch_first")),
+        coalesce(col("s.batch_first"), tFirst)).as("first_event_timestamp"),
+      greatest(coalesce(tLast, col("s.batch_last")),
+        coalesce(col("s.batch_last"), tLast)).as("last_event_timestamp"))
   }
 }
