@@ -66,14 +66,16 @@ object Similarity {
     val planes = planeVectors(nPlanes, 64)
     val sigs = embeddings(spark, dir)
       .withColumn("bucket", signBucket(col("embedding"), planes))
+    // norms are precomputed per side so the per-pair work is one dot
     val q = sigs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"))
+        norm(col("embedding")).as("qn"), col("bucket"))
     val c = sigs.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("bucket"))
+        norm(col("embedding")).as("cn"), col("bucket"))
     val sims = c.join(broadcast(q), Seq("bucket"))
-      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -91,12 +93,13 @@ object Similarity {
                         threshold: Double): DataFrame = {
     val e = embeddings(spark, dir)
     val a = e.select(col("label"), col("vec_id").as("v1"),
-      col("embedding").as("e1"))
+      col("embedding").as("e1"), norm(col("embedding")).as("n1"))
     val b = e.select(col("label"), col("vec_id").as("v2"),
-      col("embedding").as("e2"))
+      col("embedding").as("e2"), norm(col("embedding")).as("n2"))
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .select(col("v1"), col("v2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
   }
@@ -108,12 +111,14 @@ object Similarity {
                      k: Int): DataFrame = {
     val emb = embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
     val c = emb.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
     val sims = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
-        cosine(col("qe"), col("ce")).as("sim"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
