@@ -1,0 +1,130 @@
+package graft.catalyst
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hash-signature hot loops.
+  *
+  * The pure-built-in formulations (higher-order `transform`/`aggregate`
+  * lambdas) are semantically identical but interpreted per element — the
+  * dominant cost of the dedup family at scale. These expressions do the
+  * same arithmetic in one tight JVM loop per row (CodegenFallback: a
+  * single virtual call per row, the loop itself is plain Scala).
+  *
+  * BIT-FOR-BIT parity with the SQL/DuckDB formulations is part of the
+  * contract — the oracle queries in ExtEntry are unchanged and ExtSpec
+  * asserts equality against the HOF versions.
+  */
+object HashExpressions {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 64-bit SimHash over an array<string> token column, as 16 lowercase
+    * hex chars. Bit b (MSB-first) is 1 iff Σ_tokens (±1 by bit b of the
+    * first 8 md5 bytes) > 0 — exactly the ExtEntry.simhashCte math.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val md = MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < arr.numElements()) {
+        val t = arr.getUTF8String(i)
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> (63 - b)) & 1L) == 1L) counts(b) += 1
+          else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var res = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) res |= 1L << (63 - b)
+        b += 1
+      }
+      UTF8String.fromString(f"$res%016x")
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  /** The 8 MinHash chunk-minima over an array<string> shingle column:
+    * j in 0..3 → min over shingles of md5(s).substring(8j, 8j+8);
+    * j in 4..7 → same over md5("x:" + s). Exactly ExtEntry.bandsCte's
+    * `mh` math (lexicographic min on fixed-width lowercase hex).
+    */
+  case class MinHashChunks(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_minhash_chunks"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = new Array[String](8)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        val raw = s.getBytes
+        val hex1 = md5hex(raw)
+        val salted = new Array[Byte](raw.length + 2)
+        salted(0) = 'x'
+        salted(1) = ':'
+        System.arraycopy(raw, 0, salted, 2, raw.length)
+        val hex2 = md5hex(salted)
+        var j = 0
+        while (j < 4) {
+          val c1 = hex1.substring(8 * j, 8 * j + 8)
+          if (mins(j) == null || c1 < mins(j)) mins(j) = c1
+          val c2 = hex2.substring(8 * j, 8 * j + 8)
+          if (mins(j + 4) == null || c2 < mins(j + 4)) mins(j + 4) = c2
+          j += 1
+        }
+        i += 1
+      }
+      if (mins(0) == null) null
+      else new GenericArrayData(mins.map(UTF8String.fromString(_)))
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashChunks =
+      copy(child = c)
+  }
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def minhashChunks(shingles: Column): Column =
+    Bridge.column(MinHashChunks(Bridge.expression(shingles)))
+}

@@ -56,9 +56,24 @@ object TextDedup {
     * ingest rebalance. The 8 minhashes come from 8-hex-char chunks of TWO
     * md5 evaluations per shingle (md5(s) and md5("x:"+s)) — same
     * independence as 8 salted hashes at a quarter of the hashing cost;
-    * lexicographic min on a fixed-width hex chunk ≡ numeric min.
+    * lexicographic min on a fixed-width hex chunk ≡ numeric min. The loop
+    * runs in the custom [[graft.catalyst.HashExpressions.MinHashChunks]]
+    * expression (one tight JVM loop per row; the HOF formulation below is
+    * kept for parity tests — identical output, interpreted per element).
     */
   def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = docShingles(spark, dir)
+      .withColumn("mh",
+        graft.catalyst.HashExpressions.minhashChunks(col("shingles")))
+    (0 until numHashes).foldLeft(base) { (df, j) =>
+      df.withColumn(s"sig$j", col("mh").getItem(j))
+    }.drop("mh")
+  }
+
+  /** HOF formulation of [[signatures]] — parity oracle for the custom
+    * expression (ExtSpec asserts equality).
+    */
+  private[graft] def signaturesViaHof(spark: SparkSession, dir: String): DataFrame = {
     val base = docShingles(spark, dir)
       .withColumn("h1", transform(col("shingles"), s => md5(s)))
       .withColumn("h2", transform(col("shingles"), s => md5(concat(lit("x:"), s))))
@@ -133,12 +148,24 @@ object TextDedup {
     * Expressed in SQL expression form so the DuckDB oracle can reproduce
     * it digit-for-digit (md5 hex → nibble → bit arithmetic).
     *
-    * Staged as three projections (token hashes → bit array → hex) so each
-    * intermediate is computed once per row — CollapseProject keeps
-    * multiply-referenced non-trivial aliases materialized instead of
-    * inlining the 64-bit aggregate 64 times.
+    * The hash loop runs in the custom
+    * [[graft.catalyst.HashExpressions.SimHash64]] expression;
+    * [[simhashViaHof]] keeps the pure-built-in formulation for parity
+    * tests.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.catalyst.HashExpressions.simhash64(split(col("text"), " "))
+          .as("simhash"))
+
+  /** HOF formulation of [[simhash]] — staged as three projections (token
+    * hashes → bit array → hex) so each intermediate is computed once per
+    * row; CollapseProject keeps multiply-referenced non-trivial aliases
+    * materialized instead of inlining the 64-bit aggregate 64 times.
+    */
+  private[graft] def simhashViaHof(spark: SparkSession, dir: String): DataFrame = {
     // per-token 64-bit hash = first 16 hex chars of md5(token)
     val tokenHashes = "transform(split(text, ' '), t -> substring(md5(t), 1, 16))"
     // contribution of token-hash h to bit b: +1 / -1

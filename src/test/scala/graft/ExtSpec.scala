@@ -75,4 +75,26 @@ class ExtSpec extends SparkTestBase {
       .filter(col("doc_id") < 2).collect()
     assert(hx.forall(_.getAs[String]("simhash").length == 16))
   }
+
+  test("custom SimHash64 expression matches the HOF formulation bit-for-bit") {
+    import graft.ext.TextDedup
+    val dir = "/root/testdata/sf0.001"
+    val fast = TextDedup.simhash(spark, dir).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val slow = TextDedup.simhashViaHof(spark, dir).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("custom MinHashChunks expression matches the HOF formulation") {
+    import graft.ext.TextDedup
+    val dir = "/root/testdata/sf0.001"
+    val sigCols = (0 until TextDedup.numHashes).map(j => s"sig$j")
+    def sigRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          sigCols.map(c => r.getAs[String](c))))
+    assert(sigRows(TextDedup.signatures(spark, dir)).toSeq ==
+      sigRows(TextDedup.signaturesViaHof(spark, dir)).toSeq)
+  }
 }
