@@ -122,9 +122,53 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Distinct word n-gram shingles of an array<string> token column —
+    * the tight-loop twin of
+    * `array_distinct(transform(sequence(...), i -> concat_ws(" ", slice(...))))`
+    * with identical output (first-occurrence order; short inputs degrade
+    * to one truncated shingle).
+    */
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val m = math.max(len - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[String](m * 2)
+      var i = 0
+      while (i < m) {
+        val end = math.min(i + n, len)
+        val sb = new java.lang.StringBuilder()
+        var k = i
+        while (k < end) {
+          if (k > i) sb.append(' ')
+          sb.append(arr.getUTF8String(k).toString)
+          k += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def minhashChunks(shingles: Column): Column =
     Bridge.column(MinHashChunks(Bridge.expression(shingles)))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), n))
 }

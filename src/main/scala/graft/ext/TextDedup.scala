@@ -33,8 +33,14 @@ object TextDedup {
   def documents(spark: SparkSession, dir: String): DataFrame =
     Ingest.table(spark, dir, "documents")
 
-  /** Distinct word n-gram shingles of a token-array column. */
+  /** Distinct word n-gram shingles of a token-array column (custom
+    * tight-loop expression; [[shinglesViaHof]] is the built-in twin kept
+    * for parity tests).
+    */
   def shingles(toks: Column, n: Int): Column =
+    graft.catalyst.HashExpressions.wordShingles(toks, n)
+
+  private[graft] def shinglesViaHof(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))))

@@ -19,6 +19,16 @@ class ExtSpec extends SparkTestBase {
     assert(rows(1) == Seq("a b"))
   }
 
+  test("custom WordShingles matches the HOF formulation incl. dup windows") {
+    val df = Seq("a b c d", "a b", "x", "a a a a a", "p q p q p q")
+      .toDF("text")
+    val fast = df.select(TextDedup.shingles(split(col("text"), " "), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val slow = df.select(TextDedup.shinglesViaHof(split(col("text"), " "), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(fast == slow)
+  }
+
   test("identical texts get identical minhash signatures and band hashes") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
