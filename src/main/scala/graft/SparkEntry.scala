@@ -165,6 +165,26 @@ object SparkEntry {
       Serve.topK(gold, Seq(col("cumulative_score").desc, col("user_id").asc), 10)
     }),
 
+    // as-of join: each event enriched with the latest order at-or-before
+    // its timestamp for the same user (union + keyed sort + carry-forward;
+    // see ops.AsOf scaladoc)
+    "join_asof" -> ((s, dir) => {
+      val e = silverBase(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_timestamp").as("ems"), col("value"))
+      val o = Ingest.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+      val oDedup = graft.ops.Dedup.latestPerKey(o,
+        Seq("o_custkey", "o_ms"), Seq(col("o_orderkey").desc))
+      graft.ops.AsOf.asOfJoin(e, oDedup, "user_id", "o_custkey",
+          "ems", "o_ms", Seq("o_orderkey", "o_totalprice", "o_ms"))
+        .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+          col("o_orderkey"), col("o_totalprice"), col("o_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // Corrected fold variant: true all-time min/max (SURVEY §7.5-3)
     "upsert_fold_alltime" -> ((s, dir) => {
       val ev = silverBase(s, dir)
@@ -383,6 +403,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score
         |FROM events GROUP BY user_id
         |ORDER BY cumulative_score DESC, user_id LIMIT 10""".stripMargin,
+
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms,
+        |    max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)),
+        |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ems, value FROM events)
+        |SELECT e.event_id, e.user_id, e.ems, e.value,
+        |  o.o_orderkey, o.o_totalprice, o.o_ms
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ems >= o.o_ms
+        |ORDER BY e.event_id""".stripMargin,
 
     "upsert_fold_alltime" ->
       """WITH p1 AS (

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark's batch API lacks
+  * (SURVEY §2.3 lists it as absent from the reference too; it's the
+  * canonical enrichment step for event streams against slowly-changing
+  * reference data).
+  *
+  * Implemented by composition (preference (a) of the custom-operator
+  * ladder): union both sides tagged, sort within each key by (time, side)
+  * and carry the latest right-side payload forward with
+  * `last(ignoreNulls)` over an unbounded-preceding frame, then keep the
+  * left rows. One shuffle on the key and one in-partition sort — no
+  * range-condition row explosion, no per-row binary search; exactly the
+  * plan a dedicated SortMergeAsOfJoinExec would produce, so a custom
+  * physical operator buys nothing here.
+  *
+  * Ties: a right row at the same (key, time) as a left row sorts FIRST
+  * (side desc), giving inclusive `leftTime >= rightTime` semantics,
+  * matching DuckDB's ASOF JOIN. Right rows must be unique per
+  * (key, time) — pre-reduce with [[Dedup.latestPerKey]] otherwise.
+  */
+object AsOf {
+
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyL: String, keyR: String,
+               timeL: String, timeR: String,
+               payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lAug = payload.foldLeft(
+      left.withColumn("__k", col(keyL))
+        .withColumn("__t", col(timeL))
+        .withColumn("__side", lit(0))) { (df, p) =>
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    }
+    val rAug = lCols.foldLeft(
+      right.withColumn("__k", col(keyR))
+        .withColumn("__t", col(timeR))
+        .withColumn("__side", lit(1))) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val cols = (Seq("__k", "__t", "__side") ++ lCols ++
+      payload.filterNot(lCols.contains)).distinct
+    val unioned = lAug.select(cols.map(col): _*)
+      .unionByName(rAug.select(cols.map(col): _*))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0).drop("__k", "__t", "__side")
+  }
+}
