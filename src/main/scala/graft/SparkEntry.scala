@@ -165,6 +165,25 @@ object SparkEntry {
       Serve.topK(gold, Seq(col("cumulative_score").desc, col("user_id").asc), 10)
     }),
 
+    // tumbling 1-hour event-time windows (batch analog of the streaming
+    // windowed aggregation; epoch-aligned in both engines)
+    "agg_tumbling" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(unix_millis(col("w.start")).as("win_start"), col("n"),
+          col("total"))
+        .orderBy(col("win_start"))),
+
+    // interpolated percentiles per group (same linear-interpolation
+    // definition in both engines; rounded to 6 digits)
+    "agg_percentiles" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+        .orderBy(col("event_type"))),
+
     // as-of join: each event enriched with the latest order at-or-before
     // its timestamp for the same user (union + keyed sort + carry-forward;
     // see ops.AsOf scaladoc)
@@ -403,6 +422,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score
         |FROM events GROUP BY user_id
         |ORDER BY cumulative_score DESC, user_id LIMIT 10""".stripMargin,
+
+    "agg_tumbling" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_asof" ->
       """WITH o AS (

@@ -102,6 +102,38 @@ class PipelineSpec extends SparkTestBase {
     } finally silverQ.stop()
   }
 
+  test("streaming tumbling-window aggregation emits finalized windows (append mode)") {
+    val input = MemoryStream[Event](4, spark, None)
+    val t0 = 1700000000000L // aligned to epoch minutes
+    val windowed = Pipeline.withDerived(input.toDF())
+      .withWatermark("timestamp", "30 seconds")
+      .groupBy(window(col("timestamp"), "1 minute").as("w"), col("group_id"))
+      .agg(count(lit(1)).as("n"), sum(col("score").cast("double")).as("total"))
+      .select(unix_millis(col("w.start")).as("win_start"), col("group_id"),
+        col("n"), col("total"))
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("graft_windows").start()
+    try {
+      input.addData(
+        ev("w1", "g1", 1.0f, t0 + 1000),
+        ev("w2", "g1", 2.0f, t0 + 2000),
+        ev("w3", "g2", 5.0f, t0 + 3000))
+      q.processAllAvailable()
+      // advance event time far enough to close the first window
+      input.addData(ev("w4", "g1", 1.0f, t0 + 300000))
+      q.processAllAvailable()
+      val rows = spark.table("graft_windows")
+        .orderBy("win_start", "group_id").collect()
+      val winStart = (t0 + 1000) - ((t0 + 1000) % 60000) // minute floor
+      val first = rows.filter(_.getAs[Long]("win_start") == winStart)
+      assert(first.length == 2)
+      val g1 = first.find(_.getAs[String]("group_id") == "g1").get
+      assert(g1.getAs[Long]("n") == 2 && math.abs(g1.getAs[Double]("total") - 3.0) < 1e-9)
+      val g2 = first.find(_.getAs[String]("group_id") == "g2").get
+      assert(g2.getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
   test("gold fold is replay-safe via the batch-id marker") {
     val cfg = freshCfg()
     val batch = Seq(("g1", 1.0f, 100L)).toDF("group_id", "score", "event_timestamp")
