@@ -102,8 +102,12 @@ object Pipeline {
   def mergeToSilver(spark: SparkSession, batch: DataFrame, cfg: Config): Unit = {
     val out = new Path(cfg.silverPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDedup = Dedup.latestPerKey(batch,
-      Seq("minute_timestamp", "id"), Seq(col("event_timestamp").asc))
+    // within-batch uniqueness: hash-dedup suffices (and costs no sort) —
+    // the upstream dropDuplicatesWithinWatermark already guarantees it in
+    // the streaming path; duplicate-id rows are identical payloads. For a
+    // deterministic tie-break on conflicting payloads use
+    // Dedup.latestPerKey at the call site instead.
+    val batchDedup = batch.dropDuplicates("minute_timestamp", "id")
     val fresh =
       if (!fs.exists(out)) batchDedup
       else {
@@ -117,7 +121,11 @@ object Pipeline {
         Dedup.insertOnlyMerge(batchDedup, existing, "minute_timestamp", "id",
           Some(buckets))
       }
+    // cluster the append by bucket so each micro-batch lands ~one file
+    // per bucket instead of shuffle-partitions × buckets small files —
+    // keeps the per-batch target re-scan (and 100 TB compaction debt) flat
     fresh.select(Schemas.silverSchema.fieldNames.map(col): _*)
+      .repartition(col("minute_timestamp"))
       .write.mode("append").partitionBy("minute_timestamp")
       .parquet(cfg.silverPath)
   }

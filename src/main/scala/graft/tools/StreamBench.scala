@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.Event
+import graft.streaming.Pipeline
+
+/** Streaming-throughput benchmark for the silver dedup stage — the
+  * reference's headline number is 4,000 events/s sustained through
+  * watermark dedup on 2×2 cores (BASELINE.md). Pushes `--events` total
+  * (default 200k) through parse → watermark → dropDuplicatesWithinWatermark
+  * → anti-join MERGE in 10k-event micro-batches (matching the reference's
+  * maxOffsetsPerTrigger) with 5% duplicate injection, and prints one JSON
+  * line with events/s.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val totalEvents = args.headOption.map(_.toInt).getOrElse(200000)
+    val batchSize = 10000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    // Micro-batches of ~10k rows want FEW shuffle partitions: every state
+    // op keeps one RocksDB instance per partition and checkpoints all of
+    // them each batch, so 32 partitions is pure overhead at this batch
+    // size (the reference ran 8 on a 4-core cluster, config.py:69).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    Pipeline.rocksDbConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = Pipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft_sbench").toString)
+    val input = MemoryStream[Event](99, spark, None)
+    val q = Pipeline.startSilver(spark, input.toDF(), cfg)
+
+    val rnd = new scala.util.Random(7)
+    val groups = (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
+    val t0 = 1700000000000L
+    var sent = 0
+    var batchNo = 0
+    // warmup batch (codegen + state store init), not timed
+    input.addData((0 until 1000).map(k =>
+      Event(s"warm-$k", groups(k % groups.size), rnd.nextFloat(), t0 + k)))
+    q.processAllAvailable()
+
+    val perBatch = sys.env.get("SPARK_GRAFT_STREAMBENCH_DEBUG").isDefined
+    val start = System.nanoTime()
+    while (sent < totalEvents) {
+      val n = math.min(batchSize, totalEvents - sent)
+      val base = t0 + 100000 + sent.toLong * 10
+      val fresh = (0 until n).map { k =>
+        Event(s"e-${sent + k}", groups((sent + k) % groups.size),
+          rnd.nextFloat(), base + k * 10)
+      }
+      val dupes = (0 until n / 20).map(k => fresh(rnd.nextInt(n)))
+      val b0 = System.nanoTime()
+      input.addData(rnd.shuffle(fresh ++ dupes))
+      q.processAllAvailable()
+      if (perBatch)
+        println(f"[sbench] batch $batchNo%3d ${(System.nanoTime() - b0) / 1e9}%6.2f s")
+      sent += n
+      batchNo += 1
+    }
+    val secs = (System.nanoTime() - start) / 1e9
+    q.stop()
+    val silverRows = spark.read.parquet(cfg.silverPath).count()
+    println(s"""{"metric":"silver_dedup_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"baseline_events_per_sec":4000}""")
+    spark.stop()
+  }
+}
