@@ -233,6 +233,17 @@ object SparkEntry {
         count_distinct(col("event_type")).as("n_types"),
         count(lit(1)).as("n_events"))),
 
+    // HLL++ sketch count-distinct: the 100 TB path (constant memory per
+    // group, mergeable partials). No oracle entry — sketch estimates are
+    // engine-specific; the driver records a rows-only check and
+    // AggregateSpec bounds the error vs the exact count.
+    "agg_approx_distinct" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        .orderBy(col("event_type"))),
+
     // sessionization: 30-min-gap sessions via lag + running sum windows
     "window_sessionize" -> ((s, dir) => {
       val ev = silverBase(s, dir)

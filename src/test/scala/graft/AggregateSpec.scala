@@ -60,6 +60,20 @@ class AggregateSpec extends SparkTestBase {
     }
   }
 
+  test("approx_count_distinct stays within its error bound vs exact") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Ingest.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n).toDouble / n < 0.1,
+        s"$t: approx ${approx(t)} vs exact $n")
+    }
+  }
+
   test("processing the same batch through fold twice double-counts (why the pipeline guards batch ids)") {
     val b = Seq(("g", 1.0, 100L)).toDF("group_id", "score", "event_timestamp")
     val gold1 = Aggregate.partial(b, "group_id", "score", "event_timestamp")
