@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ops.Ingest
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
   * dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash), embedding
@@ -56,7 +57,52 @@ object ExtEntry {
       TextAnalysis.fingerprint(s, dir).orderBy(col("doc_id"))),
 
     "mm_meta" -> ((s, dir) =>
-      Multimodal.meta(s, dir).orderBy(col("doc_id")))
+      Multimodal.meta(s, dir).orderBy(col("doc_id"))),
+
+    // frame-sampling plumbing for the video kind: one row per sampled
+    // frame index (stride 2) — the shape a real decoder fans out into
+    "mm_frames" -> ((s, dir) =>
+      Ingest.table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .withColumn("frames",
+          (expr("octet_length(text) div 64") + 1).cast("long"))
+        .select(col("doc_id"), col("frames"),
+          explode(sequence(lit(0L), col("frames") - 1, lit(2L))).as("frame_no"))
+        .orderBy(col("doc_id"), col("frame_no"))),
+
+    // cleaning: lowercase, strip non-alphanumerics, drop stopwords —
+    // the canonical pre-tokenization normalize step
+    "text_clean" -> ((s, dir) => {
+      val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
+      val toks = filter(
+        split(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")), " "),
+        x => x =!= "" && !array_contains(dict, x))
+      Ingest.table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(toks, " ").as("cleaned"),
+          size(toks).cast("long").as("n_clean_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // composed training-data filter: exact-dedup survivors gated by token
+    // count and stopword ratio — the end-to-end curation pipeline shape
+    "pipeline_filter" -> ((s, dir) => {
+      val keep = TextDedup.exactGroups(s, dir)
+        .select(col("keep_doc_id").as("doc_id"))
+      val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
+      val toksAll = split(col("text"), " ")
+      val toksLower = split(lower(col("text")), " ")
+      val stopRatio =
+        size(filter(toksLower, x => array_contains(dict, x))).cast("double") /
+          size(toksLower)
+      Ingest.table(s, dir, "documents")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"),
+          size(toksAll).cast("long").as("n_tokens"),
+          round(stopRatio, 6).as("stop_ratio"))
+        .filter(col("n_tokens").between(20, 400) && col("stop_ratio") >= 0.01)
+        .orderBy(col("doc_id"))
+    })
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -250,6 +296,37 @@ object ExtEntry {
         |  (SELECT min(md5(array_to_string(w[i:i+4], ' ')))
         |   FROM UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS g(i)) AS min_shingle
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, frames, f AS frame_no
+        |FROM v, UNNEST(generate_series(0, CAST(frames - 1 AS BIGINT), 2)) AS g(f)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "text_clean" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' '),
+        |      x -> x <> '' AND NOT list_contains(
+        |        ['the','a','of','and','to','in','is','it','you','that'], x)) AS toks
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(toks, ' ') AS cleaned,
+        |  len(toks) AS n_clean_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "pipeline_filter" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |q AS (SELECT d.doc_id, d.lang,
+        |    len(string_split(d.text, ' ')) AS n_tokens,
+        |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','it','you','that'], x))) AS DOUBLE)
+        |      / len(string_split(lower(d.text), ' ')) AS stop_ratio
+        |  FROM documents d JOIN keep USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
+        |FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,
