@@ -165,6 +165,13 @@ object SparkEntry {
       Serve.topK(gold, Seq(col("cumulative_score").desc, col("user_id").asc), 10)
     }),
 
+    // skew-safe salted two-phase aggregation — identical results to the
+    // direct groupBy, so the plain SQL is the oracle
+    "agg_salted" -> ((s, dir) =>
+      Aggregate.saltedGold(silverBase(s, dir), "user_id", "value",
+          "event_timestamp", saltBuckets = 16)
+        .orderBy(col("user_id"))),
+
     // tumbling 1-hour event-time windows (batch analog of the streaming
     // windowed aggregation; epoch-aligned in both engines)
     "agg_tumbling" -> ((s, dir) =>
@@ -433,6 +440,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score
         |FROM events GROUP BY user_id
         |ORDER BY cumulative_score DESC, user_id LIMIT 10""".stripMargin,
+
+    "agg_salted" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
+        |  count(*) AS event_count,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_score,
+        |  min(epoch_ms(ts)) AS first_event_timestamp,
+        |  max(epoch_ms(ts)) AS last_event_timestamp
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_tumbling" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,

@@ -50,6 +50,32 @@ object Aggregate {
       max(col(tsCol)).as("last_event_timestamp"))
   }
 
+  /** Skew-safe two-phase aggregation: groupBy((key, salt)) partials, then
+    * groupBy(key) final merge. A hot key's rows spread over `saltBuckets`
+    * reducers in phase 1 instead of hammering one; phase 2 merges the at
+    * most `saltBuckets` partial rows per key. Results are identical to a
+    * direct groupBy (decimal sums are associative), so the plain query
+    * serves as its oracle. Spark's map-side partial aggregation already
+    * blunts most skew — explicit salting is the lever when distinct-heavy
+    * or memory-bound aggregates defeat partial aggregation.
+    */
+  def saltedGold(events: DataFrame, groupCol: String, scoreCol: String,
+                 tsCol: String, saltBuckets: Int): DataFrame = {
+    val salted = events.withColumn("__salt",
+      pmod(hash(col(tsCol)), lit(saltBuckets)))
+    val phase1 = salted.groupBy(col(groupCol), col("__salt")).agg(
+      sum(col(scoreCol).cast(DecimalType(27, 4))).as("s"),
+      count(lit(1)).as("c"),
+      min(col(tsCol)).as("f"),
+      max(col(tsCol)).as("l"))
+    phase1.groupBy(col(groupCol)).agg(
+      sum(col("s")).cast("double").as("cumulative_score"),
+      sum(col("c")).as("event_count"),
+      (sum(col("s")).cast("double") / sum(col("c"))).as("avg_score"),
+      min(col("f")).as("first_event_timestamp"),
+      max(col("l")).as("last_event_timestamp"))
+  }
+
   /** A2/J2: fold a batch partial into the running gold table — faithful
     * MERGE semantics of gold.py:23-44:
     *   - cumulative_score += batch_score, event_count += batch_events;
