@@ -183,6 +183,48 @@ object Pipeline {
     GoldState.writeBatchId(fs, cfg, batchId)
   }
 
+  /** Alternative gold path: per-group running aggregates held in the
+    * state store via mapGroupsWithState — no snapshot rewrite per batch,
+    * update-mode emission of exactly the touched groups. This is the
+    * pure-streaming formulation of the reference's MERGE fold (state =
+    * the gold row; the fold arithmetic is identical to [[Aggregate.fold]],
+    * including the faithful batch-overwrite first/last semantics).
+    *
+    * Scale notes: state is one small row per group_id in RocksDB,
+    * partitioned by the shuffle on group_id; a 100 TB keyspace shards
+    * across executors with no global rewrite — the trade against
+    * [[startGold]] is that serving reads need a changelog sink (update
+    * stream) instead of a self-contained snapshot directory.
+    */
+  def statefulGold(events: org.apache.spark.sql.Dataset[graft.model.SilverRow])
+      : org.apache.spark.sql.Dataset[graft.model.GoldRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.group_id)
+      .mapGroupsWithState[graft.model.GoldRow, graft.model.GoldRow](
+        GroupStateTimeout.NoTimeout()) {
+        case (gid, rows, state: GroupState[graft.model.GoldRow]) =>
+          var cum = 0.0
+          var cnt = 0L
+          var first = Long.MaxValue
+          var last = Long.MinValue
+          rows.foreach { r =>
+            cum += r.score.toDouble
+            cnt += 1
+            if (r.event_timestamp < first) first = r.event_timestamp
+            if (r.event_timestamp > last) last = r.event_timestamp
+          }
+          val prev = state.getOption
+          val newCum = prev.map(_.cumulative_score.toDouble).getOrElse(0.0) + cum
+          val newCnt = prev.map(_.event_count).getOrElse(0L) + cnt
+          val row = graft.model.GoldRow(gid,
+            newCum.toFloat, newCnt, (newCum / newCnt).toFloat,
+            first, last, System.currentTimeMillis())
+          state.update(row)
+          row
+      }
+  }
+
   /** Stage 3: gold snapshot → serving shape (`_id` = group key), the
     * Mongo-sink analog (S7/P9). Batch projection over the snapshot.
     */

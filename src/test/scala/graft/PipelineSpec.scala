@@ -134,6 +134,34 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful gold via mapGroupsWithState folds across micro-batches") {
+    val input = MemoryStream[graft.model.SilverRow](5, spark, None)
+    val q = Pipeline.statefulGold(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_stateful_gold").start()
+    try {
+      input.addData(
+        graft.model.SilverRow("a1", "g1", 1.0f, 100L, 0L, 0L),
+        graft.model.SilverRow("a2", "g1", 2.0f, 200L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(
+        graft.model.SilverRow("a3", "g1", 3.0f, 300L, 0L, 0L),
+        graft.model.SilverRow("b1", "g2", 5.0f, 400L, 0L, 0L))
+      q.processAllAvailable()
+      // memory sink in update mode appends each emission; the emission
+      // with the highest event_count per group is the latest state
+      val rows = spark.table("graft_stateful_gold")
+      val latest = rows.orderBy(col("event_count"))
+        .collect().map(r => r.getAs[String]("group_id") -> r).toMap
+      val g1 = latest("g1")
+      assert(g1.getAs[Long]("event_count") == 3L)
+      assert(math.abs(g1.getAs[Float]("cumulative_score") - 6.0f) < 1e-5)
+      // faithful batch-overwrite semantics: first reflects batch 2 only
+      assert(g1.getAs[Long]("first_event_timestamp") == 300L)
+      assert(latest("g2").getAs[Long]("event_count") == 1L)
+    } finally q.stop()
+  }
+
   test("gold fold is replay-safe via the batch-id marker") {
     val cfg = freshCfg()
     val batch = Seq(("g1", 1.0f, 100L)).toDF("group_id", "score", "event_timestamp")
