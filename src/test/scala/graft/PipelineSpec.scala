@@ -162,6 +162,42 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches events within the time bound") {
+    val t0 = 1700000000000L
+    val clicks = MemoryStream[Event](6, spark, None)
+    val buys = MemoryStream[Event](7, spark, None)
+    val c = Pipeline.withDerived(clicks.toDF())
+      .select(col("id").as("click_id"), col("group_id"),
+        col("timestamp").as("click_ts"))
+      .withWatermark("click_ts", "1 minute")
+    val b = Pipeline.withDerived(buys.toDF())
+      .select(col("id").as("buy_id"), col("group_id").as("b_group"),
+        col("timestamp").as("buy_ts"))
+      .withWatermark("buy_ts", "1 minute")
+    val joined = c.join(b,
+      col("group_id") === col("b_group") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssjoin").start()
+    try {
+      clicks.addData(ev("c1", "g1", 1f, t0), ev("c2", "g2", 1f, t0))
+      buys.addData(
+        ev("b1", "g1", 1f, t0 + 60000), // within 5 min of c1 → match
+        ev("b2", "g2", 1f, t0 + 600000), // 10 min later → no match
+        ev("b3", "g3", 1f, t0 + 30000)) // no click for g3 → no match
+      q.processAllAvailable()
+      // push watermarks forward so joins finalize
+      clicks.addData(ev("c9", "g9", 1f, t0 + 1200000))
+      buys.addData(ev("b9", "g8", 1f, t0 + 1200000))
+      q.processAllAvailable()
+      val pairs = spark.table("graft_ssjoin")
+        .select(col("click_id"), col("buy_id")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs == Set(("c1", "b1")))
+    } finally q.stop()
+  }
+
   test("gold fold is replay-safe via the batch-id marker") {
     val cfg = freshCfg()
     val batch = Seq(("g1", 1.0f, 100L)).toDF("group_id", "score", "event_timestamp")
