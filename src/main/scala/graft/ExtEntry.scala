@@ -40,6 +40,10 @@ object ExtEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(s, dir, nQueries = 10, k = 3)),
 
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(s, dir, nQueries = 10, nCentroids = 16,
+        nProbe = 2, k = 3)),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.labelBlockedPairs(s, dir, 0.4)
         .orderBy(col("v1"), col("v2"))),
@@ -225,6 +229,46 @@ object ExtEntry {
         |     sqrt(list_sum(list_transform(generate_series(1, 64),
         |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS sim
         |  FROM cand),
+        |rk AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM sims)
+        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cemb
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 26),
+        |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |assign AS (SELECT cid, cent_id, row_number() OVER (PARTITION BY cid ORDER BY
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(ce[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))))) DESC,
+        |    cent_id) AS rk
+        |  FROM cand, cents),
+        |cells AS (SELECT cid, cent_id FROM assign WHERE rk = 1),
+        |probe AS (SELECT qid, cent_id, row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))))) DESC,
+        |    cent_id) AS rk
+        |  FROM q, cents),
+        |probed AS (SELECT qid, cent_id FROM probe WHERE rk <= 2),
+        |pool AS (SELECT DISTINCT p.qid, c.cid FROM probed p JOIN cells c ON p.cent_id = c.cent_id),
+        |sims AS (SELECT pool.qid, pool.cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(cd.ce[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cd.ce[i] AS DOUBLE) * CAST(cd.ce[i] AS DOUBLE))))) AS sim
+        |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid),
         |rk AS (SELECT qid, cid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
         |  FROM sims)

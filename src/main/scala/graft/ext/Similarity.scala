@@ -85,6 +85,66 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-cell ANN: candidates are assigned to their nearest of
+    * `nCentroids` fixed centroid vectors (here: a deterministic slice of
+    * the table — a real deployment trains k-means centroids offline);
+    * each query probes its `nProbe` nearest cells and searches exactly
+    * within them. Centroids broadcast everywhere; the only shuffle keys
+    * are (cell, id) pairs. The coarser twin of [[lshTopK]] — better
+    * recall control (nProbe), needs a centroid set.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int,
+              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cents = emb
+      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        norm(col("embedding")).as("cn"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("en"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("acos").desc, col("cent_id").asc)
+    val cells = cand.crossJoin(broadcast(cents))
+      .select(col("cid"),
+        (dot(col("ce"), col("cemb")) / (col("en") * col("cn"))).as("acos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("cent_id"))
+
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+
+    val pool = probed.join(cells, Seq("cent_id"))
+      .select(col("qid"), col("cid")).distinct()
+    val sims = pool
+      .join(q.select(col("qid"), col("qe"), col("qn")), Seq("qid"))
+      .join(cand.select(col("cid"), col("ce"), col("en")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * blocking column stands in for any coarse partitioner — at scale the
     * all-pairs join happens only within blocks).
