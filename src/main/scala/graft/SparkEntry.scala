@@ -325,6 +325,46 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "tpch_q6" -> ((s, dir) =>
+      Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))),
+
+    "tpch_q18" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val ord = Ingest.table(s, dir, "orders")
+      val cust = Ingest.table(s, dir, "customer")
+      ord.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          col("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // data-quality audit over the event feed: null/range/duplicate checks
+    "audit_events" -> ((s, dir) => {
+      val ev = Ingest.events(s, dir)
+      ev.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("event_id")).as("n_distinct_ids"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("null_values"),
+        sum(when(col("event_type").isNull, 1).otherwise(0)).as("null_types"),
+        sum(when(col("value") < 0, 1).otherwise(0)).as("negative_values"),
+        min(unix_millis(col("ts"))).as("min_ts"),
+        max(unix_millis(col("ts"))).as("max_ts"))
+    }),
+
     "tpch_q5" -> ((s, dir) => {
       val region = Ingest.table(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = Ingest.table(s, dir, "nation")
@@ -553,6 +593,35 @@ object SparkEntry {
          |  AND l_shipdate > TIMESTAMP '1998-01-01'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "audit_events" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_distinct_ids,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_types,
+        |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
+        |  min(epoch_ms(ts)) AS min_ts, max(epoch_ms(ts)) AS max_ts
+        |FROM events""".stripMargin,
 
     "tpch_q5" ->
       s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
