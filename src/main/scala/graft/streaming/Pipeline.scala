@@ -225,6 +225,57 @@ object Pipeline {
       }
   }
 
+  /** The same running-gold fold on Spark 4's transformWithState API — a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] with explicit
+    * ValueState (RocksDB-only, composable with TTL/timers for state
+    * hygiene at scale; mapGroupsWithState offers neither).
+    */
+  class GoldProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, graft.model.SilverRow, graft.model.GoldRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[graft.model.GoldRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[graft.model.GoldRow]("gold",
+        org.apache.spark.sql.Encoders.product[graft.model.GoldRow],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[graft.model.SilverRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[graft.model.GoldRow] = {
+      var cum = 0.0
+      var cnt = 0L
+      var first = Long.MaxValue
+      var last = Long.MinValue
+      rows.foreach { r =>
+        cum += r.score.toDouble
+        cnt += 1
+        if (r.event_timestamp < first) first = r.event_timestamp
+        if (r.event_timestamp > last) last = r.event_timestamp
+      }
+      if (cnt == 0) Iterator.empty
+      else {
+        val prev = Option(state.get())
+        val newCum = prev.map(_.cumulative_score.toDouble).getOrElse(0.0) + cum
+        val newCnt = prev.map(_.event_count).getOrElse(0L) + cnt
+        val row = graft.model.GoldRow(key, newCum.toFloat, newCnt,
+          (newCum / newCnt).toFloat, first, last, System.currentTimeMillis())
+        state.update(row)
+        Iterator.single(row)
+      }
+    }
+  }
+
+  /** [[statefulGold]] on the transformWithState API. */
+  def statefulGoldTws(events: org.apache.spark.sql.Dataset[graft.model.SilverRow])
+      : org.apache.spark.sql.Dataset[graft.model.GoldRow] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.group_id)
+      .transformWithState(new GoldProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stage 3: gold snapshot → serving shape (`_id` = group key), the
     * Mongo-sink analog (S7/P9). Batch projection over the snapshot.
     */

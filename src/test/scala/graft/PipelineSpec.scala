@@ -198,6 +198,26 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState gold processor folds across micro-batches") {
+    val input = MemoryStream[graft.model.SilverRow](8, spark, None)
+    val q = Pipeline.statefulGoldTws(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_tws_gold").start()
+    try {
+      input.addData(
+        graft.model.SilverRow("a1", "g1", 1.0f, 100L, 0L, 0L),
+        graft.model.SilverRow("a2", "g1", 2.0f, 200L, 0L, 0L))
+      q.processAllAvailable()
+      input.addData(graft.model.SilverRow("a3", "g1", 3.0f, 300L, 0L, 0L))
+      q.processAllAvailable()
+      val latest = spark.table("graft_tws_gold").orderBy(col("event_count"))
+        .collect().map(r => r.getAs[String]("group_id") -> r).toMap
+      val g1 = latest("g1")
+      assert(g1.getAs[Long]("event_count") == 3L)
+      assert(math.abs(g1.getAs[Float]("cumulative_score") - 6.0f) < 1e-5)
+    } finally q.stop()
+  }
+
   test("gold fold is replay-safe via the batch-id marker") {
     val cfg = freshCfg()
     val batch = Seq(("g1", 1.0f, 100L)).toDF("group_id", "score", "event_timestamp")
