@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * The pure-built-in formulations (higher-order `transform`/`aggregate`
   * lambdas) are semantically identical but interpreted per element — the
   * dominant cost of the dedup family at scale. These expressions do the
-  * same arithmetic in one tight JVM loop per row (CodegenFallback: a
-  * single virtual call per row, the loop itself is plain Scala).
+  * same arithmetic in one tight JVM loop per row, and implement
+  * `doGenCode` as a static call so the surrounding projection stays one
+  * WholeStageCodegen span (no CodegenFallback row materialization).
   *
   * BIT-FOR-BIT parity with the SQL/DuckDB formulations is part of the
   * contract — the oracle queries in ExtEntry are unchanged and ExtSpec
@@ -38,43 +39,106 @@ object HashExpressions {
     new String(out)
   }
 
+  /** Row kernel for [[SimHash64]] — also called from generated code. */
+  def simhashEval(arr: ArrayData): UTF8String = {
+    val counts = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      md.reset()
+      val d = md.digest(t.getBytes)
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> (63 - b)) & 1L) == 1L) counts(b) += 1
+        else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) res |= 1L << (63 - b)
+      b += 1
+    }
+    UTF8String.fromString(f"$res%016x")
+  }
+
+  /** Row kernel for [[MinHashChunks]]. Input must be non-empty (callers
+    * build shingles via [[WordShingles]], which emits >= 1 element); an
+    * empty input yields 8 empty-string minima rather than nulls.
+    */
+  def minhashEval(arr: ArrayData): ArrayData = {
+    val mins = new Array[String](8)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val raw = s.getBytes
+      val hex1 = md5hex(raw)
+      val salted = new Array[Byte](raw.length + 2)
+      salted(0) = 'x'
+      salted(1) = ':'
+      System.arraycopy(raw, 0, salted, 2, raw.length)
+      val hex2 = md5hex(salted)
+      var j = 0
+      while (j < 4) {
+        val c1 = hex1.substring(8 * j, 8 * j + 8)
+        if (mins(j) == null || c1 < mins(j)) mins(j) = c1
+        val c2 = hex2.substring(8 * j, 8 * j + 8)
+        if (mins(j + 4) == null || c2 < mins(j + 4)) mins(j + 4) = c2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(
+      if (m == null) "" else m)))
+  }
+
+  /** Row kernel for [[WordShingles]]. */
+  def shinglesEval(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val m = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + n, len)
+      val sb = new java.lang.StringBuilder()
+      var k = i
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(arr.getUTF8String(k).toString)
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val kernelClass = "graft.catalyst.HashExpressions"
+
   /** 64-bit SimHash over an array<string> token column, as 16 lowercase
     * hex chars. Bit b (MSB-first) is 1 iff Σ_tokens (±1 by bit b of the
     * first 8 md5 bytes) > 0 — exactly the ExtEntry.simhashCte math.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
-      val md = MessageDigest.getInstance("MD5")
-      var i = 0
-      while (i < arr.numElements()) {
-        val t = arr.getUTF8String(i)
-        md.reset()
-        val d = md.digest(t.getBytes)
-        var h = 0L
-        var k = 0
-        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-        var b = 0
-        while (b < 64) {
-          if (((h >>> (63 - b)) & 1L) == 1L) counts(b) += 1
-          else counts(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var res = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) > 0) res |= 1L << (63 - b)
-        b += 1
-      }
-      UTF8String.fromString(f"$res%016x")
-    }
+    override def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.simhashEval($c);")
 
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
@@ -85,38 +149,17 @@ object HashExpressions {
     * j in 4..7 → same over md5("x:" + s). Exactly ExtEntry.bandsCte's
     * `mh` math (lexicographic min on fixed-width lowercase hex).
     */
-  case class MinHashChunks(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class MinHashChunks(child: Expression) extends UnaryExpression {
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_minhash_chunks"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = new Array[String](8)
-      var i = 0
-      while (i < arr.numElements()) {
-        val s = arr.getUTF8String(i)
-        val raw = s.getBytes
-        val hex1 = md5hex(raw)
-        val salted = new Array[Byte](raw.length + 2)
-        salted(0) = 'x'
-        salted(1) = ':'
-        System.arraycopy(raw, 0, salted, 2, raw.length)
-        val hex2 = md5hex(salted)
-        var j = 0
-        while (j < 4) {
-          val c1 = hex1.substring(8 * j, 8 * j + 8)
-          if (mins(j) == null || c1 < mins(j)) mins(j) = c1
-          val c2 = hex2.substring(8 * j, 8 * j + 8)
-          if (mins(j + 4) == null || c2 < mins(j + 4)) mins(j + 4) = c2
-          j += 1
-        }
-        i += 1
-      }
-      if (mins(0) == null) null
-      else new GenericArrayData(mins.map(UTF8String.fromString(_)))
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.minhashEval($c);")
 
     override protected def withNewChildInternal(c: Expression): MinHashChunks =
       copy(child = c)
@@ -128,36 +171,17 @@ object HashExpressions {
     * with identical output (first-occurrence order; short inputs degrade
     * to one truncated shingle).
     */
-  case class WordShingles(child: Expression, n: Int) extends UnaryExpression
-      with CodegenFallback {
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_word_shingles"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val len = arr.numElements()
-      val m = math.max(len - n + 1, 1)
-      val seen = new java.util.LinkedHashSet[String](m * 2)
-      var i = 0
-      while (i < m) {
-        val end = math.min(i + n, len)
-        val sb = new java.lang.StringBuilder()
-        var k = i
-        while (k < end) {
-          if (k > i) sb.append(' ')
-          sb.append(arr.getUTF8String(k).toString)
-          k += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
-      val out = new Array[Any](seen.size())
-      val it = seen.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      shinglesEval(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.shinglesEval($c, $n);")
 
     override protected def withNewChildInternal(c: Expression): WordShingles =
       copy(child = c)
