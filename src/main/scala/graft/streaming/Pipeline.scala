@@ -59,6 +59,24 @@ object Pipeline {
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
       "true")
 
+  /** Kafka source wiring mirroring the reference's options
+    * (silver.py:45-51): subscribe + earliest offsets + per-trigger cap.
+    * The spark-sql-kafka connector jar resolves at runtime (`format` is a
+    * string lookup), so this compiles and ships without it; the test
+    * environment drives the identical downstream pipeline from
+    * MemoryStream instead (SURVEY §2.1 S1/S11).
+    */
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String,
+                maxOffsetsPerTrigger: Long = 10000L): DataFrame =
+    parseKafkaShaped(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+        .load())
+
   /** P1-P4 over a raw Kafka-shaped stream: binary key/value → parsed
     * struct → flat columns + ingest/bucket/watermark columns.
     * (reference silver.py:54-62)
@@ -66,8 +84,7 @@ object Pipeline {
   def parseKafkaShaped(raw: DataFrame): DataFrame =
     raw.select(col("value").cast("string").as("value"))
       .withColumn("json", from_json(col("value"), Schemas.eventSchema))
-      .select("json.*")
-      .transform(withDerived)
+      .select("json.*") // flat Event columns; startSilver derives the rest
 
   /** Same derivations when the stream is already typed (MemoryStream). */
   def withDerived(events: DataFrame): DataFrame =

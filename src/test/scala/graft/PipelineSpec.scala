@@ -22,6 +22,19 @@ class PipelineSpec extends SparkTestBase {
   private def ev(id: String, group: String, score: Float, tsMs: Long) =
     Event(id, group, score, tsMs)
 
+  test("kafka-shaped binary payloads parse into the event schema") {
+    import org.apache.spark.sql.functions.{to_json, struct, encode}
+    val raw = Seq(("k1", """{"id":"a","group_id":"g","score":0.5,"event_timestamp":1700000000000}"""))
+      .toDF("key", "v")
+      .select(encode(col("key"), "UTF-8").as("key"),
+        encode(col("v"), "UTF-8").as("value"))
+    val parsed = Pipeline.parseKafkaShaped(raw).collect().head
+    assert(parsed.getAs[String]("id") == "a")
+    assert(parsed.getAs[String]("group_id") == "g")
+    assert(math.abs(parsed.getAs[Float]("score") - 0.5f) < 1e-6)
+    assert(parsed.getAs[Long]("event_timestamp") == 1700000000000L)
+  }
+
   test("silver stage dedups within a batch and across batches") {
     val cfg = freshCfg()
     val input = MemoryStream[Event](1, spark, None)
