@@ -284,6 +284,54 @@ object Pipeline {
     }
   }
 
+  /** First-seen-wins dedup with an explicit processing-time TTL on the
+    * seen-set — the transformWithState alternative to
+    * dropDuplicatesWithinWatermark when the horizon should be operational
+    * (state budget) rather than event-time. State is one boolean per id in
+    * RocksDB, expired by TTL without any watermark coupling.
+    */
+  class SeenDedupProcessor(ttlMillis: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, graft.model.Event, graft.model.Event] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        if (ttlMillis > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMillis))
+        else TTLConfig.NONE)
+
+    override def handleInputRows(id: String,
+        rows: Iterator[graft.model.Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[graft.model.Event] = {
+      if (seen.exists() || rows.isEmpty) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(rows.next())
+      }
+    }
+  }
+
+  /** Dedup a typed event stream by id. `ttlMillis > 0` bounds the
+    * seen-set with a processing-time TTL (the engine then schedules
+    * batches continuously to advance TTL time — fine under a real
+    * trigger, but synchronous processAllAvailable-style tests should use
+    * `ttlMillis = 0`, unbounded state).
+    */
+  def ttlDedup(events: org.apache.spark.sql.Dataset[graft.model.Event],
+               ttlMillis: Long): org.apache.spark.sql.Dataset[graft.model.Event] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    val mode = if (ttlMillis > 0)
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    else org.apache.spark.sql.streaming.TimeMode.None()
+    events.groupByKey(_.id)
+      .transformWithState(new SeenDedupProcessor(ttlMillis),
+        mode, OutputMode.Append())
+  }
+
   /** [[statefulGold]] on the transformWithState API. */
   def statefulGoldTws(events: org.apache.spark.sql.Dataset[graft.model.SilverRow])
       : org.apache.spark.sql.Dataset[graft.model.GoldRow] = {

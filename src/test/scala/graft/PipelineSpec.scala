@@ -211,6 +211,24 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful seen-set dedup processor keeps first-seen across batches") {
+    val input = MemoryStream[Event](9, spark, None)
+    val q = Pipeline.ttlDedup(input.toDS(), ttlMillis = 0L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ttl_dedup").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(ev("d1", "g1", 1f, t0), ev("d1", "g1", 2f, t0 + 1),
+        ev("d2", "g1", 3f, t0 + 2))
+      q.processAllAvailable()
+      input.addData(ev("d1", "g1", 4f, t0 + 3), ev("d3", "g2", 5f, t0 + 4))
+      q.processAllAvailable()
+      val ids = spark.table("graft_ttl_dedup")
+        .select("id").as[String].collect().sorted.toSeq
+      assert(ids == Seq("d1", "d2", "d3"))
+    } finally q.stop()
+  }
+
   test("transformWithState gold processor folds across micro-batches") {
     val input = MemoryStream[graft.model.SilverRow](8, spark, None)
     val q = Pipeline.statefulGoldTws(input.toDS())
