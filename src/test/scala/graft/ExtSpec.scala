@@ -32,7 +32,6 @@ class ExtSpec extends SparkTestBase {
   test("identical texts get identical minhash signatures and band hashes") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("ignored") // not used by helper; build inline
     val sh = docs.select(col("doc_id"),
       TextDedup.shingles(split(col("text"), " "), 3).as("shingles"))
     // reuse the signature construction through a temp dir-free path:

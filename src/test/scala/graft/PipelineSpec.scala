@@ -23,7 +23,7 @@ class PipelineSpec extends SparkTestBase {
     Event(id, group, score, tsMs)
 
   test("kafka-shaped binary payloads parse into the event schema") {
-    import org.apache.spark.sql.functions.{to_json, struct, encode}
+    import org.apache.spark.sql.functions.encode
     val raw = Seq(("k1", """{"id":"a","group_id":"g","score":0.5,"event_timestamp":1700000000000}"""))
       .toDF("key", "v")
       .select(encode(col("key"), "UTF-8").as("key"),
