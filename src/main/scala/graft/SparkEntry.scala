@@ -273,6 +273,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // native session windows (30-min gap) — oracle is the first-principles
+    // lag+running-sum formulation, so this cross-checks Spark's
+    // session_window semantics against plain SQL
+    "agg_session_window" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("session_start"),
+          unix_millis(col("w.end")).as("session_end_gapped"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // rollup: hierarchical totals (event_type, cohort) → type → grand
     "agg_rollup" -> ((s, dir) =>
       silverBase(s, dir)
@@ -552,6 +565,20 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ems) AS session_start, max(ems) AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "agg_session_window" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ems,
+        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ems, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ems) AS session_start,
+        |  max(ems) + 1800000 AS session_end_gapped, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "agg_rollup" ->
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,

@@ -147,6 +147,25 @@ object Pipeline {
       .parquet(cfg.silverPath)
   }
 
+  /** Compaction (the OPTIMIZE analog, reference utils.py:111-124): each
+    * silver bucket's accumulated micro-batch files rewritten as one, via
+    * an atomic directory swap. The 1M-event soak shows why: the MERGE's
+    * target re-scan decays as small files accumulate. Run out-of-band
+    * (between or alongside batches — the swap is a rename).
+    */
+  def compactSilver(spark: SparkSession, cfg: Config): Unit = {
+    val dir = new Path(cfg.silverPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val tmp = new Path(cfg.silverPath + "_compacting")
+    spark.read.schema(Schemas.silverSchema).parquet(cfg.silverPath)
+      .repartition(col("minute_timestamp"))
+      .write.mode("overwrite").partitionBy("minute_timestamp")
+      .parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+  }
+
   /** Stage 2: silver files as a stream (insert-only ⇒ new files are the
     * change feed) → per-batch partial agg → fold into the gold snapshot.
     */

@@ -249,6 +249,32 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compactSilver coalesces files per bucket and preserves the data") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](12, spark, None)
+    val q = Pipeline.startSilver(spark, input.toDF(), cfg)
+    try {
+      val t0 = 1700000000000L
+      (1 to 3).foreach { b =>
+        input.addData((1 to 20).map(k => ev(s"c$b-$k", s"g${k % 3}", 1f,
+          t0 + b * 1000 + k)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def files() = new java.io.File(cfg.silverPath).listFiles()
+      .filter(_.getName.startsWith("minute_timestamp="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(cfg.silverPath)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val filesBefore = files()
+    Pipeline.compactSilver(spark, cfg)
+    val after = spark.read.parquet(cfg.silverPath)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before)
+    assert(files() <= filesBefore)
+    assert(files() == 1) // single bucket here → exactly one file
+  }
+
   test("gold fold is replay-safe via the batch-id marker") {
     val cfg = freshCfg()
     val batch = Seq(("g1", 1.0f, 100L)).toDF("group_id", "score", "event_timestamp")
