@@ -378,6 +378,23 @@ object SparkEntry {
         max(unix_millis(col("ts"))).as("max_ts"))
     }),
 
+    "tpch_q9" -> ((s, dir) => {
+      val part = Ingest.table(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+      val li = Ingest.table(s, dir, "lineitem")
+      val supp = Ingest.table(s, dir, "supplier")
+      val ord = Ingest.table(s, dir, "orders")
+      val nation = Ingest.table(s, dir, "nation")
+      li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"))
+        .agg(sum(revTerm()).cast("double").as("revenue"))
+        .orderBy(col("n_name").asc, col("o_year").desc)
+    }),
+
     "tpch_q5" -> ((s, dir) => {
       val region = Ingest.table(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = Ingest.table(s, dir, "nation")
@@ -649,6 +666,16 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
         |  min(epoch_ms(ts)) AS min_ts, max(epoch_ms(ts)) AS max_ts
         |FROM events""".stripMargin,
+
+    "tpch_q9" ->
+      s"""SELECT n_name, year(o_orderdate) AS o_year,
+         |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM part JOIN lineitem ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%a%'
+         |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
 
     "tpch_q5" ->
       s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
