@@ -68,6 +68,11 @@ object StreamBench {
         println(f"[sbench] batch $batchNo%3d ${(System.nanoTime() - b0) / 1e9}%6.2f s")
       sent += n
       batchNo += 1
+      // periodic compaction (the OPTIMIZE analog) keeps the MERGE's
+      // target re-scan flat as the table grows
+      val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
+      if (compactEvery > 0 && batchNo % compactEvery == 0)
+        Pipeline.compactSilver(spark, cfg)
     }
     val secs = (System.nanoTime() - start) / 1e9
     q.stop()
