@@ -30,6 +30,16 @@ object TextDedup {
   val numHashes = 8
   val numBands = 4 // 2 rows per band
 
+  /** Deterministic per-bucket membership cap for candidate generation —
+    * the batch twin of [[graft.streaming.StreamingDedup.maxBucketSize]].
+    * A degenerate bucket (boilerplate corpus: thousands of docs sharing a
+    * band hash / simhash chunk) would otherwise fan out O(n²) pairs from
+    * one aggregation buffer. The cap keeps the FIRST `maxBucket` members
+    * in sorted order, so it is deterministic and exactly reproducible by
+    * the oracle (rank ≤ cap over the same ordering).
+    */
+  val maxBucket = 1024
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     Ingest.table(spark, dir, "documents")
 
@@ -111,14 +121,18 @@ object TextDedup {
     *
     * Implemented as groupBy(bucket) → sorted id set → in-bucket pair
     * explosion, NOT a self-join: one shuffle of (band, hash, id) tuples,
-    * the signature pipeline evaluated once, and bucket skew is directly
-    * observable (a pathological bucket of n docs yields n²/2 pairs — cap
-    * or salt upstream if a real corpus has degenerate boilerplate).
+    * the signature pipeline evaluated once. Bucket membership is capped
+    * at [[maxBucket]] (keep-first-K of the sorted ids — deterministic, so
+    * the oracle reproduces it with rank ≤ K), bounding a degenerate
+    * boilerplate bucket to O(K²) pairs instead of O(n²).
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    bands(signatures(spark, dir))
+    candidatePairsFromBands(bands(signatures(spark, dir)), maxBucket)
+
+  private[graft] def candidatePairsFromBands(bandRows: DataFrame, cap: Int): DataFrame =
+    bandRows
       .groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
