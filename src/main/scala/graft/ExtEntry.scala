@@ -110,24 +110,34 @@ object ExtEntry {
   )
 
   // DuckDB equivalents. Shared fragments:
+  private val cap = graft.ext.TextDedup.maxBucket
+
   private val shinglesCte =
     """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |  generate_series(1, greatest(len(w) - 2, 1)),
       |  i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM docs)""".stripMargin
 
+  // Mirrors TextDedup.maxBucket: band-bucket membership is pruned to the
+  // first K doc_ids (rank over the same sorted ordering) BEFORE the
+  // self-join, so the oracle computes the same capped candidate function
+  // as candidatePairsFromBands on degenerate >K buckets.
   private val bandsCte =
-    """mh AS (SELECT doc_id, j, min(CASE WHEN j < 4
-      |    THEN substr(md5(s), j * 8 + 1, 8)
-      |    ELSE substr(md5('x:' || s), (j - 4) * 8 + 1, 8) END) AS m
-      |  FROM sh, UNNEST(shingles) AS t(s), UNNEST([0,1,2,3,4,5,6,7]) AS u(j)
-      |  GROUP BY doc_id, j),
-      |sig AS (SELECT doc_id, array_agg(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
-      |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
-      |  FROM sig, UNNEST([0,1,2,3]) AS bb(b)),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b
-      |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+    s"""mh AS (SELECT doc_id, j, min(CASE WHEN j < 4
+       |    THEN substr(md5(s), j * 8 + 1, 8)
+       |    ELSE substr(md5('x:' || s), (j - 4) * 8 + 1, 8) END) AS m
+       |  FROM sh, UNNEST(shingles) AS t(s), UNNEST([0,1,2,3,4,5,6,7]) AS u(j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, array_agg(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+       |bands0 AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+       |  FROM sig, UNNEST([0,1,2,3]) AS bb(b)),
+       |bands AS (SELECT doc_id, b, bh FROM (
+       |    SELECT doc_id, b, bh,
+       |      row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rk
+       |    FROM bands0) WHERE rk <= ${graft.ext.TextDedup.maxBucket}),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
   private val simhashCte =
     """tok AS (SELECT doc_id, substr(md5(t), 1, 16) AS h
@@ -173,22 +183,41 @@ object ExtEntry {
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM hexed ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextDedup.simhashPairsFromHashes: collapse docs by full
+    // simhash (sorted members capped at maxBucket, rep = min), chunk
+    // buckets over reps (rank-capped), hamming filter on rep pairs, then
+    // expansion back through the member lists (cross via least/greatest,
+    // within-class pairs at hamming 0).
     "dedup_simhash" ->
       s"""WITH $simhashCte,
-         |chunks AS (SELECT doc_id, simhash, c, substr(simhash, 1 + 4*c, 4) AS chunk
-         |  FROM hexed, UNNEST([0,1,2,3]) AS cc(c)),
-         |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         |grp AS (SELECT simhash, (array_agg(doc_id ORDER BY doc_id))[1:$cap] AS members,
+         |    min(doc_id) AS rep FROM hexed GROUP BY simhash),
+         |chunks AS (SELECT rep, simhash, c, substr(simhash, 1 + 4*c, 4) AS chunk
+         |  FROM grp, UNNEST([0,1,2,3]) AS cc(c)),
+         |ranked AS (SELECT rep, simhash, c, chunk,
+         |    row_number() OVER (PARTITION BY c, chunk ORDER BY rep) AS rk
+         |  FROM chunks),
+         |cand AS (SELECT DISTINCT l.rep AS r1, r.rep AS r2,
          |    l.simhash AS h1, r.simhash AS h2
-         |  FROM chunks l JOIN chunks r
-         |  ON l.c = r.c AND l.chunk = r.chunk AND l.doc_id < r.doc_id),
-         |ham AS (SELECT d1, d2,
+         |  FROM ranked l JOIN ranked r
+         |  ON l.c = r.c AND l.chunk = r.chunk AND l.rep < r.rep
+         |  WHERE l.rk <= $cap AND r.rk <= $cap),
+         |ham AS (SELECT r1, r2,
          |  (SELECT sum(bit_count(xor(
          |      strpos('0123456789abcdef', substr(h1, i, 1)) - 1,
          |      strpos('0123456789abcdef', substr(h2, i, 1)) - 1)))
          |   FROM UNNEST(generate_series(1, 16)) AS g(i)) AS hamming
-         |  FROM cand)
-         |SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM ham
-         |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+         |  FROM cand),
+         |pass AS (SELECT r1, r2, hamming FROM ham WHERE hamming <= 3),
+         |crossp AS (SELECT least(a, b) AS d1, greatest(a, b) AS d2, hamming
+         |  FROM pass JOIN grp g1 ON g1.rep = r1 JOIN grp g2 ON g2.rep = r2,
+         |       UNNEST(g1.members) AS u1(a), UNNEST(g2.members) AS u2(b)),
+         |within AS (SELECT a AS d1, b AS d2, 0 AS hamming
+         |  FROM grp, UNNEST(members) AS u1(a), UNNEST(members) AS u2(b)
+         |  WHERE a < b)
+         |SELECT d1, d2, CAST(hamming AS INT) AS hamming
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM within)
+         |ORDER BY d1, d2""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

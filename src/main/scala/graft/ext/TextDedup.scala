@@ -36,7 +36,16 @@ object TextDedup {
     * band hash / simhash chunk) would otherwise fan out O(n²) pairs from
     * one aggregation buffer. The cap keeps the FIRST `maxBucket` members
     * in sorted order, so it is deterministic and exactly reproducible by
-    * the oracle (rank ≤ cap over the same ordering).
+    * the oracle (rank ≤ cap over the same ordering — mirrored in
+    * ExtEntry's `bandsCte`).
+    *
+    * Policy divergence vs the streaming twin, on purpose: streaming keeps
+    * the first `maxBucketSize` members by ARRIVAL order (candidates must
+    * be emitted at ingest time, before the bucket is complete), while
+    * batch keeps the first `maxBucket` by SORTED doc_id (deterministic,
+    * oracle-reproducible). On an overflowing bucket the two paths emit
+    * different — both valid — candidate subsets; only the batch one is
+    * oracle-checked.
     */
   val maxBucket = 1024
 
@@ -213,30 +222,73 @@ object TextDedup {
   /** SimHash near-dup pairs: candidates share one of the four 16-bit
     * chunks (the standard pigeonhole trick: hamming ≤ 3 ⇒ at least one of
     * 4 chunks identical), verified by exact hamming distance ≤ maxDist.
+    *
+    * Scale shape (the fix for the degenerate-boilerplate blow-up): docs
+    * are first COLLAPSED by their full simhash — a templated corpus puts
+    * thousands of exact-duplicate signatures in one class, and pairing
+    * them individually inside chunk buckets is O(n²) work for information
+    * the class already carries. Chunk buckets then hold one entry per
+    * DISTINCT signature, capped at [[maxBucket]] like the MinHash band
+    * path; verified representative pairs are expanded back through the
+    * class member lists (that expansion is the true output size — only
+    * redundant pairs beyond the first `cap` members of a class are
+    * dropped, deterministically).
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val sh = simhash(spark, dir)
-    val chunks = sh.select(col("doc_id"), col("simhash"), explode(array(
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame =
+    simhashPairsFromHashes(simhash(spark, dir), maxDist, maxBucket)
+
+  /** Pair generation over a (doc_id, simhash) table — split out so tests
+    * can drive hand-built signatures and small caps.
+    *
+    * Stages (each cap application is keep-first-`cap` of a sorted set, so
+    * the DuckDB oracle reproduces it with rank ≤ cap):
+    *   1. group by full simhash → sorted member list (capped), rep = min;
+    *   2. chunk buckets over the representatives (capped) → rep pairs;
+    *   3. hamming ≤ maxDist filter on the distinct rep pairs;
+    *   4. within-class pairs (hamming 0) + cross-class expansion through
+    *      the member lists.
+    */
+  private[graft] def simhashPairsFromHashes(sh: DataFrame, maxDist: Int,
+                                            cap: Int): DataFrame = {
+    val groups = sh
+      .groupBy(col("simhash"))
+      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+    val chunks = groups.select(col("rep"), col("simhash"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         substring(col("simhash"), 1 + 4 * c, 4).as("chunk"))): _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.c"), col("cc.chunk"))
-    // same bucketed pair generation as candidatePairs: one shuffle, the
-    // simhash projection evaluated once
-    chunks
+      .select(col("rep"), col("simhash"), col("cc.c"), col("cc.chunk"))
+    // bucketed pair generation as in candidatePairs: one shuffle, one
+    // entry per distinct signature, bucket membership capped. Struct sort
+    // orders by rep (distinct), so the cap is rank-on-rep.
+    val repPairs = chunks
       .groupBy(col("c"), col("chunk"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
-        .as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(pairsOf(col("members"))).as("p"))
-      .select(col("p.d1.doc_id").as("d1"), col("p.d2.doc_id").as("d2"),
-        col("p.d1.simhash").as("simhash"), col("p.d2.simhash").as("simhash2"))
+      .agg(slice(sort_array(collect_set(struct(col("rep"), col("simhash")))),
+        1, cap).as("rs"))
+      .filter(size(col("rs")) > 1)
+      .select(explode(pairsOf(col("rs"))).as("p"))
+      .select(col("p.d1.rep").as("r1"), col("p.d2.rep").as("r2"),
+        col("p.d1.simhash").as("h1"), col("p.d2.simhash").as("h2"))
       .distinct()
       .withColumn("hamming", expr(
         """aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count(
-          |  (instr('0123456789abcdef', substring(simhash, i, 1)) - 1) ^
-          |  (instr('0123456789abcdef', substring(simhash2, i, 1)) - 1)))"""
+          |  (instr('0123456789abcdef', substring(h1, i, 1)) - 1) ^
+          |  (instr('0123456789abcdef', substring(h2, i, 1)) - 1)))"""
           .stripMargin))
       .filter(col("hamming") <= maxDist)
-      .select(col("d1"), col("d2"), col("hamming"))
+    // expand rep pairs through the member lists; distinct signatures mean
+    // cross-class member ids interleave, hence least/greatest
+    val cross = repPairs
+      .join(groups.select(col("rep").as("r1"), col("members").as("m1")), Seq("r1"))
+      .join(groups.select(col("rep").as("r2"), col("members").as("m2")), Seq("r2"))
+      .select(explode(col("m1")).as("a"), col("m2"), col("hamming"))
+      .select(col("a"), explode(col("m2")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("hamming"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 }

@@ -23,6 +23,14 @@ object StreamingDedup {
   case class DocBand(doc_id: Long, band: Int, band_hash: String)
   case class CandPair(d1: Long, d2: Long, band: Int)
 
+  /** Streaming bucket cap. Deliberately a DIFFERENT selection policy from
+    * the batch [[TextDedup.maxBucket]]: here the first `maxBucketSize`
+    * members by ARRIVAL order are kept (candidates are emitted at ingest
+    * time, before the bucket is complete), while batch keeps the first K
+    * by sorted doc_id. On an overflowing bucket the two paths emit
+    * different — both valid — candidate subsets; batch backfill is the
+    * oracle-checked one.
+    */
   val maxBucketSize = 1024
 
   class BucketProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
