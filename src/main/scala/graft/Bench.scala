@@ -9,12 +9,22 @@ import org.apache.spark.sql.SparkSession
   * steady-state execution (codegen classes compiled, JIT warm, file
   * metadata cached) rather than first-query JVM startup costs — the
   * number that actually projects to a long-running cluster.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_N times (default 3) and the
+  * per-query MINIMUM is reported: this host's wall-clock swings up to 3×
+  * under outside load, and the min over a few runs is the standard
+  * low-noise estimator of the code's actual cost (round-2 bench showed
+  * untouched queries "regressing" 9× at n=1). Runs round-robin the whole
+  * query set (pass 1 of all queries, then pass 2, ...) so a transient
+  * host stall inflates at most one pass of each query rather than all
+  * repeats of the unlucky one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,15 +39,19 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    val results = names.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps}""")
     spark.stop()
   }
 }

@@ -41,8 +41,10 @@ object SparkEntry {
     */
   def goldFlagship(s: SparkSession, dir: String): DataFrame = {
     val ev = silverBase(s, dir)
-    val ded = Dedup.latestPerKey(ev, Seq("event_id"),
-      Seq(col("ts").asc, col("user_id").asc))
+    // first-wins per event_id via min_by aggregation — one exchange, no
+    // sort (the window-dedup twin is Dedup.latestPerKey; same rows)
+    val ded = Dedup.latestPerKeyAgg(ev, Seq("event_id"),
+      struct(col("ts"), col("user_id")), latest = false)
     ded.groupBy(col("user_id")).agg(
         dsum(col("value")).as("cumulative_score"),
         count(lit(1)).as("event_count"),
@@ -139,10 +141,11 @@ object SparkEntry {
     "count_rows" -> ((s, dir) =>
       Ingest.events(s, dir).agg(count(lit(1)).as("n"))),
 
-    // W1: latest-per-key window dedup
+    // W1: latest-per-key dedup — max_by aggregation (single exchange, no
+    // sort; row_number window twin kept as Dedup.latestPerKey)
     "latest_per_key" -> ((s, dir) =>
-      Dedup.latestPerKey(silverBase(s, dir), Seq("user_id"),
-          Seq(col("ts").desc, col("event_id").desc))
+      Dedup.latestPerKeyAgg(silverBase(s, dir), Seq("user_id"),
+          struct(col("ts"), col("event_id")), latest = true)
         .select(col("user_id"), col("event_id"), col("event_timestamp"),
           col("value"))
         .orderBy(col("user_id"))),
@@ -202,8 +205,8 @@ object SparkEntry {
         .select(col("o_custkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
           col("o_orderkey"), col("o_totalprice"))
-      val oDedup = graft.ops.Dedup.latestPerKey(o,
-        Seq("o_custkey", "o_ms"), Seq(col("o_orderkey").desc))
+      val oDedup = graft.ops.Dedup.latestPerKeyAgg(o,
+        Seq("o_custkey", "o_ms"), struct(col("o_orderkey")), latest = true)
       graft.ops.AsOf.asOfJoin(e, oDedup, "user_id", "o_custkey",
           "ems", "o_ms", Seq("o_orderkey", "o_totalprice", "o_ms"))
         .select(col("event_id"), col("user_id"), col("ems"), col("value"),
@@ -241,14 +244,25 @@ object SparkEntry {
         count(lit(1)).as("n_events"))),
 
     // HLL++ sketch count-distinct: the 100 TB path (constant memory per
-    // group, mergeable partials). No oracle entry — sketch estimates are
-    // engine-specific; the driver records a rows-only check and
-    // AggregateSpec bounds the error vs the exact count.
+    // group, mergeable partials). Sketch estimates are engine-specific,
+    // so the ORACLE-CHECKED surface is the deterministic bound: the exact
+    // counts plus booleans asserting the sketch landed within 5×rsd
+    // (rsd=0.02 → ±10%) — DuckDB reproduces the exact counts and expects
+    // the booleans TRUE, turning sketch accuracy into a hash-checkable
+    // fact. AggregateSpec additionally bounds the raw estimates.
     "agg_approx_distinct" -> ((s, dir) =>
       Ingest.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          count_distinct(col("event_id")).as("exact_events"),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          approx_count_distinct(col("event_id"), 0.02).as("ae"))
+        .select(col("event_type"), col("exact_users"), col("exact_events"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.10).as("users_within_5rsd"),
+          (abs(col("ae") - col("exact_events")) <=
+            col("exact_events").cast("double") * 0.10).as("events_within_5rsd"))
         .orderBy(col("event_type"))),
 
     // sessionization: 30-min-gap sessions via lag + running sum windows
@@ -568,6 +582,15 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT event_type) AS n_types, count(*) AS n_events
         |FROM events""".stripMargin,
+
+    // deterministic bound for the HLL sketch: DuckDB reproduces the exact
+    // counts and expects the within-5×rsd booleans to be TRUE
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT event_id) AS exact_events,
+        |  TRUE AS users_within_5rsd, TRUE AS events_within_5rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "window_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,

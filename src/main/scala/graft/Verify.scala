@@ -23,6 +23,12 @@ object Verify {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is REQUIRED, not a convenience: the driver's compare
+      // (tools/check_oracle.py mirrors it) reads rows in file order and
+      // diffs positionally, so the single sorted file must carry the
+      // query's total ORDER BY. It costs little — coalesce preserves the
+      // sort and only serializes the final write, not the compute below
+      // the last shuffle.
       try Await.result(Future {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

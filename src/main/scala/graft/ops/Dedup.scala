@@ -29,6 +29,23 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** W1 without the sort: a single hash-aggregate shuffle that keeps, per
+    * key, the full row carrying the extremal `ord` value (max_by/min_by
+    * with a struct ordering = lexicographic on the ordering columns).
+    * Identical results to [[latestPerKey]] whenever the ordering columns
+    * are unique per key — but no per-partition sort and no row_number
+    * materialization, so at 100× the data this is one map-side-combined
+    * exchange instead of a full sort-shuffle on a near-unique key.
+    * Restriction vs the window form: the ordering columns must be all-asc
+    * (`latest = false`) or all-desc (`latest = true`).
+    */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String], ord: Column,
+                      latest: Boolean = true): DataFrame = {
+    val row = struct(df.columns.map(col): _*)
+    val pick = if (latest) max_by(row, ord) else min_by(row, ord)
+    df.groupBy(keys.map(col): _*).agg(pick.as("__r")).select(col("__r.*"))
+  }
+
   /** J1: insert-only MERGE emulation. Rows of `batch` whose
     * (bucketCol, idCol) already exist in `target` are discarded; the
     * survivors are the rows a Delta MERGE whenNotMatchedInsertAll would
