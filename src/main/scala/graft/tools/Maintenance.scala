@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.Pipeline
+
+/** Out-of-band maintenance entry point — the scheduled-OPTIMIZE analog
+  * (reference utils.py:111-124) for when the stream is NOT running:
+  * `runMain graft.tools.Maintenance <pipelineBaseDir> [intervalSec]`.
+  * With an interval it loops (cron-style service); without, it compacts
+  * once and exits. While a silver stream IS running, use
+  * [[Pipeline.Config.compactEvery]] instead — compaction swaps the
+  * silver directory and must not race a concurrent micro-batch append.
+  */
+object Maintenance {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Maintenance <pipelineBaseDir> [intervalSec]")
+    val baseDir = args(0)
+    val intervalSec = if (args.length > 1) args(1).toLong else 0L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = Pipeline.Config(baseDir)
+    do {
+      val t0 = System.nanoTime()
+      Pipeline.compactSilver(spark, cfg)
+      println(s"[maintenance] compacted ${cfg.silverPath} in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
+    } while (intervalSec > 0)
+    spark.stop()
+  }
+}

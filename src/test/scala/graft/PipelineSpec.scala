@@ -286,4 +286,98 @@ class PipelineSpec extends SparkTestBase {
     val gold2 = spark.read.parquet(cfg.goldPath).collect().head
     assert(gold2.getAs[Long]("event_count") == 2L)
   }
+
+  /** crc32-mod bucket of a group key — must match Pipeline's goldBucket. */
+  private def goldBucketOf(g: String, nBuckets: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(g.getBytes("UTF-8"))
+    (c.getValue % nBuckets).toInt
+  }
+
+  test("bucketed gold fold rewrites only the touched buckets") {
+    val cfg = freshCfg()
+    val gA = "gA"
+    // pick a second group guaranteed to land in a different bucket
+    val gB = ('B' to 'Z').map(c => s"g$c")
+      .find(goldBucketOf(_, cfg.goldBuckets) != goldBucketOf(gA, cfg.goldBuckets)).get
+    def fold(g: String, score: Float, ts: Long, batchId: Long) =
+      Pipeline.foldToGold(spark,
+        Seq((g, score, ts)).toDF("group_id", "score", "event_timestamp"),
+        batchId, cfg)
+    def bucketFiles(g: String): Set[String] = {
+      val d = new java.io.File(cfg.goldPath, s"gb=${goldBucketOf(g, cfg.goldBuckets)}")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    fold(gA, 1.0f, 100L, 0L)
+    val aFilesAfter0 = bucketFiles(gA)
+    assert(aFilesAfter0.nonEmpty)
+    fold(gB, 2.0f, 200L, 1L) // different bucket: gA's files must not move
+    assert(bucketFiles(gA) == aFilesAfter0)
+    assert(bucketFiles(gB).nonEmpty)
+    val bFilesAfter1 = bucketFiles(gB)
+    fold(gA, 3.0f, 300L, 2L) // gA's bucket rewritten, gB's untouched
+    assert(bucketFiles(gA) != aFilesAfter0)
+    assert(bucketFiles(gB) == bFilesAfter1)
+    val gold = spark.read.parquet(cfg.goldPath)
+      .collect().map(r => r.getAs[String]("group_id") ->
+        (r.getAs[Double]("cumulative_score"), r.getAs[Long]("event_count"))).toMap
+    assert(gold(gA) == (4.0, 2L))
+    assert(gold(gB) == (2.0, 1L))
+  }
+
+  test("gold fold emits an insert/preimage/postimage change feed") {
+    val cfg = freshCfg()
+    def fold(g: String, score: Float, ts: Long, batchId: Long) =
+      Pipeline.foldToGold(spark,
+        Seq((g, score, ts)).toDF("group_id", "score", "event_timestamp"),
+        batchId, cfg)
+    fold("g1", 1.0f, 100L, 0L)
+    fold("g2", 2.0f, 200L, 1L)
+    fold("g1", 3.0f, 300L, 2L)
+    val changes = spark.read.parquet(cfg.goldChangesPath)
+      // partition-dir columns come back as inferred INT in batch reads
+      .select(col("group_id"), col("_change_type"),
+        col("_commit_version").cast("long"),
+        col("cumulative_score"), col("event_count"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(changes == Set(
+      ("g1", "insert", 0L, 1.0, 1L),
+      ("g2", "insert", 1L, 2.0, 1L),
+      ("g1", "update_preimage", 2L, 1.0, 1L),
+      ("g1", "update_postimage", 2L, 4.0, 2L)))
+  }
+
+  test("three concurrent stages: streamed serving state == batch projection") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](13, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    def settle(): Unit = qs.foreach(_.processAllAvailable())
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        ev("s1", "g1", 1.0f, t0),
+        ev("s2", "g1", 2.0f, t0 + 1000),
+        ev("s3", "g2", 3.0f, t0 + 2000))
+      settle()
+      input.addData(
+        ev("s4", "g2", 4.0f, t0 + 3000),
+        ev("s1", "g1", 1.0f, t0)) // duplicate — must not reach gold
+      settle()
+      val cols = Seq("_id", "cumulative_score", "event_count", "avg_score",
+        "first_event_timestamp", "last_event_timestamp")
+      val streamed = Pipeline.serveSnapshot(spark, cfg)
+        .select(cols.head, cols.tail: _*).orderBy("_id")
+        .collect().map(_.toString).toSeq
+      val batch = Pipeline.serveProjection(spark, cfg)
+        .select(col("_id"), col("cumulative_score"), col("event_count"),
+          col("avg_score").cast("double").as("avg_score"),
+          col("first_event_timestamp"), col("last_event_timestamp"))
+        .orderBy("_id")
+        .collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed == batch, s"\n$streamed\nvs\n$batch")
+    } finally qs.foreach(_.stop())
+  }
 }
