@@ -157,6 +157,75 @@ object ExtEntry {
       |    CAST(nv AS INT) + 1, 1), '' ORDER BY ni) AS simhash
       |  FROM nib GROUP BY doc_id)""".stripMargin
 
+  /** Cosine of two 64-dim lists in DuckDB SQL, folding left-to-right in
+    * double exactly like [[graft.ext.Similarity.dot]]. `aExpr`/`bExpr`
+    * must already be double-valued element expressions over index `i`.
+    */
+  private def cosSql(aExpr: String, bExpr: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64), i -> $aExpr * $bExpr)) /
+       |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $aExpr * $aExpr))) *
+       |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $bExpr * $bExpr))))""".stripMargin
+
+  /** DuckDB twin of [[graft.ext.Similarity.ivfTopK]] including the
+    * k-means training: micro-unit quantization (floor(x·1e6 + 0.5) —
+    * exact integer sums in double, so aggregation order can't change a
+    * digit), `iters` Lloyd iterations over the `sampleMod`-strided
+    * sample, emptied clusters keeping their previous centroid, then the
+    * assign/probe/search pipeline over the trained centroids.
+    */
+  private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
+                           k: Int, iters: Int, sampleMod: Int): String = {
+    val cosMicro = cosSql("(q[i] / 1000000.0)", "(cq[i] / 1000000.0)")
+    val iterCtes = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      s"""a$n AS (SELECT sid, cent_id, q, row_number() OVER (PARTITION BY sid
+         |    ORDER BY $cosMicro DESC, cent_id) AS rk
+         |  FROM samp, $prev),
+         |m$n AS (SELECT cent_id, i, floor(sum(q[i]) / count(*) + 0.5) AS c
+         |  FROM (SELECT cent_id, q FROM a$n WHERE rk = 1) t,
+         |       UNNEST(generate_series(1, 64)) AS g(i)
+         |  GROUP BY cent_id, i),
+         |n$n AS (SELECT cent_id, array_agg(c ORDER BY i) AS cq
+         |  FROM m$n GROUP BY cent_id),
+         |c$n AS (SELECT p.cent_id, coalesce(nn.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN n$n nn USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+    val quant =
+      "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))"
+    s"""WITH samp AS (SELECT vec_id AS sid, $quant AS q
+       |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0),
+       |c0 AS (SELECT vec_id - $nQueries AS cent_id, $quant AS cq
+       |  FROM embeddings
+       |  WHERE vec_id >= $nQueries AND vec_id < ${nQueries + nCentroids}),
+       |$iterCtes,
+       |cents AS (SELECT cent_id, list_transform(cq, x -> x / 1000000.0) AS cemb
+       |  FROM c$iters),
+       |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id >= $nQueries),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nQueries),
+       |assign AS (SELECT cid, cent_id, row_number() OVER (PARTITION BY cid
+       |    ORDER BY ${cosSql("CAST(ce[i] AS DOUBLE)", "cemb[i]")} DESC,
+       |    cent_id) AS rk
+       |  FROM cand, cents),
+       |cells AS (SELECT cid, cent_id FROM assign WHERE rk = 1),
+       |probe AS (SELECT qid, cent_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cosSql("CAST(qe[i] AS DOUBLE)", "cemb[i]")} DESC,
+       |    cent_id) AS rk
+       |  FROM q, cents),
+       |probed AS (SELECT qid, cent_id FROM probe WHERE rk <= $nProbe),
+       |pool AS (SELECT DISTINCT p.qid, c.cid
+       |  FROM probed p JOIN cells c ON p.cent_id = c.cent_id),
+       |sims AS (SELECT pool.qid, pool.cid,
+       |    ${cosSql("CAST(q.qe[i] AS DOUBLE)", "CAST(cd.ce[i] AS DOUBLE)")} AS sim
+       |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid),
+       |rk AS (SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM sims)
+       |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
@@ -264,45 +333,8 @@ object ExtEntry {
         |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
-    "ann_ivf_topk" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cemb
-        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 26),
-        |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
-        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |assign AS (SELECT cid, cent_id, row_number() OVER (PARTITION BY cid ORDER BY
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(ce[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))))) DESC,
-        |    cent_id) AS rk
-        |  FROM cand, cents),
-        |cells AS (SELECT cid, cent_id FROM assign WHERE rk = 1),
-        |probe AS (SELECT qid, cent_id, row_number() OVER (PARTITION BY qid ORDER BY
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(qe[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))))) DESC,
-        |    cent_id) AS rk
-        |  FROM q, cents),
-        |probed AS (SELECT qid, cent_id FROM probe WHERE rk <= 2),
-        |pool AS (SELECT DISTINCT p.qid, c.cid FROM probed p JOIN cells c ON p.cent_id = c.cent_id),
-        |sims AS (SELECT pool.qid, pool.cid,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(cd.ce[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(cd.ce[i] AS DOUBLE) * CAST(cd.ce[i] AS DOUBLE))))) AS sim
-        |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid),
-        |rk AS (SELECT qid, cid, sim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-        |  FROM sims)
-        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
+      nProbe = 2, k = 3, iters = 2, sampleMod = 3),
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -85,21 +85,87 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Deterministic Lloyd-iteration k-means over a sampled slice of the
+    * candidate vectors — the offline IVF training step, reproducible
+    * digit-for-digit by the DuckDB oracle.
+    *
+    * Cross-engine determinism trick: every component is quantized to
+    * integer MICRO-UNITS (`floor(x·1e6 + 0.5)` — plain IEEE ops, no
+    * library rounding). Sums of such integers are exact in double far
+    * below 2^53, so they are associative — aggregation order (Spark
+    * partials, DuckDB single-thread, this driver loop) cannot change a
+    * digit. Assignment maximizes cosine over the de-quantized doubles
+    * (left-to-right folds, identical in both engines), ties break toward
+    * the smaller cent_id; an emptied cluster keeps its previous centroid.
+    *
+    * Scale note: training collects only the SAMPLE (every `sampleMod`-th
+    * candidate) to the driver — the standard IVF recipe (train k-means on
+    * a bounded sample offline, broadcast the centroid table); the full
+    * corpus never leaves the executors.
+    */
+  def trainIvfCentroids(emb: DataFrame, nQueries: Int, nCentroids: Int,
+                        iters: Int, sampleMod: Int): Array[Array[Double]] = {
+    def micro(fs: Seq[Float]): Array[Double] =
+      fs.map(f => math.floor(f.toDouble * 1e6 + 0.5)).toArray
+    val sample: Array[Array[Double]] = emb
+      .filter(col("vec_id") >= nQueries && col("vec_id") % sampleMod === 0)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(r => micro(r.getSeq[Float](0)))
+    var cents: Array[Array[Double]] = emb
+      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(r => micro(r.getSeq[Float](0)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { // left-to-right like functions.aggregate
+        val x = a(i) / 1e6; val y = b(i) / 1e6
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (_ <- 1 to iters) {
+      val assign = sample.map { v =>
+        var best = 0; var bestCos = Double.NegativeInfinity
+        for (c <- cents.indices) {
+          val s = cos(v, cents(c))
+          if (s > bestCos) { best = c; bestCos = s } // tie keeps smaller id
+        }
+        best
+      }
+      cents = cents.indices.map { c =>
+        val members = sample.indices.filter(assign(_) == c)
+        if (members.isEmpty) cents(c)
+        else Array.tabulate(cents(c).length) { j =>
+          // exact integer sum (doubles hold it exactly), IEEE divide,
+          // re-quantize to the micro grid — same formula as the oracle
+          val s = members.map(sample(_)(j)).sum
+          math.floor(s / members.size + 0.5)
+        }
+      }.toArray
+    }
+    cents.map(_.map(_ / 1e6))
+  }
+
   /** IVF-cell ANN: candidates are assigned to their nearest of
-    * `nCentroids` fixed centroid vectors (here: a deterministic slice of
-    * the table — a real deployment trains k-means centroids offline);
-    * each query probes its `nProbe` nearest cells and searches exactly
-    * within them. Centroids broadcast everywhere; the only shuffle keys
-    * are (cell, id) pairs. The coarser twin of [[lshTopK]] — better
-    * recall control (nProbe), needs a centroid set.
+    * `nCentroids` k-means centroids ([[trainIvfCentroids]] — seeded from
+    * a deterministic table slice, refined by Lloyd iterations over a
+    * sample); each query probes its `nProbe` nearest cells and searches
+    * exactly within them. Centroids broadcast everywhere; the only
+    * shuffle keys are (cell, id) pairs. The coarser twin of [[lshTopK]] —
+    * better recall control (nProbe), needs a centroid set.
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int,
-              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, k: Int,
+              iters: Int = 2, sampleMod: Int = 3): DataFrame = {
+    import spark.implicits._
     val emb = embeddings(spark, dir)
-    val cents = emb
-      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-        norm(col("embedding")).as("cn"))
+    val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters, sampleMod)
+    val cents = trained.zipWithIndex.toSeq
+      .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+      .select(col("cent_id"), col("cemb"),
+        norm(col("cemb")).as("cn"))
     val cand = emb.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding")).as("en"))

@@ -95,6 +95,38 @@ class ExtSpec extends SparkTestBase {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("IVF: probing all cells reproduces brute force; recall rises with nProbe") {
+    val dir = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 3))
+    // nProbe = nCentroids ⇒ every cell searched ⇒ IVF must equal exact
+    val allCells = ids(Similarity.ivfTopK(spark, dir, 10, 16, nProbe = 16, k = 3))
+    assert(allCells == exact)
+    def recall(s: Set[(Long, Long)]): Double =
+      (s & exact).size.toDouble / exact.size
+    val r2 = recall(ids(Similarity.ivfTopK(spark, dir, 10, 16, nProbe = 2, k = 3)))
+    val r8 = recall(ids(Similarity.ivfTopK(spark, dir, 10, 16, nProbe = 8, k = 3)))
+    assert(r8 >= r2) // nProbe is the recall knob
+    assert(r2 > 0.2, s"recall@3 with nProbe=2 collapsed: $r2")
+  }
+
+  test("IVF k-means training is deterministic across invocations") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Similarity.embeddings(spark, dir)
+    val c1 = Similarity.trainIvfCentroids(emb, 10, 16, iters = 2, sampleMod = 3)
+    val c2 = Similarity.trainIvfCentroids(emb, 10, 16, iters = 2, sampleMod = 3)
+    assert(c1.length == 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // training moved at least one centroid off its seed
+    val seeds = emb.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f =>
+        math.floor(f.toDouble * 1e6 + 0.5) / 1e6).toSeq)
+    assert(c1.map(_.toSeq).toSeq != seeds.toSeq)
+  }
+
   test("custom MinHashChunks expression matches the HOF formulation") {
     import graft.ext.TextDedup
     val dir = "/root/testdata/sf0.001"
