@@ -214,6 +214,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // range join: concurrent-activity audit — for each 30-min-gap session
+    // of the sampled users (user_id % 15 = 0), count events from OTHER
+    // users inside the session's active window [start, last + gap].
+    // Bucketed point-in-interval equi-join, NOT a nested-loop range
+    // predicate (see ops.RangeJoin scaladoc); 1-hour buckets ≈ the typical
+    // session span, so each interval explodes into ~2 bucket rows.
+    "join_range" -> ((s, dir) => {
+      val ev = silverBase(s, dir)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_timestamp").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val iv = ev.filter(col("user_id") % 15 === 0)
+        .withColumn("prev", lag(col("event_timestamp"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("event_timestamp") - col("prev") > 1800000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("event_timestamp")).as("session_start"),
+          (max(col("event_timestamp")) + 1800000L).as("session_end"))
+        .select(col("user_id").as("s_user"),
+          col("session_start"), col("session_end"))
+      val pts = ev.select(col("user_id").as("p_user"),
+        col("event_timestamp").as("ems"))
+      graft.ops.RangeJoin.pointInInterval(pts, iv,
+          "ems", "session_start", "session_end", 3600000L)
+        .filter(col("p_user") =!= col("s_user"))
+        .groupBy(col("s_user"), col("session_start"))
+        .agg(count(lit(1)).as("n_concurrent"),
+          count_distinct(col("p_user")).as("n_users"))
+        .orderBy(col("s_user"), col("session_start"))
+    }),
+
     // Corrected fold variant: true all-time min/max (SURVEY §7.5-3)
     "upsert_fold_alltime" -> ((s, dir) => {
       val ev = silverBase(s, dir)
@@ -558,6 +594,30 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ems >= o.o_ms
         |ORDER BY e.event_id""".stripMargin,
+
+    // the oracle states the range join declaratively (DuckDB's IEJoin
+    // handles the inequality); the Spark side must produce the identical
+    // result through the bucketed plan
+    "join_range" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id % 15 = 0),
+        |m AS (SELECT user_id, event_id, ems,
+        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ems, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
+        |    max(ems) + 1800000 AS session_end
+        |  FROM s GROUP BY user_id, sid),
+        |e AS (SELECT user_id AS p_user, epoch_ms(ts) AS ems FROM events)
+        |SELECT iv.s_user, iv.session_start,
+        |  count(*) AS n_concurrent, count(DISTINCT e.p_user) AS n_users
+        |FROM iv JOIN e ON e.ems >= iv.session_start AND e.ems <= iv.session_end
+        |  AND e.p_user <> iv.s_user
+        |GROUP BY iv.s_user, iv.session_start
+        |ORDER BY iv.s_user, iv.session_start""".stripMargin,
 
     "upsert_fold_alltime" ->
       """WITH p1 AS (

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join — the second temporal-join operator Spark's
+  * batch API lacks (the first, as-of, is [[AsOf]]). Naively a range
+  * predicate forces BroadcastNestedLoopJoin (O(points × intervals) with no
+  * partition parallelism on the streamed side) — the classic 100 TB
+  * scale-killer for "events inside windows" queries.
+  *
+  * Implemented by composition (preference (a) of the custom-operator
+  * ladder) with the standard binning technique: pick a bucket width,
+  * assign each point its single bucket `floor(p / width)`, explode each
+  * interval into the buckets it covers, equi-join on the bucket, and
+  * re-check the exact range predicate. Because a point lives in exactly
+  * ONE bucket, each matching (point, interval) pair joins exactly once —
+  * no post-join dedup. The plan is a plain hash/broadcast equi-join:
+  * shuffles only bucket ids + join keys, parallelizes on both sides, and
+  * AQE handles a skewed (hot) bucket like any other skewed join key.
+  *
+  * Cost model: only the interval side expands, by `len/width + 1` rows per
+  * interval — choose `width` near the typical interval length so the
+  * expansion factor stays ~2. A degenerate month-long interval at a
+  * 1-hour width costs 720 rows — linear, bounded, and visible, vs. the
+  * nested-loop's O(n) work per such interval.
+  *
+  * Precondition: `lo <= hi` for every interval (callers filter or fix
+  * inverted intervals first) and |values| < 2^53 (epoch-millis are < 2^41
+  * for the next few millennia). Bucket ids come from an exact floor-div:
+  * `(v - pmod(v, width)) / width` — the dividend is an exact multiple of
+  * `width`, so the double division is exact and points and interval
+  * endpoints can never disagree on a boundary bucket.
+  */
+object RangeJoin {
+
+  /** Exact floor-division bucket id of a long-valued column. */
+  private[graft] def bucketOf(c: Column, width: Long): Column = {
+    val v = c.cast("long")
+    ((v - pmod(v, lit(width))) / lit(width)).cast("long")
+  }
+
+  /** Inner-join `points` to every interval in `intervals` with
+    * `lo <= point <= hi` (inclusive both ends, matching SQL BETWEEN).
+    * Output columns = points' ++ intervals' (names must not collide —
+    * alias beforehand). `bucketWidth` is in the value's own unit.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol), bucketWidth),
+        bucketOf(col(hiCol), bucketWidth))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** Parity oracle for tests: the same join as a cross-join + filter.
+    * Never use outside tests — this is exactly the plan the bucketed form
+    * exists to avoid.
+    */
+  private[graft] def pointInIntervalNaive(points: DataFrame, intervals: DataFrame,
+                                          pointCol: String, loCol: String,
+                                          hiCol: String): DataFrame =
+    points.crossJoin(intervals)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pts(vs: (Long, Long)*): DataFrame =
+    vs.toDF("p_id", "p")
+
+  private def ivs(vs: (Long, Long, Long)*): DataFrame =
+    vs.toDF("i_id", "lo", "hi")
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("p_id", "i_id").as[(Long, Long)].collect().toSet
+
+  test("bounds are inclusive on both ends") {
+    val r = RangeJoin.pointInInterval(
+      pts(1L -> 10L, 2L -> 20L, 3L -> 9L, 4L -> 21L),
+      ivs((7L, 10L, 20L)), "p", "lo", "hi", 5L)
+    assert(pairs(r) === Set(1L -> 7L, 2L -> 7L))
+  }
+
+  test("interval spanning many buckets matches each point exactly once") {
+    // width 10, interval covers buckets 0..9; points inside must appear
+    // once despite the 10-way interval explosion
+    val r = RangeJoin.pointInInterval(
+      pts((1L to 5L).map(i => i -> i * 17L): _*),
+      ivs((1L, 0L, 99L)), "p", "lo", "hi", 10L)
+    assert(r.count() === 5)
+    assert(pairs(r) === (1L to 5L).map(_ -> 1L).toSet)
+  }
+
+  test("zero-width interval matches only an exact-value point") {
+    val r = RangeJoin.pointInInterval(
+      pts(1L -> 42L, 2L -> 43L),
+      ivs((1L, 42L, 42L)), "p", "lo", "hi", 1000L)
+    assert(pairs(r) === Set(1L -> 1L))
+  }
+
+  test("bucket boundary values land consistently (exact floor-div)") {
+    // point exactly on a bucket edge, interval ending/starting there
+    val r = RangeJoin.pointInInterval(
+      pts(1L -> 3600000L),
+      ivs((1L, 0L, 3600000L), (2L, 3600000L, 7200000L), (3L, 0L, 3599999L)),
+      "p", "lo", "hi", 3600000L)
+    assert(pairs(r) === Set(1L -> 1L, 1L -> 2L))
+  }
+
+  test("matches the naive cross-join oracle on random-ish data") {
+    val ps = pts((1L to 200L).map(i => i -> (i * 7919L) % 10000L): _*)
+    val is = ivs((1L to 40L).map { i =>
+      val lo = (i * 6151L) % 9000L
+      (i, lo, lo + (i * 131L) % 2500L)
+    }: _*)
+    for (w <- Seq(1L, 100L, 1024L, 5000L, 100000L)) {
+      val fast = pairs(RangeJoin.pointInInterval(ps, is, "p", "lo", "hi", w))
+      val slow = pairs(RangeJoin.pointInIntervalNaive(ps, is, "p", "lo", "hi"))
+      assert(fast === slow, s"width=$w")
+    }
+  }
+
+  test("plan is an equi-join on the bucket, not a nested loop") {
+    val r = RangeJoin.pointInInterval(
+      pts(1L -> 10L), ivs((1L, 0L, 20L)), "p", "lo", "hi", 5L)
+    val physical = r.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$physical")
+    assert(!physical.contains("CartesianProduct"))
+  }
+}
