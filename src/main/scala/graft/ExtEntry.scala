@@ -28,6 +28,9 @@ object ExtEntry {
     "dedup_jaccard" -> ((s, dir) =>
       TextDedup.nearDupPairs(s, dir, 0.5).orderBy(col("d1"), col("d2"))),
 
+    "dedup_cluster" -> ((s, dir) =>
+      TextDedup.nearDupClusters(s, dir, 0.5).orderBy(col("cluster_id"))),
+
     "text_simhash" -> ((s, dir) =>
       TextDedup.simhash(s, dir).orderBy(col("doc_id"))),
 
@@ -247,6 +250,28 @@ object ExtEntry {
          |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
          |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // connected components stated declaratively: the recursive CTE is the
+    // transitive closure of the verified pair graph (tiny after LSH+
+    // jaccard pruning), label = least id reachable. The Spark side must
+    // reach the identical fixpoint through iterative label propagation.
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$bandsCte,
+         |pairs AS (SELECT d1, d2 FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a),
+         |lbl AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc
+         |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "text_simhash" ->
       s"""WITH $simhashCte

@@ -291,4 +291,69 @@ object TextDedup {
         lit(0).as("hamming"))
     cross.unionByName(within)
   }
+
+  // —————————————————— duplicate clustering ——————————————————
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into row drops: every doc in a component
+    * gets `cluster_id` = the component's minimum doc_id (the canonical
+    * survivor); everything else in the component is droppable.
+    *
+    * Hash-min label propagation with pointer jumping, the classic
+    * MapReduce CC formulation: each round every node takes the min of
+    * its own label, its neighbors' labels (one-hop propagation), and its
+    * label's label (path doubling), so convergence is O(log diameter)
+    * rounds. LSH near-dup components are band-hash near-cliques with
+    * tiny diameter, so in practice 2–3 rounds close even at 100 TB.
+    * Each round is two shuffle joins + one min-aggregation over
+    * (node, lbl) pairs — a few dozen bytes per doc, never the documents
+    * themselves. `localCheckpoint` cuts the growing lineage per round.
+    *
+    * Convergence detection without a second pass: labels only ever
+    * decrease, so Σ labels is strictly monotone — a round that leaves
+    * the sum unchanged changed nothing. One scalar action per round
+    * (Pregel-style driver loop; no data is collected).
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var prevSum = BigDecimal(-1)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val viaNbr = edges
+        .join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .select(col("a").as("node"), col("lbl"))
+      val viaJump = labels.select(col("node"), col("lbl").as("mid"))
+        .join(labels.select(col("node").as("mid"), col("lbl")), Seq("mid"))
+        .select(col("node"), col("lbl"))
+      labels = labels.select(col("node"), col("lbl"))
+        .unionByName(viaNbr).unionByName(viaJump)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val labelSum = BigDecimal(
+        labels.agg(sum(col("lbl"))).collect()(0).getLong(0))
+      converged = labelSum == prevSum
+      prevSum = labelSum
+      iters += 1
+    }
+    labels
+  }
+
+  /** Cluster summary of the verified MinHash near-dup graph: one row per
+    * duplicate cluster (≥ 2 members by construction — singletons never
+    * enter the pair graph) with the canonical keeper, member count, and
+    * max member id. The deterministic droppable-row count is
+    * Σ (n_docs − 1).
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double): DataFrame =
+    clusters(nearDupPairs(spark, dir, threshold).select(col("d1"), col("d2")))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
 }
