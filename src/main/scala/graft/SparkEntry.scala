@@ -36,6 +36,35 @@ object SparkEntry {
       .withColumn("event_timestamp", unix_millis(col("ts")))
       .withColumn("minute_timestamp", Ingest.minuteBucket(col("event_timestamp")))
 
+  /** Shared input of the `join_range*` queries: all events as points
+    * (p_user, ems) and the sampled users' 30-min-gap sessions as
+    * intervals (s_user, [session_start, session_end = last + 30 min]).
+    */
+  private def sessionIntervals(s: SparkSession,
+                               dir: String): (DataFrame, DataFrame) = {
+    val ev = silverBase(s, dir)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("event_timestamp").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val iv = ev.filter(col("user_id") % 15 === 0)
+      .withColumn("prev", lag(col("event_timestamp"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("event_timestamp") - col("prev") > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("event_timestamp")).as("session_start"),
+        (max(col("event_timestamp")) + 1800000L).as("session_end"))
+      .select(col("user_id").as("s_user"),
+        col("session_start"), col("session_end"))
+    val pts = ev.select(col("user_id").as("p_user"),
+      col("event_timestamp").as("ems"))
+    (pts, iv)
+  }
+
   /** Flagship: dedup'd per-group running aggregates (SURVEY §7.3) —
     * the batch analog of the reference's silver→gold pipeline.
     */
@@ -65,6 +94,27 @@ object SparkEntry {
     coreOracleSql ++ ExtEntry.oracleSql
 
   // ————————————————— reference surface (SURVEY §2) —————————————————
+
+  private val rangeJoinOracle =
+    """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id % 15 = 0),
+      |m AS (SELECT user_id, event_id, ems,
+      |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM g),
+      |s AS (SELECT user_id, ems, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ems, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
+      |    max(ems) + 1800000 AS session_end
+      |  FROM s GROUP BY user_id, sid),
+      |e AS (SELECT user_id AS p_user, epoch_ms(ts) AS ems FROM events)
+      |SELECT iv.s_user, iv.session_start,
+      |  count(*) AS n_concurrent, count(DISTINCT e.p_user) AS n_users
+      |FROM iv JOIN e ON e.ems >= iv.session_start AND e.ems <= iv.session_end
+      |  AND e.p_user <> iv.s_user
+      |GROUP BY iv.s_user, iv.session_start
+      |ORDER BY iv.s_user, iv.session_start""".stripMargin
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_flagship" -> ((s, dir) => goldFlagship(s, dir)),
@@ -221,26 +271,7 @@ object SparkEntry {
     // predicate (see ops.RangeJoin scaladoc); 1-hour buckets ≈ the typical
     // session span, so each interval explodes into ~2 bucket rows.
     "join_range" -> ((s, dir) => {
-      val ev = silverBase(s, dir)
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-      val run = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("event_timestamp").asc, col("event_id").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val iv = ev.filter(col("user_id") % 15 === 0)
-        .withColumn("prev", lag(col("event_timestamp"), 1).over(byUser))
-        .withColumn("new_s",
-          when(col("prev").isNull ||
-            col("event_timestamp") - col("prev") > 1800000L, 1).otherwise(0))
-        .withColumn("sid", sum(col("new_s")).over(run))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(col("event_timestamp")).as("session_start"),
-          (max(col("event_timestamp")) + 1800000L).as("session_end"))
-        .select(col("user_id").as("s_user"),
-          col("session_start"), col("session_end"))
-      val pts = ev.select(col("user_id").as("p_user"),
-        col("event_timestamp").as("ems"))
+      val (pts, iv) = sessionIntervals(s, dir)
       graft.ops.RangeJoin.pointInInterval(pts, iv,
           "ems", "session_start", "session_end", 3600000L)
         .filter(col("p_user") =!= col("s_user"))
@@ -248,6 +279,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_concurrent"),
           count_distinct(col("p_user")).as("n_users"))
         .orderBy(col("s_user"), col("session_start"))
+    }),
+
+    // the same audit through the OPTIMIZER: the join is WRITTEN naively
+    // (a pure BETWEEN band — nested-loop as written) and
+    // plans.RangeJoinRewrite turns it into the identical bucketed
+    // equi-join at optimization time. localCheckpoint materializes the
+    // (small, aggregated) result inside the conf scope so the width
+    // setting can't leak into later queries' plans.
+    "join_range_auto" -> ((s, dir) => {
+      graft.plans.RangeJoinRewrite.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.widthKey, "3600000")
+      try {
+        val (pts, iv) = sessionIntervals(s, dir)
+        pts.join(iv, col("ems") >= col("session_start") &&
+            col("ems") <= col("session_end"))
+          .filter(col("p_user") =!= col("s_user"))
+          .groupBy(col("s_user"), col("session_start"))
+          .agg(count(lit(1)).as("n_concurrent"),
+            count_distinct(col("p_user")).as("n_users"))
+          .orderBy(col("s_user"), col("session_start"))
+          .localCheckpoint(true)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.widthKey)
     }),
 
     // Corrected fold variant: true all-time min/max (SURVEY §7.5-3)
@@ -597,27 +650,10 @@ object SparkEntry {
 
     // the oracle states the range join declaratively (DuckDB's IEJoin
     // handles the inequality); the Spark side must produce the identical
-    // result through the bucketed plan
-    "join_range" ->
-      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
-        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events WHERE user_id % 15 = 0),
-        |m AS (SELECT user_id, event_id, ems,
-        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
-        |  FROM g),
-        |s AS (SELECT user_id, ems, sum(new_s) OVER (
-        |    PARTITION BY user_id ORDER BY ems, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
-        |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
-        |    max(ems) + 1800000 AS session_end
-        |  FROM s GROUP BY user_id, sid),
-        |e AS (SELECT user_id AS p_user, epoch_ms(ts) AS ems FROM events)
-        |SELECT iv.s_user, iv.session_start,
-        |  count(*) AS n_concurrent, count(DISTINCT e.p_user) AS n_users
-        |FROM iv JOIN e ON e.ems >= iv.session_start AND e.ems <= iv.session_end
-        |  AND e.p_user <> iv.s_user
-        |GROUP BY iv.s_user, iv.session_start
-        |ORDER BY iv.s_user, iv.session_start""".stripMargin,
+    // result through the bucketed plan — hand-written (join_range) or
+    // optimizer-rewritten (join_range_auto)
+    "join_range" -> rangeJoinOracle,
+    "join_range_auto" -> rangeJoinOracle,
 
     "upsert_fold_alltime" ->
       """WITH p1 AS (

@@ -43,5 +43,8 @@ object Functions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = Functions.inject(e)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    Functions.inject(e)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
