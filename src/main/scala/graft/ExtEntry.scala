@@ -51,6 +51,10 @@ object ExtEntry {
       Similarity.labelBlockedPairs(s, dir, 0.4)
         .orderBy(col("v1"), col("v2"))),
 
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(s, dir, 0.4)
+        .orderBy(col("v1"), col("v2"))),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, dir).orderBy(col("doc_id"))),
 
@@ -104,6 +108,34 @@ object ExtEntry {
           size(toksLower)
       Ingest.table(s, dir, "documents")
         .join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"),
+          size(toksAll).cast("long").as("n_tokens"),
+          round(stopRatio, 6).as("stop_ratio"))
+        .filter(col("n_tokens").between(20, 400) && col("stop_ratio") >= 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the COMPLETE curation pass: exact-dedup survivors, minus every
+    // near-dup cluster member except its canonical (the connected-
+    // components min), gated by the same quality filters — what a
+    // training-data pipeline actually ships. Deletion is expressed as
+    // joins (left-semi keep, left-anti drop), never a collect.
+    "pipeline_curate" -> ((s, dir) => {
+      val keepExact = TextDedup.exactGroups(s, dir)
+        .select(col("keep_doc_id").as("doc_id"))
+      val labels = TextDedup.clusters(
+        TextDedup.nearDupPairs(s, dir, 0.5).select(col("d1"), col("d2")))
+      val nearDrops = labels.filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
+      val toksAll = split(col("text"), " ")
+      val toksLower = split(lower(col("text")), " ")
+      val stopRatio =
+        size(filter(toksLower, x => array_contains(dict, x))).cast("double") /
+          size(toksLower)
+      Ingest.table(s, dir, "documents")
+        .join(keepExact, Seq("doc_id"), "left_semi")
+        .join(nearDrops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"),
           size(toksAll).cast("long").as("n_tokens"),
           round(stopRatio, 6).as("stop_ratio"))
@@ -374,6 +406,39 @@ object ExtEntry {
         |SELECT v1, v2, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
         |ORDER BY v1, v2""".stripMargin,
 
+    // banded sign-LSH over md5-parity hyperplanes (plane p = band*4 + j),
+    // rank-capped bucket membership mirroring TextDedup.maxBucket, exact
+    // cosine verification — the declarative twin of lshNearDupPairs
+    "dedup_embedding_lsh" ->
+      s"""WITH planes AS (SELECT p, p // 4 AS band,
+         |    list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p || ':' || i), 1, 1)) - 1) % 2 = 1
+         |    THEN 1.0 ELSE -1.0 END) AS r
+         |  FROM UNNEST(generate_series(0, 15)) AS pp(p)),
+         |sigs AS (SELECT vec_id, band, string_agg(CASE WHEN
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * r[i])) > 0
+         |    THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM embeddings, planes GROUP BY vec_id, band),
+         |capped AS (SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |      row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rk
+         |    FROM sigs) WHERE rk <= ${graft.ext.TextDedup.maxBucket}),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |sims AS (SELECT v1, v2,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2)
+         |SELECT v1, v2, round(cos, 6) AS cos FROM sims WHERE cos >= 0.4
+         |ORDER BY v1, v2""".stripMargin,
+
     "text_langid" ->
       """WITH dicts AS (SELECT
         |  ['the','a','of','and','to','in','is','it','you','that'] AS en,
@@ -457,6 +522,34 @@ object ExtEntry {
         |SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
         |FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$bandsCte,
+         |pairs AS (SELECT d1, d2 FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a),
+         |near_drop AS (SELECT node AS doc_id FROM (
+         |    SELECT node, least(node, min(r)) AS cluster_id
+         |    FROM reach GROUP BY node) WHERE node <> cluster_id),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (SELECT d.doc_id, d.lang,
+         |    len(string_split(d.text, ' ')) AS n_tokens,
+         |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+         |      x -> list_contains(['the','a','of','and','to','in','is','it','you','that'], x))) AS DOUBLE)
+         |      / len(string_split(lower(d.text), ' ')) AS stop_ratio
+         |  FROM documents d JOIN keep USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop))
+         |SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
+         |FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01
+         |ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

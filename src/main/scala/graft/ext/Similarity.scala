@@ -230,6 +230,49 @@ object Similarity {
       .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** The 100 TB embedding near-dup path: banded sign-LSH candidate
+    * generation + exact cosine verification — no label/metadata blocking
+    * (the fix for [[labelBlockedPairs]]' degenerate-block risk: bucket
+    * size is driven by the geometry, not by a data column's cardinality).
+    *
+    * `nBands` independent bands of `nPlanes` hyperplanes each (plane
+    * p = band·nPlanes + j, same md5-parity construction the oracle
+    * regenerates): a pair is a candidate iff it agrees on EVERY bit of
+    * some band — the same band-any-match shape as MinHash-LSH
+    * ([[TextDedup.candidatePairs]]), and the same single
+    * shuffle-of-(band, bucket, id)-tuples plan with the sorted-first-K
+    * membership cap ([[TextDedup.maxBucket]]) bounding a degenerate
+    * bucket (e.g. a mass of near-zero or duplicated embeddings).
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double,
+                      nBands: Int = 4, nPlanes: Int = 4): DataFrame = {
+    val planes = planeVectors(nBands * nPlanes, 64)
+    val e = embeddings(spark, dir)
+    val banded = e.select(col("vec_id"), explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          signBucket(col("embedding"),
+            planes.slice(b * nPlanes, (b + 1) * nPlanes)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
+        TextDedup.maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(TextDedup.pairsOf(col("ids"))).as("p"))
+      .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        norm(col("embedding")).as("n1")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        norm(col("embedding")).as("n2")), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector (vec_id < nQueries)
     * among the rest of the table.
     */

@@ -62,6 +62,26 @@ class ExtSpec extends SparkTestBase {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("LSH embedding near-dup: a verified subset of exact all-pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val lsh = Similarity.lshNearDupPairs(spark, dir, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    val e = Similarity.embeddings(spark, dir)
+    val brute = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .crossJoin(e.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is a true near-dup with the exact same cosine;
+    // recall < 1 is inherent to banding (geometry decides, not labels)
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    assert(lsh.forall { case (k, c) => brute(k) == c })
+    assert(lsh.size >= brute.size / 10) // sanity floor on recall
+  }
+
   test("multimodal decode stub is deterministic and distributed") {
     val feats = Multimodal.extractFeatures(spark, "/root/testdata/sf0.001")
       .collect()
