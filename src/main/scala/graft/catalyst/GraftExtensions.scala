@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.catalyst.HashExpressions.{MinHashChunks, SimHash64, WordShingles}
+import graft.catalyst.HashExpressions.{DotDouble, MinHashChunks, SimHash64, WordShingles}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT graft_simhash64(split(text, ' ')) ...")` works for
@@ -20,6 +20,7 @@ object Functions {
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
     "graft_minhash_chunks" -> (exprs => MinHashChunks(exprs.head)),
+    "graft_dot" -> (exprs => DotDouble(exprs(0), exprs(1))),
     "graft_word_shingles" -> (exprs => exprs(1) match {
       case Literal(n: Int, _) => WordShingles(exprs.head, n)
       case other => throw new IllegalArgumentException(

@@ -3,7 +3,7 @@ package graft.catalyst
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -123,6 +123,31 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Row kernel for [[DotDouble]]: left-to-right double dot product of
+    * two float/double arrays — bit-identical to the HOF formulation
+    * `aggregate(zip_with(a, b, x*y), 0.0, acc+v)` (each element up-cast
+    * to double, products accumulated in input order) and to the DuckDB
+    * oracle's `list_sum(list_transform(...))`. Lengths must match: the
+    * HOF twin null-pads and returns NULL on mismatch, which silently
+    * hides shape bugs — here a mismatch fails fast instead (all engine
+    * callers use fixed-dim embeddings).
+    */
+  def dotEval(a: ArrayData, b: ArrayData,
+              aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"graft_dot: length mismatch ($n vs ${b.numElements()})")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
   private val kernelClass = "graft.catalyst.HashExpressions"
 
   /** 64-bit SimHash over an array<string> token column, as 16 lowercase
@@ -187,6 +212,35 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Codegen'd dot product of two float/double array columns — the
+    * embedding hot loop (cosine verify, sign-LSH projections, brute-force
+    * top-k run one per pair/plane). The HOF twin is
+    * [[graft.ext.Similarity.dotViaHof]]; ExtSpec asserts equality.
+    */
+  case class DotDouble(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"graft_dot expects array<float|double>, got $other")
+    }
+    private lazy val (lf, rf) = (isFloat(left), isFloat(right))
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dotEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (c1, c2) => s"${ev.value} = $kernelClass.dotEval($c1, $c2, $lf, $rf);")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotDouble = copy(left = l, right = r)
+  }
+
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 
@@ -195,4 +249,7 @@ object HashExpressions {
 
   def wordShingles(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
+
+  def dotDouble(a: Column, b: Column): Column =
+    Bridge.column(DotDouble(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -26,8 +26,16 @@ object Similarity {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     Ingest.table(spark, dir, "embeddings")
 
-  /** Left-to-right double dot product of two float-array columns. */
+  /** Left-to-right double dot product of two float/double-array columns.
+    * Runs in the codegen'd [[graft.catalyst.HashExpressions.DotDouble]]
+    * kernel — the HOF formulation below is the parity twin (identical
+    * math; higher-order functions are CodegenFallback, which made this
+    * the interpreted hot loop of every embedding query).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.catalyst.HashExpressions.dotDouble(a, b)
+
+  private[graft] def dotViaHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -62,6 +62,26 @@ class ExtSpec extends SparkTestBase {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("custom DotDouble matches the HOF formulation bit-for-bit") {
+    val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val pairs = a.crossJoin(
+        e.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("v1") < col("v2") && col("v2") - col("v1") <= 3)
+    val diffs = pairs.select(
+        Similarity.dot(col("e1"), col("e2")).as("k"),
+        Similarity.dotViaHof(col("e1"), col("e2")).as("h"))
+      .filter(col("k") =!= col("h")) // bitwise: no tolerance
+      .count()
+    assert(diffs == 0)
+    // mixed float/double inputs (plane literals) agree too
+    val plane = array(Similarity.planeVectors(1, 64).head.map(lit): _*)
+    val d2 = e.select(Similarity.dot(col("embedding"), plane).as("k"),
+        Similarity.dotViaHof(col("embedding"), plane).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(d2 == 0)
+  }
+
   test("LSH embedding near-dup: a verified subset of exact all-pairs") {
     val dir = "/root/testdata/sf0.001"
     val lsh = Similarity.lshNearDupPairs(spark, dir, 0.4)

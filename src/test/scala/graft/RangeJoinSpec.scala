@@ -63,6 +63,24 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("degenerate month-long interval: linear expansion, exact result") {
+    // the scaladoc's cost model: a 30-day interval at 1-hour width costs
+    // 720 bucket rows (visible, bounded), never O(points) work per
+    // interval. 10k points over the month, plus tight intervals around
+    // the edges; result must equal the naive oracle exactly.
+    val hour = 3600000L
+    val month = 720 * hour
+    val ps = pts((1L to 10000L).map(i => i -> (i * 2654435761L) % month): _*)
+    val is = ivs((1L, 0L, month - 1), (2L, 0L, hour - 1),
+      (3L, month - hour, month - 1))
+    val fast = RangeJoin.pointInInterval(ps, is, "p", "lo", "hi", hour)
+    val slow = pairs(RangeJoin.pointInIntervalNaive(ps, is, "p", "lo", "hi"))
+    assert(pairs(fast) === slow)
+    // every point is in interval 1 → the join output is dominated by the
+    // true matches, not by bucket-explosion overhead
+    assert(fast.count() === slow.size)
+  }
+
   test("plan is an equi-join on the bucket, not a nested loop") {
     val r = RangeJoin.pointInInterval(
       pts(1L -> 10L), ivs((1L, 0L, 20L)), "p", "lo", "hi", 5L)
