@@ -6,17 +6,25 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.model.Event
 import graft.streaming.Pipeline
 
-/** Streaming-throughput benchmark for the silver dedup stage — the
-  * reference's headline number is 4,000 events/s sustained through
-  * watermark dedup on 2×2 cores (BASELINE.md). Pushes `--events` total
-  * (default 200k) through parse → watermark → dropDuplicatesWithinWatermark
-  * → anti-join MERGE in 10k-event micro-batches (matching the reference's
-  * maxOffsetsPerTrigger) with 5% duplicate injection, and prints one JSON
-  * line with events/s.
+/** Streaming-throughput benchmark — the reference's headline number is
+  * 4,000 events/s sustained through watermark dedup on 2×2 cores
+  * (BASELINE.md). Pushes `<events>` total (default 200k) through
+  * parse → watermark → dropDuplicatesWithinWatermark → anti-join MERGE
+  * in 10k-event micro-batches (matching the reference's
+  * maxOffsetsPerTrigger) with 5% duplicate injection, and prints one
+  * JSON line with events/s.
+  *
+  * `StreamBench <events> full` runs ALL THREE concurrent stages
+  * ([[Pipeline.startAll]]: silver MERGE → gold fold + change feed →
+  * serving upsert log) and measures end-to-end drain time — the
+  * whole-pipeline twin of the reference's main.py deployment; the
+  * default measures stage 1 only, which is what the published baseline
+  * covers.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val totalEvents = args.headOption.map(_.toInt).getOrElse(200000)
+    val full = args.contains("full")
     val batchSize = 10000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -36,10 +44,22 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // gold bucket count should track |gold| (buckets ~ groups/5k so a
+    // bucket rewrite stays a few MB): this workload has 200 groups, and
+    // 64 buckets would mean 64 near-empty partition writes+renames per
+    // batch — pure fixed overhead at bench scale
+    val goldBuckets =
+      sys.env.getOrElse("SPARK_GRAFT_GOLD_BUCKETS", "8").toInt
     val cfg = Pipeline.Config(
-      java.nio.file.Files.createTempDirectory("graft_sbench").toString)
+      java.nio.file.Files.createTempDirectory("graft_sbench").toString,
+      goldBuckets = goldBuckets)
     val input = MemoryStream[Event](99, spark, None)
-    val q = Pipeline.startSilver(spark, input.toDF(), cfg)
+    val queries =
+      if (full) Pipeline.startAll(spark, input.toDF(), cfg)
+      else Seq(Pipeline.startSilver(spark, input.toDF(), cfg))
+    // drain the chain in dependency order: silver files feed gold, gold
+    // change files feed serve
+    def drainAll(): Unit = queries.foreach(_.processAllAvailable())
 
     val rnd = new scala.util.Random(7)
     val groups = (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
@@ -49,7 +69,7 @@ object StreamBench {
     // warmup batch (codegen + state store init), not timed
     input.addData((0 until 1000).map(k =>
       Event(s"warm-$k", groups(k % groups.size), rnd.nextFloat(), t0 + k)))
-    q.processAllAvailable()
+    drainAll()
 
     val perBatch = sys.env.get("SPARK_GRAFT_STREAMBENCH_DEBUG").isDefined
     val start = System.nanoTime()
@@ -63,7 +83,7 @@ object StreamBench {
       val dupes = (0 until n / 20).map(k => fresh(rnd.nextInt(n)))
       val b0 = System.nanoTime()
       input.addData(rnd.shuffle(fresh ++ dupes))
-      q.processAllAvailable()
+      drainAll()
       if (perBatch)
         println(f"[sbench] batch $batchNo%3d ${(System.nanoTime() - b0) / 1e9}%6.2f s")
       sent += n
@@ -75,9 +95,13 @@ object StreamBench {
         Pipeline.compactSilver(spark, cfg)
     }
     val secs = (System.nanoTime() - start) / 1e9
-    q.stop()
+    queries.foreach(_.stop())
     val silverRows = spark.read.parquet(cfg.silverPath).count()
-    println(s"""{"metric":"silver_dedup_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"baseline_events_per_sec":4000}""")
+    if (full) {
+      val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
+      println(s"""{"metric":"pipeline_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"baseline_events_per_sec":4000}""")
+    } else
+      println(s"""{"metric":"silver_dedup_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"baseline_events_per_sec":4000}""")
     spark.stop()
   }
 }
