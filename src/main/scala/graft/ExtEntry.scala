@@ -70,6 +70,16 @@ object ExtEntry {
     "mm_meta" -> ((s, dir) =>
       Multimodal.meta(s, dir).orderBy(col("doc_id"))),
 
+    // byte-strided payload decimation (the resize/thumbnail stand-in):
+    // binary in/binary out via narrow mapPartitions; checked by the
+    // decimated payload's md5
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(s, dir, 1024).toDF()
+        .select(col("media_id").as("doc_id"), col("kind"),
+          col("n_bytes").as("n_bytes_out"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))),
+
     // frame-sampling plumbing for the video kind: one row per sampled
     // frame index (stride 2) — the shape a real decoder fans out into
     "mm_frames" -> ((s, dir) =>
@@ -556,6 +566,22 @@ object ExtEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the corpus is ASCII (asserted in ExtSpec), so char-strided substr
+    // decimation = the engine's byte-strided decimation; integer-exact
+    // stride/count arithmetic mirrors resizeStub
+    "mm_resize" ->
+      """WITH s AS (SELECT doc_id, text, length(text) AS n,
+        |    greatest(1, (length(text) + 1023) // 1024) AS stride FROM documents),
+        |r AS (SELECT doc_id, n, stride, (n + stride - 1) // stride AS n_out,
+        |    md5(array_to_string(list_transform(
+        |      generate_series(0, (n + stride - 1) // stride - 1),
+        |      i -> substr(text, 1 + i * stride, 1)), '')) AS payload_md5
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(n_out AS BIGINT) AS n_bytes_out, payload_md5
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -78,6 +78,29 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions(decodeStub)
   }
 
+  /** Resize stand-in: deterministic byte-strided decimation of the
+    * payload to ≤ `maxBytes` (stride = ceil(n / maxBytes), keep bytes at
+    * 0, stride, 2·stride, …) — a payload→payload transform with the same
+    * shape a real thumbnail/downsample kernel has, so it composes with
+    * [[decodeStub]] in one narrow pass (media bytes still never shuffle).
+    */
+  def resizeStub(maxBytes: Int)(rows: Iterator[MediaRow]): Iterator[MediaRow] =
+    rows.map { r =>
+      val n = r.payload.length
+      val stride = math.max(1, (n + maxBytes - 1) / maxBytes)
+      val out = new Array[Byte]((n + stride - 1) / stride)
+      var i = 0
+      var j = 0
+      while (i < n) { out(j) = r.payload(i); j += 1; i += stride }
+      MediaRow(r.media_id, r.kind, out, out.length.toLong)
+    }
+
+  /** The resize pipeline: narrow mapPartitions, binary in/binary out. */
+  def resize(spark: SparkSession, dir: String, maxBytes: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(resizeStub(maxBytes))
+  }
+
   /** SQL-visible metadata projection (oracle-checked): byte length and
     * sha256 of the payload, plus the synthetic kind.
     */

@@ -118,6 +118,26 @@ class ExtSpec extends SparkTestBase {
       byId(2L).frames == (byId(2L).n_bytes / 64 + 1).toInt)
   }
 
+  test("resize stub: bounded strided decimation, composes with decode") {
+    val dir = "/root/testdata/sf0.001"
+    // oracle precondition: the corpus is ASCII (char pos == byte pos)
+    assert(graft.ext.TextAnalysis.documents(spark, dir)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count() == 0)
+    val r = Multimodal.resize(spark, dir, 100).collect()
+    assert(r.nonEmpty && r.forall(m =>
+      m.n_bytes <= 100 && m.payload.length == m.n_bytes))
+    // a large-enough budget is the identity transform
+    val big = Multimodal.resize(spark, dir, 1 << 20).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    val orig = Multimodal.mediaTable(spark, dir).collect()
+    assert(orig.forall(m => big(m.media_id) == m.payload.toSeq))
+    // binary out feeds the decoder directly — one narrow pass
+    import spark.implicits._
+    val feats = Multimodal.resize(spark, dir, 100)
+      .mapPartitions(Multimodal.decodeStub).collect()
+    assert(feats.length == orig.length)
+  }
+
   test("simhash: equal texts hash equal; hamming of a doc with itself is 0") {
     import graft.ext.TextDedup
     val hx = TextDedup.simhash(spark, "/root/testdata/sf0.001")
