@@ -380,4 +380,30 @@ class PipelineSpec extends SparkTestBase {
       assert(streamed.nonEmpty && streamed == batch, s"\n$streamed\nvs\n$batch")
     } finally qs.foreach(_.stop())
   }
+
+  test("serve stage restarts from its checkpoint without dup or loss") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](17, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    val t0 = 1700000000000L
+    try {
+      input.addData(ev("r1", "g1", 1.0f, t0), ev("r2", "g2", 2.0f, t0 + 1000))
+      qs.foreach(_.processAllAvailable())
+      // stop ONLY stage 3, keep ingesting: changes accumulate unserved
+      qs(2).stop()
+      input.addData(ev("r3", "g1", 3.0f, t0 + 2000))
+      qs.take(2).foreach(_.processAllAvailable())
+      // restart stage 3 from its checkpoint; it must pick up exactly the
+      // missed change files (file-sink commit log = exactly-once)
+      val serve2 = Pipeline.startServe(spark, cfg)
+      serve2.processAllAvailable()
+      try {
+        val got = Pipeline.serveSnapshot(spark, cfg)
+          .select(col("_id"), col("event_count"))
+          .orderBy("_id")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(got == Seq("g1" -> 2L, "g2" -> 1L), got.toString)
+      } finally serve2.stop()
+    } finally qs.take(2).foreach(_.stop())
+  }
 }
