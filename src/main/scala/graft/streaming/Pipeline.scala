@@ -175,6 +175,33 @@ object Pipeline {
     fs.rename(tmp, dir)
   }
 
+  /** The VACUUM analog (reference utils.py:127-135, scheduled with 168 h
+    * retention in bootstrap.py:61-62): the change-feed log grows one
+    * `_commit_version=<batch>` partition per fold, and versions the serve
+    * stage has long consumed are reclaimable. Deletes versions strictly
+    * below `max - keepVersions`.
+    *
+    * Like Delta's retention contract, `keepVersions` must exceed the
+    * downstream reader's maximum lag (in batches): the serve stream's
+    * checkpoint skips files it has committed, so vacuuming BEHIND it is
+    * safe across restarts, but vacuuming a version it has not yet read
+    * loses those changes — same failure Delta documents for vacuuming
+    * below retention while a stream reads the table.
+    */
+  def vacuumGoldChanges(spark: SparkSession, cfg: Config,
+                        keepVersions: Int = 168): Unit = {
+    val dir = new Path(cfg.goldChangesPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val versions = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_commit_version="))
+      .map(s => s.getPath.getName.stripPrefix("_commit_version=").toLong -> s.getPath)
+    if (versions.isEmpty) return
+    val cutoff = versions.map(_._1).max - keepVersions
+    versions.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** Stage 2: silver files as a stream (insert-only ⇒ new files are the
     * change feed) → per-batch partial agg → fold into the gold snapshot.
     */

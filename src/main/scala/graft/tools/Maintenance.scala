@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 import graft.streaming.Pipeline
 
-/** Out-of-band maintenance entry point — the scheduled-OPTIMIZE analog
-  * (reference utils.py:111-124) for when the stream is NOT running:
+/** Out-of-band maintenance entry point — the scheduled OPTIMIZE+VACUUM
+  * analog (reference utils.py:111-135, bootstrap.py:58-62) for when the
+  * stream is NOT running:
   * `runMain graft.tools.Maintenance <pipelineBaseDir> [intervalSec]`.
-  * With an interval it loops (cron-style service); without, it compacts
-  * once and exits. While a silver stream IS running, use
+  * With an interval it loops (cron-style service); without, it runs once
+  * and exits. Each pass compacts silver (OPTIMIZE) and vacuums consumed
+  * change-feed versions (VACUUM, default 168-version retention matching
+  * the reference's 168 h). While a silver stream IS running, use
   * [[Pipeline.Config.compactEvery]] instead — compaction swaps the
   * silver directory and must not race a concurrent micro-batch append.
   */
@@ -30,8 +33,9 @@ object Maintenance {
     do {
       val t0 = System.nanoTime()
       Pipeline.compactSilver(spark, cfg)
-      println(s"[maintenance] compacted ${cfg.silverPath} in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      Pipeline.vacuumGoldChanges(spark, cfg)
+      println(s"[maintenance] compacted ${cfg.silverPath} + vacuumed " +
+        f"${cfg.goldChangesPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)
     spark.stop()

@@ -381,6 +381,38 @@ class PipelineSpec extends SparkTestBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("vacuumGoldChanges reclaims consumed versions; serve state intact") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](19, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    val t0 = 1700000000000L
+    try {
+      // several folds → several _commit_version partitions
+      (0 until 4).foreach { b =>
+        input.addData(ev(s"v$b", "g1", 1.0f, t0 + b * 1000))
+        qs.foreach(_.processAllAvailable())
+      }
+      val fs = new org.apache.hadoop.fs.Path(cfg.goldChangesPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def versions() = fs.listStatus(
+          new org.apache.hadoop.fs.Path(cfg.goldChangesPath))
+        .count(_.getPath.getName.startsWith("_commit_version="))
+      val before = versions()
+      assert(before >= 3)
+      Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 1)
+      assert(versions() <= 2) // max and max-1 survive
+      // the keyed serving state is unaffected (those versions were consumed)
+      val snap = Pipeline.serveSnapshot(spark, cfg)
+        .select(col("_id"), col("event_count")).collect()
+      assert(snap.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq("g1" -> 4L))
+      // and the serve stream keeps running across the vacuum
+      input.addData(ev("v9", "g2", 2.0f, t0 + 9000))
+      qs.foreach(_.processAllAvailable())
+      assert(Pipeline.serveSnapshot(spark, cfg).count() == 2)
+    } finally qs.foreach(_.stop())
+  }
+
   test("serve stage restarts from its checkpoint without dup or loss") {
     val cfg = freshCfg()
     val input = MemoryStream[Event](17, spark, None)
