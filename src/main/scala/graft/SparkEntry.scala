@@ -441,6 +441,26 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // q10-style returned-item report: 4-way join (two broadcast dims),
+    // decimal-exact revenue, top-20 — TakeOrderedAndProject after one agg
+    "tpch_q10" -> ((s, dir) => {
+      val ord = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val cust = Ingest.table(s, dir, "customer")
+      val nat = Ingest.table(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revTerm()).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     "tpch_q6" -> ((s, dir) =>
       Ingest.table(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -744,6 +764,18 @@ object SparkEntry {
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "tpch_q3" ->
       s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
