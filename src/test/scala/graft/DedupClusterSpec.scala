@@ -38,6 +38,36 @@ class DedupClusterSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("random graphs: label propagation equals union-find (seeded)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nodes = 5 + rnd.nextInt(36)
+      val edges = (1 to nodes * 2).map { _ =>
+        val a = rnd.nextInt(nodes).toLong
+        val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonicalize union-find roots to the component MIN (find() roots
+        // are order-dependent; min-label is what clusters() guarantees)
+        val byRoot = parent.keys.toSeq.groupBy(find)
+        val expected = byRoot.values.flatMap { ms =>
+          val m = ms.min; ms.map(_ -> m)
+        }.toMap
+        assert(clustersOf(edges) == expected, s"trial $trial, $edges")
+      }
+    }
+  }
+
   test("nearDupClusters matches driver-side union-find at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val pairs = TextDedup.nearDupPairs(spark, dir, 0.5)

@@ -84,6 +84,19 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("outer range joins are left untouched (inner-only rewrite)") {
+    withWidth(64L) {
+      val outer = pts.join(ivs,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+      // no Generate = no rewrite; and the outer semantics stay correct
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("Generate"))
+      val unmatched = outer.filter(col("iv_id").isNull).count()
+      val expectedUnmatched = pts.count() -
+        naive.map(_._1).distinct.size
+      assert(unmatched == expectedUnmatched)
+    }
+  }
+
   test("agrees with the hand-bucketed ops.RangeJoin") {
     withWidth(50L) {
       val auto = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
