@@ -461,6 +461,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // q12-style conditional aggregation (the testdata lacks shipmode/
+    // commit/receipt dates, so the priority split groups by returnflag):
+    // one shuffle, both CASE sums in the same partial aggregate
+    "tpch_q12" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      li.join(Ingest.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "tpch_q6" -> ((s, dir) =>
       Ingest.table(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -776,6 +794,17 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1996-04-01'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "tpch_q3" ->
       s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
