@@ -23,6 +23,11 @@ class SqlFunctionsSpec extends SparkTestBase {
       .select(graft.catalyst.HashExpressions.simhash64(split($"text", " ")))
       .collect().head.getString(0)
     assert(row.getAs[String]("h") == viaColumn)
+    // graft_dot from SQL: 1*4 + 2*5 + 3*6 = 32
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 32.0)
   }
 
   test("extensions injector wires the same builders without error") {
