@@ -17,15 +17,33 @@ import graft.catalyst.HashExpressions.{DotDouble, MinHashChunks, SimHash64, Word
   */
 object Functions {
 
+  /** Arity check at builder time — a wrong argument count fails with the
+    * function's signature instead of an IndexOutOfBoundsException from
+    * `exprs(i)`. (Type mismatches fail later, at analysis, through each
+    * expression's own `checkInputDataTypes`.)
+    */
+  private def arity(name: String, sig: String, n: Int)(
+      exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name$sig expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
-    "graft_minhash_chunks" -> (exprs => MinHashChunks(exprs.head)),
-    "graft_dot" -> (exprs => DotDouble(exprs(0), exprs(1))),
-    "graft_word_shingles" -> (exprs => exprs(1) match {
-      case Literal(n: Int, _) => WordShingles(exprs.head, n)
-      case other => throw new IllegalArgumentException(
-        s"graft_word_shingles(tokens, n): n must be an integer literal, got $other")
-    })
+    "graft_simhash64" -> (exprs =>
+      SimHash64(arity("graft_simhash64", "(tokens)", 1)(exprs).head)),
+    "graft_minhash_chunks" -> (exprs =>
+      MinHashChunks(arity("graft_minhash_chunks", "(shingles)", 1)(exprs).head)),
+    "graft_dot" -> (exprs => {
+      val Seq(a, b) = arity("graft_dot", "(a, b)", 2)(exprs)
+      DotDouble(a, b)
+    }),
+    "graft_word_shingles" -> (exprs =>
+      arity("graft_word_shingles", "(tokens, n)", 2)(exprs)(1) match {
+        case Literal(n: Int, _) => WordShingles(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_word_shingles(tokens, n): n must be an integer literal, got $other")
+      })
   )
 
   def register(spark: SparkSession): Unit = {

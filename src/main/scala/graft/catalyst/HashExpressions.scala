@@ -3,6 +3,7 @@ package graft.catalyst
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -150,6 +151,17 @@ object HashExpressions {
 
   private val kernelClass = "graft.catalyst.HashExpressions"
 
+  /** Analysis-time input check shared by the token/shingle expressions:
+    * array<string> required. Fails analysis cleanly (AnalysisException)
+    * instead of a ClassCastException at execution.
+    */
+  private def requireStringArray(fn: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects array<string>, got ${other.sql}")
+    }
+
   /** 64-bit SimHash over an array<string> token column, as 16 lowercase
     * hex chars. Bit b (MSB-first) is 1 iff Σ_tokens (±1 by bit b of the
     * first 8 md5 bytes) > 0 — exactly the ExtEntry.simhashCte math.
@@ -157,6 +169,8 @@ object HashExpressions {
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child)
 
     override def nullSafeEval(input: Any): Any =
       simhashEval(input.asInstanceOf[ArrayData])
@@ -178,6 +192,8 @@ object HashExpressions {
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_minhash_chunks"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child)
 
     override def nullSafeEval(input: Any): Any =
       minhashEval(input.asInstanceOf[ArrayData])
@@ -200,6 +216,8 @@ object HashExpressions {
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_word_shingles"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child)
 
     override def nullSafeEval(input: Any): Any =
       shinglesEval(input.asInstanceOf[ArrayData], n)
@@ -221,6 +239,17 @@ object HashExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(e: Expression) = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
 
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true

@@ -322,6 +322,9 @@ object TextDedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
+    // empty pair graph (corpus/threshold with no near-dups): sum() below
+    // would return null — nothing to propagate, return the empty frame
+    if (edges.isEmpty) return labels
     var prevSum = BigDecimal(-1)
     var iters = 0
     var converged = false

@@ -69,9 +69,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Cast(Divide(Cast(Subtract(v, Pmod(v, Literal(width))), DoubleType),
       Literal(width.toDouble)), LongType)
 
+  /** Expression belongs wholly to one side (any type — used to detect
+    * existing cross-side equality conjuncts, which disable the rewrite
+    * regardless of the key's type).
+    */
   private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
-      e.deterministic && e.dataType == LongType
+      e.deterministic
+
+  /** [[refsOnly]] plus long-typed — required of the point and both bound
+    * expressions, whose bucket arithmetic assumes longs.
+    */
+  private def refsOnlyLong(e: Expression, side: LogicalPlan): Boolean =
+    refsOnly(e, side) && e.dataType == LongType
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, width: Long): Option[LogicalPlan] = {
@@ -128,9 +138,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def sideOf(p: Expression, lo: Expression, hi: Expression,
                      left: LogicalPlan, right: LogicalPlan):
       Option[(LogicalPlan, LogicalPlan)] =
-    if (refsOnly(p, left) && refsOnly(lo, right) && refsOnly(hi, right))
+    if (refsOnlyLong(p, left) && refsOnlyLong(lo, right) && refsOnlyLong(hi, right))
       Some((left, right))
-    else if (refsOnly(p, right) && refsOnly(lo, left) && refsOnly(hi, left))
+    else if (refsOnlyLong(p, right) && refsOnlyLong(lo, left) && refsOnlyLong(hi, left))
       Some((right, left))
     else None
 }

@@ -178,15 +178,20 @@ object Pipeline {
   /** The VACUUM analog (reference utils.py:127-135, scheduled with 168 h
     * retention in bootstrap.py:61-62): the change-feed log grows one
     * `_commit_version=<batch>` partition per fold, and versions the serve
-    * stage has long consumed are reclaimable. Deletes versions strictly
-    * below `max - keepVersions`.
+    * stage has consumed are reclaimable.
     *
-    * Like Delta's retention contract, `keepVersions` must exceed the
-    * downstream reader's maximum lag (in batches): the serve stream's
-    * checkpoint skips files it has committed, so vacuuming BEHIND it is
-    * safe across restarts, but vacuuming a version it has not yet read
-    * loses those changes — same failure Delta documents for vacuuming
-    * below retention while a stream reads the table.
+    * The cutoff is derived from the serve stream's OWN progress: a
+    * version is deleted only when every data file under it appears in the
+    * serve checkpoint's committed file-source log — so a lagging or
+    * paused serve stage holds the vacuum back instead of silently losing
+    * change-feed data (the failure Delta documents for vacuuming below
+    * retention while a stream reads the table). Only when no serve
+    * checkpoint exists at all (stage 3 never started — nothing will ever
+    * read the feed from the beginning-of-log) does it fall back to the
+    * blind `max - keepVersions` retention window.
+    *
+    * Stray directories matching the partition prefix but with a
+    * non-numeric suffix are skipped, never deleted.
     */
   def vacuumGoldChanges(spark: SparkSession, cfg: Config,
                         keepVersions: Int = 168): Unit = {
@@ -196,10 +201,68 @@ object Pipeline {
     val versions = fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("_commit_version="))
-      .map(s => s.getPath.getName.stripPrefix("_commit_version=").toLong -> s.getPath)
+      .flatMap(s => s.getPath.getName.stripPrefix("_commit_version=")
+        .toLongOption.map(_ -> s.getPath))
+      .sortBy(_._1)
     if (versions.isEmpty) return
-    val cutoff = versions.map(_._1).max - keepVersions
+    val cutoff = serveCommittedPaths(fs, cfg) match {
+      case Some(committed) =>
+        // first version with any file the serve stream has not committed;
+        // everything below it is fully consumed and safe to reclaim
+        versions.find { case (_, p) => !fullyCommitted(fs, p, committed) }
+          .map(_._1).getOrElse(versions.last._1 + 1)
+      case None => versions.last._1 - keepVersions
+    }
     versions.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Data-file paths (scheme-stripped) the serve stream has COMMITTED:
+    * entries of its file-source metadata log (`sources/0`) whose batch id
+    * is at or below the last entry in `commits/`. Entries from a planned
+    * but uncommitted batch are excluded — a restart re-reads those files,
+    * so they must survive the vacuum. None when the serve checkpoint does
+    * not exist.
+    */
+  private def serveCommittedPaths(fs: org.apache.hadoop.fs.FileSystem,
+                                  cfg: Config): Option[Set[String]] = {
+    val srcLog = new Path(cfg.checkpoint("serve") + "/sources/0")
+    if (!fs.exists(srcLog)) return None
+    val commitsDir = new Path(cfg.checkpoint("serve") + "/commits")
+    val lastCommitted: Long =
+      if (!fs.exists(commitsDir)) -1L
+      else fs.listStatus(commitsDir).toSeq
+        .flatMap(_.getPath.getName.toLongOption).foldLeft(-1L)(math.max)
+    if (lastCommitted < 0) return Some(Set.empty)
+    val entry = """"path":"([^"]+)"[^}]*"batchId":(-?\d+)""".r
+    val paths = fs.listStatus(srcLog).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        entry.findAllMatchIn(text).collect {
+          case m if m.group(2).toLong <= lastCommitted =>
+            new Path(m.group(1)).toUri.getPath
+        }
+      }
+    Some(paths.toSet)
+  }
+
+  /** Every data file under the version directory is in the committed set
+    * (hidden/metadata files excluded).
+    */
+  private def fullyCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                             versionDir: Path, committed: Set[String]): Boolean = {
+    val it = fs.listFiles(versionDir, true)
+    var all = true
+    while (all && it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith(".") && !name.startsWith("_"))
+        all = committed.contains(f.getPath.toUri.getPath)
+    }
+    all
   }
 
   /** Stage 2: silver files as a stream (insert-only ⇒ new files are the

@@ -68,6 +68,16 @@ class DedupClusterSpec extends SparkTestBase {
     }
   }
 
+  test("empty pair graph yields an empty result, not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val labels = TextDedup.clusters(empty)
+    assert(labels.collect().isEmpty)
+    assert(labels.columns.toSeq == Seq("node", "lbl"))
+    // end-to-end: a threshold no pair can reach → no pairs, no clusters
+    assert(TextDedup.nearDupClusters(spark, "/root/testdata/sf0.001", 1.1)
+      .collect().isEmpty)
+  }
+
   test("nearDupClusters matches driver-side union-find at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val pairs = TextDedup.nearDupPairs(spark, dir, 0.5)

@@ -396,11 +396,18 @@ class PipelineSpec extends SparkTestBase {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def versions() = fs.listStatus(
           new org.apache.hadoop.fs.Path(cfg.goldChangesPath))
-        .count(_.getPath.getName.startsWith("_commit_version="))
+        .map(_.getPath.getName).filter(_.startsWith("_commit_version="))
+        .count(_.stripPrefix("_commit_version=").forall(_.isDigit))
       val before = versions()
       assert(before >= 3)
+      // a stray directory matching the prefix must be skipped, not parsed
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        cfg.goldChangesPath + "/_commit_version=stray"))
       Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 1)
-      assert(versions() <= 2) // max and max-1 survive
+      // serve has committed every version → all of them reclaimed
+      assert(versions() == 0)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        cfg.goldChangesPath + "/_commit_version=stray")))
       // the keyed serving state is unaffected (those versions were consumed)
       val snap = Pipeline.serveSnapshot(spark, cfg)
         .select(col("_id"), col("event_count")).collect()
@@ -411,6 +418,57 @@ class PipelineSpec extends SparkTestBase {
       qs.foreach(_.processAllAvailable())
       assert(Pipeline.serveSnapshot(spark, cfg).count() == 2)
     } finally qs.foreach(_.stop())
+  }
+
+  test("vacuum holds back versions a lagging serve stage has not consumed") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](20, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    val t0 = 1700000000000L
+    val changesRoot = new org.apache.hadoop.fs.Path(cfg.goldChangesPath)
+    val fs = changesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versionNames() = fs.listStatus(changesRoot)
+      .map(_.getPath.getName).filter(_.startsWith("_commit_version=")).sorted.toSeq
+    try {
+      input.addData(ev("l1", "g1", 1.0f, t0))
+      qs.foreach(_.processAllAvailable())
+      // stop ONLY stage 3: further folds produce versions nobody consumed
+      qs(2).stop()
+      (1 until 3).foreach { b =>
+        input.addData(ev(s"l$b-x", "g1", 1.0f, t0 + b * 1000))
+        qs.take(2).foreach(_.processAllAvailable())
+      }
+      val before = versionNames()
+      assert(before.size >= 3)
+      // even with zero retention, only the consumed prefix may go: the
+      // paused serve stage must hold the cutoff at its last commit
+      Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 0)
+      val after = versionNames()
+      assert(after == before.tail, s"before=$before after=$after")
+      // serve restarts from its checkpoint and catches up — no loss
+      val serve2 = Pipeline.startServe(spark, cfg)
+      try serve2.processAllAvailable() finally serve2.stop()
+      val got = Pipeline.serveSnapshot(spark, cfg)
+        .select(col("_id"), col("event_count")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq("g1" -> 3L), got.toString)
+    } finally qs.take(2).foreach(_.stop())
+  }
+
+  test("vacuum falls back to the retention window when serve never started") {
+    val cfg = freshCfg()
+    def fold(b: Long) = Pipeline.foldToGold(spark,
+      Seq(("g1", 1.0f, 100L + b)).toDF("group_id", "score", "event_timestamp"),
+      b, cfg)
+    (0L until 4L).foreach(fold)
+    val changesRoot = new org.apache.hadoop.fs.Path(cfg.goldChangesPath)
+    val fs = changesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions() = fs.listStatus(changesRoot)
+      .map(_.getPath.getName).filter(_.startsWith("_commit_version=")).sorted.toSeq
+    assert(versions().size == 4)
+    Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 1)
+    // no serve checkpoint → blind max-keepVersions retention (= round 3)
+    assert(versions() == Seq("_commit_version=2", "_commit_version=3"))
   }
 
   test("serve stage restarts from its checkpoint without dup or loss") {

@@ -84,6 +84,23 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("a NON-long equi conjunct also disables the rewrite") {
+    withWidth(64L) {
+      // string equality key + range band: the stock planner already makes
+      // this an equi-join with a residual filter — the rewrite would only
+      // add an interval explode and a second join key for nothing
+      val ptsK = pts.withColumn("k", concat(lit("g"), (col("p") % 3).cast("string")))
+      val ivsK = ivs.withColumn("k2", concat(lit("g"), (col("iv_id") % 3).cast("string")))
+      val eq = ptsK.join(ivsK,
+        col("k") === col("k2") && col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!eq.queryExecution.optimizedPlan.toString.contains("Generate"),
+        eq.queryExecution.optimizedPlan.toString)
+      // and it still plans as a hash/sort-merge equi-join on the string key
+      val phys = eq.queryExecution.executedPlan.toString
+      assert(phys.contains("HashJoin") || phys.contains("SortMergeJoin"), phys)
+    }
+  }
+
   test("outer range joins are left untouched (inner-only rewrite)") {
     withWidth(64L) {
       val outer = pts.join(ivs,

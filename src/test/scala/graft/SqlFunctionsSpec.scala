@@ -30,6 +30,31 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(dot == 32.0)
   }
 
+  test("wrong arity fails with the function's signature, not an index error") {
+    Functions.register(spark)
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_dot(array(1.0D))").collect())
+    assert(e1.getMessage.contains("graft_dot") &&
+      e1.getMessage.contains("2 argument"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_simhash64(array('a'), array('b'))").collect())
+    assert(e2.getMessage.contains("graft_simhash64"), e2.getMessage)
+  }
+
+  test("wrong input types fail analysis cleanly") {
+    Functions.register(spark)
+    // array<int> embeddings: analysis-time failure, not a runtime cast/IAE
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect())
+    assert(e1.getMessage.contains("array<float|double>"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_simhash64('not an array')").collect())
+    assert(e2.getMessage.contains("array<string>"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_minhash_chunks(array(1, 2))").collect())
+    assert(e3.getMessage.contains("array<string>"), e3.getMessage)
+  }
+
   test("extensions injector wires the same builders without error") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // would throw on a bad registration
