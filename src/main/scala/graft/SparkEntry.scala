@@ -555,6 +555,168 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(revTerm()).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // q4-style order-priority check: EXISTS as a LEFT SEMI join — orders
+    // never duplicate however many returned lines match, and the semi
+    // build side carries only l_orderkey
+    "tpch_q4" -> ((s, dir) => {
+      val ord = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val returned = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // q7-style nation-pair volume: the same dimension in two join roles
+    // (supplier nation / customer nation), both broadcast
+    "tpch_q7" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val nation = Ingest.table(s, dir, "nation")
+      val n1 = nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(Ingest.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Ingest.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Ingest.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"))
+        .agg(sum(revTerm()).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // q13-style customer order-count distribution: left outer join
+    // preserving order-less customers, then a distribution re-aggregation
+    "tpch_q13" -> ((s, dir) => {
+      val cust = Ingest.table(s, dir, "customer")
+      val ord = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // q14-style promotion share: conditional aggregation over a broadcast
+    // part join; both CASE branches in one partial aggregate
+    "tpch_q14" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      li.join(broadcast(Ingest.table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revTerm())
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+          sum(revTerm()).cast("double")).as("promo_revenue"))
+    }),
+
+    // q15-style top supplier: quarterly revenue per supplier, selected by
+    // a broadcast scalar max — no window, no driver collect
+    "tpch_q15" -> ((s, dir) => {
+      val rev = Ingest.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revTerm()).cast("double").as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      Ingest.table(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // q17-style small-quantity revenue: correlated scalar subquery
+    // (0.2 × per-part avg quantity) as a pre-aggregated join, computed
+    // only over the brand's parts (left-semi prune BEFORE the avg — the
+    // all-parts average would be the 100 TB mistake)
+    "tpch_q17" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+      val partKeys = Ingest.table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val liBrand = li.join(broadcast(partKeys),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val avgQ = liBrand.groupBy(col("l_partkey").as("a_pk"))
+        .agg((lit(0.2) * (sum(col("l_quantity").cast(DecimalType(27, 4)))
+          .cast("double") / count(lit(1)))).as("qty_limit"))
+      liBrand.join(broadcast(avgQ), col("l_partkey") === col("a_pk"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // q19-style OR-of-conjunctions: the disjunction mixes columns of both
+    // sides, so it stays a residual on the broadcast hash join while
+    // l_quantity's covering range still pushes to the lineitem scan
+    "tpch_q19" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+      li.join(broadcast(Ingest.table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(sum(revTerm()).cast("double").as("revenue"))
+    }),
+
+    // q21-style sole-returner: EXISTS (another supplier in the order) AND
+    // NOT EXISTS (another supplier who also returned) — a semi then an
+    // anti self-join, both equi on l_orderkey with the <> as residual
+    "tpch_q21" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val othersR = l1.select(col("lo").as("o3"), col("ls").as("s3"))
+      val sole = l1
+        .join(others, col("o2") === col("lo") && col("s2") =!= col("ls"), "left_semi")
+        .join(othersR, col("o3") === col("lo") && col("s3") =!= col("ls"), "left_anti")
+        .join(Ingest.table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("lo") === col("o_orderkey"), "left_semi")
+      sole.join(broadcast(Ingest.table(s, dir, "supplier")),
+          col("ls") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
+    // q22-style idle-customer balance: anti join against open orders + a
+    // broadcast scalar threshold (decimal-exact average of positives)
+    "tpch_q22" -> ((s, dir) => {
+      val cust = Ingest.table(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(27, 4))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val openOrders = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      cust.join(openOrders,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
     })
   )
 
@@ -868,6 +1030,110 @@ object SparkEntry {
          |WHERE r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
-         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |        year(l_shipdate) AS l_year, l_extendedprice, l_discount
+         |      FROM lineitem
+         |      JOIN orders ON o_orderkey = l_orderkey
+         |      JOIN supplier ON s_suppkey = l_suppkey
+         |      JOIN customer ON c_custkey = o_custkey
+         |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_shipdate < TIMESTAMP '1998-01-01')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q14" ->
+      s"""SELECT CAST(100.0 AS DOUBLE) *
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+         |  CAST(SUM($revSql) AS DOUBLE) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM($revSql) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |agg AS (SELECT l_partkey AS a_pk,
+        |    CAST(0.2 AS DOUBLE) *
+        |      (CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / count(*))
+        |      AS qty_limit
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM p)
+        |  GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem
+        |JOIN p ON p_partkey = l_partkey
+        |JOIN agg ON a_pk = l_partkey
+        |WHERE l_quantity < qty_limit""".stripMargin,
+
+    "tpch_q19" ->
+      s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+         |    AND p_size BETWEEN 1 AND 5)
+         |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+         |    AND p_size BETWEEN 1 AND 10)
+         |  OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+         |    AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
   )
 }
