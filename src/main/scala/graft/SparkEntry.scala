@@ -591,8 +591,8 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_3") ||
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_0"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"))
         .agg(sum(revTerm()).cast("double").as("revenue"))
@@ -1051,8 +1051,8 @@ object SparkEntry {
          |      JOIN customer ON c_custkey = o_custkey
          |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
          |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |      WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_3')
+         |          OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_0'))
          |        AND l_shipdate >= TIMESTAMP '1996-01-01'
          |        AND l_shipdate < TIMESTAMP '1998-01-01')
          |GROUP BY supp_nation, cust_nation, l_year

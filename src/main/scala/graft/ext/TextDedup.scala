@@ -319,8 +319,12 @@ object TextDedup {
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // seed with the one-hop minimum (edges are symmetric, so every node
+    // appears as `a`): one aggregation that IS round 1's neighbor
+    // propagation — saves the two join shuffles of a full first round
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nbr_min"))
+      .select(col("node"), least(col("node"), col("nbr_min")).as("lbl"))
       .localCheckpoint(true)
     // empty pair graph (corpus/threshold with no near-dups): sum() below
     // would return null — nothing to propagate, return the empty frame

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Observability for the streaming pipeline — the engine-side analog of
+  * the reference's dashboard surface (BASELINE.md "End-to-end freshness":
+  * the webapp polls the serving store and charts "Data Lag" as the delta
+  * of `updated_at` between polls, webapp/hooks/useData.ts:19,45,
+  * webapp/components/DataTable.tsx:95-107).
+  *
+  * Two probes:
+  *   - [[ProgressLog]]: a [[StreamingQueryListener]] that keeps each
+  *     stage's per-batch progress (rows, rates, trigger duration,
+  *     watermark) in a bounded in-memory ring — the numbers behind the
+  *     reference's Grafana/webapp charts, queryable as a DataFrame.
+  *     Listener callbacks are driver-side and O(1) per batch: nothing
+  *     here touches executors or adds work to the streaming queries.
+  *   - [[Metrics.freshness]]: end-to-end data lag measured from the
+  *     serving table itself (`asOf - max(updated_at)`), the poll-to-poll
+  *     lag the dashboard shows, computed with one max aggregation.
+  */
+object Metrics {
+
+  final case class BatchProgress(
+      query: String,
+      batchId: Long,
+      ts_ms: Long,
+      num_input_rows: Long,
+      input_rows_per_sec: Double,
+      processed_rows_per_sec: Double,
+      trigger_duration_ms: Long)
+
+  /** Bounded per-batch progress log (newest `capacity` entries kept —
+    * a long-running pipeline must not grow driver memory without bound).
+    * Register with `spark.streams.addListener(log)`.
+    */
+  final class ProgressLog(capacity: Int = 10000) extends StreamingQueryListener {
+    private val buf = mutable.Queue[BatchProgress]()
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      def rate(v: Double) = if (v.isNaN || v.isInfinite) 0.0 else v
+      val row = BatchProgress(
+        Option(p.name).getOrElse(p.id.toString),
+        p.batchId,
+        java.time.Instant.parse(p.timestamp).toEpochMilli,
+        p.numInputRows,
+        rate(p.inputRowsPerSecond),
+        rate(p.processedRowsPerSecond),
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+      synchronized {
+        buf.enqueue(row)
+        while (buf.size > capacity) buf.dequeue()
+      }
+    }
+
+    def snapshot: Seq[BatchProgress] = synchronized(buf.toVector)
+
+    /** The log as a queryable table (driver-local rows — one per batch,
+      * bounded by `capacity`; fine to parallelize at this size).
+      */
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      snapshot.toDF()
+    }
+
+    /** Observed sustained rate of one stage: total input rows over the
+      * wall-clock span of its logged batches (0 with <2 data points).
+      */
+    def sustainedRate(query: String): Double = {
+      val rows = snapshot.filter(_.query == query)
+      if (rows.size < 2) 0.0
+      else {
+        val span = (rows.map(_.ts_ms).max - rows.map(_.ts_ms).min) / 1000.0
+        if (span <= 0) 0.0 else rows.map(_.num_input_rows).sum.toDouble / span
+      }
+    }
+  }
+
+  /** End-to-end freshness of the serving table as of `asOfMs`: the
+    * dashboard's "Data Lag" = how stale the newest served row is. One
+    * row: (max_updated_at, lag_ms). Scale shape: a single max over the
+    * serve log's `updated_at` column — column-pruned scan, no shuffle
+    * beyond the final reduce.
+    */
+  def freshness(spark: SparkSession, cfg: Pipeline.Config,
+                asOfMs: Long): DataFrame =
+    spark.read.parquet(cfg.servePath)
+      .agg(max(col("updated_at")).as("max_updated_at"))
+      .select(col("max_updated_at"),
+        (lit(asOfMs) - col("max_updated_at")).as("lag_ms"))
+}

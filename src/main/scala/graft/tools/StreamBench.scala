@@ -53,6 +53,10 @@ object StreamBench {
     val cfg = Pipeline.Config(
       java.nio.file.Files.createTempDirectory("graft_sbench").toString,
       goldBuckets = goldBuckets)
+    // per-stage progress (the dashboard-metrics analog): sustained rates
+    // reported per query alongside the end-to-end number
+    val progress = new graft.streaming.Metrics.ProgressLog()
+    spark.streams.addListener(progress)
     val input = MemoryStream[Event](99, spark, None)
     val queries =
       if (full) Pipeline.startAll(spark, input.toDF(), cfg)
@@ -97,11 +101,14 @@ object StreamBench {
     val secs = (System.nanoTime() - start) / 1e9
     queries.foreach(_.stop())
     val silverRows = spark.read.parquet(cfg.silverPath).count()
+    val stageRates = Seq("graft_silver", "graft_gold", "graft_serve")
+      .map(q => q -> progress.sustainedRate(q)).filter(_._2 > 0)
+      .map { case (q, r) => f""""$q":${r}%.1f""" }.mkString("{", ",", "}")
     if (full) {
       val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
-      println(s"""{"metric":"pipeline_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"baseline_events_per_sec":4000}""")
+      println(s"""{"metric":"pipeline_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     } else
-      println(s"""{"metric":"silver_dedup_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"baseline_events_per_sec":4000}""")
+      println(s"""{"metric":"silver_dedup_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     spark.stop()
   }
 }

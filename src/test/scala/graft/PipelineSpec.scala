@@ -471,6 +471,43 @@ class PipelineSpec extends SparkTestBase {
     assert(versions() == Seq("_commit_version=2", "_commit_version=3"))
   }
 
+  test("progress listener logs all three stages; freshness probe sees the serve table") {
+    val cfg = freshCfg()
+    val log = new graft.streaming.Metrics.ProgressLog(capacity = 100)
+    spark.streams.addListener(log)
+    val input = MemoryStream[Event](21, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    try {
+      val t0 = 1700000000000L
+      input.addData(ev("m1", "g1", 1.0f, t0), ev("m2", "g2", 2.0f, t0 + 1000))
+      qs.foreach(_.processAllAvailable())
+      input.addData(ev("m3", "g1", 3.0f, t0 + 2000))
+      qs.foreach(_.processAllAvailable())
+      // listener delivery is async — poll briefly for all three stages
+      val stages = Set("graft_silver", "graft_gold", "graft_serve")
+      val deadline = System.currentTimeMillis() + 30000
+      while (log.snapshot.map(_.query).toSet.intersect(stages) != stages &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val byStage = log.snapshot.groupBy(_.query)
+      assert(stages.subsetOf(byStage.keySet), byStage.keySet.toString)
+      // each stage ingested rows, and the log is queryable as a table
+      stages.foreach { s =>
+        assert(byStage(s).map(_.num_input_rows).sum > 0, s)
+      }
+      val df = log.toDF(spark)
+      assert(df.filter(col("query") === "graft_silver")
+        .agg(sum(col("num_input_rows"))).collect().head.getLong(0) == 3L)
+      // end-to-end freshness: newest served row is at most "now" old
+      val now = System.currentTimeMillis()
+      val fr = graft.streaming.Metrics.freshness(spark, cfg, now).collect().head
+      assert(fr.getAs[Long]("max_updated_at") > 0L)
+      assert(fr.getAs[Long]("lag_ms") >= 0L && fr.getAs[Long]("lag_ms") < 3600000L)
+    } finally {
+      qs.foreach(_.stop())
+      spark.streams.removeListener(log)
+    }
+  }
+
   test("serve stage restarts from its checkpoint without dup or loss") {
     val cfg = freshCfg()
     val input = MemoryStream[Event](17, spark, None)
