@@ -376,6 +376,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ranking-window family (rank / dense_rank / ntile) over per-type
+    // user totals: one shuffle for the agg, one sort per partition for
+    // the three window functions computed together; the rnk<=10 cut
+    // happens AFTER ntile so quartiles are over the full partition
+    "window_rank" -> ((s, dir) => {
+      val totals = Ingest.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("total_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("total_value").desc_nulls_last, col("user_id").asc)
+      totals.select(col("event_type"), col("user_id"), col("total_value"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("event_type"), col("rnk"), col("user_id"))
+    }),
+
     // native session windows (30-min gap) — oracle is the first-principles
     // lag+running-sum formulation, so this cross-checks Spark's
     // session_window semantics against plain SQL
@@ -887,6 +906,24 @@ object SparkEntry {
         |  count(DISTINCT event_id) AS exact_events,
         |  TRUE AS users_within_5rsd, TRUE AS events_within_5rsd
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "window_rank" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, total_value,
+        |    rank() OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC NULLS LAST, user_id) AS rnk,
+        |    dense_rank() OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC NULLS LAST, user_id) AS drnk,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC NULLS LAST, user_id) AS quartile
+        |  FROM totals)
+        |SELECT event_type, user_id, total_value, rnk, drnk, quartile
+        |FROM r WHERE rnk <= 10
+        |ORDER BY event_type, rnk, user_id""".stripMargin,
 
     "window_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
