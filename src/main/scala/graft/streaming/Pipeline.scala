@@ -191,7 +191,13 @@ object Pipeline {
     * blind `max - keepVersions` retention window.
     *
     * Stray directories matching the partition prefix but with a
-    * non-numeric suffix are skipped, never deleted.
+    * non-numeric suffix are skipped, never deleted. The NEWEST version is
+    * always retained even when consumed: the fold's dynamic-partition
+    * overwrite and concurrent readers list the directory through Spark's
+    * file-status cache, and deleting the live edge of the log under them
+    * races that listing (the same reason Delta never vacuums the active
+    * window). After deleting, the cached listing for the change dir is
+    * invalidated so the next fold re-lists from the filesystem.
     */
   def vacuumGoldChanges(spark: SparkSession, cfg: Config,
                         keepVersions: Int = 168): Unit = {
@@ -205,7 +211,7 @@ object Pipeline {
         .toLongOption.map(_ -> s.getPath))
       .sortBy(_._1)
     if (versions.isEmpty) return
-    val cutoff = serveCommittedPaths(fs, cfg) match {
+    val consumedCutoff = serveCommittedPaths(fs, cfg) match {
       case Some(committed) =>
         // first version with any file the serve stream has not committed;
         // everything below it is fully consumed and safe to reclaim
@@ -213,7 +219,10 @@ object Pipeline {
           .map(_._1).getOrElse(versions.last._1 + 1)
       case None => versions.last._1 - keepVersions
     }
-    versions.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, true) }
+    val cutoff = math.min(consumedCutoff, versions.last._1)
+    val doomed = versions.filter(_._1 < cutoff)
+    doomed.foreach { case (_, p) => fs.delete(p, true) }
+    if (doomed.nonEmpty) spark.catalog.refreshByPath(cfg.goldChangesPath)
   }
 
   /** Data-file paths (scheme-stripped) the serve stream has COMMITTED:

@@ -10,8 +10,10 @@ import graft.streaming.Pipeline
   * `runMain graft.tools.Maintenance <pipelineBaseDir> [intervalSec]`.
   * With an interval it loops (cron-style service); without, it runs once
   * and exits. Each pass compacts silver (OPTIMIZE) and vacuums consumed
-  * change-feed versions (VACUUM, default 168-version retention matching
-  * the reference's 168 h). While a silver stream IS running, use
+  * change-feed versions (VACUUM — cutoff derived from the serve
+  * checkpoint's committed progress when present, else the 168-version
+  * retention matching the reference's 168 h; the newest version is
+  * always retained). While a silver stream IS running, use
   * [[Pipeline.Config.compactEvery]] instead — compaction swaps the
   * silver directory and must not race a concurrent micro-batch append.
   */

@@ -404,8 +404,9 @@ class PipelineSpec extends SparkTestBase {
       fs.mkdirs(new org.apache.hadoop.fs.Path(
         cfg.goldChangesPath + "/_commit_version=stray"))
       Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 1)
-      // serve has committed every version → all of them reclaimed
-      assert(versions() == 0)
+      // serve committed every version → all reclaimed EXCEPT the newest
+      // (the live edge of the log is never vacuumed)
+      assert(versions() == 1)
       assert(fs.exists(new org.apache.hadoop.fs.Path(
         cfg.goldChangesPath + "/_commit_version=stray")))
       // the keyed serving state is unaffected (those versions were consumed)
