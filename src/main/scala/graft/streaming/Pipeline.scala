@@ -161,6 +161,16 @@ object Pipeline {
     * an atomic directory swap. The 1M-event soak shows why: the MERGE's
     * target re-scan decays as small files accumulate. Run out-of-band
     * (between or alongside batches — the swap is a rename).
+    *
+    * NOT safe while [[startGold]] is streaming the silver directory: the
+    * gold stage treats new silver files as the change feed (insert-only
+    * contract), and a compaction rewrite would be re-read as fresh
+    * inserts and double-fold. Delta's OPTIMIZE avoids this by committing
+    * rewrites with dataChange=false, which plain parquet files cannot
+    * express — so compact only when gold is stopped (its checkpointed
+    * seen-files log makes restarts safe ONLY for files it already
+    * processed; compacted files are new paths). The silver-terminal
+    * deployment (reference stage 1 alone) compacts freely.
     */
   def compactSilver(spark: SparkSession, cfg: Config): Unit = {
     val dir = new Path(cfg.silverPath)
