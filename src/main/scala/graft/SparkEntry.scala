@@ -699,18 +699,22 @@ object SparkEntry {
 
     // q21-style sole-returner: EXISTS (another supplier in the order) AND
     // NOT EXISTS (another supplier who also returned) — a semi then an
-    // anti self-join, both equi on l_orderkey with the <> as residual
+    // anti self-join, both equi on l_orderkey with the <> as residual.
+    // Join order is deliberate: the selective orders('F') semi-join runs
+    // FIRST so both self-joins see the reduced l1, not the other way
+    // around — the ordering that matters when lineitem is the 100 TB side
     "tpch_q21" -> ((s, dir) => {
       val li = Ingest.table(s, dir, "lineitem")
       val l1 = li.filter(col("l_returnflag") === "R")
         .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+        .join(Ingest.table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("lo") === col("o_orderkey"), "left_semi")
       val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      val othersR = l1.select(col("lo").as("o3"), col("ls").as("s3"))
+      val othersR = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       val sole = l1
         .join(others, col("o2") === col("lo") && col("s2") =!= col("ls"), "left_semi")
         .join(othersR, col("o3") === col("lo") && col("s3") =!= col("ls"), "left_anti")
-        .join(Ingest.table(s, dir, "orders").filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey")), col("lo") === col("o_orderkey"), "left_semi")
       sole.join(broadcast(Ingest.table(s, dir, "supplier")),
           col("ls") === col("s_suppkey"))
         .groupBy(col("s_name"))

@@ -1,0 +1,75 @@
+package graft
+
+/** Plan-shape regression guards: the 100 TB design claims (broadcast
+  * dims, no nested-loop/cartesian joins in the dedup family, top-k as
+  * TakeOrderedAndProject, sort-free latest-per-key, column-pruned scans)
+  * asserted on the executed plans so a future edit cannot silently
+  * regress them. Runs at sf0.001 — plan SHAPE, not timing.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // let AQE settle on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("top-k queries end in TakeOrderedAndProject, not a global sort") {
+    Seq("serve_topk", "tpch_q3", "tpch_q10", "tpch_q18", "tpch_q21").foreach { q =>
+      assert(executedPlan(q).contains("TakeOrderedAndProject"), q)
+    }
+  }
+
+  test("broadcast-dim joins broadcast; no shuffle join against a dim table") {
+    Seq("tpch_q5", "tpch_q9", "tpch_q14", "tpch_q19").foreach { q =>
+      val p = executedPlan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("dedup/similarity family plans without nested-loop or cartesian joins") {
+    // deliberate broadcast-crossjoins against tiny centroid/query sets are
+    // BroadcastNestedLoopJoin — allowed ONLY for the ann_* queries
+    Seq("dedup_exact", "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
+      "dedup_embedding_lsh").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("latest-per-key dedup is a single-shuffle aggregation, no sort") {
+    val p = executedPlan("latest_per_key")
+    assert(!p.contains("Window"), p) // max_by agg, not row_number
+  }
+
+  test("semi/anti subquery anchors plan as semi/anti hash joins") {
+    val q4 = executedPlan("tpch_q4")
+    assert(q4.contains("LeftSemi"), q4)
+    val q22 = executedPlan("tpch_q22")
+    assert(q22.contains("LeftAnti"), q22)
+  }
+
+  test("projection query prunes the scan to the referenced columns") {
+    val df = SparkEntry.queries("filter_notin")(spark, sf)
+    df.collect()
+    val scans = "ReadSchema: struct<[^>]*>".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    assert(scans.nonEmpty)
+    // events has a props column filter_notin never touches — it must not
+    // reach the scan (silver_projection, by contrast, reads it as prop_k)
+    assert(!scans.exists(_.contains("props")), scans.mkString("\n"))
+  }
+
+  test("filter anchors push predicates into the parquet scan") {
+    Seq("tpch_q6", "tpch_q1").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, q)
+    }
+  }
+}
