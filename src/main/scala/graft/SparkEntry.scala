@@ -264,6 +264,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of: each event enriched with the user's NEXT order at or
+    // after the event time (the look-ahead twin of join_asof; DuckDB
+    // native `ASOF LEFT JOIN ... ON ems <= o_ms` as the oracle)
+    "join_asof_fwd" -> ((s, dir) => {
+      val e = silverBase(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_timestamp").as("ems"), col("value"))
+      val o = Ingest.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+      val oDedup = graft.ops.Dedup.latestPerKeyAgg(o,
+        Seq("o_custkey", "o_ms"), struct(col("o_orderkey")), latest = true)
+      graft.ops.AsOf.asOfJoinForward(e, oDedup, "user_id", "o_custkey",
+          "ems", "o_ms", Seq("o_orderkey", "o_totalprice", "o_ms"))
+        .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+          col("o_orderkey"), col("o_totalprice"), col("o_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // range join: concurrent-activity audit — for each 30-min-gap session
     // of the sampled users (user_id % 15 = 0), count events from OTHER
     // users inside the session's active window [start, last + gap].
@@ -869,6 +889,19 @@ object SparkEntry {
         |  o.o_orderkey, o.o_totalprice, o.o_ms
         |FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ems >= o.o_ms
+        |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_fwd" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms,
+        |    max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)),
+        |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ems, value FROM events)
+        |SELECT e.event_id, e.user_id, e.ems, e.value,
+        |  o.o_orderkey, o.o_totalprice, o.o_ms
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ems <= o.o_ms
         |ORDER BY e.event_id""".stripMargin,
 
     // the oracle states the range join declaratively (DuckDB's IEJoin

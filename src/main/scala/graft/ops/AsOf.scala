@@ -28,7 +28,29 @@ object AsOf {
   def asOfJoin(left: DataFrame, right: DataFrame,
                keyL: String, keyR: String,
                timeL: String, timeR: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String]): DataFrame =
+    asOfJoinImpl(left, right, keyL, keyR, timeL, timeR, payload,
+      forward = false)
+
+  /** Forward (look-ahead) as-of: each left row takes the EARLIEST right
+    * payload at `rightTime >= leftTime` — the "next scheduled event"
+    * enrichment. Same single-shuffle composition, with the carry frame
+    * flipped to current-row..unbounded-following and `first(ignoreNulls)`;
+    * a right row at the left row's exact time qualifies (inclusive),
+    * mirroring DuckDB's `ASOF JOIN ... ON l.t <= r.t`.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+                      keyL: String, keyR: String,
+                      timeL: String, timeR: String,
+                      payload: Seq[String]): DataFrame =
+    asOfJoinImpl(left, right, keyL, keyR, timeL, timeR, payload,
+      forward = true)
+
+  private def asOfJoinImpl(left: DataFrame, right: DataFrame,
+                           keyL: String, keyR: String,
+                           timeL: String, timeR: String,
+                           payload: Seq[String],
+                           forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val lAug = payload.foldLeft(
       left.withColumn("__k", col(keyL))
@@ -47,12 +69,27 @@ object AsOf {
       payload.filterNot(lCols.contains)).distinct
     val unioned = lAug.select(cols.map(col): _*)
       .unionByName(rAug.select(cols.map(col): _*))
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    // backward: right rows at equal time sort FIRST (side desc) and the
+    // latest prior payload is carried forward over unbounded-preceding.
+    // forward: right rows at equal time sort AFTER the left row (side
+    // asc) and the earliest following payload is pulled back over
+    // unbounded-following. Both give inclusive equal-time semantics.
+    val filled =
+      if (forward) {
+        val w = Window.partitionBy(col("__k"))
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(0, Window.unboundedFollowing)
+        payload.foldLeft(unioned) { (df, p) =>
+          df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
+        }
+      } else {
+        val w = Window.partitionBy(col("__k"))
+          .orderBy(col("__t").asc, col("__side").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        payload.foldLeft(unioned) { (df, p) =>
+          df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+        }
+      }
     filled.filter(col("__side") === 0).drop("__k", "__t", "__side")
   }
 }

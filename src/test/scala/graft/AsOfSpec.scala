@@ -41,6 +41,34 @@ class AsOfSpec extends SparkTestBase {
     }
   }
 
+  test("asOfJoinForward equals the naive earliest-at-or-after scan") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 5) {
+      val lefts = Seq.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong,
+        rnd.nextInt(1000)))
+        .zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+      val rights = Seq.fill(25)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong,
+        rnd.nextInt(1000)))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, time)
+        .zipWithIndex.map { case ((k, t, p), i) => (1000L + i, k, t, p) }
+
+      val l = lefts.toDF("lid", "k", "lt", "lv")
+      val r = rights.toDF("rid", "rk", "rt", "rp")
+      val got = AsOf.asOfJoinForward(l, r, "k", "rk", "lt", "rt",
+          Seq("rid", "rp", "rt"))
+        .select(col("lid"), col("rid"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+
+      val expected = lefts.map { case (lid, k, lt, _) =>
+        val cands = rights.filter(r => r._2 == k && r._3 >= lt)
+        lid -> (if (cands.isEmpty) -1L else cands.minBy(_._3)._1)
+      }.toMap
+
+      assert(got == expected)
+    }
+  }
+
   test("Serve.page slices deterministically and withDocId mirrors the key") {
     val df = (1L to 50L).map(i => (i, s"u$i")).toDF("id", "name")
     val page2 = Serve.page(df, Seq(col("id")), pageNo = 2, pageSize = 10)
