@@ -86,8 +86,16 @@ object TextDedup {
     * expression (one tight JVM loop per row; the HOF formulation below is
     * kept for parity tests — identical output, interpreted per element).
     */
-  def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = docShingles(spark, dir)
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(docShingles(spark, dir))
+
+  /** [[signatures]] over an existing (doc_id, shingles) frame — lets a
+    * caller that also needs the shingles (verify joins) share ONE
+    * materialized copy instead of re-running the shingle pipeline per
+    * consumer.
+    */
+  def signaturesOf(shingleRows: DataFrame): DataFrame = {
+    val base = shingleRows
       .withColumn("mh",
         graft.catalyst.HashExpressions.minhashChunks(col("shingles")))
     (0 until numHashes).foldLeft(base) { (df, j) =>
@@ -150,10 +158,19 @@ object TextDedup {
   /** Candidates + exact Jaccard over the 3-gram shingle sets; keep pairs
     * with jaccard >= `threshold`. This is the full
     * shingle → minhash → band → bucket-join → verify pipeline.
+    *
+    * The shingle frame feeds THREE consumers (the signature/candidate
+    * path and both sides of the verify join); Spark's ReuseExchange does
+    * not unify them (different downstream projections), so it is
+    * materialized ONCE with localCheckpoint — MEMORY_AND_DISK, spilling
+    * rather than failing when the shingle set outgrows executor memory.
+    * The alternative at 100 TB is 3× recompute of the tokenize+shingle
+    * CPU; storage of (doc_id, shingles) is the cheaper side of that
+    * trade, and it shards with the scan's partitioning.
     */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShingles(spark, dir)
-    candidatePairs(spark, dir)
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    candidatePairsFromBands(bands(signaturesOf(sh)), maxBucket)
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), Seq("d1"))
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), Seq("d2"))
       .select(col("d1"), col("d2"),
@@ -250,10 +267,15 @@ object TextDedup {
     */
   private[graft] def simhashPairsFromHashes(sh: DataFrame, maxDist: Int,
                                             cap: Int): DataFrame = {
+    // four consumers (chunk buckets, both expansion joins, within-class
+    // pairs) and ReuseExchange does not unify them — materialize the
+    // per-signature classes once (one row per DISTINCT signature, far
+    // smaller than the corpus; MEMORY_AND_DISK)
     val groups = sh
       .groupBy(col("simhash"))
       .agg(slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
+      .localCheckpoint(true)
     val chunks = groups.select(col("rep"), col("simhash"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         substring(col("simhash"), 1 + 4 * c, 4).as("chunk"))): _*)).as("cc"))
