@@ -235,6 +235,39 @@ object SparkEntry {
           col("total"))
         .orderBy(col("win_start"))),
 
+    // sliding (overlapping) windows: 10-min windows every 5 min — each
+    // event lands in exactly two epoch-aligned windows; same single
+    // shuffle as the tumbling case, rows duplicated by the window explode
+    "agg_sliding" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(unix_millis(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // quantile sketch with a checkable bound (the percentile twin of
+    // agg_approx_distinct): approx_percentile at accuracy 100 has rank
+    // error ≤ 1%, so its value must land inside the exact ±5%-rank
+    // window — asserted as booleans the oracle expects to be TRUE
+    "agg_approx_percentile" -> ((s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("exact_p90"),
+          approx_percentile(col("value"), lit(0.5), lit(100)).as("a50"),
+          approx_percentile(col("value"), lit(0.9), lit(100)).as("a90"),
+          percentile(col("value"), lit(0.45)).as("lo50"),
+          percentile(col("value"), lit(0.55)).as("hi50"),
+          percentile(col("value"), lit(0.85)).as("lo90"),
+          percentile(col("value"), lit(0.95)).as("hi90"))
+        .select(col("event_type"), col("exact_p50"), col("exact_p90"),
+          col("a50").between(col("lo50"), col("hi50")).as("p50_within_rank_eps"),
+          col("a90").between(col("lo90"), col("hi90")).as("p90_within_rank_eps"))
+        .orderBy(col("event_type"))),
+
     // interpolated percentiles per group (same linear-interpolation
     // definition in both engines; rounded to 6 digits)
     "agg_percentiles" -> ((s, dir) =>
@@ -876,6 +909,24 @@ object SparkEntry {
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_sliding" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ems, event_type, value FROM events),
+        |w AS (SELECT unnest([
+        |    (ems // 300000) * 300000 - 300000,
+        |    (ems // 300000) * 300000]) AS win_start, event_type, value
+        |  FROM e)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |  round(quantile_cont(value, 0.9), 6) AS exact_p90,
+        |  TRUE AS p50_within_rank_eps, TRUE AS p90_within_rank_eps
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_asof" ->
