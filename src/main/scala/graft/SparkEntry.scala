@@ -776,6 +776,44 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // q16-style supplier-count distribution: NOT IN subquery as an anti
+    // join (excluded suppliers), broadcast part dims, count-distinct per
+    // three-column group
+    "tpch_q16" -> ((s, dir) => {
+      val part = Ingest.table(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").isin("PROMO", "ECONOMY") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      val badSupp = Ingest.table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Ingest.table(s, dir, "lineitem")
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // q11-style revenue concentration: HAVING against a global scalar
+    // subquery — the per-group aggregate computed once, its grand total
+    // broadcast back as the threshold (no second scan of lineitem)
+    "tpch_q11" -> ((s, dir) => {
+      val rev = Ingest.table(s, dir, "lineitem")
+        .join(broadcast(Ingest.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Ingest.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revTerm()).as("val_dec"))
+      val total = rev.agg(sum(col("val_dec")).as("total_dec"))
+      rev.crossJoin(broadcast(total))
+        .filter(col("val_dec").cast("double") >
+          col("total_dec").cast("double") * lit(0.04))
+        .select(col("n_name"), col("val_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("n_name"))
+    }),
+
     // q22-style idle-customer balance: anti join against open orders + a
     // broadcast scalar threshold (decimal-exact average of positives)
     "tpch_q22" -> ((s, dir) => {
@@ -1249,6 +1287,30 @@ object SparkEntry {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT IN ('PROMO','ECONOMY')
+        |  AND p_size IN (1,4,9,14,19,23,36,45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q11" ->
+      s"""WITH rev AS (
+         |  SELECT n_name, SUM($revSql) AS val_dec
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY n_name)
+         |SELECT n_name, CAST(val_dec AS DOUBLE) AS value
+         |FROM rev
+         |WHERE CAST(val_dec AS DOUBLE) >
+         |  (SELECT CAST(SUM(val_dec) AS DOUBLE) * CAST(0.04 AS DOUBLE) FROM rev)
+         |ORDER BY value DESC, n_name""".stripMargin,
 
     "tpch_q22" ->
       """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
