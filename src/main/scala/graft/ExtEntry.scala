@@ -215,11 +215,14 @@ object ExtEntry {
     * k-means training: micro-unit quantization (floor(x·1e6 + 0.5) —
     * exact integer sums in double, so aggregation order can't change a
     * digit), `iters` Lloyd iterations over the `sampleMod`-strided
-    * sample, emptied clusters keeping their previous centroid, then the
+    * sample (capped at `sampleCap` stride hits by the same deterministic
+    * id bound as [[graft.ext.Similarity.ivfSample]]), emptied clusters
+    * keeping their previous centroid, then the
     * assign/probe/search pipeline over the trained centroids.
     */
   private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
-                           k: Int, iters: Int, sampleMod: Int): String = {
+                           k: Int, iters: Int, sampleMod: Int,
+                           sampleCap: Int): String = {
     val cosMicro = cosSql("(q[i] / 1000000.0)", "(cq[i] / 1000000.0)")
     val iterCtes = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
@@ -238,7 +241,8 @@ object ExtEntry {
     val quant =
       "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))"
     s"""WITH samp AS (SELECT vec_id AS sid, $quant AS q
-       |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0),
+       |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0
+       |    AND vec_id < ${nQueries.toLong + sampleCap.toLong * sampleMod}),
        |c0 AS (SELECT vec_id - $nQueries AS cent_id, $quant AS cq
        |  FROM embeddings
        |  WHERE vec_id >= $nQueries AND vec_id < ${nQueries + nCentroids}),
@@ -401,7 +405,8 @@ object ExtEntry {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
-      nProbe = 2, k = 3, iters = 2, sampleMod = 3),
+      nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap),
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

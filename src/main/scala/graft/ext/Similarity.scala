@@ -93,6 +93,26 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hard ceiling on the number of vectors the IVF trainer pulls to the
+    * driver (~4096 × 64 dims × 8 B ≈ 2 MB) — the knob that keeps
+    * [[trainIvfCentroids]]'s collect constant-size at any corpus scale.
+    */
+  val defaultIvfSampleCap: Int = 4096
+
+  /** The k-means training sample: every `sampleMod`-th candidate vector,
+    * restricted to the first `sampleCap` stride hits via a DETERMINISTIC
+    * id upper bound (`vec_id < nQueries + sampleCap·sampleMod` — that
+    * half-open range contains exactly ⌈sampleCap⌉ multiples of the
+    * stride, so the row count is ≤ sampleCap by construction, not by
+    * runtime luck). Reproducible in any engine — the DuckDB oracle
+    * regenerates the identical predicate ([[graft.ExtEntry]]).
+    */
+  private[graft] def ivfSample(emb: DataFrame, nQueries: Int, sampleMod: Int,
+                               sampleCap: Int): DataFrame =
+    emb.filter(col("vec_id") >= nQueries &&
+      col("vec_id") % sampleMod === 0 &&
+      col("vec_id") < lit(nQueries.toLong + sampleCap.toLong * sampleMod))
+
   /** Deterministic Lloyd-iteration k-means over a sampled slice of the
     * candidate vectors — the offline IVF training step, reproducible
     * digit-for-digit by the DuckDB oracle.
@@ -106,17 +126,21 @@ object Similarity {
     * (left-to-right folds, identical in both engines), ties break toward
     * the smaller cent_id; an emptied cluster keeps its previous centroid.
     *
-    * Scale note: training collects only the SAMPLE (every `sampleMod`-th
-    * candidate) to the driver — the standard IVF recipe (train k-means on
-    * a bounded sample offline, broadcast the centroid table); the full
-    * corpus never leaves the executors.
+    * Scale note: training collects only a BOUNDED sample to the driver —
+    * the standard IVF recipe (train k-means on a small sample offline,
+    * broadcast the centroid table). Bounded means bounded by a CONSTANT:
+    * [[ivfSample]] takes every `sampleMod`-th candidate but only from the
+    * id range `[nQueries, nQueries + sampleCap·sampleMod)`, which contains
+    * exactly ≤ `sampleCap` stride hits — so the collect (and its sort) is
+    * O(sampleCap) rows no matter how large the corpus is. The full corpus
+    * never leaves the executors.
     */
   def trainIvfCentroids(emb: DataFrame, nQueries: Int, nCentroids: Int,
-                        iters: Int, sampleMod: Int): Array[Array[Double]] = {
+                        iters: Int, sampleMod: Int,
+                        sampleCap: Int = defaultIvfSampleCap): Array[Array[Double]] = {
     def micro(fs: Seq[Float]): Array[Double] =
       fs.map(f => math.floor(f.toDouble * 1e6 + 0.5)).toArray
-    val sample: Array[Array[Double]] = emb
-      .filter(col("vec_id") >= nQueries && col("vec_id") % sampleMod === 0)
+    val sample: Array[Array[Double]] = ivfSample(emb, nQueries, sampleMod, sampleCap)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(r => micro(r.getSeq[Float](0)))
@@ -166,10 +190,12 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int,
               nCentroids: Int, nProbe: Int, k: Int,
-              iters: Int = 2, sampleMod: Int = 3): DataFrame = {
+              iters: Int = 2, sampleMod: Int = 3,
+              sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, dir)
-    val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters, sampleMod)
+    val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters, sampleMod,
+      sampleCap)
     val cents = trained.zipWithIndex.toSeq
       .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
       .select(col("cent_id"), col("cemb"),

@@ -113,10 +113,12 @@ object Pipeline {
         mergeToSilver(spark, batch, cfg)
         // scheduled compaction (the OPTIMIZE-on-a-cadence analog,
         // reference utils.py:111-124): run synchronously with the merge
-        // so the directory swap cannot race a concurrent append. Without
-        // a transaction log, "out-of-band" can only mean between batches.
+        // so the rewrite cannot race a concurrent append. Without a
+        // transaction log, "out-of-band" can only mean between batches.
+        // [[compactSilverAuto]] picks the gold-safe manifest variant when
+        // a gold stream has ever consumed this directory.
         if (cfg.compactEvery > 0 && batchId > 0 && batchId % cfg.compactEvery == 0)
-          compactSilver(spark, cfg)
+          compactSilverAuto(spark, cfg)
       }
       .start()
   }
@@ -156,6 +158,22 @@ object Pipeline {
       .parquet(cfg.silverPath)
   }
 
+  /** Dispatch between the two OPTIMIZE analogs: the whole-directory swap
+    * ([[compactSilver]] — silver-terminal deployments, no reader to
+    * confuse) and the gold-safe manifest variant ([[compactSilverLive]] —
+    * some gold stream has consumed this directory as a file source, so
+    * only files it has committed may be rewritten, into names its glob
+    * filter ignores). The gold CHECKPOINT's existence is the switch: it
+    * outlives the query object, so "a gold stream ever consumed silver"
+    * is exactly what it witnesses.
+    */
+  def compactSilverAuto(spark: SparkSession, cfg: Config): Unit = {
+    val ckpt = new Path(cfg.checkpoint("gold"))
+    val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ckpt)) compactSilverLive(spark, cfg)
+    else compactSilver(spark, cfg)
+  }
+
   /** Compaction (the OPTIMIZE analog, reference utils.py:111-124): each
     * silver bucket's accumulated micro-batch files rewritten as one, via
     * an atomic directory swap. The 1M-event soak shows why: the MERGE's
@@ -164,13 +182,15 @@ object Pipeline {
     *
     * NOT safe while [[startGold]] is streaming the silver directory: the
     * gold stage treats new silver files as the change feed (insert-only
-    * contract), and a compaction rewrite would be re-read as fresh
-    * inserts and double-fold. Delta's OPTIMIZE avoids this by committing
-    * rewrites with dataChange=false, which plain parquet files cannot
-    * express — so compact only when gold is stopped (its checkpointed
-    * seen-files log makes restarts safe ONLY for files it already
-    * processed; compacted files are new paths). The silver-terminal
-    * deployment (reference stage 1 alone) compacts freely.
+    * contract), and rewriting a NOT-yet-consumed file into a compact-*
+    * name would hide its rows from gold forever, while the whole-dir swap
+    * also yanks files mid-listing. Delta's OPTIMIZE solves this with
+    * dataChange=false commits; the plain-parquet analog is
+    * [[compactSilverLive]]: gold reads only `part-*` files (its source is
+    * glob-filtered, [[startGold]]), so a rewrite of files gold has
+    * ALREADY COMMITTED into a `compact-*` file is invisible to it — the
+    * rows stay exactly-once in gold and batch readers see the compacted
+    * layout. Use [[compactSilverAuto]] to pick the right variant.
     */
   def compactSilver(spark: SparkSession, cfg: Config): Unit = {
     val dir = new Path(cfg.silverPath)
@@ -195,10 +215,13 @@ object Pipeline {
     * serve checkpoint's committed file-source log — so a lagging or
     * paused serve stage holds the vacuum back instead of silently losing
     * change-feed data (the failure Delta documents for vacuuming below
-    * retention while a stream reads the table). Only when no serve
-    * checkpoint exists at all (stage 3 never started — nothing will ever
-    * read the feed from the beginning-of-log) does it fall back to the
-    * blind `max - keepVersions` retention window.
+    * retention while a stream reads the table). `keepVersions` is a
+    * retention FLOOR on top of that: the newest `keepVersions` versions
+    * beyond the live edge survive even when fully consumed, so a second
+    * feed consumer — or a serve stage rebuilt with a fresh checkpoint —
+    * keeps a replay window (Delta's retention-hours analog; pass 0 to
+    * reclaim everything consumed). When no serve checkpoint exists at all
+    * (stage 3 never started) only the floor applies.
     *
     * Stray directories matching the partition prefix but with a
     * non-numeric suffix are skipped, never deleted. The NEWEST version is
@@ -221,50 +244,70 @@ object Pipeline {
         .toLongOption.map(_ -> s.getPath))
       .sortBy(_._1)
     if (versions.isEmpty) return
-    val consumedCutoff = serveCommittedPaths(fs, cfg) match {
+    val consumedCutoff = committedSourcePaths(fs, cfg.checkpoint("serve")) match {
       case Some(committed) =>
         // first version with any file the serve stream has not committed;
         // everything below it is fully consumed and safe to reclaim
         versions.find { case (_, p) => !fullyCommitted(fs, p, committed) }
           .map(_._1).getOrElse(versions.last._1 + 1)
-      case None => versions.last._1 - keepVersions
+      case None => Long.MaxValue // no consumer yet: the floor governs
     }
-    val cutoff = math.min(consumedCutoff, versions.last._1)
+    val retentionFloor = versions.last._1 - keepVersions
+    val cutoff = math.min(consumedCutoff,
+      math.min(retentionFloor, versions.last._1))
     val doomed = versions.filter(_._1 < cutoff)
     doomed.foreach { case (_, p) => fs.delete(p, true) }
     if (doomed.nonEmpty) spark.catalog.refreshByPath(cfg.goldChangesPath)
   }
 
-  /** Data-file paths (scheme-stripped) the serve stream has COMMITTED:
-    * entries of its file-source metadata log (`sources/0`) whose batch id
-    * is at or below the last entry in `commits/`. Entries from a planned
-    * but uncommitted batch are excluded — a restart re-reads those files,
-    * so they must survive the vacuum. None when the serve checkpoint does
-    * not exist.
+  /** Data-file paths (scheme-stripped) a file-source stream has
+    * COMMITTED: entries of checkpoint `ckptDir`'s file-source metadata
+    * log (`sources/0`) whose batch id is at or below the last entry in
+    * `commits/`. Entries from a planned but uncommitted batch are
+    * excluded — a restart re-reads those files, so they must survive any
+    * reclaim keyed to this set. None when the checkpoint does not exist.
+    *
+    * Each log line is a JSON object (Spark's `FileEntry`); lines are
+    * parsed as JSON — not regex-matched — so field order and escaped
+    * characters in paths cannot corrupt the extraction. A non-empty log
+    * that yields zero entries is loudly flagged: for vacuum callers that
+    * failure direction is safe (nothing reclaimed) but unbounded growth
+    * with no signal is not acceptable.
     */
-  private def serveCommittedPaths(fs: org.apache.hadoop.fs.FileSystem,
-                                  cfg: Config): Option[Set[String]] = {
-    val srcLog = new Path(cfg.checkpoint("serve") + "/sources/0")
+  private[graft] def committedSourcePaths(fs: org.apache.hadoop.fs.FileSystem,
+                                          ckptDir: String): Option[Set[String]] = {
+    val srcLog = new Path(ckptDir + "/sources/0")
     if (!fs.exists(srcLog)) return None
-    val commitsDir = new Path(cfg.checkpoint("serve") + "/commits")
+    val commitsDir = new Path(ckptDir + "/commits")
     val lastCommitted: Long =
       if (!fs.exists(commitsDir)) -1L
       else fs.listStatus(commitsDir).toSeq
         .flatMap(_.getPath.getName.toLongOption).foldLeft(-1L)(math.max)
     if (lastCommitted < 0) return Some(Set.empty)
-    val entry = """"path":"([^"]+)"[^}]*"batchId":(-?\d+)""".r
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var sawEntryLine = false
     val paths = fs.listStatus(srcLog).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .flatMap { s =>
         val in = fs.open(s.getPath)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        entry.findAllMatchIn(text).collect {
-          case m if m.group(2).toLong <= lastCommitted =>
-            new Path(m.group(1)).toUri.getPath
+        lines.filter(_.startsWith("{")).flatMap { line =>
+          sawEntryLine = true
+          val node =
+            try mapper.readTree(line)
+            catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+          if (node == null || !node.hasNonNull("path") ||
+              !node.hasNonNull("batchId")) None
+          else if (node.get("batchId").asLong() <= lastCommitted)
+            Some(new Path(node.get("path").asText()).toUri.getPath)
+          else None
         }
       }
+    if (sawEntryLine && paths.isEmpty)
+      println(s"[graft] WARNING: file-source log $srcLog is non-empty but " +
+        "yielded zero committed paths — log format drift? (reclaim is a no-op)")
     Some(paths.toSet)
   }
 

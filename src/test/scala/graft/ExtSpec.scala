@@ -187,6 +187,34 @@ class ExtSpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq != seeds.toSeq)
   }
 
+  test("IVF training sample is bounded by sampleCap regardless of corpus size") {
+    import spark.implicits._
+    // corpus far larger than the cap: 10,000 candidate vectors
+    val emb = (0L until 10010L)
+      .map(i => (i, Seq.fill(4)((i % 7).toFloat), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val cap = 32
+    val sample = Similarity.ivfSample(emb, nQueries = 10, sampleMod = 3,
+      sampleCap = cap)
+    // ≤ cap by construction (the id upper bound), and > 0 (not degenerate)
+    val n = sample.count()
+    assert(n <= cap, s"sample has $n rows > cap $cap")
+    assert(n >= cap - 1, s"sample has $n rows, expected ~$cap stride hits")
+    // full pipeline stays bounded too: training with the cap still converges
+    val cents = Similarity.trainIvfCentroids(emb, 10, 4, iters = 1,
+      sampleMod = 3, sampleCap = cap)
+    assert(cents.length == 4)
+    // and the cap does not perturb the small-corpus result (bound is above
+    // every vec_id there — the CORRECTNESS-gate invariant)
+    val dir = "/root/testdata/sf0.001"
+    val small = Similarity.embeddings(spark, dir)
+    val loose = Similarity.trainIvfCentroids(small, 10, 16, iters = 2,
+      sampleMod = 3, sampleCap = Int.MaxValue / 4)
+    val capped = Similarity.trainIvfCentroids(small, 10, 16, iters = 2,
+      sampleMod = 3)
+    assert(loose.map(_.toSeq).toSeq == capped.map(_.toSeq).toSeq)
+  }
+
   test("custom MinHashChunks expression matches the HOF formulation") {
     import graft.ext.TextDedup
     val dir = "/root/testdata/sf0.001"

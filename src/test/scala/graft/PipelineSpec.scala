@@ -403,7 +403,12 @@ class PipelineSpec extends SparkTestBase {
       // a stray directory matching the prefix must be skipped, not parsed
       fs.mkdirs(new org.apache.hadoop.fs.Path(
         cfg.goldChangesPath + "/_commit_version=stray"))
-      Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 1)
+      // keepVersions is a floor: consumed versions inside the window stay
+      // (second-consumer / rebuilt-checkpoint replay protection)
+      Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 2)
+      assert(versions() == 3)
+      // keepVersions = 0 → no retention floor: everything consumed may go
+      Pipeline.vacuumGoldChanges(spark, cfg, keepVersions = 0)
       // serve committed every version → all reclaimed EXCEPT the newest
       // (the live edge of the log is never vacuumed)
       assert(versions() == 1)
