@@ -14,17 +14,16 @@ import graft.streaming.Pipeline
   * checkpoint's committed progress when present, else the 168-version
   * retention matching the reference's 168 h; the newest version is
   * always retained). While a silver stream IS running, use
-  * [[Pipeline.Config.compactEvery]] instead — compaction swaps the
-  * silver directory and must not race a concurrent micro-batch append.
+  * [[Pipeline.Config.compactEvery]] instead — compaction must not race a
+  * concurrent micro-batch append.
   *
-  * Compaction scope: silver-terminal deployments only (stage 1 as the
-  * product, the shape the reference's published 4k events/s covers). If
-  * a gold stage has EVER consumed this silver directory as a file
-  * stream, compacting rewrites consumed rows into new file paths that
-  * gold would re-fold as fresh inserts on restart — plain parquet has no
-  * Delta dataChange=false to mark the rewrite as a no-op (see
-  * [[Pipeline.compactSilver]]). Vacuuming the change feed is safe in
-  * every deployment.
+  * Compaction variant is picked by [[Pipeline.compactSilverAuto]]:
+  * silver-terminal deployments get the whole-directory swap; once a gold
+  * stage has consumed the directory as a file stream, the manifest-based
+  * [[Pipeline.compactSilverLive]] rewrites only gold-committed `part-*`
+  * files into `compact-*` names gold's glob filter ignores — the
+  * plain-parquet analog of Delta's dataChange=false OPTIMIZE, legal even
+  * mid-stream. Vacuuming the change feed is safe in every deployment.
   */
 object Maintenance {
   def main(args: Array[String]): Unit = {
@@ -41,18 +40,11 @@ object Maintenance {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = Pipeline.Config(baseDir)
-    // a gold checkpoint means some stream has consumed silver as a file
-    // source — compaction would re-feed rewritten rows (scaladoc above)
-    val goldCkpt = new org.apache.hadoop.fs.Path(cfg.checkpoint("gold"))
-    val silverTerminal = !goldCkpt
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(goldCkpt)
     do {
       val t0 = System.nanoTime()
-      if (silverTerminal) Pipeline.compactSilver(spark, cfg)
-      else println(s"[maintenance] skipping compaction: ${cfg.silverPath} " +
-        "feeds a gold file stream (rewrites would re-fold; see scaladoc)")
+      Pipeline.compactSilverAuto(spark, cfg)
       Pipeline.vacuumGoldChanges(spark, cfg)
-      println(s"[maintenance] ${if (silverTerminal) "compacted " + cfg.silverPath + " + " else ""}" +
+      println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

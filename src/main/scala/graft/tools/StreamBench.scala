@@ -93,14 +93,13 @@ object StreamBench {
       sent += n
       batchNo += 1
       // periodic compaction (the OPTIMIZE analog) keeps the MERGE's
-      // target re-scan flat as the table grows. Silver-stage-only: the
-      // full chain streams silver FILES into gold, and a compaction swap
-      // would feed the rewritten files back through the fold as new
-      // inserts (plain files cannot mark a rewrite dataChange=false the
-      // way Delta's OPTIMIZE does) — see compactSilver's scaladoc.
+      // target re-scan flat as the table grows. compactSilverAuto picks
+      // the full-chain-safe manifest variant when gold is streaming
+      // (rewrites land in compact-* names gold's glob filter ignores —
+      // the plain-parquet analog of Delta's dataChange=false OPTIMIZE).
       val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
-      if (compactEvery > 0 && !full && batchNo % compactEvery == 0)
-        Pipeline.compactSilver(spark, cfg)
+      if (compactEvery > 0 && batchNo % compactEvery == 0)
+        Pipeline.compactSilverAuto(spark, cfg)
     }
     val secs = (System.nanoTime() - start) / 1e9
     queries.foreach(_.stop())

@@ -275,6 +275,94 @@ class PipelineSpec extends SparkTestBase {
     assert(files() == 1) // single bucket here → exactly one file
   }
 
+  test("gold ignores compact-* files: a planted one is never folded") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](31, spark, None)
+    val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
+    try {
+      val t0 = 1700000000000L
+      input.addData(ev("r1", "g1", 1.0f, t0), ev("r2", "g1", 2.0f, t0 + 1000))
+      silverQ.processAllAvailable()
+    } finally silverQ.stop()
+    // plant a compact-* file holding a poison row inside the bucket dir:
+    // per the pathGlobFilter contract gold must never plan it into a batch
+    val bucket = new java.io.File(cfg.silverPath).listFiles()
+      .find(_.getName.startsWith("minute_timestamp=")).get
+    val partFile = bucket.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val poison = spark.read.parquet(partFile.toString)
+      .withColumn("id", lit("poison"))
+      .withColumn("group_id", lit("gX"))
+      .limit(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_poison").toString
+    poison.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val poisonPart = new java.io.File(tmp).listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(poisonPart.toPath,
+      new java.io.File(bucket, "compact-poison.parquet").toPath)
+
+    val goldQ = Pipeline.startGold(spark, cfg)
+    try goldQ.processAllAvailable() finally goldQ.stop()
+    val groups = spark.read.parquet(cfg.goldPath)
+      .select("group_id").as[String].collect().toSet
+    assert(groups == Set("g1"), s"gold folded a compact-* file: $groups")
+    // batch readers DO see compact files — they are real silver data
+    assert(spark.read.parquet(cfg.silverPath).count() == 3)
+  }
+
+  test("compactSilverLive under a running gold stream: no double-fold, " +
+    "no loss, fewer files") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](32, spark, None)
+    val t0 = 1700000000000L
+    val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
+    val goldQ = Pipeline.startGold(spark, cfg)
+    def silverFiles() = new java.io.File(cfg.silverPath).listFiles()
+      .filter(_.getName.startsWith("minute_timestamp="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    try {
+      // several micro-batches → several part files in the same bucket
+      (1 to 4).foreach { b =>
+        input.addData((1 to 10).map(k => ev(s"b$b-$k", s"g${k % 2}", 1.0f,
+          t0 + b * 1000 + k)))
+        silverQ.processAllAvailable()
+        goldQ.processAllAvailable() // gold commits these files
+      }
+      val filesBefore = silverFiles()
+      assert(filesBefore >= 4, s"expected multiple part files, got $filesBefore")
+      val silverBefore = spark.read.parquet(cfg.silverPath)
+        .orderBy("id").collect().map(_.toString).toSeq
+
+      Pipeline.compactSilverLive(spark, cfg)
+
+      val filesAfter = silverFiles()
+      assert(filesAfter < filesBefore,
+        s"compaction did not shrink: $filesBefore -> $filesAfter")
+      val silverAfter = spark.read.parquet(cfg.silverPath)
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(silverAfter == silverBefore, "compaction changed silver content")
+
+      // the stream keeps folding NEW part files only — never the rewrite
+      input.addData((1 to 10).map(k => ev(s"b5-$k", s"g${k % 2}", 1.0f,
+        t0 + 5000 + k)))
+      silverQ.processAllAvailable()
+      goldQ.processAllAvailable()
+      val gold = spark.read.parquet(cfg.goldPath).collect()
+        .map(r => r.getAs[String]("group_id") -> r.getAs[Long]("event_count"))
+        .toMap
+      // 5 batches × 10 unique events, split evenly across g0/g1
+      assert(gold == Map("g0" -> 25L, "g1" -> 25L),
+        s"double-fold or loss after live compaction: $gold")
+
+      // idempotent + converging: a second run with no new committed
+      // part files may merge prior compact outputs but never changes data
+      Pipeline.compactSilverLive(spark, cfg)
+      val silverFinal = spark.read.parquet(cfg.silverPath)
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(silverFinal.size == 50)
+    } finally { silverQ.stop(); goldQ.stop() }
+  }
+
   test("gold fold is replay-safe via the batch-id marker") {
     val cfg = freshCfg()
     val batch = Seq(("g1", 1.0f, 100L)).toDF("group_id", "score", "event_timestamp")
