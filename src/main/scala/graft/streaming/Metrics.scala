@@ -95,7 +95,7 @@ object Metrics {
     */
   def freshness(spark: SparkSession, cfg: Pipeline.Config,
                 asOfMs: Long): DataFrame =
-    spark.read.parquet(cfg.servePath)
+    Pipeline.serveLog(spark, cfg)
       .agg(max(col("updated_at")).as("max_updated_at"))
       .select(col("max_updated_at"),
         (lit(asOfMs) - col("max_updated_at")).as("lag_ms"))

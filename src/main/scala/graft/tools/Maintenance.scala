@@ -43,6 +43,7 @@ object Maintenance {
     do {
       val t0 = System.nanoTime()
       Pipeline.compactSilverAuto(spark, cfg)
+      Pipeline.compactServe(spark, cfg)
       Pipeline.vacuumGoldChanges(spark, cfg)
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s")

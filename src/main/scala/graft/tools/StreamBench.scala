@@ -98,8 +98,10 @@ object StreamBench {
       // (rewrites land in compact-* names gold's glob filter ignores —
       // the plain-parquet analog of Delta's dataChange=false OPTIMIZE).
       val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
-      if (compactEvery > 0 && batchNo % compactEvery == 0)
+      if (compactEvery > 0 && batchNo % compactEvery == 0) {
         Pipeline.compactSilverAuto(spark, cfg)
+        if (full) Pipeline.compactServe(spark, cfg) // keep serveSnapshot O(tail)
+      }
     }
     val secs = (System.nanoTime() - start) / 1e9
     queries.foreach(_.stop())

@@ -602,6 +602,58 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("compactServe folds committed batches into a snapshot; view and " +
+    "restart semantics unchanged") {
+    val cfg = freshCfg()
+    val input = MemoryStream[Event](33, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    val t0 = 1700000000000L
+    def servePartitions() = new java.io.File(cfg.servePath).listFiles()
+      .count(_.getName.startsWith("_serve_batch="))
+    try {
+      (1 to 3).foreach { b =>
+        input.addData(ev(s"s$b-1", "g1", 1.0f, t0 + b * 1000),
+          ev(s"s$b-2", "g2", 2.0f, t0 + b * 1000 + 1))
+        qs.foreach(_.processAllAvailable())
+      }
+      val before = Pipeline.serveSnapshot(spark, cfg)
+        .select("_id", "event_count").orderBy("_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(servePartitions() >= 2, "expected several serve batch partitions")
+
+      Pipeline.compactServe(spark, cfg)
+
+      // all committed partitions folded away; exactly one snapshot version
+      assert(servePartitions() == 0,
+        s"committed partitions not vacuumed: ${servePartitions()}")
+      val snapBase = new java.io.File(s"${cfg.baseDir}/serve_snapshot")
+      assert(snapBase.listFiles().count(_.getName.startsWith("v=")) == 1)
+      val after = Pipeline.serveSnapshot(spark, cfg)
+        .select("_id", "event_count").orderBy("_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(after == before, s"snapshot changed the view: $before -> $after")
+
+      // the stream keeps appending new tail partitions; a second
+      // compaction folds them into v=1 and the view stays right
+      input.addData(ev("s4-1", "g1", 1.0f, t0 + 9000))
+      qs.foreach(_.processAllAvailable())
+      val got = Pipeline.serveSnapshot(spark, cfg)
+        .select("_id", "event_count").orderBy("_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq("g1" -> 4L, "g2" -> 3L), got.toString)
+      Pipeline.compactServe(spark, cfg)
+      assert(snapBase.listFiles().count(_.getName.startsWith("v=")) == 1)
+      assert(snapBase.listFiles().head.getName == "v=1")
+      val got2 = Pipeline.serveSnapshot(spark, cfg)
+        .select("_id", "event_count").orderBy("_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got2 == got)
+      // snapshot holds exactly one row per key — the O(1)-per-key bound
+      assert(spark.read.parquet(s"${cfg.baseDir}/serve_snapshot/v=1")
+        .count() == 2)
+    } finally qs.foreach(_.stop())
+  }
+
   test("serve stage restarts from its checkpoint without dup or loss") {
     val cfg = freshCfg()
     val input = MemoryStream[Event](17, spark, None)
