@@ -831,6 +831,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("cntrycode"))
+    }),
+
+    // q20-style nested correlated subquery: suppliers (in one nation) with
+    // some 'red' part whose Q1-1996 shipments exceed half their all-time
+    // shipments of that part. The correlated aggregate threshold (classic
+    // q20's availqty > 0.5 * sum(l_quantity) per (part, supplier)) becomes
+    // ONE conditional aggregation over a single semi-pruned lineitem scan —
+    // window sum and all-time sum in the same groupBy, so the 100 TB fact
+    // table is read once, not once per subquery level. Threshold compared
+    // as 2*win > all in exact decimals (no float rounding at the boundary).
+    "tpch_q20" -> ((s, dir) => {
+      val redParts = Ingest.table(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val qdec = col("l_quantity").cast(DecimalType(27, 4))
+      val agg = Ingest.table(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"), qdec)
+            .otherwise(lit(0).cast(DecimalType(27, 4)))).as("qty_win"),
+          sum(qdec).as("qty_all"))
+      val supKeys = agg.filter(col("qty_win") * 2 > col("qty_all"))
+        .select(col("l_suppkey"))
+      Ingest.table(s, dir, "supplier")
+        .join(broadcast(Ingest.table(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(supKeys, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -1321,6 +1353,23 @@ object SparkEntry {
         |    FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
+
+    "tpch_q20" ->
+      """WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |agg AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1996-04-01'
+        |        THEN CAST(l_quantity AS DECIMAL(27,4))
+        |        ELSE CAST(0 AS DECIMAL(27,4)) END) AS qty_win,
+        |    SUM(CAST(l_quantity AS DECIMAL(27,4))) AS qty_all
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM fp)
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM agg WHERE qty_win * 2 > qty_all)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -98,8 +98,14 @@ object Pipeline {
       .withColumn("timestamp",
         (col("event_timestamp") / lit(1000)).cast("timestamp"))
 
-  /** Stage 1: raw → watermark dedup → insert-only MERGE into silver. */
-  def startSilver(spark: SparkSession, raw: DataFrame, cfg: Config): StreamingQuery = {
+  /** Stage 1: raw → watermark dedup → insert-only MERGE into silver.
+    * The sink primitives dispatch through `format`
+    * ([[graft.storage.TableFormat]]) — parquet by default, a Delta
+    * implementation drop-in if its jar ever ships.
+    */
+  def startSilver(spark: SparkSession, raw: DataFrame, cfg: Config,
+                  format: graft.storage.TableFormat =
+                    graft.storage.TableFormat.parquet): StreamingQuery = {
     val deduped = withDerived(raw)
       .withWatermark("timestamp", cfg.watermarkDelay)
       .dropDuplicatesWithinWatermark("id")
@@ -110,7 +116,7 @@ object Pipeline {
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeToSilver(spark, batch, cfg)
+        format.mergeInsertOnly(spark, batch, cfg)
         // scheduled compaction (the OPTIMIZE-on-a-cadence analog,
         // reference utils.py:111-124): run synchronously with the merge
         // so the rewrite cannot race a concurrent append. Without a
@@ -118,7 +124,7 @@ object Pipeline {
         // [[compactSilverAuto]] picks the gold-safe manifest variant when
         // a gold stream has ever consumed this directory.
         if (cfg.compactEvery > 0 && batchId > 0 && batchId % cfg.compactEvery == 0)
-          compactSilverAuto(spark, cfg)
+          format.optimize(spark, cfg)
       }
       .start()
   }
@@ -450,13 +456,31 @@ object Pipeline {
     all
   }
 
-  /** Stage 2: silver files as a stream (insert-only ⇒ new files are the
-    * change feed) → per-batch partial agg → fold into the gold snapshot.
+  /** Stage-2 source: the silver table's insert feed (insert-only ⇒ new
+    * files ARE the change feed — the Delta-CDF-insert analog).
     */
-  def startGold(spark: SparkSession, cfg: Config): StreamingQuery = {
+  def silverInsertStream(spark: SparkSession, cfg: Config): DataFrame = {
     val silverDir = new Path(cfg.silverPath)
     val fs = silverDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(silverDir) // allow starting before stage 1's first commit
+    spark.readStream
+      .schema(Schemas.silverSchema)
+      .option("maxFilesPerTrigger", 50)
+      // the compaction contract: gold folds ONLY part-* files, so
+      // [[compactSilverLive]]'s compact-* rewrites of already-committed
+      // files are invisible to this source (no double-fold, no re-read)
+      .option("pathGlobFilter", "part-*")
+      .parquet(cfg.silverPath)
+  }
+
+  /** Stage 2: silver insert feed → per-batch partial agg → fold into the
+    * gold snapshot. Source and sink dispatch through `format`.
+    */
+  def startGold(spark: SparkSession, cfg: Config,
+                format: graft.storage.TableFormat =
+                  graft.storage.TableFormat.parquet): StreamingQuery = {
+    val fs = new Path(cfg.silverPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Pre-create the checkpoint dir BEFORE the stream's async start: it is
     // [[compactSilverAuto]]'s witness that a gold consumer exists, and the
     // stream's own lazy creation would leave a window where a concurrent
@@ -465,21 +489,13 @@ object Pipeline {
     // returns; only a compaction already in flight at call time can race,
     // which the synchronous-with-silver-batches scheduling rules out.
     fs.mkdirs(new Path(cfg.checkpoint("gold")))
-    val silver = spark.readStream
-      .schema(Schemas.silverSchema)
-      .option("maxFilesPerTrigger", 50)
-      // the compaction contract: gold folds ONLY part-* files, so
-      // [[compactSilverLive]]'s compact-* rewrites of already-committed
-      // files are invisible to this source (no double-fold, no re-read)
-      .option("pathGlobFilter", "part-*")
-      .parquet(cfg.silverPath)
-    silver.writeStream
+    format.streamInserts(spark, cfg).writeStream
       .queryName("graft_gold")
       .option("checkpointLocation", cfg.checkpoint("gold"))
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldToGold(spark, batch, batchId, cfg)
+        format.upsertFold(spark, batch, batchId, cfg)
       }
       .start()
   }
@@ -798,15 +814,10 @@ object Pipeline {
     * what every snapshot read scans (the Mongo `replace_one(upsert)`
     * being O(1) per key is the behavior this mirrors).
     */
-  def startServe(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val changesDir = new Path(cfg.goldChangesPath)
-    val fs = changesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(changesDir) // file stream needs the dir to exist up front
-    spark.readStream
-      .schema(goldChangeSchema)
-      .option("maxFilesPerTrigger", 100)
-      .option("basePath", cfg.goldChangesPath)
-      .parquet(cfg.goldChangesPath)
+  def startServe(spark: SparkSession, cfg: Config,
+                 format: graft.storage.TableFormat =
+                   graft.storage.TableFormat.parquet): StreamingQuery = {
+    format.streamChangeFeed(spark, cfg)
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .withColumn("_id", col("group_id"))
       .drop("gb", "_change_type")
@@ -823,6 +834,20 @@ object Pipeline {
           .parquet(cfg.servePath)
       }
       .start()
+  }
+
+  /** Stage-3 source: the gold change feed as a streaming DataFrame
+    * (`_change_type` / `_commit_version` carried — the CDF-read analog).
+    */
+  def goldChangeStream(spark: SparkSession, cfg: Config): DataFrame = {
+    val changesDir = new Path(cfg.goldChangesPath)
+    val fs = changesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(changesDir) // file stream needs the dir to exist up front
+    spark.readStream
+      .schema(goldChangeSchema)
+      .option("maxFilesPerTrigger", 100)
+      .option("basePath", cfg.goldChangesPath)
+      .parquet(cfg.goldChangesPath)
   }
 
   private def serveSnapshotBase(cfg: Config): String =
@@ -937,8 +962,11 @@ object Pipeline {
   /** The reference's orchestration (main.py:12-20): all three stages as
     * concurrent StreamingQueries.
     */
-  def startAll(spark: SparkSession, raw: DataFrame, cfg: Config): Seq[StreamingQuery] =
-    Seq(startSilver(spark, raw, cfg), startGold(spark, cfg), startServe(spark, cfg))
+  def startAll(spark: SparkSession, raw: DataFrame, cfg: Config,
+               format: graft.storage.TableFormat =
+                 graft.storage.TableFormat.parquet): Seq[StreamingQuery] =
+    Seq(startSilver(spark, raw, cfg, format), startGold(spark, cfg, format),
+      startServe(spark, cfg, format))
 
   /** Block until any stage terminates (main.py:20's awaitAnyTermination). */
   def awaitAny(spark: SparkSession): Unit =

@@ -40,11 +40,12 @@ object Maintenance {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = Pipeline.Config(baseDir)
+    val format = graft.storage.TableFormat.parquet
     do {
       val t0 = System.nanoTime()
-      Pipeline.compactSilverAuto(spark, cfg)
-      Pipeline.compactServe(spark, cfg)
-      Pipeline.vacuumGoldChanges(spark, cfg)
+      format.optimize(spark, cfg)
+      format.optimizeServe(spark, cfg)
+      format.vacuumChangeFeed(spark, cfg)
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)

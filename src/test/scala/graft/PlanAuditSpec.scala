@@ -53,6 +53,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(q22.contains("LeftAnti"), q22)
   }
 
+  test("q20 nested correlated subquery scans lineitem exactly once") {
+    val p = executedPlan("tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both subquery levels fold into one conditional aggregation — a second
+    // lineitem scan would mean the correlated threshold re-reads the fact
+    val lineitemScans = "lineitem".r.findAllIn(
+      "FileScan[^\\n]*".r.findAllIn(p).mkString("\n")).size
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
+  }
+
   test("projection query prunes the scan to the referenced columns") {
     val df = SparkEntry.queries("filter_notin")(spark, sf)
     df.collect()
