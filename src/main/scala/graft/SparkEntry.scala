@@ -858,7 +858,7 @@ object SparkEntry {
         .select(col("l_suppkey"))
       Ingest.table(s, dir, "supplier")
         .join(broadcast(Ingest.table(s, dir, "nation")
-          .filter(col("n_name") === "NATION_7")),
+          .filter(col("n_name") === "NATION_13")),
           col("s_nationkey") === col("n_nationkey"))
         .join(supKeys, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
@@ -1368,7 +1368,7 @@ object SparkEntry {
         |  GROUP BY l_partkey, l_suppkey)
         |SELECT s_suppkey, s_name FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_7'
+        |WHERE n_name = 'NATION_13'
         |  AND s_suppkey IN (SELECT l_suppkey FROM agg WHERE qty_win * 2 > qty_all)
         |ORDER BY s_suppkey""".stripMargin
   )

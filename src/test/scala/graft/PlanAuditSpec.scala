@@ -58,9 +58,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
     // both subquery levels fold into one conditional aggregation — a second
-    // lineitem scan would mean the correlated threshold re-reads the fact
+    // lineitem scan would mean the correlated threshold re-reads the fact.
+    // AQE's toString appends the pre-execution "Initial Plan"; count scans
+    // only in the final plan section.
+    val finalPlan = p.split("== Initial Plan ==").head
     val lineitemScans = "lineitem".r.findAllIn(
-      "FileScan[^\\n]*".r.findAllIn(p).mkString("\n")).size
+      "FileScan[^\\n]*".r.findAllIn(finalPlan).mkString("\n")).size
     assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
   }
 
