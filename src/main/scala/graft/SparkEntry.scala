@@ -863,6 +863,49 @@ object SparkEntry {
         .join(supKeys, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // q8-style national market share: of AMERICA-region customers'
+    // ECONOMY-part revenue, the fraction supplied by NATION_19, per order
+    // year. Two nation roles (customer side prunes via region; supplier
+    // side labels the share) and numerator+denominator live in the SAME
+    // partial aggregate, so the two 100 TB facts (lineitem, orders)
+    // shuffle once on l_orderkey and are each read once. part and
+    // supplier-nation are broadcast; the region restriction becomes a
+    // semi-join prune on orders BEFORE the fact-fact join.
+    "tpch_q8" -> ((s, dir) => {
+      val econParts = Ingest.table(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val nation = Ingest.table(s, dir, "nation")
+      val amerNations = nation
+        .join(broadcast(Ingest.table(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val amerCust = Ingest.table(s, dir, "customer")
+        .join(broadcast(amerNations),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val suppNation = Ingest.table(s, dir, "supplier")
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val ord = Ingest.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Ingest.table(s, dir, "lineitem")
+        .join(broadcast(econParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate").cast("timestamp")).cast("long")
+          .as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_19", revTerm())
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+          sum(revTerm()).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
     })
   )
 
@@ -1370,6 +1413,27 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_13'
         |  AND s_suppkey IN (SELECT l_suppkey FROM agg WHERE qty_win * 2 > qty_all)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q8" ->
+      s"""SELECT o_year,
+         |  CAST(SUM(CASE WHEN nation = 'NATION_19' THEN volume
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+         |  CAST(SUM(volume) AS DOUBLE) AS mkt_share
+         |FROM (
+         |  SELECT year(o_orderdate) AS o_year, $revSql AS volume,
+         |    n2.n_name AS nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = n1.n_regionkey
+         |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01')
+         |GROUP BY o_year ORDER BY o_year""".stripMargin
   )
 }

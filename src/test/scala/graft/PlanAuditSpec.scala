@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("broadcast-dim joins broadcast; no shuffle join against a dim table") {
-    Seq("tpch_q5", "tpch_q9", "tpch_q14", "tpch_q19").foreach { q =>
+    Seq("tpch_q5", "tpch_q8", "tpch_q9", "tpch_q14", "tpch_q19").foreach { q =>
       val p = executedPlan(q)
       assert(p.contains("BroadcastHashJoin"), q)
       assert(!p.contains("CartesianProduct"), q)
