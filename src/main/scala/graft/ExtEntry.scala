@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
@@ -151,7 +151,21 @@ object ExtEntry {
           round(stopRatio, 6).as("stop_ratio"))
         .filter(col("n_tokens").between(20, 400) && col("stop_ratio") >= 0.01)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // deterministic stratified sampling: en down-weighted to ~25%, zh to
+    // ~12.5%, everything else ~50% — hex thresholds on md5(doc_id), a
+    // scan-local filter with zero shuffle (see Curation scaladoc)
+    "sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(s, dir,
+        Seq("en" -> "4000", "zh" -> "2000"), defaultTh = "8000")),
+
+    // at most 10 docs per source, skew-safe two-phase ranking
+    "quota_cap" -> ((s, dir) => Curation.quotaCap(s, dir, n = 10)),
+
+    // benchmark-leakage guard: train docs sharing a 5-gram with the
+    // held-out src0 split
+    "decontam_ngram" -> ((s, dir) => Curation.decontaminate(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -587,6 +601,40 @@ object ExtEntry {
         |SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(n_out AS BIGINT) AS n_bytes_out, payload_md5
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '2000' ELSE '8000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the two-phase salted cap is value-identical to the direct window:
+    // phase 1 keeps a superset of the global first-n per source
+    "quota_cap" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "decontam_ngram" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh5 AS (SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 4, 1)),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS sh FROM docs),
+        |ev AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(sh) AS g FROM sh5 WHERE source = 'src0')),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh5 WHERE source <> 'src0'),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM tr
+        |  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(h.n_hit, 0) AS n_hit_grams,
+        |  COALESCE(h.n_hit, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ingest
+
+/** Corpus-curation operators for the LLM-data-pipeline extension set
+  * (SURVEY §7.6 family, beyond the reference's own surface): deterministic
+  * stratified sampling, per-source quota capping, and train/eval n-gram
+  * decontamination.
+  *
+  * All three follow the repo's oracle-parity conventions: hashes are md5
+  * hex strings (bit-identical in DuckDB), sampling thresholds compare hex
+  * lexicographically (order-isomorphic to the numeric hash value — the
+  * same trick [[TextDedup]] uses for minhash minima), and every query ends
+  * in a total ORDER BY.
+  */
+object Curation {
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    Ingest.table(spark, dir, "documents")
+
+  /** Deterministic per-stratum Bernoulli sampling: a document survives
+    * when the first 4 hex chars of md5(doc_id) fall below its stratum's
+    * threshold, so the sampling RATE is threshold/0x10000 — e.g. "4000" ≈
+    * 25%, "8000" ≈ 50%. The decision is a pure function of the row
+    * (reproducible across engines, retries, and reshards — unlike
+    * `df.sample`, whose output depends on partitioning), and the operator
+    * is a scan-local codegen'd filter: at 100 TB it reads the corpus once
+    * and shuffles NOTHING.
+    *
+    * `rates` maps stratum value → 4-hex-digit threshold; `defaultTh`
+    * covers unlisted strata. Down-weighting an over-represented language
+    * (the canonical use) is a rates entry, not a plan change.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Seq[(String, String)],
+                       defaultTh: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val th = rates.foldLeft(lit(defaultTh)) { case (acc, (lang, t)) =>
+      when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    documents(spark, dir)
+      .filter(bucket < th)
+      .select(col("doc_id"), col("lang"), col("source"),
+        bucket.as("sample_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source quota cap (the common-crawl-style "at most N documents
+    * per domain" operator): keep the first `n` docs of each source in
+    * doc_id order.
+    *
+    * Skew is the whole problem at 100 TB — one hot domain can hold a
+    * billion rows, and a single window over `source` would send them all
+    * to one reducer. The cap runs in TWO phases: phase 1 ranks within
+    * (source, doc_id % salts) and keeps rank ≤ n, which is a NECESSARY
+    * condition for a global top-n membership (the global first-n per
+    * source are a subsequence of each salt class's order, so each is
+    * within the first n OF ITS CLASS) and bounds every source to
+    * salts × n rows; phase 2 ranks those survivors exactly. The hot key's
+    * phase-2 partition holds ≤ salts·n rows regardless of corpus size.
+    */
+  def quotaCap(spark: SparkSession, dir: String, n: Int,
+               salts: Int = 16): DataFrame = {
+    val salt = pmod(col("doc_id"), lit(salts.toLong))
+    val phase1 = documents(spark, dir)
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("source"), salt).orderBy(col("doc_id"))))
+      .filter(col("rk1") <= n)
+      .drop("rk1")
+    phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Train/eval decontamination: flag every training document (source ≠
+    * `evalSource`) that shares at least one `n`-word shingle with the
+    * held-out eval split — the standard benchmark-leakage guard run
+    * before LLM training.
+    *
+    * Scale shape: the eval split is small by construction (benchmark
+    * suites are thousands of docs, the corpus is the 100 TB side), so its
+    * distinct shingle set is BROADCAST and the training side is probed by
+    * a broadcast left-semi join — the corpus never shuffles for matching.
+    * Shingles are per-doc distinct ([[TextDedup.shingles]]), so the
+    * per-doc hit count is a plain count over the semi-join survivors: the
+    * only shuffle is (doc_id, 1) pairs for the few contaminated docs.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+                    evalSource: String = "src0"): DataFrame = {
+    val sh = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(TextDedup.shingles(split(col("text"), " "), n)).as("g"))
+    val evalGrams = sh.filter(col("source") === evalSource)
+      .select(col("g")).distinct()
+    val hits = sh.filter(col("source") =!= evalSource)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    documents(spark, dir)
+      .filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -456,6 +456,23 @@ object Pipeline {
     all
   }
 
+  /** A file-source directory that is vacuumed/compacted out-of-band can
+    * lose a file BETWEEN a reader's parent-directory listing and the
+    * child listing/read — Hadoop's recursive listing then throws
+    * FileNotFoundException and kills the stream, even though the vacuum
+    * contract ([[vacuumGoldChanges]], [[compactSilverLive]],
+    * [[compactServe]]) only ever deletes files whose rows every consumer
+    * has already committed (or that live on in a compact-* rewrite). With
+    * no transaction log to serialize readers against deletes (Delta's
+    * answer), the correct plain-parquet semantics is Spark's
+    * `ignoreMissingFiles`: a vanished file is SKIPPED, which under the
+    * committed-cutoff invariant never hides unread data. Session-wide by
+    * design — batch readers of vacuumed history get the same "history is
+    * gone after vacuum" semantics Delta gives past its retention window.
+    */
+  private def tolerateVacuumedFiles(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+
   /** Stage-2 source: the silver table's insert feed (insert-only ⇒ new
     * files ARE the change feed — the Delta-CDF-insert analog).
     */
@@ -463,6 +480,7 @@ object Pipeline {
     val silverDir = new Path(cfg.silverPath)
     val fs = silverDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(silverDir) // allow starting before stage 1's first commit
+    tolerateVacuumedFiles(spark)
     spark.readStream
       .schema(Schemas.silverSchema)
       .option("maxFilesPerTrigger", 50)
@@ -843,6 +861,7 @@ object Pipeline {
     val changesDir = new Path(cfg.goldChangesPath)
     val fs = changesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(changesDir) // file stream needs the dir to exist up front
+    tolerateVacuumedFiles(spark)
     spark.readStream
       .schema(goldChangeSchema)
       .option("maxFilesPerTrigger", 100)

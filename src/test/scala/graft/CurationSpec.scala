@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, TextDedup}
+import graft.ops.Ingest
+
+/** Unit tests for the corpus-curation operators (stratified sampling,
+  * quota cap, decontamination). The oracle covers value parity vs DuckDB
+  * on real testdata; these pin the algebraic invariants — two-phase cap ==
+  * direct window, sampling is a pure row function, decontamination ==
+  * brute-force shingle intersection.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quotaCap two-phase salted ranking equals the direct window") {
+    val direct = Ingest.table(spark, sf, "documents")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+    val capped = Curation.quotaCap(spark, sf, n = 10)
+    assert(capped.count() == direct.count())
+    assert(capped.exceptAll(direct).isEmpty)
+    // every source is capped, none above n
+    val per = capped.groupBy("source").count().collect()
+    assert(per.nonEmpty && per.forall(_.getAs[Long]("count") <= 10))
+  }
+
+  test("quotaCap holds under a salt count that fragments every source") {
+    // salts >> docs-per-source: phase 1 keeps everything, phase 2 must
+    // still produce the exact global cap
+    val a = Curation.quotaCap(spark, sf, n = 3, salts = 997)
+    val b = Curation.quotaCap(spark, sf, n = 3, salts = 1)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum thresholds") {
+    val rates = Seq("en" -> "4000", "zh" -> "2000")
+    val s1 = Curation.stratifiedSample(spark, sf, rates, "8000").collect()
+    val s2 = Curation.stratifiedSample(spark, sf, rates, "8000").collect()
+    assert(s1.toSeq == s2.toSeq) // pure function of the rows
+    assert(s1.nonEmpty)
+    s1.foreach { r =>
+      val th = r.getAs[String]("lang") match {
+        case "en" => "4000"; case "zh" => "2000"; case _ => "8000"
+      }
+      assert(r.getAs[String]("sample_key") < th)
+    }
+    // en is down-weighted vs the default strata: its keep-rate over the
+    // full table must be below the unconditioned strata's
+    val total = Ingest.table(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val kept = s1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val enRate = kept.getOrElse("en", 0).toDouble / total("en")
+    val frRate = kept.getOrElse("fr", 0).toDouble / total("fr")
+    assert(enRate < frRate)
+  }
+
+  test("decontaminate matches brute-force shingle intersection") {
+    val docs = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        TextDedup.shingles(split(col("text"), " "), 5).as("sh"))
+    val ev = docs.filter(col("source") === "src0")
+      .agg(array_distinct(flatten(collect_list(col("sh")))).as("evg"))
+    val brute = docs.filter(col("source") =!= "src0")
+      .crossJoin(ev)
+      .select(col("doc_id"),
+        size(array_intersect(col("sh"), col("evg"))).cast("long").as("n_hit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Curation.decontaminate(spark, sf).collect()
+    assert(got.nonEmpty && got.length == brute.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_hit_grams") == brute(id), s"doc $id")
+      assert(r.getAs[Boolean]("contaminated") == (brute(id) > 0))
+    }
+    // non-degenerate on the synthetic corpus: some flagged, most clean
+    val flagged = got.count(_.getAs[Boolean]("contaminated"))
+    assert(flagged > 0 && flagged < got.length)
+  }
+
+  test("custom WordShingles matches the HOF formulation at n=5") {
+    import spark.implicits._
+    val df = Seq("a b c d e f g", "a b", "x", "a a a a a a").toDF("text")
+    val fast = df.select(TextDedup.shingles(split(col("text"), " "), 5).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val slow = df.select(TextDedup.shinglesViaHof(split(col("text"), " "), 5).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(fast == slow)
+  }
+}
