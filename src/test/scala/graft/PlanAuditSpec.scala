@@ -67,6 +67,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
   }
 
+  test("stratified sample is scan-local: no shuffle before the output sort") {
+    val p = executedPlan("sample_stratified")
+    // exactly one exchange — the final ORDER BY's range partitioning; the
+    // sampling filter itself must not repartition anything
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected only the sort exchange, got $exchanges\n$p")
+  }
+
+  test("decontamination probes the corpus via broadcast semi-join, no cartesian") {
+    val p = executedPlan("decontam_ngram")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("quota cap plans as windows over exchanges, no cartesian") {
+    val p = executedPlan("quota_cap")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("projection query prunes the scan to the referenced columns") {
     val df = SparkEntry.queries("filter_notin")(spark, sf)
     df.collect()
