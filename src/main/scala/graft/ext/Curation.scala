@@ -35,19 +35,30 @@ object Curation {
     * covers unlisted strata. Down-weighting an over-represented language
     * (the canonical use) is a rates entry, not a plan change.
     */
-  def stratifiedSample(spark: SparkSession, dir: String,
-                       rates: Seq[(String, String)],
-                       defaultTh: String): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+  /** The sampling key: first 4 hex chars of md5(doc_id). */
+  def sampleKey: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 4)
+
+  /** The admit predicate — a pure function of (doc_id, lang), shared
+    * verbatim by the batch query and the streaming twin
+    * ([[graft.streaming.StreamingCuration.sampleStream]]).
+    */
+  def samplePredicate(rates: Seq[(String, String)],
+                      defaultTh: String): org.apache.spark.sql.Column = {
     val th = rates.foldLeft(lit(defaultTh)) { case (acc, (lang, t)) =>
       when(col("lang") === lang, lit(t)).otherwise(acc)
     }
-    documents(spark, dir)
-      .filter(bucket < th)
-      .select(col("doc_id"), col("lang"), col("source"),
-        bucket.as("sample_key"))
-      .orderBy(col("doc_id"))
+    sampleKey < th
   }
+
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Seq[(String, String)],
+                       defaultTh: String): DataFrame =
+    documents(spark, dir)
+      .filter(samplePredicate(rates, defaultTh))
+      .select(col("doc_id"), col("lang"), col("source"),
+        sampleKey.as("sample_key"))
+      .orderBy(col("doc_id"))
 
   /** Per-source quota cap (the common-crawl-style "at most N documents
     * per domain" operator): keep the first `n` docs of each source in

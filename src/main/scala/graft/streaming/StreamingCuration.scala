@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Curation
+
+/** Ingest-time twins of the batch curation operators
+  * ([[graft.ext.Curation]]) — the shapes a streaming training-data feed
+  * needs before documents ever land in the corpus.
+  *
+  * The stratified sample needs NO state: the md5 hex-threshold decision
+  * is a pure function of the row, so the batch predicate applies to a
+  * streaming DataFrame verbatim — admit/reject is identical whether a doc
+  * arrives in a backfill or on the stream (that reproducibility is the
+  * point of hash sampling over `rand()`).
+  *
+  * The quota cap is stateful: one admitted-count per source in the state
+  * store, sharded by the shuffle on the key — the online mirror of the
+  * batch two-phase window. Policy divergence vs batch, on purpose and
+  * mirroring [[StreamingDedup.maxBucketSize]]'s note: streaming admits
+  * the first `n` docs per source by ARRIVAL order (the cap must be
+  * enforced at ingest, before the source's full membership exists),
+  * while batch keeps the first `n` by sorted doc_id. Batch backfill is
+  * the oracle-checked selection.
+  */
+object StreamingCuration {
+
+  case class DocMeta(doc_id: Long, source: String, lang: String)
+
+  /** Per-source admitted counter; emits a row iff it is within quota. */
+  class QuotaProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DocMeta, DocMeta] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocMeta],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DocMeta] = {
+      var count = if (admitted.exists()) admitted.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer[DocMeta]()
+      rows.foreach { r =>
+        if (count < n) { out += r; count += 1 }
+      }
+      admitted.update(count)
+      out.iterator
+    }
+  }
+
+  /** Document stream → the per-source quota-capped admit stream. */
+  def quotaCapStream(docs: Dataset[DocMeta], n: Int): Dataset[DocMeta] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.groupByKey(_.source)
+      .transformWithState(new QuotaProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Document stream → deterministic stratified-sample admit stream: the
+    * batch predicate, stateless.
+    */
+  def sampleStream(docs: DataFrame, rates: Seq[(String, String)],
+                   defaultTh: String): DataFrame =
+    docs.filter(Curation.samplePredicate(rates, defaultTh))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.Curation
+import graft.ops.Ingest
+import graft.streaming.StreamingCuration
+import graft.streaming.StreamingCuration.DocMeta
+
+/** Ingest-time curation: the quota cap must hold ACROSS micro-batches
+  * (state store), and the stratified sample must admit exactly the same
+  * docs as the batch predicate (pure row function).
+  */
+class StreamingCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quota cap holds across micro-batches per source") {
+    val input = MemoryStream[DocMeta](21, spark, None)
+    val q = StreamingCuration.quotaCapStream(input.toDS(), n = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_quota").start()
+    try {
+      input.addData(
+        DocMeta(1, "a", "en"), DocMeta(2, "a", "en"),
+        DocMeta(3, "b", "en"))
+      q.processAllAvailable()
+      // batch 2: source a exceeds its quota (already 2 admitted)
+      input.addData(
+        DocMeta(4, "a", "en"), DocMeta(5, "a", "en"),
+        DocMeta(6, "b", "en"))
+      q.processAllAvailable()
+      // batch 3: source a is full, b still open
+      input.addData(DocMeta(7, "a", "en"), DocMeta(8, "b", "en"))
+      q.processAllAvailable()
+
+      val admitted = spark.table("graft_stream_quota")
+        .select("doc_id").as[Long].collect().toSet
+      // a: first 3 by arrival (1,2,4); b: all three under quota
+      assert(admitted == Set(1L, 2L, 4L, 3L, 6L, 8L), s"got $admitted")
+    } finally q.stop()
+  }
+
+  test("streaming sample admits exactly the batch predicate's selection") {
+    val sf = "/root/testdata/sf0.001"
+    val rates = Seq("en" -> "4000", "zh" -> "2000")
+    val docs = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    val batchKept = docs.filter(Curation.samplePredicate(rates, "8000"))
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[(Long, String)](22, spark, None)
+    val q = StreamingCuration.sampleStream(
+        input.toDF().toDF("doc_id", "lang"), rates, "8000")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_sample").start()
+    try {
+      val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(all.take(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(all.drop(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_sample")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept)
+    } finally q.stop()
+  }
+}
