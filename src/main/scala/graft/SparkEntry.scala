@@ -469,6 +469,25 @@ object SparkEntry {
         .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
         .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)),
 
+    // cube: all 2^k grouping-set combinations in one pass — Spark expands
+    // the sets inside a single Expand+hash-agg, not k separate scans
+    "agg_cube" -> ((s, dir) =>
+      silverBase(s, dir)
+        .withColumn("cohort", (col("user_id") % 10).cast("long"))
+        .cube(col("event_type"), col("cohort"))
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)),
+
+    // pivot: event_type values widened to columns (explicit value list, so
+    // no extra distinct-collect pass) — one hash-agg, conditional branches
+    "agg_pivot" -> ((s, dir) =>
+      silverBase(s, dir)
+        .withColumn("cohort", (col("user_id") % 10).cast("long"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .orderBy(col("cohort"))),
+
     // set ops over the 180-s buckets: INTERSECT / EXCEPT (distinct set
     // semantics in both engines)
     "set_ops_buckets" -> ((s, dir) => {
@@ -906,6 +925,44 @@ object SparkEntry {
             .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
           sum(revTerm()).cast("double")).as("mkt_share"))
         .orderBy(col("o_year"))
+    }),
+
+    // q2-style cheapest-supplier-per-part: this corpus has no partsupp
+    // table, so supply cost is DERIVED — the minimum observed unit price
+    // (l_extendedprice / l_quantity, IEEE-identical in both engines) per
+    // (part, supplier) from lineitem. q2's correlated scalar subquery
+    // ("cost = the min cost among this part's regional suppliers")
+    // becomes a window min over the per-(part,supplier) aggregate: ONE
+    // lineitem scan, one (part,supplier) shuffle, one part shuffle, then
+    // a broadcast join back to supplier details and a top-20 tail.
+    "tpch_q2" -> ((s, dir) => {
+      val econ = Ingest.table(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val eurSupp = Ingest.table(s, dir, "supplier")
+        .join(broadcast(Ingest.table(s, dir, "nation")
+          .join(broadcast(Ingest.table(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cost = Ingest.table(s, dir, "lineitem")
+        .join(broadcast(econ), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(broadcast(eurSupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val perPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      cost.withColumn("min_cost", min(col("unit_cost")).over(perPart))
+        .filter(col("unit_cost") === col("min_cost"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
     })
   )
 
@@ -1160,6 +1217,22 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY ROLLUP(event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY CUBE(event_type, cohort)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "set_ops_buckets" ->
       """WITH b AS (SELECT CAST(floor(epoch_ms(ts)/1000.0/180.0) AS BIGINT) AS bucket,
@@ -1434,6 +1507,24 @@ object SparkEntry {
          |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
          |    AND o_orderdate >= TIMESTAMP '1995-01-01'
          |    AND o_orderdate < TIMESTAMP '1997-01-01')
-         |GROUP BY o_year ORDER BY o_year""".stripMargin
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "tpch_q2" ->
+      """WITH eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
+        |cost AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |    AND l_suppkey IN (SELECT s_suppkey FROM eur)
+        |  GROUP BY l_partkey, l_suppkey),
+        |w AS (SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+        |  FROM cost)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+        |FROM w JOIN eur ON l_suppkey = s_suppkey
+        |WHERE unit_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 20""".stripMargin
   )
 }
