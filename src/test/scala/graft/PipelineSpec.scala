@@ -211,6 +211,30 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream from a broadcast dimension") {
+    val t0 = 1700000000000L
+    val dim = Seq(("g1", "emea"), ("g2", "apac")).toDF("group_id", "region")
+    val input = MemoryStream[Event](16, spark, None)
+    // static side broadcast: per micro-batch the dim joins map-side, the
+    // stream never shuffles for the enrichment (the 100 TB shape: stream
+    // × small dimension)
+    val enriched = Pipeline.withDerived(input.toDF())
+      .join(broadcast(dim), Seq("group_id"), "left_outer")
+      .select(col("id"), col("group_id"),
+        coalesce(col("region"), lit("unknown")).as("region"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("graft_enrich").start()
+    try {
+      input.addData(ev("a", "g1", 1f, t0), ev("b", "g3", 1f, t0 + 10))
+      q.processAllAvailable()
+      input.addData(ev("c", "g2", 1f, t0 + 20))
+      q.processAllAvailable()
+      val got = spark.table("graft_enrich")
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(got == Map("a" -> "emea", "b" -> "unknown", "c" -> "apac"))
+    } finally q.stop()
+  }
+
   test("stateful seen-set dedup processor keeps first-seen across batches") {
     val input = MemoryStream[Event](9, spark, None)
     val q = Pipeline.ttlDedup(input.toDS(), ttlMillis = 0L)
