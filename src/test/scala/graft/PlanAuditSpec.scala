@@ -67,6 +67,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
   }
 
+  test("q2 correlated min scans lineitem exactly once") {
+    val p = executedPlan("tpch_q2")
+    assert(!p.contains("CartesianProduct"), p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val lineitemScans = "lineitem".r.findAllIn(
+      "FileScan[^\\n]*".r.findAllIn(finalPlan).mkString("\n")).size
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans\n$p")
+  }
+
   test("stratified sample is scan-local: no shuffle before the output sort") {
     val p = executedPlan("sample_stratified")
     // exactly one exchange — the final ORDER BY's range partitioning; the
