@@ -904,6 +904,9 @@ object Pipeline {
   def serveLog(spark: SparkSession, cfg: Config): DataFrame = {
     val fs = new Path(cfg.servePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tolerateVacuumedFiles(spark) // a batch read racing compactServe's
+    // vacuum must skip (not crash on) a tail partition folded into the
+    // newer snapshot it is about to read anyway
     val snap = currentServeSnapshot(fs, cfg).map(_._2.toString)
     val tail = serveBatchDirs(fs, cfg).map(_._2.toString)
     val parts = snap.toSeq ++ tail
@@ -939,17 +942,22 @@ object Pipeline {
 
   /** Bounds the serve log (VERDICT r4 "What's missing" #2): folds every
     * batch partition the serve stream has COMMITTED into a new snapshot
-    * version holding the latest row per `_id`, then vacuums the folded
-    * partitions and prior snapshot versions. Only committed batches fold
-    * — an in-flight or replayable batch keeps its partition, because a
-    * replay would dynamically overwrite it mid-fold. Crash-safe by write
-    * ordering: the new `v=<n+1>` snapshot is complete before anything is
-    * deleted, readers take the NEWEST version, and a crash between write
-    * and delete only leaves rows duplicated between snapshot and tail —
-    * which the latest-per-key read collapses and the next compaction
-    * reclaims. Each compaction is O(snapshot + folded tail); scheduling
-    * it every N batches keeps [[serveSnapshot]]'s scan flat as history
-    * grows (soak evidence: StreamBench full mode).
+    * version holding the latest row per `_id`, then reclaims history one
+    * generation BEHIND: the prior snapshot version and this run's folded
+    * tails are retained until the next compaction (so a reader that
+    * resolved the old layout just before the new version appeared always
+    * finishes), while older versions and the prior run's folded tails
+    * (its `_folded_tails` marker) are deleted. Only committed batches
+    * fold — an in-flight or replayable batch keeps its partition, because
+    * a replay would dynamically overwrite it mid-fold. Crash-safe by
+    * write ordering: the new `v=<n+1>` snapshot is complete before
+    * anything is deleted, readers take the NEWEST version, and a crash at
+    * any point only leaves rows duplicated between snapshot, retained
+    * tail, and retained prior version — which the latest-per-key read
+    * collapses and later compactions reclaim. Each compaction is
+    * O(snapshot + tail); scheduling it every N batches keeps
+    * [[serveSnapshot]]'s scan flat as history grows (soak evidence:
+    * StreamBench full mode).
     */
   def compactServe(spark: SparkSession, cfg: Config): Unit = {
     val fs = new Path(cfg.servePath)
@@ -971,9 +979,37 @@ object Pipeline {
       .coalesce(math.max(1, foldable.size / 8))
       .write.mode("overwrite")
       .parquet(s"${serveSnapshotBase(cfg)}/v=$newV")
-    // everything below is reclaim — the new version is already live
-    prior.foreach { case (_, p) => fs.delete(p, true) }
-    foldable.foreach { case (_, p) => fs.delete(p, true) }
+    // record which tail partitions this version folded (underscore name —
+    // invisible to parquet readers of the version dir)
+    val markerOut = fs.create(
+      new Path(s"${serveSnapshotBase(cfg)}/v=$newV/_folded_tails"), true)
+    markerOut.write(foldable.map(_._2.getName).mkString("\n").getBytes("UTF-8"))
+    markerOut.close()
+    // Reclaim with a ONE-GENERATION retention window: a reader that
+    // resolved the prior snapshot + tail layout just before v=newV
+    // appeared must be able to finish its scan, so the prior version and
+    // THIS run's folded tails survive until the NEXT compaction (by which
+    // time any such reader is long done; ignoreMissingFiles covers the
+    // residual window). Re-folding a retained tail next run is idempotent
+    // under latest-per-_id. Deleted now: versions OLDER than prior
+    // (unreachable — every reader resolved prior or newV) and the tails
+    // the PRIOR compaction folded (recorded in its marker).
+    fs.listStatus(new Path(serveSnapshotBase(cfg))).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+        .map(_ -> s.getPath))
+      .filter { case (v, _) => prior.exists(v < _._1) }
+      .foreach { case (_, p) => fs.delete(p, true) }
+    prior.foreach { case (_, priorPath) =>
+      val pm = new Path(priorPath, "_folded_tails")
+      if (fs.exists(pm)) {
+        val in = fs.open(pm)
+        val folded = scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.split("\n").filter(_.nonEmpty)
+        in.close()
+        folded.foreach(n => fs.delete(new Path(cfg.servePath, n), true))
+      }
+    }
     spark.catalog.refreshByPath(cfg.servePath)
     spark.catalog.refreshByPath(serveSnapshotBase(cfg))
   }

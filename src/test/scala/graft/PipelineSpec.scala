@@ -645,20 +645,23 @@ class PipelineSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(servePartitions() >= 2, "expected several serve batch partitions")
 
+      val tailsBefore = servePartitions()
       Pipeline.compactServe(spark, cfg)
 
-      // all committed partitions folded away; exactly one snapshot version
-      assert(servePartitions() == 0,
-        s"committed partitions not vacuumed: ${servePartitions()}")
+      // one snapshot version; folded tails RETAINED one generation (a
+      // reader that resolved the pre-compaction layout must finish)
       val snapBase = new java.io.File(s"${cfg.baseDir}/serve_snapshot")
       assert(snapBase.listFiles().count(_.getName.startsWith("v=")) == 1)
+      assert(servePartitions() == tailsBefore,
+        "first compaction must retain its folded tails one generation")
       val after = Pipeline.serveSnapshot(spark, cfg)
         .select("_id", "event_count").orderBy("_id")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(after == before, s"snapshot changed the view: $before -> $after")
 
       // the stream keeps appending new tail partitions; a second
-      // compaction folds them into v=1 and the view stays right
+      // compaction folds them into v=1, retires generation-1 tails, and
+      // retains v=0 plus the new tail one generation
       input.addData(ev("s4-1", "g1", 1.0f, t0 + 9000))
       qs.foreach(_.processAllAvailable())
       val got = Pipeline.serveSnapshot(spark, cfg)
@@ -666,14 +669,26 @@ class PipelineSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got == Seq("g1" -> 4L, "g2" -> 3L), got.toString)
       Pipeline.compactServe(spark, cfg)
-      assert(snapBase.listFiles().count(_.getName.startsWith("v=")) == 1)
-      assert(snapBase.listFiles().head.getName == "v=1")
+      assert(snapBase.listFiles().map(_.getName).filter(_.startsWith("v="))
+        .toSet == Set("v=0", "v=1"))
+      assert(servePartitions() == 1,
+        s"generation-1 tails must be reclaimed, the new tail retained: ${servePartitions()}")
       val got2 = Pipeline.serveSnapshot(spark, cfg)
         .select("_id", "event_count").orderBy("_id")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got2 == got)
+      // a third compaction (no new data) retires the remaining history
+      Pipeline.compactServe(spark, cfg)
+      assert(servePartitions() == 0,
+        s"all committed tails reclaimed after retirement: ${servePartitions()}")
+      assert(snapBase.listFiles().map(_.getName).filter(_.startsWith("v="))
+        .toSet == Set("v=1", "v=2"))
+      val got3 = Pipeline.serveSnapshot(spark, cfg)
+        .select("_id", "event_count").orderBy("_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got3 == got)
       // snapshot holds exactly one row per key — the O(1)-per-key bound
-      assert(spark.read.parquet(s"${cfg.baseDir}/serve_snapshot/v=1")
+      assert(spark.read.parquet(s"${cfg.baseDir}/serve_snapshot/v=2")
         .count() == 2)
     } finally qs.foreach(_.stop())
   }
