@@ -108,7 +108,15 @@ object StreamBench {
       if (compactEvery > 0 && batchNo % compactEvery == 0) {
         val fmt = graft.storage.TableFormat.parquet
         fmt.optimize(spark, cfg)
-        if (full) fmt.optimizeServe(spark, cfg) // keep serveSnapshot O(tail)
+        if (full) {
+          fmt.optimizeServe(spark, cfg) // keep serveSnapshot O(tail)
+          // the flatness evidence: serving-view scan cost must track the
+          // key count + uncompacted tail, NOT the batch count so far
+          val s0 = System.nanoTime()
+          Pipeline.serveSnapshot(spark, cfg).count()
+          println(f"[sbench] snapshot_scan after $batchNo%3d batches " +
+            f"${(System.nanoTime() - s0) / 1e9}%5.2f s")
+        }
       }
     }
     drainAll() // stage-2/3 backlog counts against the clock
