@@ -47,6 +47,11 @@ object ExtEntry {
       Similarity.ivfTopK(s, dir, nQueries = 10, nCentroids = 16,
         nProbe = 2, k = 3)),
 
+    // int8 embedding quantization — scan-local storage-reduction op;
+    // payload checked by md5 over the quantized ints, quality by the
+    // max reconstruction error
+    "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.labelBlockedPairs(s, dir, 0.4)
         .orderBy(col("v1"), col("v2"))),
@@ -602,6 +607,25 @@ object ExtEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(n_out AS BIGINT) AS n_bytes_out, payload_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // mirrors Similarity.quantizeInt8 op-for-op: scale in a subquery (no
+    // same-select alias reference), half-up rounding spelled as
+    // floor(x*127/scale + 0.5) — identical IEEE sequence in both engines
+    "emb_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, scale,
+        |  md5(array_to_string(list_transform(embedding, v -> CAST(CAST(
+        |    CASE WHEN scale = 0 THEN 0
+        |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5) END
+        |    AS BIGINT) AS VARCHAR)), ',')) AS q_md5,
+        |  list_max(list_transform(embedding, v ->
+        |    CASE WHEN scale = 0 THEN 0.0
+        |      ELSE abs(floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5)
+        |        * scale / 127.0 - CAST(v AS DOUBLE)) END)) AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source,

@@ -187,6 +187,28 @@ class ExtSpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq != seeds.toSeq)
   }
 
+  test("int8 quantization: range, half-step error bound, zero-vector guard") {
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(3.0f))).toDF("vec_id", "embedding")
+    val ints = emb.select(col("vec_id"),
+      Similarity.quantizedInts(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(ints(1) == Seq(64L, -127L, 32L, 0L)) // 0.5*127=63.5 → 64 half-up
+    assert(ints(2) == Seq(0L, 0L, 0L, 0L))
+    assert(ints(3) == Seq(127L))
+    val rows = Similarity.quantizeInt8Of(emb).collect()
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_err")
+      // nearest-with-half-up ⇒ reconstruction error ≤ half a step
+      assert(err <= scale / 254.0 + 1e-12, s"vec ${r.getLong(0)}: $err > ${scale / 254.0}")
+    }
+    assert(rows.forall(_.getAs[String]("q_md5").length == 32))
+  }
+
   test("IVF training sample is bounded by sampleCap regardless of corpus size") {
     import spark.implicits._
     // corpus far larger than the cap: 10,000 candidate vectors
