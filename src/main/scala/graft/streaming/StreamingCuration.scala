@@ -67,4 +67,24 @@ object StreamingCuration {
   def sampleStream(docs: DataFrame, rates: Seq[(String, String)],
                    defaultTh: String): DataFrame =
     docs.filter(Curation.samplePredicate(rates, defaultTh))
+
+  /** Ingest-time decontamination: drop any arriving document that shares
+    * an `n`-word shingle with the (static, small) eval split — the
+    * stream-static twin of [[graft.ext.Curation.decontaminate]]. The eval
+    * shingle set rides along as ONE broadcast row (a single-row
+    * cross-join is the stream-safe shape: no stream self-join, no state),
+    * and each arriving doc is checked map-side with `arrays_overlap` —
+    * the stream never shuffles for the check.
+    */
+  def decontamStream(docs: DataFrame, evalGrams: DataFrame,
+                     n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val evalRow = evalGrams.agg(collect_set(col("g")).as("_evg"))
+    docs
+      .crossJoin(broadcast(evalRow))
+      .filter(!arrays_overlap(
+        graft.ext.TextDedup.shingles(split(col("text"), " "), n),
+        col("_evg")))
+      .drop("_evg")
+  }
 }

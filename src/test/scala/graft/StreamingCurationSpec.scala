@@ -41,6 +41,38 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination admits exactly the batch clean set") {
+    val sf = "/root/testdata/sf0.001"
+    // batch truth: train docs with zero 5-gram hits vs the src0 eval split
+    val batchClean = graft.ext.Curation.decontaminate(spark, sf)
+      .filter(!col("contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+
+    val evalGrams = Ingest.table(spark, sf, "documents")
+      .filter(col("source") === "src0")
+      .select(explode(graft.ext.TextDedup.shingles(
+        split(col("text"), " "), 5)).as("g"))
+      .distinct()
+    val input = MemoryStream[(Long, String, String)](23, spark, None)
+    val stream = input.toDF().toDF("doc_id", "source", "text")
+    val q = StreamingCuration.decontamStream(stream, evalGrams)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_decontam").start()
+    try {
+      val train = Ingest.table(spark, sf, "documents")
+        .filter(col("source") =!= "src0")
+        .select("doc_id", "source", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      input.addData(train.take(train.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(train.drop(train.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_decontam")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchClean)
+    } finally q.stop()
+  }
+
   test("streaming sample admits exactly the batch predicate's selection") {
     val sf = "/root/testdata/sf0.001"
     val rates = Seq("en" -> "4000", "zh" -> "2000")
