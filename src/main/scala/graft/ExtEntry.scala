@@ -170,7 +170,17 @@ object ExtEntry {
 
     // benchmark-leakage guard: train docs sharing a 5-gram with the
     // held-out src0 split
-    "decontam_ngram" -> ((s, dir) => Curation.decontaminate(s, dir))
+    "decontam_ngram" -> ((s, dir) => Curation.decontaminate(s, dir)),
+
+    // Gopher-style repetition filter signals — scan-local array HOFs
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
+
+    // per-language corpus snapshot report
+    "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
+
+    // deterministic ~5%/~5%/~90% test/val/train split, reshard-stable
+    "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -659,6 +669,48 @@ object ExtEntry {
         |  COALESCE(h.n_hit, 0) AS n_hit_grams,
         |  COALESCE(h.n_hit, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin
+        |WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin,
+
+    // token-level Gopher repetition twin: bigram = w[i:i+1] (inclusive
+    // DuckDB slice = 2 tokens), trigram = w[i:i+2]; the mode count folds
+    // over the distinct list exactly like the Spark HOF chain
+    "text_repetition" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS n_tokens,
+        |    list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+        |      i -> array_to_string(w[i:i+1], ' ')) AS bg,
+        |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> array_to_string(w[i:i+2], ' ')) AS tg
+        |  FROM docs),
+        |m AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(CAST(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg), 6)
+        |      AS top_bigram_frac,
+        |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        |      AS dup_trigram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+        |  top_bigram_frac <= 0.06 AND dup_trigram_frac <= 0.02
+        |    AS keep_repetition
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "split_assign" ->
+      """SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS split_key,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -60,6 +60,25 @@ object Curation {
         sampleKey.as("sample_key"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test split assignment: the same md5 hex-key
+    * mechanism as [[samplePredicate]], carved into three disjoint ranges
+    * (`[0, testTh)` → test, `[testTh, valTh)` → val, rest → train). The
+    * assignment is a pure function of doc_id — stable across reshards,
+    * retries, and engine re-runs, which is the property that matters for
+    * a split: a document can never migrate between train and test when
+    * the corpus is repartitioned or incrementally extended. Scan-local
+    * projection, zero shuffles.
+    */
+  def splitAssign(spark: SparkSession, dir: String,
+                  testTh: String = "0ccc",
+                  valTh: String = "1999"): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), sampleKey.as("split_key"),
+        when(sampleKey < testTh, "test")
+          .when(sampleKey < valTh, "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Per-source quota cap (the common-crawl-style "at most N documents
     * per domain" operator): keep the first `n` docs of each source in
     * doc_id order.

@@ -83,6 +83,60 @@ object TextAnalysis {
         least(stopRatio * 10, lit(1.0)) * 0.5, 6).as("quality_score"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, token-level
+    * variant): the fraction of bigram occurrences taken by the single most
+    * frequent bigram, and the fraction of trigram occurrences that are
+    * repeats of an earlier trigram in the same document. High values mark
+    * boilerplate / degenerate generations.
+    *
+    * Everything is per-document array arithmetic over the token list —
+    * `transform`/`filter`/`array_distinct` higher-order functions inside
+    * one codegen'd projection. The quadratic distinct×occurrence count is
+    * bounded by document length (not corpus size), so at 100 TB the
+    * operator stays scan-bound with ZERO shuffles — repetition filtering
+    * never pays a groupBy.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = documents(spark, dir)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("bg", transform(
+        sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+      .withColumn("tg", transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(array_max(transform(array_distinct(col("bg")),
+          g => size(filter(col("bg"), x => x === g)))).cast("double") /
+          size(col("bg")), 6).as("top_bigram_frac"),
+        round((size(col("tg")) - size(array_distinct(col("tg"))))
+          .cast("double") / size(col("tg")), 6).as("dup_trigram_frac"))
+    metrics
+      .withColumn("keep_repetition",
+        col("top_bigram_frac") <= 0.06 && col("dup_trigram_frac") <= 0.02)
+  }
+
+  /** Per-language corpus report: document/token counts and the exact
+    * interpolated token-count percentiles — the summary a curation run
+    * emits per snapshot. One map-side-combined groupBy over 5 language
+    * keys (percentiles force a full-value collect per group, but the
+    * group count is the language count, not the corpus size).
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90_tokens"))
+      .orderBy(col("lang"))
+
   /** Vocabulary: token → frequency, top-k. The one genuinely shuffling
     * text op (groupBy token with map-side combine — classic wordcount).
     */

@@ -84,6 +84,51 @@ class CurationSpec extends SparkTestBase {
     assert(flagged > 0 && flagged < got.length)
   }
 
+  test("splitAssign is disjoint, exhaustive, and reshard-stable") {
+    val total = Ingest.table(spark, sf, "documents").count()
+    val s = Curation.splitAssign(spark, sf)
+    assert(s.count() == total) // exhaustive, one split per doc
+    val bySplit = s.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(bySplit.values.sum == total)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // train dominates (~90% by hex-range construction)
+    assert(bySplit("train") > total / 2)
+    // assignment is a pure row function: resharding cannot move a doc
+    val reshard = Curation.splitAssign(spark, sf)
+      .repartition(7).orderBy(col("doc_id"))
+    assert(s.exceptAll(reshard).isEmpty && reshard.exceptAll(s).isEmpty)
+  }
+
+  test("repetition flags a degenerate doc and keeps a diverse one") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val metrics = TextAnalysis.repetition(spark, sf).collect()
+    assert(metrics.length ==
+      Ingest.table(spark, sf, "documents").count())
+    metrics.foreach { r =>
+      val top = r.getAs[Double]("top_bigram_frac")
+      val dup = r.getAs[Double]("dup_trigram_frac")
+      assert(top > 0 && top <= 1.0 && dup >= 0 && dup < 1.0)
+      assert(r.getAs[Boolean]("keep_repetition") == (top <= 0.06 && dup <= 0.02))
+    }
+    // hand-built extremes through the same column pipeline
+    val probe = Seq(
+      0L -> ("spam spam spam spam spam spam spam spam spam spam"),
+      1L -> ("one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val w = split(col("text"), " ")
+    val bg = transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    val res = probe.select(col("doc_id"),
+      (array_max(transform(array_distinct(bg),
+        g => size(filter(bg, x => x === g)))).cast("double") / size(bg))
+        .as("top"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res(0L) == 1.0) // all bigrams identical
+    assert(res(1L) < 0.2)  // all bigrams distinct
+  }
+
   test("custom WordShingles matches the HOF formulation at n=5") {
     import spark.implicits._
     val df = Seq("a b c d e f g", "a b", "x", "a a a a a a").toDF("text")
