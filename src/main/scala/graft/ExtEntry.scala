@@ -180,7 +180,15 @@ object ExtEntry {
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
 
     // deterministic ~5%/~5%/~90% test/val/train split, reshard-stable
-    "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir))
+    "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
+
+    // int8-prefilter + exact-rescore ANN — the 4×-scan-reduction path
+    "ann_int8_topk" -> ((s, dir) =>
+      Similarity.int8RescoreTopK(s, dir, nQueries = 10, k = 5)),
+
+    // SemDeDup: centroid-blocked embedding dedup over trained IVF cells
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(s, dir, threshold = 0.4, nCentroids = 16))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -249,9 +257,13 @@ object ExtEntry {
     * keeping their previous centroid, then the
     * assign/probe/search pipeline over the trained centroids.
     */
-  private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
-                           k: Int, iters: Int, sampleMod: Int,
-                           sampleCap: Int): String = {
+  /** The IVF k-means training CTE chain (`samp` → `c0` → Lloyd iterations
+    * → `cents`), shared by [[ivfOracleSql]] and the `dedup_semantic`
+    * oracle. Mirrors [[graft.ext.Similarity.trainIvfCentroids]]
+    * digit-for-digit (micro-unit quantization; see that scaladoc).
+    */
+  private def ivfTrainCtes(nQueries: Int, nCentroids: Int, iters: Int,
+                           sampleMod: Int, sampleCap: Int): String = {
     val cosMicro = cosSql("(q[i] / 1000000.0)", "(cq[i] / 1000000.0)")
     val iterCtes = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
@@ -269,7 +281,7 @@ object ExtEntry {
     }.mkString(",\n")
     val quant =
       "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))"
-    s"""WITH samp AS (SELECT vec_id AS sid, $quant AS q
+    s"""samp AS (SELECT vec_id AS sid, $quant AS q
        |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0
        |    AND vec_id < ${nQueries.toLong + sampleCap.toLong * sampleMod}),
        |c0 AS (SELECT vec_id - $nQueries AS cent_id, $quant AS cq
@@ -277,7 +289,13 @@ object ExtEntry {
        |  WHERE vec_id >= $nQueries AND vec_id < ${nQueries + nCentroids}),
        |$iterCtes,
        |cents AS (SELECT cent_id, list_transform(cq, x -> x / 1000000.0) AS cemb
-       |  FROM c$iters),
+       |  FROM c$iters)""".stripMargin
+  }
+
+  private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
+                           k: Int, iters: Int, sampleMod: Int,
+                           sampleCap: Int): String = {
+    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
        |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id >= $nQueries),
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -711,6 +729,71 @@ object ExtEntry {
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'val'
         |       ELSE 'train' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors int8RescoreTopK: per-vector int8 quantization (the
+    // emb_quantize formula), exact-integer dot as the stage-1 score
+    // (de-quantized through the identical left-assoc IEEE sequence),
+    // top-20 pool per query, exact float rescore to top-5
+    "ann_int8_topk" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+         |  FROM embeddings),
+         |qn AS (SELECT vec_id, embedding, scale,
+         |    list_transform(embedding, v -> CASE WHEN scale = 0 THEN 0
+         |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5) END) AS qi,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM s),
+         |q AS (SELECT * FROM qn WHERE vec_id < 10),
+         |c AS (SELECT * FROM qn WHERE vec_id >= 10),
+         |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    q.embedding AS qe, c.embedding AS ce, q.nrm AS qnn, c.nrm AS cnn,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.qi[i] * c.qi[i])) * q.scale * c.scale / 16129.0
+         |      / (q.nrm * c.nrm) AS ascore
+         |  FROM q, c),
+         |pool AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 20),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+         |      / (qnn * cnn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // mirrors semanticDedup: trained cells over the WHOLE table
+    // (nQueries = 0), rank-capped membership, within-cell smaller-id
+    // neighbor at cos >= 0.4 drops the vector
+    "dedup_semantic" ->
+      s"""WITH ${ivfTrainCtes(nQueries = 0, nCentroids = 16, iters = 2,
+             sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
+         |v AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |assign AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("CAST(embedding[i] AS DOUBLE)", "cemb[i]")} DESC,
+         |    cent_id) AS rk
+         |  FROM v, cents),
+         |cells AS (SELECT vec_id, cent_id FROM assign WHERE rk = 1),
+         |grp AS (SELECT cent_id,
+         |    (array_agg(vec_id ORDER BY vec_id))[1:$cap] AS ids
+         |  FROM cells GROUP BY cent_id),
+         |pairs AS (SELECT a AS v1, b AS v2
+         |  FROM grp, UNNEST(ids) AS u1(a), UNNEST(ids) AS u2(b) WHERE a < b),
+         |drops AS (SELECT DISTINCT v2 AS vec_id FROM pairs
+         |  JOIN v e1 ON e1.vec_id = v1 JOIN v e2 ON e2.vec_id = v2
+         |  WHERE list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         |    / (e1.nrm * e2.nrm) >= 0.4),
+         |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
+         |  FROM cells c LEFT JOIN drops d USING (vec_id))
+         |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin
   )
 }

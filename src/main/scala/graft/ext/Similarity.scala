@@ -287,6 +287,119 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Quantized-prefilter ANN: rank candidates by the INT8 dot product
+    * (the [[quantizeInt8]] representation — 4× less data per scan line),
+    * keep the top `rescoreFactor`·k per query, then rescore exactly in
+    * float and emit the true top-k.
+    *
+    * This is the production shape for 100 TB embedding search: the
+    * first-pass scan reads only the int8 payload (a quarter of the
+    * float32 bytes; int8 dot products also SIMD-pack 4× denser), and the
+    * full-precision vectors are fetched for only `rescoreFactor·k`
+    * rows per query. The approximate score
+    * `intdot·scale_q·scale_c/127² / (‖q‖·‖c‖)` de-quantizes the same
+    * IEEE sequence in both engines, so ranking — and therefore the
+    * rescore pool — is deterministic; ties break toward the smaller
+    * candidate id at both stages.
+    */
+  def int8RescoreTopK(spark: SparkSession, dir: String, nQueries: Int,
+                      k: Int, rescoreFactor: Int = 4): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val scale = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    val quant = emb.select(col("vec_id"), col("embedding"),
+      quantizedInts(col("embedding")).as("qi"), scale.as("scale"),
+      norm(col("embedding")).as("nrm"))
+    val q = quant.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("qi").as("qqi"), col("scale").as("qscale"), col("nrm").as("qn"))
+    val c = quant.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("qi").as("cqi"), col("scale").as("cscale"), col("nrm").as("cn"))
+    // stage 1: int dot (exact integer sums in double), de-quantized score
+    val approx = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"), col("qe"), col("ce"),
+        col("qn"), col("cn"),
+        (dot(transform(col("qqi"), v => v.cast("double")),
+          transform(col("cqi"), v => v.cast("double"))) *
+          col("qscale") * col("cscale") /
+          lit(127.0 * 127.0) / (col("qn") * col("cn"))).as("ascore"))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid").asc)
+    val pool = approx.withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rescoreFactor * k)
+    // stage 2: exact float32 cosine over the small pool
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    pool
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the trained IVF centroids ([[trainIvfCentroids]],
+    * nQueries = 0 — train over a bounded sample of the whole table),
+    * assign every vector to its nearest centroid cell, and within each
+    * cell drop every vector that has a smaller-id neighbor with cosine ≥
+    * `threshold`. Emits one row per vector: (vec_id, cell, kept).
+    *
+    * Scale shape: blocking is GEOMETRY-driven (the fix for
+    * [[labelBlockedPairs]]' degenerate-block risk) — at 100 TB the
+    * centroid count grows with the corpus so expected cell size stays
+    * bounded, and the all-pairs step runs per cell. A degenerate cell
+    * (mass duplicates collapsing to one point) is additionally rank-capped
+    * at [[TextDedup.maxBucket]] members (sorted by vec_id, mirrored by the
+    * oracle) — beyond-cap members are conservatively kept, the same
+    * bounded-candidate tradeoff every LSH family op here makes.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
+                    nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
+                    sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val trained = trainIvfCentroids(emb, 0, nCentroids, iters, sampleMod,
+      sampleCap)
+    val cents = trained.zipWithIndex.toSeq
+      .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+      .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("en"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("cent_id").asc)
+    val cells = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("cemb")) / (col("en") * col("cn")))
+          .as("acos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val capped = cells.groupBy(col("cent_id"))
+      .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
+        TextDedup.maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(TextDedup.pairsOf(col("ids"))).as("p"))
+      .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
+    val drops = capped
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        norm(col("embedding")).as("n1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        norm(col("embedding")).as("n2")), Seq("v2"))
+      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
+        threshold)
+      .select(col("v2").as("vec_id")).distinct()
+    cells
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        not(coalesce(col("dropped"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * blocking column stands in for any coarse partitioner — at scale the
     * all-pairs join happens only within blocks).

@@ -237,6 +237,52 @@ class ExtSpec extends SparkTestBase {
     assert(loose.map(_.toSeq).toSeq == capped.map(_.toSeq).toSeq)
   }
 
+  test("int8-rescore ANN: exact recall when the pool covers k, 4x-smaller stage-1 payload") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quant = Similarity.int8RescoreTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the rescore stage re-ranks in full precision, so any overlap loss
+    // comes only from stage-1 pool misses; on this corpus the 4k pool
+    // recovers the exact answer
+    assert(quant == exact)
+    // rescore pool is genuinely bounded: with rescoreFactor=1 the output
+    // is the stage-1 top-k rescored — still k rows per query
+    val tight = Similarity.int8RescoreTopK(spark, dir, nQueries = 10, k = 5,
+      rescoreFactor = 1)
+    assert(tight.groupBy("qid").count().collect()
+      .forall(_.getAs[Long]("count") == 5))
+  }
+
+  test("semantic dedup: drops have a smaller-id cell neighbor above threshold") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val res = Similarity.semanticDedup(spark, dir, threshold = 0.4,
+      nCentroids = 16)
+    val rows = res.collect()
+    assert(rows.length ==
+      Similarity.embeddings(spark, dir).count())
+    val dropped = rows.filter(!_.getAs[Boolean]("kept"))
+    assert(dropped.nonEmpty && dropped.length < rows.length / 2)
+    // every dropped vector shares a cell with a smaller-id kept-or-dropped
+    // vector at cosine >= threshold (brute-force cross-check)
+    val cellOf = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val emb = Similarity.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    dropped.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val witness = cellOf.exists { case (u, c) =>
+        u < v && c == cellOf(v) && cos(emb(u), emb(v)) >= 0.4 }
+      assert(witness, s"vec $v dropped without a same-cell witness")
+    }
+  }
+
   test("custom MinHashChunks expression matches the HOF formulation") {
     import graft.ext.TextDedup
     val dir = "/root/testdata/sf0.001"
