@@ -188,7 +188,13 @@ object ExtEntry {
 
     // SemDeDup: centroid-blocked embedding dedup over trained IVF cells
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(s, dir, threshold = 0.4, nCentroids = 16))
+      Similarity.semanticDedup(s, dir, threshold = 0.4, nCentroids = 16)),
+
+    // sliding context-window chunking (HF stride convention)
+    "chunk_windows" -> ((s, dir) => TextAnalysis.chunkWindows(s, dir)),
+
+    // corpus packing layout via a distributed prefix sum
+    "pack_greedy" -> ((s, dir) => Curation.packGreedy(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -794,6 +800,35 @@ object ExtEntry {
          |    / (e1.nrm * e2.nrm) >= 0.4),
          |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
          |  FROM cells c LEFT JOIN drops d USING (vec_id))
-         |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin,
+
+    // chunk i covers w[i*48+1 : i*48+64] (inclusive DuckDB slice, clamped
+    // at the list end exactly like Spark's slice)
+    "chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |x AS (SELECT doc_id, w, (len(w) + 47) // 48 AS n_chunks FROM d),
+        |c AS (SELECT doc_id, i AS chunk_no, w
+        |  FROM x, UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS g(i))
+        |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        |  CAST(chunk_no * 48 + 1 AS BIGINT) AS start_tok,
+        |  CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // the oracle states the GLOBAL running sum declaratively; the engine
+    // must reproduce it through the block-and-rollup distributed form
+    "pack_greedy" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 256 AS first_bin,
+        |  (tok_offset + n_tokens - 1) // 256 AS last_bin
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

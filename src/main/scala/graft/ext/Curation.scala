@@ -109,6 +109,49 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Context-window packing: concatenate the corpus in doc_id order and
+    * cut at every `ctx` tokens — the standard pretraining "pack then
+    * chunk" layout. Emits each document's global token offset and the
+    * context-window range it lands in (`first_bin`/`last_bin` — a doc
+    * straddles a boundary when they differ).
+    *
+    * The running sum is the scale hazard: `sum() OVER (ORDER BY doc_id)`
+    * with no partition key is a single-reducer global sort. This
+    * implementation is the classic DISTRIBUTED prefix sum instead: docs
+    * are sliced into `doc_id div blockSize` blocks, each block computes
+    * its local running sum in parallel (shuffle on the block key), block
+    * TOTALS — one row per block — roll up through a tiny window, and the
+    * block offset joins back by block id. Identical result to the global
+    * window, but the wide table never passes through one node.
+    */
+  def packGreedy(spark: SparkSession, dir: String, ctx: Int = 256,
+                 blockSize: Long = 100L): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk"))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val local = docs.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // one row per block — the only data that crosses the tiny rollup
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val blockOff = docs.groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_off",
+        coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    local.join(broadcast(blockOff), Seq("blk"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("blk_off") + col("local_off")).as("tok_offset"),
+        ((col("blk_off") + col("local_off")) / ctx).cast("long")
+          .as("first_bin"),
+        ((col("blk_off") + col("local_off") + col("n_tokens") - 1) / ctx)
+          .cast("long").as("last_bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval decontamination: flag every training document (source ≠
     * `evalSource`) that shares at least one `n`-word shingle with the
     * held-out eval split — the standard benchmark-leakage guard run

@@ -148,6 +148,36 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Sliding token-window chunking — the "split documents into model
+    * context windows" step of a training-data pipeline. Chunk `i` covers
+    * tokens `[i·stride + 1, i·stride + window]` (1-based, last chunk may
+    * be shorter), i ranging over `⌈n/stride⌉` starts — exactly the
+    * HuggingFace `return_overflowing_tokens` stride convention.
+    *
+    * Pure per-row array arithmetic (sequence → slice) fanned out by one
+    * `explode`: scan-bound, zero shuffle, and the chunk payload is
+    * emitted as an md5 so the result stays narrow. At 100 TB chunking
+    * is embarrassingly parallel — this plan keeps it that way.
+    */
+  def chunkWindows(spark: SparkSession, dir: String, window: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    val w = tokens(col("text"))
+    documents(spark, dir)
+      .withColumn("w", w)
+      .withColumn("n_chunks",
+        ((size(col("w")) + lit(stride - 1)) / lit(stride)).cast("int"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        (col("chunk_no") * stride + 1).cast("long").as("start_tok"),
+        size(slice(col("w"), col("chunk_no") * stride + 1, lit(window)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("chunk_no") * stride + 1, lit(window)))
+          .cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum
     * 5-gram shingle hash (a 1-hash winnowing sketch) — both stable under
     * leading/trailing/duplicate whitespace.

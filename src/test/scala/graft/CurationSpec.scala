@@ -129,6 +129,58 @@ class CurationSpec extends SparkTestBase {
     assert(res(1L) < 0.2)  // all bigrams distinct
   }
 
+  test("packGreedy block prefix sum equals the global running sum at any block size") {
+    val global = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)),
+        lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        (col("tok_offset") / 256).cast("long").as("first_bin"),
+        ((col("tok_offset") + col("n_tokens") - 1) / 256).cast("long")
+          .as("last_bin"))
+    for (bs <- Seq(1L, 7L, 100L, 1000000L)) {
+      val packed = Curation.packGreedy(spark, sf, ctx = 256, blockSize = bs)
+      assert(packed.exceptAll(global).isEmpty &&
+        global.exceptAll(packed).isEmpty, s"blockSize=$bs")
+    }
+    // offsets tile the concatenated corpus exactly
+    val rows = Curation.packGreedy(spark, sf).orderBy("doc_id").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("tok_offset") + a.getAs[Long]("n_tokens") ==
+          b.getAs[Long]("tok_offset"))
+      case _ =>
+    }
+  }
+
+  test("chunkWindows covers every token with the stride convention") {
+    import graft.ext.TextAnalysis
+    val chunks = TextAnalysis.chunkWindows(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_no"))
+      assert(sorted.head.getAs[Long]("start_tok") == 1L)
+      // starts advance by the stride; every chunk is non-empty and the
+      // last one reaches the document end
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getAs[Long]("start_tok") -
+          a.getAs[Long]("start_tok") == 48L)
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_chunk_tokens") - 1
+        == lens(doc))
+      sorted.foreach(r => assert(r.getAs[Long]("n_chunk_tokens") > 0))
+    }
+  }
+
   test("custom WordShingles matches the HOF formulation at n=5") {
     import spark.implicits._
     val df = Seq("a b c d e f g", "a b", "x", "a a a a a a").toDF("text")
