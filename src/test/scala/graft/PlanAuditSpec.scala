@@ -97,6 +97,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("scan-local text ops shuffle only for the output sort") {
+    // repetition metrics, split assignment, and window chunking all claim
+    // zero data shuffles — one exchange = the final ORDER BY
+    Seq("text_repetition", "split_assign", "chunk_windows").foreach { q =>
+      val p = executedPlan(q)
+      val finalPlan = p.split("== Initial Plan ==").head
+      val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(finalPlan).size
+      assert(exchanges == 1, s"$q: expected only the sort exchange, got $exchanges\n$p")
+    }
+  }
+
+  test("pack_greedy rolls blocks up via broadcast, full table never hits one reducer") {
+    val p = executedPlan("pack_greedy")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    // the only SinglePartition exchange feeds the tiny block rollup —
+    // the full-width docs frame must flow through hash partitioning
+    val singleParts = "Exchange SinglePartition".r.findAllIn(finalPlan).size
+    assert(singleParts <= 1, s"expected at most the block-rollup single partition\n$p")
+    assert("Exchange hashpartitioning\\(blk".r.findFirstIn(finalPlan).isDefined, p)
+  }
+
+  test("semantic dedup joins stay hash/broadcast except the centroid crossjoin") {
+    val p = executedPlan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("projection query prunes the scan to the referenced columns") {
     val df = SparkEntry.queries("filter_notin")(spark, sf)
     df.collect()
