@@ -306,31 +306,43 @@ object Similarity {
                       k: Int, rescoreFactor: Int = 4): DataFrame = {
     val emb = embeddings(spark, dir)
     val scale = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    // the int→double cast happens HERE, once per vector — inside the
+    // pair loop it would re-run per (query, candidate) pair
     val quant = emb.select(col("vec_id"), col("embedding"),
-      quantizedInts(col("embedding")).as("qi"), scale.as("scale"),
-      norm(col("embedding")).as("nrm"))
+      transform(quantizedInts(col("embedding")), v => v.cast("double"))
+        .as("qi"),
+      scale.as("scale"), norm(col("embedding")).as("nrm"))
     val q = quant.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      .select(col("vec_id").as("qid"),
         col("qi").as("qqi"), col("scale").as("qscale"), col("nrm").as("qn"))
     val c = quant.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      .select(col("vec_id").as("cid"),
         col("qi").as("cqi"), col("scale").as("cscale"), col("nrm").as("cn"))
-    // stage 1: int dot (exact integer sums in double), de-quantized score
+    // stage 1: int dot (exact integer sums in double), de-quantized score.
+    // Only (qid, cid, ascore) flows into the ranking shuffle — the float
+    // payload is NOT carried; at 100 TB stage 1 reads the int8 table only
     val approx = c.crossJoin(broadcast(q))
-      .select(col("qid"), col("cid"), col("qe"), col("ce"),
-        col("qn"), col("cn"),
-        (dot(transform(col("qqi"), v => v.cast("double")),
-          transform(col("cqi"), v => v.cast("double"))) *
+      .select(col("qid"), col("cid"),
+        (dot(col("qqi"), col("cqi")) *
           col("qscale") * col("cscale") /
           lit(127.0 * 127.0) / (col("qn") * col("cn"))).as("ascore"))
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid").asc)
     val pool = approx.withColumn("ark", row_number().over(wApprox))
       .filter(col("ark") <= rescoreFactor * k)
-    // stage 2: exact float32 cosine over the small pool
+      .select(col("qid"), col("cid"))
+    // stage 2: fetch full-precision vectors for ONLY the pool rows
+    // (rescoreFactor·k per query) and rescore in exact float32 cosine
+    val qf = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val cf = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    pool
+    cf.join(broadcast(pool), Seq("cid"))
+      .join(broadcast(qf), Seq("qid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rank", row_number().over(wExact))
