@@ -478,6 +478,18 @@ object SparkEntry {
         .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
         .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)),
 
+    // explicit grouping sets: (type) and (cohort) marginals WITHOUT the
+    // grand total or cross cells — the shape rollup/cube cannot state;
+    // still one Expand + single-pass hash-agg
+    "agg_grouping_sets" -> ((s, dir) =>
+      silverBase(s, dir)
+        .withColumn("cohort", (col("user_id") % 10).cast("long"))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("cohort"))),
+          col("event_type"), col("cohort"))
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("cohort").asc_nulls_first)),
+
     // pivot: event_type values widened to columns (explicit value list, so
     // no extra distinct-collect pass) — one hash-agg, conditional branches
     "agg_pivot" -> ((s, dir) =>
@@ -1223,6 +1235,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM events GROUP BY CUBE(event_type, cohort)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS BIGINT)))
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
 
     "agg_pivot" ->

@@ -160,9 +160,14 @@ object TextAnalysis {
     * is embarrassingly parallel — this plan keeps it that way.
     */
   def chunkWindows(spark: SparkSession, dir: String, window: Int = 64,
-                   stride: Int = 48): DataFrame = {
+                   stride: Int = 48): DataFrame =
+    chunkWindowsOf(documents(spark, dir), window, stride)
+
+  /** [[chunkWindows]] over any (doc_id, text) frame. */
+  private[graft] def chunkWindowsOf(docs: DataFrame, window: Int,
+                                    stride: Int): DataFrame = {
     val w = tokens(col("text"))
-    documents(spark, dir)
+    docs
       .withColumn("w", w)
       .withColumn("n_chunks",
         ((size(col("w")) + lit(stride - 1)) / lit(stride)).cast("int"))

@@ -181,6 +181,34 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("chunkWindows matches the reference chunk math on random lengths") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    // random doc lengths incl. the boundary cases around window/stride
+    val lens = Seq(1, 2, 47, 48, 49, 63, 64, 65, 95, 96, 97) ++
+      Seq.fill(40)(1 + rnd.nextInt(300))
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    for ((window, stride) <- Seq((64, 48), (10, 10), (5, 3))) {
+      val got = TextAnalysis.chunkWindowsOf(docs, window, stride)
+        .select("doc_id", "chunk_no", "start_tok", "n_chunk_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = lens.zipWithIndex.flatMap { case (n, i) =>
+        val nChunks = (n + stride - 1) / stride
+        (0 until nChunks).map { c =>
+          val start = c * stride + 1
+          (i.toLong, c.toLong, start.toLong,
+            math.min(window, n - start + 1).toLong)
+        }
+      }.toSet
+      assert(got == want, s"window=$window stride=$stride")
+    }
+  }
+
   test("custom WordShingles matches the HOF formulation at n=5") {
     import spark.implicits._
     val df = Seq("a b c d e f g", "a b", "x", "a a a a a a").toDF("text")
