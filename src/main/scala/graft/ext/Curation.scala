@@ -69,14 +69,21 @@ object Curation {
     * the corpus is repartitioned or incrementally extended. Scan-local
     * projection, zero shuffles.
     */
+  /** The split decision column — shared verbatim by the batch query and
+    * the streaming twin ([[graft.streaming.StreamingCuration.splitStream]]).
+    */
+  def splitColumn(testTh: String = "0ccc",
+                  valTh: String = "1999"): org.apache.spark.sql.Column =
+    when(sampleKey < testTh, "test")
+      .when(sampleKey < valTh, "val")
+      .otherwise("train")
+
   def splitAssign(spark: SparkSession, dir: String,
                   testTh: String = "0ccc",
                   valTh: String = "1999"): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), sampleKey.as("split_key"),
-        when(sampleKey < testTh, "test")
-          .when(sampleKey < valTh, "val")
-          .otherwise("train").as("split"))
+        splitColumn(testTh, valTh).as("split"))
       .orderBy(col("doc_id"))
 
   /** Per-source quota cap (the common-crawl-style "at most N documents

@@ -162,8 +162,12 @@ object TextAnalysis {
   def chunkWindows(spark: SparkSession, dir: String, window: Int = 64,
                    stride: Int = 48): DataFrame =
     chunkWindowsOf(documents(spark, dir), window, stride)
+      .orderBy(col("doc_id"), col("chunk_no"))
 
-  /** [[chunkWindows]] over any (doc_id, text) frame. */
+  /** [[chunkWindows]] over any (doc_id, text) frame — sort-free, so it
+    * applies to a STREAMING frame verbatim (stateless projection +
+    * explode; see [[graft.streaming.StreamingCuration.chunkStream]]).
+    */
   private[graft] def chunkWindowsOf(docs: DataFrame, window: Int,
                                     stride: Int): DataFrame = {
     val w = tokens(col("text"))
@@ -180,7 +184,6 @@ object TextAnalysis {
         md5(concat_ws(" ",
           slice(col("w"), col("chunk_no") * stride + 1, lit(window)))
           .cast("binary")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_no"))
   }
 
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum

@@ -68,6 +68,41 @@ object StreamingCuration {
                    defaultTh: String): DataFrame =
     docs.filter(Curation.samplePredicate(rates, defaultTh))
 
+  /** Document stream → the same train/val/test assignment as the batch
+    * [[graft.ext.Curation.splitAssign]]: the split column is a pure
+    * function of doc_id, so a document admitted on the stream lands in
+    * the SAME split a later backfill would give it — no state, no
+    * shuffle, no possibility of train/test migration between the two
+    * ingestion paths.
+    */
+  def splitStream(docs: DataFrame, testTh: String = "0ccc",
+                  valTh: String = "1999"): DataFrame =
+    docs.withColumn("split", Curation.splitColumn(testTh, valTh))
+
+  /** Document stream → context-window chunks, at ingest: the batch
+    * chunker ([[graft.ext.TextAnalysis.chunkWindowsOf]]) is a stateless
+    * projection + explode, so it applies to a streaming frame verbatim —
+    * chunk identity (start/len/md5) is a pure function of the document,
+    * identical in backfill and stream.
+    */
+  def chunkStream(docs: DataFrame, window: Int = 64,
+                  stride: Int = 48): DataFrame =
+    graft.ext.TextAnalysis.chunkWindowsOf(docs, window, stride)
+
+  /** Running per-language corpus counters (docs, tokens) in update mode —
+    * the live-monitoring twin of the batch `corpus_stats` report (counts
+    * only: exact percentiles need the full value set and stay batch).
+    * Spark's streaming aggregation state handles the incremental fold;
+    * the shuffle key is the language — bounded cardinality, so state
+    * stays tiny at any corpus rate.
+    */
+  def statsStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
   /** Ingest-time decontamination: drop any arriving document that shares
     * an `n`-word shingle with the (static, small) eval split — the
     * stream-static twin of [[graft.ext.Curation.decontaminate]]. The eval

@@ -97,4 +97,81 @@ class StreamingCurationSpec extends SparkTestBase {
       assert(streamKept == batchKept)
     } finally q.stop()
   }
+
+  test("streaming split assignment matches the batch split exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = Curation.splitAssign(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+
+    val input = MemoryStream[(Long, String)](24, spark, None)
+    val q = StreamingCuration.splitStream(
+        input.toDF().toDF("doc_id", "lang"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_split").start()
+    try {
+      val all = Ingest.table(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(all.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_split")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming chunker emits exactly the batch chunk set") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ext.TextAnalysis.chunkWindows(spark, sf)
+      .select("doc_id", "chunk_no", "chunk_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val input = MemoryStream[(Long, String)](25, spark, None)
+    val q = StreamingCuration.chunkStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_chunks").start()
+    try {
+      val all = Ingest.table(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(all.take(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(all.drop(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_chunks")
+        .select("doc_id", "chunk_no", "chunk_md5")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming corpus counters converge to the batch counts") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = Ingest.table(spark, sf, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val input = MemoryStream[(Long, String, String)](26, spark, None)
+    val q = StreamingCuration.statsStream(
+        input.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_stats").start()
+    try {
+      val all = Ingest.table(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      input.addData(all.take(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(all.drop(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_stats")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
