@@ -194,7 +194,12 @@ object ExtEntry {
     "chunk_windows" -> ((s, dir) => TextAnalysis.chunkWindows(s, dir)),
 
     // corpus packing layout via a distributed prefix sum
-    "pack_greedy" -> ((s, dir) => Curation.packGreedy(s, dir))
+    "pack_greedy" -> ((s, dir) => Curation.packGreedy(s, dir)),
+
+    // LSH candidates verified by exact edit distance (typo-level dups)
+    "dedup_editdist" -> ((s, dir) =>
+      TextDedup.editDistPairs(s, dir, maxDist = 16)
+        .orderBy(col("d1"), col("d2")))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -814,6 +819,15 @@ object ExtEntry {
         |  CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "dedup_editdist" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT d1, d2, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         |FROM cand JOIN documents a ON a.doc_id = d1
+         |JOIN documents b ON b.doc_id = d2
+         |WHERE levenshtein(a.text, b.text) <= 16
+         |ORDER BY d1, d2""".stripMargin,
 
     // the oracle states the GLOBAL running sum declaratively; the engine
     // must reproduce it through the block-and-rollup distributed form

@@ -179,6 +179,26 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified fuzzy duplicate pairs: the MinHash-LSH
+    * candidate set ([[candidatePairs]] — same bucketed generation, same
+    * cap) verified by `levenshtein(text1, text2) <= maxDist` instead of
+    * shingle Jaccard. Edit distance catches small in-place mutations
+    * (typo-level divergence) that shingle overlap scores leniently, at
+    * O(len²) per pair — affordable exactly BECAUSE the LSH stage bounds
+    * the pair count; never run it all-pairs. Both engines implement the
+    * classic integer DP, so the distance is exact and hash-stable.
+    */
+  def editDistPairs(spark: SparkSession, dir: String,
+                    maxDist: Int): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    candidatePairs(spark, dir)
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Exact dedup over text: one group per md5(text) with the surviving
     * (minimum) doc_id and the copy count. Single map-side-combined shuffle.
     */
