@@ -199,7 +199,18 @@ object ExtEntry {
     // LSH candidates verified by exact edit distance (typo-level dups)
     "dedup_editdist" -> ((s, dir) =>
       TextDedup.editDistPairs(s, dir, maxDist = 16)
-        .orderBy(col("d1"), col("d2")))
+        .orderBy(col("d1"), col("d2"))),
+
+    // the full mapPartitions decode pipeline, oracle-checked on its
+    // SQL-reproducible outputs (mean byte = exact rational, frame count);
+    // the wrapping-multiply checksum stays unit-tested (ExtSpec) — DuckDB
+    // BIGINT overflow traps instead of wrapping
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, dir).toDF()
+        .select(col("media_id").as("doc_id"), col("kind"),
+          col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
+          col("frames").cast("long").as("frames"))
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -819,6 +830,21 @@ object ExtEntry {
         |  CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // ASCII corpus (asserted in ExtSpec): bytes == characters, so the
+    // byte-mean is the mean of ord() over the chars — exact integer sum,
+    // one IEEE divide, identical in both engines
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |      i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text) AS mb
+        |  FROM documents)
+        |SELECT doc_id, kind, n_bytes, round(mb, 6) AS mean_byte,
+        |  CAST(CASE kind WHEN 'video' THEN n_bytes // 64 + 1
+        |    WHEN 'audio' THEN n_bytes // 16 + 1 ELSE 1 END AS BIGINT) AS frames
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "dedup_editdist" ->
       s"""WITH $shinglesCte,

@@ -478,6 +478,23 @@ object SparkEntry {
         .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
         .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)),
 
+    // distribution window family: percent_rank / cume_dist / lead over a
+    // TOTAL order (value, then user_id) so the rational rank fractions
+    // are engine-exact; same single sort-per-partition as window_rank
+    "window_dist" -> ((s, dir) => {
+      val totals = Ingest.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("total_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("total_value").asc, col("user_id").asc)
+      totals.select(col("event_type"), col("user_id"), col("total_value"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"),
+          lead(col("total_value"), 1).over(w).as("next_total"))
+        .orderBy(col("event_type"), col("total_value"), col("user_id"))
+    }),
+
     // explicit grouping sets: (type) and (cohort) marginals WITHOUT the
     // grand total or cross cells — the shape rollup/cube cannot state;
     // still one Expand + single-pass hash-agg
@@ -1236,6 +1253,21 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY CUBE(event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+
+    "window_dist" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, user_id, total_value,
+        |  round(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY total_value, user_id), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY event_type
+        |    ORDER BY total_value, user_id), 6) AS cum_dist,
+        |  lead(total_value, 1) OVER (PARTITION BY event_type
+        |    ORDER BY total_value, user_id) AS next_total
+        |FROM totals
+        |ORDER BY event_type, total_value, user_id""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
