@@ -201,6 +201,11 @@ object ExtEntry {
       TextDedup.editDistPairs(s, dir, maxDist = 16)
         .orderBy(col("d1"), col("d2"))),
 
+    // asymmetric containment: doc-inside-doc dups Jaccard under-scores
+    "dedup_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(s, dir, threshold = 0.7)
+        .orderBy(col("d1"), col("d2"))),
+
     // the full mapPartitions decode pipeline, oracle-checked on its
     // SQL-reproducible outputs (mean byte = exact rational, frame count);
     // the wrapping-multiply checksum stays unit-tested (ExtSpec) — DuckDB
@@ -845,6 +850,23 @@ object ExtEntry {
         |  CAST(CASE kind WHEN 'video' THEN n_bytes // 64 + 1
         |    WHEN 'audio' THEN n_bytes // 16 + 1 ELSE 1 END AS BIGINT) AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT d1, d2,
+         |  greatest(
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(s1.shingles),
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(s2.shingles)) AS containment
+         |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |WHERE greatest(
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(s1.shingles),
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(s2.shingles)) >= 0.7
+         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_editdist" ->
       s"""WITH $shinglesCte,

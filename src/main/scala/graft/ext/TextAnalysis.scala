@@ -120,8 +120,16 @@ object TextAnalysis {
   /** Per-language corpus report: document/token counts and the exact
     * interpolated token-count percentiles — the summary a curation run
     * emits per snapshot. One map-side-combined groupBy over 5 language
-    * keys (percentiles force a full-value collect per group, but the
-    * group count is the language count, not the corpus size).
+    * keys; counts and sums combine map-side.
+    *
+    * Scale note: `percentile` is EXACT and therefore buffers each
+    * group's full value set on its reducer — per-language groups at
+    * 100 TB hold billions of values, so the production swap is
+    * `approx_percentile` (a bounded t-digest-style sketch that combines
+    * map-side like the counts; `agg_approx_percentile` demonstrates the
+    * sketch with an in-SQL error-bound check). The exact form is kept
+    * here because the ORACLE needs digit-exact output; only this column
+    * choice, not the plan shape, changes at scale.
     */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)

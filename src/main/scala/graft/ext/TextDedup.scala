@@ -179,6 +179,30 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment-verified near-dup pairs: candidates from the same
+    * MinHash-LSH bands, verified by ASYMMETRIC shingle containment
+    * `max(|∩|/|s1|, |∩|/|s2|)` instead of symmetric Jaccard. Containment
+    * catches the doc-inside-doc family (quoted articles, boilerplate
+    * wrappers, truncated copies) that Jaccard under-scores when the
+    * containing document is much longer — the standard complement to
+    * [[nearDupPairs]] in a curation pass. Exact small-integer rationals;
+    * same bounded-candidate plan shape.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    candidatePairsFromBands(bands(signaturesOf(sh)), maxBucket)
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        greatest(
+          size(array_intersect(col("s1"), col("s2"))).cast("double") /
+            size(col("s1")),
+          size(array_intersect(col("s1"), col("s2"))).cast("double") /
+            size(col("s2"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Edit-distance-verified fuzzy duplicate pairs: the MinHash-LSH
     * candidate set ([[candidatePairs]] — same bucketed generation, same
     * cap) verified by `levenshtein(text1, text2) <= maxDist` instead of
