@@ -218,9 +218,16 @@ object TextDedup {
     candidatePairs(spark, dir)
       .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+      // two exact DP-skippers: a length gap > maxDist already implies
+      // distance > maxDist (each unmatched char costs ≥1), and the
+      // 3-arg thresholded levenshtein runs the banded O(n·maxDist) DP,
+      // returning -1 the moment the band exceeds the threshold — so the
+      // quadratic DP never runs on a hopeless candidate
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
       .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("t1"), col("t2"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") =!= -1L)
   }
 
   /** Exact dedup over text: one group per md5(text) with the surviving
