@@ -15,6 +15,13 @@ class EntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("every query is oracle-checked (no weaker rows-only entries)") {
+    // the driver records a weaker rows-only check for queries without
+    // oracle SQL; this repo's bar is an oracle for EVERY query
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracle SQL: $unchecked")
+  }
+
   test("all queries execute and are non-degenerate on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     // serve_page is legitimately empty at sf0.001 (only 15 groups < offset)
