@@ -283,6 +283,22 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("containment dominates jaccard and catches length-skewed dups") {
+    import graft.ext.TextDedup
+    val dir = "/root/testdata/sf0.001"
+    // for any pair, max-containment >= jaccard (|∩|/min(|a|,|b|) >= |∩|/|a∪b|)
+    val j = TextDedup.nearDupPairs(spark, dir, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = TextDedup.containmentPairs(spark, dir, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.keySet == j.keySet) // same candidate set at threshold 0
+    c.foreach { case (k, cont) =>
+      assert(cont >= j(k) - 1e-12, s"pair $k: containment $cont < jaccard ${j(k)}")
+    }
+    // the verified sets at the registered thresholds are non-degenerate
+    assert(TextDedup.containmentPairs(spark, dir, 0.7).count() > 0)
+  }
+
   test("custom MinHashChunks expression matches the HOF formulation") {
     import graft.ext.TextDedup
     val dir = "/root/testdata/sf0.001"
