@@ -201,6 +201,11 @@ object ExtEntry {
       TextDedup.editDistPairs(s, dir, maxDist = 16)
         .orderBy(col("d1"), col("d2"))),
 
+    // BM25-shaped retrieval (ratio idf — see relevanceTopK scaladoc)
+    "text_relevance" -> ((s, dir) =>
+      TextAnalysis.relevanceTopK(s, dir,
+        terms = Seq("spark", "table", "stream"), k = 20)),
+
     // asymmetric containment: doc-inside-doc dups Jaccard under-scores
     "dedup_containment" -> ((s, dir) =>
       TextDedup.containmentPairs(s, dir, threshold = 0.7)
@@ -850,6 +855,9 @@ object ExtEntry {
         |  CAST(CASE kind WHEN 'video' THEN n_bytes // 64 + 1
         |    WHEN 'audio' THEN n_bytes // 16 + 1 ELSE 1 END AS BIGINT) AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_relevance" ->
+      TextAnalysis.relevanceOracleSql(Seq("spark", "table", "stream"), 20),
 
     "dedup_containment" ->
       s"""WITH $shinglesCte,

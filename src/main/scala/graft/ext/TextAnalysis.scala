@@ -156,6 +156,96 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** BM25-shaped query relevance over the corpus — term-frequency
+    * saturation and document-length normalization exactly as BM25
+    * (k1 = 1.2, b = 0.75), with ONE documented deviation: the idf factor
+    * is the raw Robertson ratio `(N - df + 0.5)/(df + 0.5)` WITHOUT the
+    * log. The log is monotone, so per-term ordering is unchanged, and
+    * dropping it keeps every arithmetic step rational-or-IEEE-identical
+    * in both engines (`ln` has no cross-engine bit guarantee, and this
+    * registry's bar is hash-exact oracles). Rankings differ from true
+    * BM25 only in how multi-term scores mix.
+    *
+    * Scale shape: one scan computes per-doc tf columns (array HOFs); the
+    * corpus-level stats (N, avgdl, per-term df) reduce to ONE row that
+    * broadcasts back — so scoring is scan → tiny agg → scan-local
+    * arithmetic, and the only full shuffle is the final top-k, which
+    * TakeOrderedAndProject bounds at k rows per partition.
+    */
+  def relevanceTopK(spark: SparkSession, dir: String, terms: Seq[String],
+                    k: Int): DataFrame = {
+    val k1 = 1.2; val b = 0.75; val kPlus1 = k1 + 1.0
+    val docs = documents(spark, dir)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("dl", size(col("w")).cast("double"))
+      .select(col("doc_id") +: col("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("w"), x => x === t)).cast("double").as(s"tf$i")
+        }: _*)
+    val aggCols = Seq(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
+          .as(s"df$i"))
+    val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+    val addends = terms.indices.map { i =>
+      val idf = (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      val den = col(s"tf$i") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+      idf * (col(s"tf$i") * lit(kPlus1)) / den
+    }
+    // top-k FIRST via TakeOrderedAndProject (k rows per partition, k-way
+    // merge — never a full-corpus sort on one reducer); the rank window
+    // then runs over only k rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("score", addends.reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** The DuckDB twin of [[relevanceTopK]], interpolating the SAME Scala
+    * double constants (shortest-roundtrip printing parses back to the
+    * identical double in DuckDB) so both engines run the same IEEE
+    * sequence.
+    */
+  def relevanceOracleSql(terms: Seq[String], k: Int): String = {
+    val k1 = 1.2; val b = 0.75; val kPlus1 = k1 + 1.0
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n    ")
+    val addends = terms.indices.map { i =>
+      s"""(n - df$i + 0.5) / (df$i + 0.5) * (tf$i * $kPlus1) /
+         |    (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))""".stripMargin
+    }.mkString(" +\n    ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |t AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM d),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfCols
+       |  FROM t),
+       |sc AS (SELECT doc_id,
+       |    $addends AS score
+       |  FROM t, s),
+       |rk AS (SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc WHERE score > 0)
+       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** Sliding token-window chunking — the "split documents into model
     * context windows" step of a training-data pipeline. Chunk `i` covers
     * tokens `[i·stride + 1, i·stride + window]` (1-based, last chunk may
