@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("top-k queries end in TakeOrderedAndProject, not a global sort") {
-    Seq("serve_topk", "tpch_q3", "tpch_q10", "tpch_q18", "tpch_q21").foreach { q =>
+    Seq("serve_topk", "tpch_q3", "tpch_q10", "tpch_q18", "tpch_q21",
+      "text_relevance").foreach { q =>
       assert(executedPlan(q).contains("TakeOrderedAndProject"), q)
     }
   }
