@@ -201,6 +201,11 @@ object ExtEntry {
       TextDedup.editDistPairs(s, dir, maxDist = 16)
         .orderBy(col("d1"), col("d2"))),
 
+    // measure → emit the sample_stratified thresholds, inside the engine
+    "mixture_weights" -> ((s, dir) =>
+      Curation.mixtureWeights(s, dir, Seq("en" -> 0.125, "de" -> 0.25,
+        "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.125))),
+
     // BM25-shaped retrieval (ratio idf — see relevanceTopK scaladoc)
     "text_relevance" -> ((s, dir) =>
       TextAnalysis.relevanceTopK(s, dir,
@@ -858,6 +863,29 @@ object ExtEntry {
 
     "text_relevance" ->
       TextAnalysis.relevanceOracleSql(Seq("spark", "table", "stream"), 20),
+
+    "mixture_weights" ->
+      """WITH p AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM p),
+        |m AS (SELECT lang, lang_tokens, total_tokens,
+        |    CAST(CASE lang WHEN 'en' THEN 0.125 WHEN 'de' THEN 0.25
+        |      WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.25
+        |      WHEN 'zh' THEN 0.125 ELSE 0.0 END AS DOUBLE) AS target_share,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      CAST(CASE lang WHEN 'en' THEN 0.125 WHEN 'de' THEN 0.25
+        |      WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.25
+        |      WHEN 'zh' THEN 0.125 ELSE 0.0 END AS DOUBLE)
+        |      * total_tokens / lang_tokens) AS rate
+        |  FROM p, t)
+        |SELECT lang, lang_tokens,
+        |  CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
+        |  target_share, round(rate, 6) AS sample_rate,
+        |  CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |    ELSE lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))), 4, '0')
+        |  END AS sample_threshold
+        |FROM m ORDER BY lang""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $shinglesCte,

@@ -116,6 +116,41 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Data-mixture rebalancing: given target language shares, compute the
+    * per-language sampling RATE that moves the corpus toward the target
+    * (`rate = min(1, target·total/actual)` — down-sample the
+    * over-represented, keep the rest whole), plus the 4-hex md5 threshold
+    * that FEEDS [[samplePredicate]] — so the output of this report is
+    * directly the `rates` input of [[stratifiedSample]]: measure, emit
+    * thresholds, sample, all inside the engine. A rate ≥ 1 emits
+    * threshold "zzzz" (lexicographically above every hex key = admit
+    * all). One tiny groupBy on language; everything else is one-row
+    * arithmetic.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String,
+                     targets: Seq[(String, Double)]): DataFrame = {
+    val target = targets.foldLeft(lit(0.0)) { case (acc, (l, s)) =>
+      when(col("lang") === l, lit(s)).otherwise(acc)
+    }
+    val perLang = documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+    val total = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
+    val rate = least(lit(1.0),
+      target * col("total_tokens") / col("lang_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("lang_tokens"),
+        (col("lang_tokens").cast("double") / col("total_tokens"))
+          .as("actual_share"),
+        target.as("target_share"),
+        round(rate, 6).as("sample_rate"),
+        when(rate >= 1.0, lit("zzzz"))
+          .otherwise(lpad(lower(hex(floor(rate * 65536.0))), 4, "0"))
+          .as("sample_threshold"))
+      .orderBy(col("lang"))
+  }
+
   /** Context-window packing: concatenate the corpus in doc_id order and
     * cut at every `ctx` tokens — the standard pretraining "pack then
     * chunk" layout. Emits each document's global token offset and the

@@ -209,6 +209,30 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("mixture weights close the loop: emitted thresholds rebalance the sample") {
+    val targets = Seq("en" -> 0.125, "de" -> 0.25, "es" -> 0.25,
+      "fr" -> 0.25, "zh" -> 0.125)
+    val w = Curation.mixtureWeights(spark, sf, targets).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("sample_rate"), r.getAs[String]("sample_threshold"))).toMap
+    // over-represented langs are down-weighted, under-represented kept whole
+    assert(w("en")._1 < 1.0 && w("en")._2 != "zzzz")
+    assert(w("de")._1 == 1.0 && w("de")._2 == "zzzz")
+    // feed the emitted thresholds straight into the sampler
+    val rates = w.toSeq.map { case (l, (_, th)) => l -> th }
+    val sampled = Curation.stratifiedSample(spark, sf, rates, "zzzz")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val before = Ingest.table(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // whole-kept languages survive intact; down-weighted language shrinks
+    // by roughly its rate (Bernoulli on ~180 docs — generous tolerance)
+    assert(sampled("de") == before("de"))
+    val enRate = sampled("en").toDouble / before("en")
+    assert(enRate < 0.6, s"en kept rate $enRate, expected ~${w("en")._1}")
+  }
+
   test("custom WordShingles matches the HOF formulation at n=5") {
     import spark.implicits._
     val df = Seq("a b c d e f g", "a b", "x", "a a a a a a").toDF("text")
