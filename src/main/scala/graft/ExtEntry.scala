@@ -201,6 +201,13 @@ object ExtEntry {
       TextDedup.editDistPairs(s, dir, maxDist = 16)
         .orderBy(col("d1"), col("d2"))),
 
+    // the all-scan-local quality gate: repetition keep × composite
+    // quality score × language-ID agreement — one pass, zero shuffles
+    // before the output sort (contrast pipeline_curate, whose dedup
+    // gates need joins); the gate set a filter stage runs BEFORE any
+    // expensive dedup at 100 TB
+    "pipeline_quality" -> ((s, dir) => TextAnalysis.qualityGate(s, dir)),
+
     // measure → emit the sample_stratified thresholds, inside the engine
     "mixture_weights" -> ((s, dir) =>
       Curation.mixtureWeights(s, dir, Seq("en" -> 0.125, "de" -> 0.25,
@@ -863,6 +870,50 @@ object ExtEntry {
 
     "text_relevance" ->
       TextAnalysis.relevanceOracleSql(Seq("spark", "table", "stream"), 20),
+
+    // one-pass gate: the repetition, quality-score, and langid formulas
+    // verbatim from their standalone oracles, conjoined
+    "pipeline_quality" ->
+      """WITH dicts AS (SELECT
+        |  ['the','a','of','and','to','in','is','it','you','that'] AS en,
+        |  ['der','die','das','und','ist','nicht','mit','ein','ich','zu'] AS de,
+        |  ['el','la','que','y','en','un','por','con','los','se'] AS es,
+        |  ['le','la','et','les','des','en','un','une','que','dans'] AS fr),
+        |g AS (SELECT doc_id, lang, text,
+        |    string_split(text, ' ') AS w,
+        |    string_split(lower(text), ' ') AS wl
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang, text, wl,
+        |    list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+        |      i -> array_to_string(w[i:i+1], ' ')) AS bg,
+        |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> array_to_string(w[i:i+2], ' ')) AS tg
+        |  FROM g),
+        |r AS (SELECT doc_id, lang, text, wl,
+        |    round(CAST(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg), 6)
+        |      AS top_bigram_frac,
+        |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        |      AS dup_trigram_frac
+        |  FROM m),
+        |q AS (SELECT doc_id, lang, top_bigram_frac, dup_trigram_frac,
+        |    round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |        / length(text)) * 0.5 +
+        |      least(CAST(len(list_filter(wl, x -> list_contains(en, x))) AS DOUBLE)
+        |        / len(wl) * 10, 1.0) * 0.5, 6) AS quality_score,
+        |    CAST(len(list_filter(wl, x -> list_contains(en, x))) AS DOUBLE) / len(wl) AS s_en,
+        |    CAST(len(list_filter(wl, x -> list_contains(de, x))) AS DOUBLE) / len(wl) AS s_de,
+        |    CAST(len(list_filter(wl, x -> list_contains(es, x))) AS DOUBLE) / len(wl) AS s_es,
+        |    CAST(len(list_filter(wl, x -> list_contains(fr, x))) AS DOUBLE) / len(wl) AS s_fr
+        |  FROM r, dicts)
+        |SELECT doc_id, lang, quality_score, top_bigram_frac
+        |FROM q
+        |WHERE top_bigram_frac <= 0.06 AND dup_trigram_frac <= 0.02
+        |  AND quality_score >= 0.5
+        |  AND (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang
+        |ORDER BY doc_id""".stripMargin,
 
     "mixture_weights" ->
       """WITH p AS (SELECT lang,

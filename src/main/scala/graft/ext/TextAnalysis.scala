@@ -156,6 +156,56 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** The all-scan-local quality gate: repetition keep × composite
+    * quality score × language-ID agreement, computed in ONE projection
+    * over one documents scan — no joins, no shuffle before the output
+    * sort. This is the filter stage a 100 TB curation run executes
+    * FIRST, before any dedup pays a shuffle: every predicate is a pure
+    * function of the row.
+    */
+  def qualityGate(spark: SparkSession, dir: String,
+                  minQuality: Double = 0.5): DataFrame = {
+    val wLower = tokens(lower(col("text")))
+    val punctRatio =
+      length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+        length(col("text"))
+    val stopRatio = dictRatio(wLower, array(stopwords("en").map(lit): _*))
+    val qualityScore = round((lit(1.0) - punctRatio) * 0.5 +
+      least(stopRatio * 10, lit(1.0)) * 0.5, 6)
+    val langGuess = {
+      val scores = Seq("en", "de", "es", "fr")
+        .map(l => l -> dictRatio(wLower, dictCol(l))).toMap
+      when(scores("en") >= scores("de") && scores("en") >= scores("es") &&
+        scores("en") >= scores("fr"), "en")
+        .when(scores("de") >= scores("es") && scores("de") >= scores("fr"), "de")
+        .when(scores("es") >= scores("fr"), "es")
+        .otherwise("fr")
+    }
+    documents(spark, dir)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("bg", transform(
+        sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+      .withColumn("tg", transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+      .withColumn("top_bigram_frac",
+        round(array_max(transform(array_distinct(col("bg")),
+          g => size(filter(col("bg"), x => x === g)))).cast("double") /
+          size(col("bg")), 6))
+      .withColumn("dup_trigram_frac",
+        round((size(col("tg")) - size(array_distinct(col("tg"))))
+          .cast("double") / size(col("tg")), 6))
+      .withColumn("quality_score", qualityScore)
+      .filter(col("top_bigram_frac") <= 0.06 &&
+        col("dup_trigram_frac") <= 0.02 &&
+        col("quality_score") >= minQuality &&
+        langGuess === col("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25-shaped query relevance over the corpus — term-frequency
     * saturation and document-length normalization exactly as BM25
     * (k1 = 1.2, b = 0.75), with ONE documented deviation: the idf factor

@@ -101,7 +101,8 @@ class PlanAuditSpec extends SparkTestBase {
   test("scan-local text ops shuffle only for the output sort") {
     // repetition metrics, split assignment, and window chunking all claim
     // zero data shuffles — one exchange = the final ORDER BY
-    Seq("text_repetition", "split_assign", "chunk_windows").foreach { q =>
+    Seq("text_repetition", "split_assign", "chunk_windows",
+      "pipeline_quality").foreach { q =>
       val p = executedPlan(q)
       val finalPlan = p.split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(finalPlan).size
