@@ -170,18 +170,16 @@ object TextAnalysis {
       length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
         length(col("text"))
     val stopRatio = dictRatio(wLower, array(stopwords("en").map(lit): _*))
-    val qualityScore = round((lit(1.0) - punctRatio) * 0.5 +
-      least(stopRatio * 10, lit(1.0)) * 0.5, 6)
-    val langGuess = {
-      val scores = Seq("en", "de", "es", "fr")
-        .map(l => l -> dictRatio(wLower, dictCol(l))).toMap
-      when(scores("en") >= scores("de") && scores("en") >= scores("es") &&
-        scores("en") >= scores("fr"), "en")
-        .when(scores("de") >= scores("es") && scores("de") >= scores("fr"), "de")
-        .when(scores("es") >= scores("fr"), "es")
-        .otherwise("fr")
-    }
-    documents(spark, dir)
+    // STRUCTURE MATTERS: all array-lambda metrics land in ONE projection,
+    // materialized (localCheckpoint — the output is doc_id + 7 doubles,
+    // tiny at any scale) BEFORE the gate filter. Without the boundary
+    // PushDownPredicate substitutes every metric alias into the filter,
+    // re-inlining the quadratic bigram-mode HOF per reference and pushing
+    // the conjunction past codegen limits into interpreted evaluation —
+    // measured 860× slower at sf0.1 (86 s vs 0.1 s for the identical
+    // projection standalone). Same conf-scoping trick as
+    // [[graft.plans.RangeJoinRewrite]]'s materialization.
+    val metrics = documents(spark, dir)
       .withColumn("w", tokens(col("text")))
       .withColumn("bg", transform(
         sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
@@ -189,14 +187,26 @@ object TextAnalysis {
       .withColumn("tg", transform(
         sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
         i => concat_ws(" ", slice(col("w"), i, lit(3)))))
-      .withColumn("top_bigram_frac",
+      .select(col("doc_id"), col("lang"),
         round(array_max(transform(array_distinct(col("bg")),
           g => size(filter(col("bg"), x => x === g)))).cast("double") /
-          size(col("bg")), 6))
-      .withColumn("dup_trigram_frac",
+          size(col("bg")), 6).as("top_bigram_frac"),
         round((size(col("tg")) - size(array_distinct(col("tg"))))
-          .cast("double") / size(col("tg")), 6))
-      .withColumn("quality_score", qualityScore)
+          .cast("double") / size(col("tg")), 6).as("dup_trigram_frac"),
+        round((lit(1.0) - punctRatio) * 0.5 +
+          least(stopRatio * 10, lit(1.0)) * 0.5, 6).as("quality_score"),
+        dictRatio(wLower, dictCol("en")).as("s_en"),
+        dictRatio(wLower, dictCol("de")).as("s_de"),
+        dictRatio(wLower, dictCol("es")).as("s_es"),
+        dictRatio(wLower, dictCol("fr")).as("s_fr"))
+      .localCheckpoint(true)
+    val langGuess =
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr")
+    metrics
       .filter(col("top_bigram_frac") <= 0.06 &&
         col("dup_trigram_frac") <= 0.02 &&
         col("quality_score") >= minQuality &&
