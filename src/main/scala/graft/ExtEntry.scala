@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Layout, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
@@ -232,7 +232,27 @@ object ExtEntry {
         .select(col("media_id").as("doc_id"), col("kind"),
           col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
           col("frames").cast("long").as("frames"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Z-order layout: per-file min/max extent manifests under range vs
+    // Morton layouts — the file-skipping evidence (see Layout scaladoc)
+    "layout_zorder" -> ((s, dir) => Layout.zOrderManifest(s, dir)),
+
+    // cross-document repeated-span removal (C4 §2.2 / RefinedWeb)
+    "clean_boilerplate" -> ((s, dir) => Curation.cleanBoilerplate(s, dir)),
+
+    // inverted-index build: token → df + capped posting list
+    "index_postings" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
+
+    // salted equi-join: hot-key-proof shuffle spread, result identical
+    // to the plain join (the oracle's check)
+    "join_skew_salted" -> ((s, dir) =>
+      graft.ops.SkewJoin.saltedJoin(s, dir)),
+
+    // bloom runtime-filter prune before the join shuffle; exact join
+    // clears false positives so the oracle is the plain join
+    "join_bloom_prune" -> ((s, dir) =>
+      graft.ops.SkewJoin.bloomPrunedJoin(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -978,6 +998,81 @@ object ExtEntry {
         |SELECT doc_id, n_tokens, tok_offset,
         |  tok_offset // 256 AS first_bin,
         |  (tok_offset + n_tokens - 1) // 256 AS last_bin
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // the Morton interleave is the identical bit expression in both
+    // engines (Layout.zValueSql generates the SQL spelling); file ids
+    // are top-of-key bit shifts, manifests plain min/max aggregates
+    "layout_zorder" ->
+      s"""WITH ev AS (SELECT user_id % 1024 AS u,
+         |    CAST(floor(epoch_ms(ts) / 1000.0 / 180.0) AS BIGINT) % 1024 AS tslot
+         |  FROM events),
+         |z AS (SELECT 'zorder' AS layout,
+         |    (${Layout.zValueSql("u", "tslot", 10)} >> 14) AS file_id, u, tslot
+         |  FROM ev),
+         |r AS (SELECT 'range' AS layout, (u >> 4) AS file_id, u, tslot FROM ev),
+         |a AS (SELECT * FROM z UNION ALL SELECT * FROM r)
+         |SELECT layout, file_id, count(*) AS n_rows,
+         |  min(u) AS min_u, max(u) AS max_u,
+         |  min(tslot) AS min_t, max(tslot) AS max_t,
+         |  max(tslot) - min(tslot) AS tslot_span
+         |FROM a GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin,
+
+    // non-overlapping 3-token spans; boilerplate = span present in
+    // ≥ ceil(1% of docs) distinct documents; docs rebuilt from surviving
+    // spans in position order (string_agg ORDER BY pos ≅ the engine's
+    // array_sort(collect_list(struct(pos, span))))
+    "clean_boilerplate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+2], ' ') AS span
+        |  FROM docs, UNNEST(generate_series(1, len(w), 3)) AS t(i)),
+        |nd AS (SELECT count(*) AS n_docs FROM docs),
+        |boiler AS (SELECT span FROM (
+        |    SELECT span, count(DISTINCT doc_id) AS df FROM sp GROUP BY span),
+        |    nd WHERE df >= ceil(n_docs * 0.01)),
+        |kept AS (SELECT * FROM sp WHERE span NOT IN (SELECT span FROM boiler)),
+        |rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+        |    md5(string_agg(span, ' ' ORDER BY pos)) AS cleaned_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(generate_series(1, len(d.w), 3)) AS BIGINT) AS n_spans,
+        |  coalesce(r.n_spans_kept, 0) AS n_spans_kept,
+        |  CAST(len(generate_series(1, len(d.w), 3)) AS BIGINT)
+        |    - coalesce(r.n_spans_kept, 0) AS n_spans_dropped,
+        |  coalesce(r.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "index_postings" ->
+      """WITH td AS (SELECT DISTINCT token, doc_id FROM
+        |    (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(w) AS t(token)),
+        |r AS (SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+        |  FROM td)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CASE WHEN rk <= 8 THEN CAST(doc_id AS VARCHAR) END,
+        |    ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY token
+        |ORDER BY df DESC, token ASC LIMIT 50""".stripMargin,
+
+    // the salted plan must be value-identical to the plain join
+    "join_skew_salted" ->
+      """SELECT o.o_orderpriority,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    // bloom false positives are cleared by the exact join, so the
+    // pruned plan equals the plain join
+    "join_bloom_prune" ->
+      """SELECT l.l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
   )
 }

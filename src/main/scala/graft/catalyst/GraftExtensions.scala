@@ -2,7 +2,8 @@ package graft.catalyst
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 
 import graft.catalyst.HashExpressions.{DotDouble, MinHashChunks, SimHash64, WordShingles}
 
@@ -43,7 +44,25 @@ object Functions {
         case Literal(n: Int, _) => WordShingles(exprs.head, n)
         case other => throw new IllegalArgumentException(
           s"graft_word_shingles(tokens, n): n must be an integer literal, got $other")
-      })
+      }),
+    // Spark's native runtime-filter sketch pair (the expressions
+    // InjectRuntimeFilter plants when its 10 GB thresholds trigger),
+    // surfaced to SQL so [[graft.ops.SkewJoin.bloomPrunedJoin]] can
+    // build the same map-side prune declaratively at any size. No graft
+    // sketch code — these are org.apache.spark.util.sketch.BloomFilter
+    // under the hood, aggregated distributively (one filter per
+    // partition, OR-merged).
+    "graft_bloom_agg" -> (exprs => exprs match {
+      case Seq(v) => new aggregate.BloomFilterAggregate(v)
+      case Seq(v, Literal(n: Long, _)) =>
+        new aggregate.BloomFilterAggregate(v, n)
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom_agg(xxhash64_value[, est_items]) expects 1 or 2 arguments")
+    }),
+    "graft_bloom_contains" -> (exprs => {
+      val Seq(b, v) = arity("graft_bloom_contains", "(bloom, value)", 2)(exprs)
+      BloomFilterMightContain(b, v)
+    })
   )
 
   def register(spark: SparkSession): Unit = {

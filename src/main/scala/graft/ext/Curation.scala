@@ -228,4 +228,64 @@ object Curation {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** C4/RefinedWeb-style cross-document boilerplate removal (Raffel et
+    * al. 2020 §2.2 drop repeated three-sentence spans; Penedo et al.
+    * 2023 line-level): a span of text that recurs across MANY documents
+    * is template chrome (navigation, license headers, cookie banners),
+    * not content — remove the span, keep the document. The corpus here
+    * has no line structure, so the unit is the non-overlapping `k`-token
+    * span: chunk each document, count each span's distinct-document
+    * frequency, mark spans present in ≥ `minDfFrac` of the corpus as
+    * boilerplate, and reassemble each document from its surviving spans
+    * in order.
+    *
+    * Scale shape, stage by stage: (1) chunking is a scan-local explode;
+    * (2) span df is one map-side-combined groupBy on the span text —
+    * the same wordcount shape as [[TextAnalysis.vocabTopK]]; (3) the
+    * boilerplate set is df ≥ frac·N — by construction a SMALL set (only
+    * text repeated across ≥1% of billions of documents qualifies), so
+    * it broadcasts and the removal is a broadcast anti-join: the corpus
+    * passes map-side, never shuffling for the membership test;
+    * (4) reassembly groups each doc's surviving spans — a shuffle of
+    * the corpus text ONCE on doc_id, the unavoidable cost of document
+    * reconstruction (identical to the silver MERGE's key shuffle).
+    * The corpus count N is a scalar broadcast (one row), not a collect.
+    *
+    * Output keeps the reassembled text as md5 + token count — the
+    * oracle-friendly witness; a production run writes `cleaned` itself.
+    */
+  def cleanBoilerplate(spark: SparkSession, dir: String, k: Int = 3,
+                       minDfFrac: Double = 0.01): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val spans = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")), lit(k)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("w"), i, lit(k))).as("span")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val boiler = spans.select(col("span"), col("doc_id")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= ceil(col("n_docs") * minDfFrac))
+      .select(col("span"))
+    val kept = spans.join(broadcast(boiler), Seq("span"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        md5(array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ")).as("cleaned_md5"))
+    docs.select(col("doc_id"),
+        size(sequence(lit(1), size(col("w")), lit(k))).cast("long")
+          .as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
+        (col("n_spans") - coalesce(col("n_spans_kept"), lit(0L)))
+          .as("n_spans_dropped"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

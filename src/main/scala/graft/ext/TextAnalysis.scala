@@ -344,6 +344,37 @@ object TextAnalysis {
           .cast("binary")).as("chunk_md5"))
   }
 
+  /** Inverted-index build (the retrieval-prep twin of
+    * [[relevanceTopK]]'s on-the-fly scoring): token → document
+    * frequency + a CAPPED posting list, the structure a sharded search
+    * tier loads. The cap is the scale decision: an uncapped
+    * `collect_list` buffers a stop-word's entire posting list — a
+    * billion doc_ids — on one reducer, so the engine ranks postings
+    * per token first (`row_number` over the token partition) and
+    * collects only rank ≤ `maxPostings`. The window and the final
+    * groupBy hash-partition on the SAME key, so Catalyst reuses one
+    * exchange: the whole build costs a single shuffle of (token,
+    * doc_id) pairs, map-side-distinct'd. Posting lists are emitted as
+    * comma-joined strings — the engine-portable encoding (and
+    * hash-stable for the oracle).
+    */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    maxPostings: Int = 8, topTerms: Int = 50): DataFrame = {
+    val td = documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    td.withColumn("rk", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(
+          collect_list(when(col("rk") <= maxPostings, col("doc_id")))),
+          d => d.cast("string")), ",").as("postings"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(topTerms)
+  }
+
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum
     * 5-gram shingle hash (a 1-hash winnowing sketch) — both stable under
     * leading/trailing/duplicate whitespace.

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Layout, TextAnalysis}
+import graft.ops.{Ingest, SkewJoin}
+
+/** Round-7 additions: Z-order layout, salted/bloom-pruned joins,
+  * boilerplate removal, inverted index — value parity plus the specific
+  * scale claims each operator's scaladoc makes.
+  */
+class LayoutJoinsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("zValue is a bijection on (a, b) pairs within the bit budget") {
+    import spark.implicits._
+    val pairs = (0 until 32).flatMap(a => (0 until 32).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val z = pairs.select(Layout.zValue(col("a"), col("b"), 5).as("z"))
+    assert(z.distinct().count() === 32L * 32L)
+    // interleave bound: 5+5 bits → z < 2^10
+    assert(z.agg(max(col("z"))).head.getLong(0) < (1L << 10))
+  }
+
+  test("zValue is monotone in each coordinate when the other is fixed") {
+    import spark.implicits._
+    val df = (0 until 64).map(_.toLong).toDF("v")
+    val alongA = df.select(Layout.zValue(col("v"), lit(7L), 6).as("z"), col("v"))
+      .orderBy(col("v")).collect().map(_.getLong(0))
+    assert(alongA.sliding(2).forall(w => w(0) < w(1)))
+    val alongB = df.select(Layout.zValue(lit(7L), col("v"), 6).as("z"), col("v"))
+      .orderBy(col("v")).collect().map(_.getLong(0))
+    assert(alongB.sliding(2).forall(w => w(0) < w(1)))
+  }
+
+  test("zorder manifest files have narrower time extents than range files") {
+    val m = Layout.zOrderManifest(spark, sf).collect()
+    val zSpans = m.filter(_.getString(0) == "zorder").map(_.getLong(7))
+    val rSpans = m.filter(_.getString(0) == "range").map(_.getLong(7))
+    assert(zSpans.nonEmpty && rSpans.nonEmpty)
+    // every z-order file's tslot extent is narrower than every range
+    // file's — the file-skipping claim, pinned as data not prose
+    assert(zSpans.max < rSpans.min,
+      s"zorder spans ${zSpans.toSeq} vs range ${rSpans.toSeq}")
+  }
+
+  test("salted join is value-identical to the plain join") {
+    val salted = SkewJoin.saltedJoin(spark, sf).collect()
+    val li = Ingest.table(spark, sf, "lineitem")
+    val ord = Ingest.table(spark, sf, "orders")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(27,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(27,4)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("bloom-pruned join equals the plain join and plans the bloom probe") {
+    val df = SkewJoin.bloomPrunedJoin(spark, sf)
+    val rows = df.collect()
+    val li = Ingest.table(spark, sf, "lineitem")
+    val ord = Ingest.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(27,4)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(rows.toSeq === plain.toSeq)
+    // the probe must sit in the plan as a pre-join filter (the native
+    // might_contain expression), not get optimized away
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("bloom filter built from the dim side rejects most foreign keys") {
+    graft.catalyst.Functions.register(spark)
+    Ingest.table(spark, sf, "orders").createOrReplaceTempView("bf_ord")
+    // keys NOT in the filtered dim should mostly fail the bloom probe —
+    // i.e. the map-side prune does real work, it's not a pass-through
+    val res = spark.sql(
+      """WITH dim AS (SELECT o_orderkey FROM bf_ord
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |probe AS (SELECT o_orderkey, o_orderpriority = '1-URGENT' AS in_dim,
+        |  graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM dim),
+        |    xxhash64(o_orderkey)) AS hit FROM bf_ord)
+        |SELECT
+        |  sum(CASE WHEN in_dim AND NOT hit THEN 1 ELSE 0 END) AS false_neg,
+        |  sum(CASE WHEN NOT in_dim AND hit THEN 1 ELSE 0 END) AS false_pos,
+        |  sum(CASE WHEN NOT in_dim THEN 1 ELSE 0 END) AS negatives
+        |FROM probe""".stripMargin).head
+    assert(res.getLong(0) === 0L, "bloom filters never have false negatives")
+    assert(res.getLong(1) < res.getLong(2) / 10,
+      s"bloom should prune >90% of non-members: fp=${res.getLong(1)} of ${res.getLong(2)}")
+  }
+
+  test("boilerplate removal reconstructs documents exactly when nothing is dropped") {
+    // minDfFrac > 1 means no span can qualify — reassembly must be the
+    // identity (spans partition the token list; order restored by pos)
+    val out = Curation.cleanBoilerplate(spark, sf, k = 3, minDfFrac = 1.1)
+    val expected = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("want_md5"))
+    val joined = out.join(expected, Seq("doc_id"))
+    assert(joined.filter(col("n_spans_dropped") =!= 0L).count() === 0L)
+    assert(joined.filter(col("cleaned_md5") =!= col("want_md5")).count() === 0L)
+  }
+
+  test("boilerplate removal drops shared spans but keeps every document") {
+    val out = Curation.cleanBoilerplate(spark, sf).cache()
+    val nDocs = Ingest.table(spark, sf, "documents").count()
+    assert(out.count() === nDocs)
+    val dropped = out.agg(sum(col("n_spans_dropped"))).head.getLong(0)
+    assert(dropped > 0, "the sf0.001 corpus is known to share trigram spans")
+    // untouched docs still hash to their original text
+    val expected = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("want_md5"))
+    val clean = out.filter(col("n_spans_dropped") === 0L)
+      .join(expected, Seq("doc_id"))
+    assert(clean.filter(col("cleaned_md5") =!= col("want_md5")).count() === 0L)
+    out.unpersist()
+  }
+
+  test("inverted index: df counts every posting, the list is capped and sorted") {
+    val idx = TextAnalysis.invertedIndex(spark, sf, maxPostings = 8,
+      topTerms = 50).collect()
+    // the sf0.001 vocabulary is smaller than the term limit — every
+    // distinct token must then be present
+    val vocab = TextAnalysis.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    assert(idx.length === math.min(vocab, 50L).toInt)
+    idx.foreach { r =>
+      val df = r.getLong(1)
+      val postings = r.getString(2).split(",").filter(_.nonEmpty).map(_.toLong)
+      assert(postings.length === math.min(df, 8L).toInt, r.toString)
+      assert(postings.toSeq === postings.sorted.toSeq, r.toString)
+    }
+    // df ordering is descending
+    val dfs = idx.map(_.getLong(1)).toSeq
+    assert(dfs === dfs.sortBy(-_))
+  }
+
+  test("inverted index reuses one token exchange for window + aggregate") {
+    val df = TextAnalysis.invertedIndex(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(finalPlan).size
+    // one hash exchange on token (window + groupBy share it); the top-k
+    // tail is TakeOrderedAndProject, not a global sort exchange
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges\n$finalPlan")
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+  }
+}
