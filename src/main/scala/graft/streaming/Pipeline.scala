@@ -172,6 +172,15 @@ object Pipeline {
     * filter ignores). The gold CHECKPOINT's existence is the switch: it
     * outlives the query object, so "a gold stream ever consumed silver"
     * is exactly what it witnesses.
+    *
+    * The switch is EVENTUALLY safe, not instantaneously: a gold stream
+    * whose very first start races this check can observe the
+    * whole-directory swap mid-listing (checkpoint dir not yet created →
+    * [[compactSilver]] chosen). Deployments that will add a gold
+    * consumer later should pre-create the gold checkpoint directory (or
+    * call [[compactSilverLive]] explicitly) before the first
+    * [[startGold]]; once the checkpoint exists — i.e. for the entire
+    * life of a running chain — the dispatch is stable and safe.
     */
   def compactSilverAuto(spark: SparkSession, cfg: Config): Unit = {
     val ckpt = new Path(cfg.checkpoint("gold"))

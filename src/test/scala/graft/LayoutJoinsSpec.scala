@@ -58,6 +58,25 @@ class LayoutJoinsSpec extends SparkTestBase {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("salted join shuffles on (key, salt) when broadcast is impossible") {
+    // at bench scale AQE broadcasts the tiny replicated dim (the right
+    // call — salting is inert there); the salted key must engage exactly
+    // when broadcast is off, i.e. the real-skew regime
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SkewJoin.saltedJoin(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!finalPlan.contains("BroadcastHashJoin"), finalPlan)
+      // the join keys include the salt — the hot-key spread claim
+      assert("(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(finalPlan).isDefined,
+        finalPlan)
+      assert(finalPlan.contains("salt"), finalPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("bloom-pruned join equals the plain join and plans the bloom probe") {
     val df = SkewJoin.bloomPrunedJoin(spark, sf)
     val rows = df.collect()
