@@ -52,6 +52,10 @@ object ExtEntry {
     // max reconstruction error
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
 
+    // Johnson–Lindenstrauss random projection 64→8 dims — scan-local,
+    // zero-shuffle; narrows every downstream embedding exchange 8×
+    "emb_project" -> ((s, dir) => Similarity.projectRandom(s, dir, 8)),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.labelBlockedPairs(s, dir, 0.4)
         .orderBy(col("v1"), col("v2"))),
@@ -68,6 +72,11 @@ object ExtEntry {
 
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(s, dir, 20)),
+
+    // vocabulary truncation: top-32 corpus vocab, out-of-vocab tokens
+    // rewritten to <unk> in one scan-local pass
+    "text_unk_mask" -> ((s, dir) =>
+      TextAnalysis.unkMask(s, dir, 32)),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s, dir).orderBy(col("doc_id"))),
@@ -609,6 +618,20 @@ object ExtEntry {
         |FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
         |GROUP BY t ORDER BY freq DESC, token LIMIT 20""".stripMargin,
 
+    "text_unk_mask" ->
+      """WITH vocab AS (
+        |  SELECT t AS token
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
+        |  GROUP BY t ORDER BY count(*) DESC, t LIMIT 32),
+        |vl AS (SELECT list(token) AS v FROM vocab)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '),
+        |    x -> CASE WHEN list_contains(v, x) THEN x ELSE '<unk>' END), ' ')
+        |    AS text_masked,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> NOT list_contains(v, x))) AS BIGINT) AS n_unk
+        |FROM documents, vl ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm FROM documents),
@@ -718,6 +741,26 @@ object ExtEntry {
         |      ELSE abs(floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5)
         |        * scale / 127.0 - CAST(v AS DOUBLE)) END)) AS max_err
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "emb_project" ->
+      """WITH planes AS (SELECT p, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p || ':' || i), 1, 1)) - 1) % 2 = 1
+        |    THEN 1.0 ELSE -1.0 END) AS r
+        |  FROM UNNEST([0,1,2,3,4,5,6,7]) AS pp(p)),
+        |proj AS (SELECT vec_id, p,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * r[i])), 6) AS v
+        |  FROM embeddings, planes)
+        |SELECT vec_id,
+        |  max(CASE WHEN p = 0 THEN v END) AS p0,
+        |  max(CASE WHEN p = 1 THEN v END) AS p1,
+        |  max(CASE WHEN p = 2 THEN v END) AS p2,
+        |  max(CASE WHEN p = 3 THEN v END) AS p3,
+        |  max(CASE WHEN p = 4 THEN v END) AS p4,
+        |  max(CASE WHEN p = 5 THEN v END) AS p5,
+        |  max(CASE WHEN p = 6 THEN v END) AS p6,
+        |  max(CASE WHEN p = 7 THEN v END) AS p7
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source,

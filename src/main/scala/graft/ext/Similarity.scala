@@ -497,4 +497,27 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * with ±1 Achlioptas planes): each output component j is the dot of
+    * the embedding with the deterministic hyperplane [[planeVectors]](j)
+    * — the same planes the LSH family uses, so the DuckDB oracle
+    * regenerates them digit-for-digit from md5 parity.
+    *
+    * Scale shape: a pure scan-local projection — zero shuffle, zero
+    * join; whole-stage-codegen'd [[dot]] kernels. This is the standard
+    * pre-pass that cuts every DOWNSTREAM embedding shuffle `dim/nDims`-
+    * fold (64→8 here = 8× narrower ANN/dedup exchanges at 100 TB), at a
+    * distance-distortion cost bounded by the JL lemma.
+    */
+  def projectRandom(spark: SparkSession, dir: String,
+                    nDims: Int = 8): DataFrame = {
+    val planes = planeVectors(nDims, 64)
+    val cols = planes.zipWithIndex.map { case (r, j) =>
+      round(dot(col("embedding"), array(r.map(lit): _*)), 6).as(s"p$j")
+    }
+    embeddings(spark, dir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -375,6 +375,38 @@ object TextAnalysis {
       .limit(topTerms)
   }
 
+  /** Vocabulary truncation with `<unk>` masking — the tokenizer-prep
+    * pass that rewrites every document so out-of-vocabulary tokens
+    * become a single sentinel, bounding the token table a downstream
+    * trainer must embed. Vocabulary = [[vocabTopK]] (top `v` tokens by
+    * corpus frequency, ties toward the lexicographically smaller token).
+    *
+    * Scale shape: two passes. Pass 1 is the wordcount shuffle (map-side
+    * combined, key space = distinct tokens); its top-`v` result is
+    * BOUNDED BY THE CONSTANT `v`, so collecting it to the driver and
+    * inlining it as an array literal is the same bounded-collect
+    * contract as [[Similarity.defaultIvfSampleCap]] — the corpus never
+    * leaves the executors. Pass 2 is a scan-local projection: one
+    * `transform` over the token array against the broadcast literal,
+    * zero additional shuffle. For a production-size vocabulary (10⁵–10⁶
+    * entries) the literal swaps for a broadcast-hash-join on exploded
+    * tokens (or a bloom pre-filter); the two-pass shape is unchanged.
+    */
+  def unkMask(spark: SparkSession, dir: String, v: Int = 32): DataFrame = {
+    val vocab: Array[String] = vocabTopK(spark, dir, v)
+      .select(col("token")).collect().map(_.getString(0))
+    val vlit = array(vocab.map(lit).toSeq: _*)
+    val toks = tokens(col("text"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(toks,
+          w => when(array_contains(vlit, w), w).otherwise(lit("<unk>"))))
+          .as("text_masked"),
+        size(filter(toks, w => !array_contains(vlit, w)))
+          .cast("long").as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum
     * 5-gram shingle hash (a 1-hash winnowing sketch) — both stable under
     * leading/trailing/duplicate whitespace.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, Similarity, TextDedup}
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Unit tests for the extension operators on hand-built inputs (the
   * oracle covers them on real testdata; these pin the algebraic
@@ -80,6 +80,42 @@ class ExtSpec extends SparkTestBase {
         Similarity.dotViaHof(col("embedding"), plane).as("h"))
       .filter(col("k") =!= col("h")).count()
     assert(d2 == 0)
+  }
+
+  test("random projection: each column is the per-plane dot, row-complete") {
+    val dir = "/root/testdata/sf0.001"
+    val proj = Similarity.projectRandom(spark, dir, 4)
+    assert(proj.columns.toSeq == Seq("vec_id", "p0", "p1", "p2", "p3"))
+    assert(proj.count() == Similarity.embeddings(spark, dir).count())
+    // parity vs the HOF formulation of the same plane dots
+    val planes = Similarity.planeVectors(4, 64)
+    val hof = Similarity.embeddings(spark, dir).select(
+      col("vec_id") +: planes.zipWithIndex.map { case (r, j) =>
+        round(Similarity.dotViaHof(col("embedding"),
+          array(r.map(lit): _*)), 6).as(s"p$j")
+      }: _*)
+    assert(proj.except(hof).count() == 0 && hof.except(proj).count() == 0)
+  }
+
+  test("unk mask: tokens are vocab-or-unk, count preserved, n_unk exact") {
+    val dir = "/root/testdata/sf0.001"
+    val v = 16
+    val vocab = TextAnalysis.vocabTopK(spark, dir, v)
+      .select("token").as[String].collect().toSet
+    val out = TextAnalysis.unkMask(spark, dir, v)
+      .withColumn("toks", split(col("text_masked"), " "))
+    // every emitted token is in-vocab or the sentinel
+    val alien = out.select(explode(col("toks")).as("t"))
+      .filter(!col("t").isin((vocab + "<unk>").toSeq: _*)).count()
+    assert(alien == 0)
+    // token count preserved and n_unk counts exactly the sentinels
+    val bad = out
+      .join(TextAnalysis.documents(spark, dir), Seq("doc_id"))
+      .filter(size(col("toks")) =!= size(split(col("text"), " ")) ||
+        col("n_unk") =!= size(filter(col("toks"), t => t === "<unk>")))
+      .count()
+    assert(bad == 0)
+    assert(out.filter(col("n_unk") > 0).count() > 0)
   }
 
   test("LSH embedding near-dup: a verified subset of exact all-pairs") {

@@ -99,10 +99,12 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("scan-local text ops shuffle only for the output sort") {
-    // repetition metrics, split assignment, and window chunking all claim
-    // zero data shuffles — one exchange = the final ORDER BY
+    // repetition metrics, split assignment, window chunking, random
+    // projection, and the unk-mask rewrite pass all claim zero data
+    // shuffles — one exchange = the final ORDER BY (unk_mask's vocab
+    // pre-pass is a separate bounded job, not part of this plan)
     Seq("text_repetition", "split_assign", "chunk_windows",
-      "pipeline_quality").foreach { q =>
+      "pipeline_quality", "emb_project", "text_unk_mask").foreach { q =>
       val p = executedPlan(q)
       val finalPlan = p.split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(finalPlan).size
