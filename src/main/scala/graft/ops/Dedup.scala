@@ -64,6 +64,34 @@ object Dedup {
       Seq(bucketCol, idCol), "left_anti")
   }
 
+  /** [[insertOnlyMerge]] restructured for the streaming hot path, where
+    * the BATCH is the bounded side (a micro-batch of ~10⁴ rows) and the
+    * target bucket can be arbitrarily large. The single left-anti above
+    * can only broadcast its build side — the TARGET — so at scale it
+    * degrades to a shuffle of both sides. This two-phase form broadcasts
+    * the batch twice instead:
+    *
+    *   1. semi-probe: target buckets × broadcast(batch keys) → the keys
+    *      that already exist (≤ batch size). The huge side is only
+    *      STREAMED, map-side, partition-pruned — never shuffled.
+    *   2. anti: batch × broadcast(dup keys) → the insertable rows.
+    *
+    * Identical result to [[insertOnlyMerge]] (anti vs target ≡ anti vs
+    * batch∩target); zero exchanges at ANY target size.
+    */
+  def insertOnlyMergeSmallBatch(batch: DataFrame, target: DataFrame,
+                                bucketCol: String, idCol: String,
+                                bucketValues: Option[Seq[Any]] = None): DataFrame = {
+    val pruned = bucketValues match {
+      case Some(vs) => target.filter(col(bucketCol).isin(vs: _*))
+      case None     => target
+    }
+    val dupKeys = pruned.select(bucketCol, idCol)
+      .join(broadcast(batch.select(bucketCol, idCol)),
+        Seq(bucketCol, idCol), "left_semi")
+    batch.join(broadcast(dupKeys), Seq(bucketCol, idCol), "left_anti")
+  }
+
   /** Exact dedup: one survivor per distinct value of `keyCols` —
     * hash-groupBy keeping the minimum `tieBreak` (deterministic).
     * Single shuffle on the dedup key; at 100 TB this is the canonical

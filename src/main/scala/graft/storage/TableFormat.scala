@@ -34,10 +34,14 @@ import graft.streaming.Pipeline
 trait TableFormat {
 
   /** Stage-1 sink: insert-only MERGE of a deduped micro-batch into the
-    * silver table (key = (minute_timestamp, id)).
+    * silver table (key = (minute_timestamp, id)). `batchUnique` attests
+    * the batch already carries one row per key (true for the streaming
+    * path, whose watermark dedup guarantees it) so the in-batch dedup
+    * shuffle can be skipped.
     */
   def mergeInsertOnly(spark: SparkSession, batch: DataFrame,
-                      cfg: Pipeline.Config): Unit
+                      cfg: Pipeline.Config,
+                      batchUnique: Boolean = false): Unit
 
   /** Stage-2 sink: upsert-fold a micro-batch of silver rows into the
     * gold snapshot and emit this fold's change feed (insert /
@@ -88,8 +92,9 @@ object TableFormat {
   */
 object ParquetTableFormat extends TableFormat {
   override def mergeInsertOnly(spark: SparkSession, batch: DataFrame,
-                               cfg: Pipeline.Config): Unit =
-    Pipeline.mergeToSilver(spark, batch, cfg)
+                               cfg: Pipeline.Config,
+                               batchUnique: Boolean): Unit =
+    Pipeline.mergeToSilver(spark, batch, cfg, batchUnique)
 
   override def upsertFold(spark: SparkSession, batch: DataFrame,
                           batchId: Long, cfg: Pipeline.Config): Unit =

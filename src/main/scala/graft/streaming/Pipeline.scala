@@ -116,7 +116,9 @@ object Pipeline {
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        format.mergeInsertOnly(spark, batch, cfg)
+        // batchUnique: dropDuplicatesWithinWatermark upstream guarantees
+        // one row per id within the batch
+        format.mergeInsertOnly(spark, batch, cfg, batchUnique = true)
         // scheduled compaction (the OPTIMIZE-on-a-cadence analog,
         // reference utils.py:111-124): run synchronously with the merge
         // so the rewrite cannot race a concurrent append. Without a
@@ -133,35 +135,49 @@ object Pipeline {
     * (dynamic IN-list prune → parquet partition pruning), then append.
     * Idempotent per (minute_timestamp, id).
     */
-  def mergeToSilver(spark: SparkSession, batch: DataFrame, cfg: Config): Unit = {
+  def mergeToSilver(spark: SparkSession, batch: DataFrame, cfg: Config,
+                    batchUnique: Boolean = false): Unit = {
     val out = new Path(cfg.silverPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // within-batch uniqueness: hash-dedup suffices (and costs no sort) —
-    // the upstream dropDuplicatesWithinWatermark already guarantees it in
-    // the streaming path; duplicate-id rows are identical payloads. For a
-    // deterministic tie-break on conflicting payloads use
-    // Dedup.latestPerKey at the call site instead.
-    val batchDedup = batch.dropDuplicates("minute_timestamp", "id")
-    val fresh =
-      if (!fs.exists(out)) batchDedup
-      else {
-        // P10: collect the touched buckets, prune the target scan to them
-        val buckets = batchDedup.select("minute_timestamp").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val existing = spark.read
-          .schema(Schemas.silverSchema)
-          .parquet(cfg.silverPath)
-          .filter(col("minute_timestamp").isin(buckets: _*))
-        Dedup.insertOnlyMerge(batchDedup, existing, "minute_timestamp", "id",
-          Some(buckets))
-      }
-    // cluster the append by bucket so each micro-batch lands ~one file
-    // per bucket instead of shuffle-partitions × buckets small files —
-    // keeps the per-batch target re-scan (and 100 TB compaction debt) flat
-    fresh.select(Schemas.silverSchema.fieldNames.map(col): _*)
-      .repartition(col("minute_timestamp"))
-      .write.mode("append").partitionBy("minute_timestamp")
-      .parquet(cfg.silverPath)
+    // within-batch uniqueness: hash-dedup suffices (and costs no sort);
+    // the streaming path passes batchUnique=true because its upstream
+    // dropDuplicatesWithinWatermark already guarantees one row per id —
+    // re-shuffling every micro-batch for a no-op dedup was measurable
+    // pacing overhead. For a deterministic tie-break on conflicting
+    // payloads use Dedup.latestPerKey at the call site instead.
+    val batchDedup0 =
+      if (batchUnique) batch
+      else batch.dropDuplicates("minute_timestamp", "id")
+    // two actions follow (bucket collect + the merge write); without a
+    // persist each would re-execute the full batch plan — in the
+    // streaming path that plan includes the RocksDB state-store read
+    val batchDedup = batchDedup0.persist()
+    try {
+      val fresh =
+        if (!fs.exists(out)) batchDedup
+        else {
+          // P10: collect the touched buckets, prune the target scan to them
+          val buckets = batchDedup.select("minute_timestamp").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val existing = spark.read
+            .schema(Schemas.silverSchema)
+            .parquet(cfg.silverPath)
+            .filter(col("minute_timestamp").isin(buckets: _*))
+          // two-phase broadcast-of-the-batch anti-join: the target bucket
+          // is streamed map-side, never shuffled — the shape that holds
+          // when one bucket is GBs (the single left-anti could only
+          // broadcast the target side)
+          Dedup.insertOnlyMergeSmallBatch(batchDedup, existing,
+            "minute_timestamp", "id", Some(buckets))
+        }
+      // cluster the append by bucket so each micro-batch lands ~one file
+      // per bucket instead of shuffle-partitions × buckets small files —
+      // keeps the per-batch target re-scan (and 100 TB compaction debt) flat
+      fresh.select(Schemas.silverSchema.fieldNames.map(col): _*)
+        .repartition(col("minute_timestamp"))
+        .write.mode("append").partitionBy("minute_timestamp")
+        .parquet(cfg.silverPath)
+    } finally batchDedup.unpersist(false)
   }
 
   /** Dispatch between the two OPTIMIZE analogs: the whole-directory swap
@@ -563,16 +579,24 @@ object Pipeline {
     val goldDir = new Path(cfg.goldPath)
     val fs = goldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (GoldState.lastBatchId(fs, cfg) >= batchId) return // replayed batch
+    // persisted BEFORE the touched-bucket collect: the collect, the fold,
+    // and the change feed all consume this frame, and without the persist
+    // each action would re-read the batch files and re-run the partial
+    // agg shuffle (tiny frame — one row per (group, batch))
     val partialAll = Aggregate
       .partial(batch, "group_id", "score", "event_timestamp")
       .withColumn("gb", goldBucket(cfg))
+      .persist()
     val touched = partialAll.select("gb").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     // bucket-granular replay guard: skip buckets this batch already folded
     val remaining = touched.filter(b => GoldState.bucketBatchId(fs, cfg, b) < batchId)
-    if (remaining.isEmpty) { GoldState.writeBatchId(fs, cfg, batchId); return }
+    if (remaining.isEmpty) {
+      GoldState.writeBatchId(fs, cfg, batchId)
+      partialAll.unpersist(false)
+      return
+    }
     val partial = partialAll.filter(col("gb").isin(remaining: _*)).drop("gb")
-      .persist()
     val existingFull: Option[DataFrame] =
       if (!fs.exists(goldDir)) None
       else Some(spark.read.parquet(cfg.goldPath)
@@ -610,7 +634,7 @@ object Pipeline {
     }
     fs.delete(tmp, true)
     GoldState.writeBatchId(fs, cfg, batchId)
-    partial.unpersist()
+    partialAll.unpersist(false)
     existingFull.foreach(_.unpersist())
   }
 

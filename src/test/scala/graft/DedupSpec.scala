@@ -39,6 +39,24 @@ class DedupSpec extends SparkTestBase {
     assert(out.isEmpty) // the (1,x) duplicate is found within the pruned set
   }
 
+  test("insertOnlyMergeSmallBatch matches the single-anti form and never " +
+    "shuffles the target") {
+    val batch = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("bucket", "id")
+    val target = Seq((1L, "x"), (9L, "z"), (1L, "q")).toDF("bucket", "id")
+    val plain = Dedup.insertOnlyMerge(batch, target, "bucket", "id")
+      .orderBy("bucket", "id").collect().toSeq
+    val small = Dedup.insertOnlyMergeSmallBatch(batch, target, "bucket", "id")
+      .orderBy("bucket", "id").collect().toSeq
+    assert(small == plain)
+    // plan shape: both joins broadcast (the batch is the build side
+    // everywhere); no shuffle exchange anywhere in the merge
+    val df = Dedup.insertOnlyMergeSmallBatch(batch, target, "bucket", "id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("exact dedup keeps the minimum tie-break row") {
     val df = Seq(("t", 3L), ("t", 1L), ("u", 2L)).toDF("text", "doc")
     val out = Dedup.exact(df, Seq("text"), "doc").orderBy("doc").collect()

@@ -24,8 +24,10 @@ class TableFormatSpec extends SparkTestBase {
     private def hit(name: String): Unit = calls.merge(name, 1, _ + _)
 
     override def mergeInsertOnly(s: SparkSession, b: DataFrame,
-                                 c: Pipeline.Config): Unit = {
-      hit("mergeInsertOnly"); ParquetTableFormat.mergeInsertOnly(s, b, c)
+                                 c: Pipeline.Config,
+                                 batchUnique: Boolean): Unit = {
+      hit("mergeInsertOnly")
+      ParquetTableFormat.mergeInsertOnly(s, b, c, batchUnique)
     }
     override def upsertFold(s: SparkSession, b: DataFrame, id: Long,
                             c: Pipeline.Config): Unit = {
