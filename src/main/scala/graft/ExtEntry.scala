@@ -261,7 +261,23 @@ object ExtEntry {
     // bloom runtime-filter prune before the join shuffle; exact join
     // clears false positives so the oracle is the plain join
     "join_bloom_prune" -> ((s, dir) =>
-      graft.ops.SkewJoin.bloomPrunedJoin(s, dir))
+      graft.ops.SkewJoin.bloomPrunedJoin(s, dir)),
+
+    // sub-document exact dedup: 5-token segments, first occurrence wins
+    // corpus-wide, docs rebuilt from surviving segments (CCNet ¶-dedup)
+    "dedup_segments" -> ((s, dir) =>
+      TextDedup.segmentDedup(s, dir, k = 5).orderBy(col("doc_id"))),
+
+    // PII scrub (email/IP/card/phone sentinels) over the doc_id-augmented
+    // corpus; redactPii itself is generic over any text column
+    "pii_redact" -> ((s, dir) => Curation.piiRedact(s, dir)),
+
+    // corpus-trained unigram-LM likelihood summary per document (the
+    // CCNet LM-filter shape; arithmetic-mean deviation documented)
+    "text_unigram_lm" -> ((s, dir) => TextAnalysis.unigramLm(s, dir)),
+
+    // DSIR hashed-bigram importance weights, target = the en slice
+    "dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -1116,6 +1132,112 @@ object ExtEntry {
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
-        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    // first-occurrence = rank 1 over (doc_id, seg_no) within the segment
+    // hash — identical keeper to the engine's min(struct) aggregation
+    "dedup_segments" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (SELECT doc_id, s AS seg_no,
+        |    array_to_string(w[1 + 5*s : 5 + 5*s], ' ') AS seg
+        |  FROM d, UNNEST(generate_series(0,
+        |    CAST((len(w) + 4) // 5 AS INT) - 1)) AS g(s)),
+        |rk AS (SELECT doc_id, seg_no, seg,
+        |    row_number() OVER (PARTITION BY md5(seg)
+        |      ORDER BY doc_id, seg_no) AS rk
+        |  FROM segs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN seg END,
+        |    ' ' ORDER BY seg_no), '')) AS dedup_md5
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same augmentation, same four patterns applied in the same order,
+    // counts taken on the string each pattern actually sees
+    "pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+        |    || ' card ' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 16, '4')
+        |    || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t0, regexp_replace(t0,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |s2 AS (SELECT *, regexp_replace(t1,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2,
+        |    '\b[0-9]{13,16}\b', '<CARD>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT *, regexp_replace(t3,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t4 FROM s3)
+        |SELECT doc_id, md5(t4) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |    AS n_ip,
+        |  CAST(len(regexp_extract_all(t2, '\b[0-9]{13,16}\b')) AS BIGINT)
+        |    AS n_card,
+        |  CAST(len(regexp_extract_all(t3,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // exact BIGINT sums; the only doubles are the two final divisions,
+    // the same IEEE op sequence the engine runs
+    "text_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, t AS token FROM
+        |    (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(w) AS u(t)),
+        |model AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+        |    CAST(min(cnt) AS BIGINT) AS min_cnt,
+        |    CAST(sum(CASE WHEN cnt * 1000 < total THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rare,
+        |    CAST(max(total) AS BIGINT) AS total
+        |  FROM tok JOIN model USING (token), tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_cnt, min_cnt, n_rare,
+        |  round(CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE), 9)
+        |    AS mean_p,
+        |  round(CAST(min_cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS min_p
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // hashed-bigram buckets via the first two md5 hex chars (the strpos
+    // arithmetic equals the engine's conv(hex, 16, 10)); target_like
+    // compares the ROUNDED weight, as the engine does
+    "dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |grams AS (SELECT doc_id, lang, g,
+        |    (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS b
+        |  FROM d, UNNEST(list_transform(
+        |    generate_series(1, greatest(len(w) - 1, 1)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS t(g)),
+        |model AS (SELECT b, CAST(count(*) AS BIGINT) AS s_cnt,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_cnt
+        |  FROM grams GROUP BY b),
+        |tot AS (SELECT CAST(sum(s_cnt) AS BIGINT) AS s_total,
+        |    CAST(sum(t_cnt) AS BIGINT) AS t_total FROM model),
+        |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(t_cnt + 1) AS BIGINT) AS num,
+        |    CAST(sum(s_cnt + 1) AS BIGINT) AS den
+        |  FROM grams JOIN model USING (b) GROUP BY doc_id, lang),
+        |w2 AS (SELECT doc_id, lang, n_grams,
+        |    round((CAST(num AS DOUBLE) * CAST(s_total + 256 AS DOUBLE)) /
+        |      (CAST(den AS DOUBLE) * CAST(t_total + 256 AS DOUBLE)), 6)
+        |      AS weight
+        |  FROM agg, tot)
+        |SELECT doc_id, lang, n_grams, weight, weight > 1.0 AS target_like
+        |FROM w2 ORDER BY doc_id""".stripMargin
   )
 }

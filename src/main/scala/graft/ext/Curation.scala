@@ -194,6 +194,63 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * estimate how target-like each document is by comparing its hashed
+    * bigram features under a TARGET distribution (here: the `en` slice,
+    * standing in for the high-quality domain) vs the SOURCE (the whole
+    * corpus). Bigrams hash into `nBuckets` buckets (first two hex chars
+    * of md5 — engine-portable); both feature models are add-one
+    * smoothed.
+    *
+    * DOCUMENTED DEVIATION from the paper's log-ratio, same no-`ln`
+    * policy as [[TextAnalysis.relevanceTopK]]: the weight is the
+    * ratio-of-means `(Σ_g (t_g+1) / (T+B)) / (Σ_g (s_g+1) / (S+B))`
+    * over the document's bigram occurrences — every sum is exact BIGINT,
+    * followed by an IEEE mul/div sequence identical in both engines —
+    * rather than the paper's mean-of-log-ratios. Both put target-like
+    * documents above 1 and source-typical ones below; they differ in how
+    * per-gram evidence mixes (arithmetic vs geometric), which the
+    * hash-exact oracle bar decides.
+    *
+    * Scale shape: feature extraction is scan-local; the model is ONE
+    * map-side-combined groupBy onto `nBuckets` rows (a constant), which
+    * then BROADCASTS back to the per-doc scoring pass — the corpus
+    * shuffles once, on doc_id, with partial aggregation. Training-data
+    * selection at 100 TB = two scans + one bounded shuffle.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val nBuckets = 256
+    val w = split(col("text"), " ")
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), greatest(size(w) - 1, lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(2))))).as("g"))
+      .withColumn("b", conv(substring(md5(col("g")), 1, 2), 16, 10)
+        .cast("long"))
+    val model = grams
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("s_cnt"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
+    val totals = model.agg(sum(col("s_cnt")).as("s_total"),
+      sum(col("t_cnt")).as("t_total"))
+    grams
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("t_cnt") + 1L).as("num"),
+        sum(col("s_cnt") + 1L).as("den"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round((col("num").cast("double") *
+          (col("s_total") + nBuckets).cast("double")) /
+          (col("den").cast("double") *
+            (col("t_total") + nBuckets).cast("double")), 6).as("weight"))
+      .withColumn("target_like", col("weight") > 1.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval decontamination: flag every training document (source ≠
     * `evalSource`) that shares at least one `n`-word shingle with the
     * held-out eval split — the standard benchmark-leakage guard run
@@ -226,6 +283,75 @@ object Curation {
       .select(col("doc_id"), col("source"),
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing (the privacy pass every released corpus runs; same
+    * family as C4's blocklist filtering, Raffel et al. 2020 §2.2, and
+    * the BigScience ROOTS redaction pipeline): match email addresses,
+    * IPv4 addresses, 13–16-digit card-like numbers, and phone-shaped
+    * tokens, replace each with a typed sentinel, and report per-document
+    * hit counts. Patterns are anchored on ASCII word boundaries and use
+    * only the regex subset with identical semantics in Java's engine and
+    * RE2 (no backreferences, no lookaround) — the oracle runs them
+    * verbatim in DuckDB.
+    *
+    * The operator is a pure per-row projection — four chained
+    * `regexp_replace` passes plus `regexp_extract_all` counts, all
+    * codegen'd: at 100 TB, PII scrubbing is scan-bound with ZERO
+    * shuffles, exactly like [[TextAnalysis.quality]].
+    *
+    * Replacement order matters and is fixed: EMAIL first (its local part
+    * could otherwise be clipped by the phone pattern), then IP (dotted
+    * quads must be consumed before the bare-digit-run card pattern can
+    * see their octets), then CARD, then PHONE.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>"),
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>"),
+    ("\\b[0-9]{13,16}\\b" -> "<CARD>"),
+    ("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}" -> "<PHONE>")).map(identity)
+
+  /** Generic scrub of any text column: (redacted, n_email, n_ip, n_card,
+    * n_phone). Counts are taken on the intermediate string each pattern
+    * actually sees (post the previous replacements), matching the
+    * sequential-replace semantics.
+    */
+  def redactPii(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val stages = piiPatterns.scanLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    val counts = piiPatterns.zip(stages.init).map { case ((pat, _), seen) =>
+      size(regexp_extract_all(seen, lit(pat), lit(0))).cast("long")
+    }
+    stages.last +: counts
+  }
+
+  /** The registered query: the corpus text AUGMENTED with deterministic
+    * doc_id-derived PII tokens (the synthetic corpus contains no digits,
+    * so un-augmented redaction would be vacuous — same fixture technique
+    * as [[Multimodal]]'s derived payloads), then scrubbed. The
+    * augmentation is part of the fixture, not the operator: `redactPii`
+    * itself is generic over any text column.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat_ws(" ", col("text"),
+      lit("contact"),
+      concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+      lit("ip"),
+      concat(lit("10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+        lit("."), (pmod(col("doc_id"), lit(250L)) + 1).cast("string")),
+      lit("card"),
+      lpad(pmod(col("doc_id") * 31, lit(10000L)).cast("string"), 16, "4"),
+      lit("tel"),
+      concat(lit("+1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+    val out = redactPii(aug)
+    documents(spark, dir)
+      .select(col("doc_id") +: md5(out.head.cast("binary")).as("redacted_md5") +:
+        out(1).as("n_email") +: out(2).as("n_ip") +:
+        out(3).as("n_card") +: out(4).as("n_phone") +: Nil: _*)
       .orderBy(col("doc_id"))
   }
 

@@ -407,6 +407,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM quality scoring — the corpus-LM document filter shape
+    * (CCNet, Wenzek et al. 2020 §3.3 scores each document under a
+    * language model and filters on the score; the 5-gram KenLM is
+    * replaced here by the corpus's own unigram model, which is the
+    * operator's plan shape with the smallest model that is still a
+    * trained artifact). Each token's corpus frequency is the model; per
+    * document the engine emits the EXACT-arithmetic likelihood summary:
+    * mean token probability, minimum token probability (the "most
+    * surprising token"), and the count of rare tokens (p < 1/1000).
+    *
+    * DOCUMENTED DEVIATION from CCNet's log-perplexity, same policy as
+    * [[relevanceTopK]]'s no-log BM25: `ln` carries no cross-engine bit
+    * guarantee and this registry's bar is hash-exact oracles, so the
+    * score is the arithmetic mean probability (Σ cnt(tok) exactly in
+    * BIGINT, ONE final IEEE division — bit-identical in both engines)
+    * rather than the geometric mean the log would give. Rank order
+    * differs only in how outlier tokens mix; the rare-token count —
+    * an integer-compare, fully exact — carries the tail signal the
+    * geometric mean exists for.
+    *
+    * Scale shape: pass 1 is the wordcount shuffle (map-side combined,
+    * key space = vocabulary); the vocabulary table broadcasts (1e6-row
+    * vocabularies broadcast fine; beyond that the probe becomes a
+    * shuffled hash join on token — plan change, same semantics). Pass 2
+    * explodes tokens, probes the broadcast model map-side, and re-combines
+    * per document — one corpus shuffle on doc_id with partial aggregation.
+    */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val model = documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(model), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"),
+        sum(when(col("cnt") * 1000L < col("total"), 1L).otherwise(0L))
+          .as("n_rare"),
+        max(col("total")).as("total"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cnt"), col("min_cnt"),
+        col("n_rare"),
+        round(col("sum_cnt").cast("double") /
+          (col("n_tokens") * col("total")).cast("double"), 9).as("mean_p"),
+        round(col("min_cnt").cast("double") / col("total").cast("double"), 9)
+          .as("min_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum
     * 5-gram shingle hash (a 1-hash winnowing sketch) — both stable under
     * leading/trailing/duplicate whitespace.

@@ -436,4 +436,59 @@ object TextDedup {
     clusters(nearDupPairs(spark, dir, threshold).select(col("d1"), col("d2")))
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+
+  /** Sub-document exact dedup at segment granularity (the CCNet
+    * paragraph-dedup shape, Wenzek et al. 2020 §3.1; Lee et al. 2021
+    * keep-first-occurrence policy): the corpus is cut into
+    * non-overlapping `k`-token segments, every segment that textually
+    * recurs ANYWHERE in the corpus keeps only its FIRST occurrence
+    * (smallest `(doc_id, seg_no)`), and each document is reassembled
+    * from its surviving segments in order. Unlike
+    * [[Curation.cleanBoilerplate]] — which DROPS spans that recur across
+    * many documents — this keeps exactly one copy of every segment, the
+    * policy that preserves content while removing cross-document
+    * repetition.
+    *
+    * Scale shape, stage by stage:
+    *   1. Segmentation is a scan-local `transform`+`explode` projection.
+    *   2. The keeper per segment hash is `min(struct(doc_id, seg_no))`
+    *      — a MAP-SIDE-COMBINABLE aggregation, deliberately NOT a
+    *      `row_number` window: a boilerplate segment occurring 10⁹ times
+    *      collapses to one row per map partition before the shuffle,
+    *      where ranking it would buffer and sort the full 10⁹-row
+    *      partition on one reducer.
+    *   3. The keep decision joins segments to keepers on the segment
+    *      hash (shuffled hash join; keeper side is pre-reduced to one
+    *      row per distinct segment).
+    *   4. Reassembly groups surviving segments by doc — the one
+    *      unavoidable corpus-wide shuffle on doc_id (same cost class as
+    *      [[Curation.cleanBoilerplate]]'s rebuild).
+    * Output carries the rebuilt text as md5 — the narrow oracle witness.
+    */
+  def segmentDedup(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val segs = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), ((size(col("w")) + lit(k - 1)) / lit(k)).cast("int") - 1),
+        s => struct(s.cast("long").as("seg_no"),
+          concat_ws(" ", slice(col("w"), s * k + 1, lit(k))).as("seg")))).as("s"))
+      .select(col("doc_id"), col("s.seg_no").as("seg_no"),
+        col("s.seg").as("seg"), md5(col("s.seg")).as("h"))
+    val keepers = segs
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("keeper"))
+      .select(col("h"), col("keeper.doc_id").as("kd"),
+        col("keeper.seg_no").as("ks"))
+    segs.join(keepers, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("kd") && col("seg_no") === col("ks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(array_sort(
+          collect_list(when(col("kept"), struct(col("seg_no"), col("seg"))))),
+          s => s.getField("seg")), " ").cast("binary")).as("dedup_md5"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"), col("dedup_md5"))
+  }
 }
