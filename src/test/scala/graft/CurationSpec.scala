@@ -242,4 +242,89 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getSeq[String](0).toSeq).toSeq
     assert(fast == slow)
   }
+
+  test("segmentDedup keeps exactly one copy of every segment, first occurrence") {
+    val got = TextDedup.segmentDedup(spark, sf, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // recompute the expected keeper set brute-force on the driver
+    val w = Ingest.table(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val all = w.flatMap { case (id, toks) =>
+      toks.grouped(5).zipWithIndex.map { case (seg, i) =>
+        (id, i.toLong, seg.mkString(" "))
+      }
+    }
+    val keeper = all.groupBy(_._3).map { case (_, occ) =>
+      occ.minBy(o => (o._1, o._2))
+    }.map(o => (o._1, o._2)).toSet
+    val expKept = all.groupBy(_._1).view.mapValues(
+      _.count(o => keeper.contains((o._1, o._2))).toLong).toMap
+    val expSegs = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == expSegs.keySet)
+    got.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_segs") == expSegs(id), s"n_segs doc $id")
+      assert(r.getAs[Long]("n_kept") == expKept(id), s"n_kept doc $id")
+      assert(r.getAs[Long]("n_dropped") == expSegs(id) - expKept(id))
+    }
+    // something must actually dedup at sf0.001 (exact doc copies exist)
+    assert(got.values.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
+
+  test("redactPii scrubs every injected pattern and counts each hit") {
+    import spark.implicits._
+    val df = Seq(
+      (0, "mail me at bob@example.org or alice.smith@sub.domain.io now"),
+      (1, "server 192.168.0.1 and 10.0.0.255 plus card 4111111111111111"),
+      (2, "call +1-555-0199 or +44-555-0123 ip 1.2.3.4"),
+      (3, "clean text with no pii at all")).toDF("id", "t")
+    val out = Curation.redactPii(col("t"))
+    val rows = df.select(col("id") +: out.head.as("red") +: out(1).as("ne") +:
+      out(2).as("ni") +: out(3).as("nc") +: out(4).as("np") +: Nil: _*)
+      .orderBy(col("id")).collect()
+    assert(rows(0).getAs[String]("red") ==
+      "mail me at <EMAIL> or <EMAIL> now")
+    assert(rows(0).getAs[Long]("ne") == 2)
+    assert(rows(1).getAs[String]("red") ==
+      "server <IP> and <IP> plus card <CARD>")
+    assert(rows(1).getAs[Long]("ni") == 2 && rows(1).getAs[Long]("nc") == 1)
+    assert(rows(2).getAs[String]("red") == "call <PHONE> or <PHONE> ip <IP>")
+    assert(rows(2).getAs[Long]("np") == 2 && rows(2).getAs[Long]("ni") == 1)
+    assert(rows(3).getAs[String]("red") == "clean text with no pii at all")
+    assert(rows(3).getAs[Long]("ne") == 0 && rows(3).getAs[Long]("ni") == 0 &&
+      rows(3).getAs[Long]("nc") == 0 && rows(3).getAs[Long]("np") == 0)
+  }
+
+  test("unigramLm matches a driver-side brute-force model") {
+    val docs = Ingest.table(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val cnt = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val total = cnt.values.sum
+    val got = graft.ext.TextAnalysis.unigramLm(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val toks = docs.toMap.apply(r.getAs[Long]("doc_id"))
+      val sumCnt = toks.map(cnt).sum
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("sum_cnt") == sumCnt)
+      assert(r.getAs[Long]("min_cnt") == toks.map(cnt).min)
+      assert(r.getAs[Long]("n_rare") == toks.count(t => cnt(t) * 1000L < total))
+    }
+  }
+
+  test("dsirWeights ranks target-language docs above the corpus-typical") {
+    val got = Curation.dsirWeights(spark, sf).collect()
+    assert(got.nonEmpty)
+    // weights are positive and finite; en docs average above non-en
+    val (en, rest) = got.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    got.foreach { r =>
+      val wt = r.getAs[Double]("weight")
+      assert(wt > 0 && !wt.isInfinite, r.toString)
+      assert(r.getAs[Boolean]("target_like") == (wt > 1.0))
+    }
+    val enAvg = en.map(_.getAs[Double]("weight")).sum / en.length
+    val restAvg = rest.map(_.getAs[Double]("weight")).sum / rest.length
+    assert(enAvg > restAvg,
+      s"en avg $enAvg should exceed non-en avg $restAvg")
+  }
 }
