@@ -34,12 +34,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated subset for targeted perf iteration;
+    // the driver's full run leaves this unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None    => SparkEntry.queries
+    }
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = selected.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()

@@ -100,6 +100,23 @@ class CurationSpec extends SparkTestBase {
     assert(s.exceptAll(reshard).isEmpty && reshard.exceptAll(s).isEmpty)
   }
 
+  test("maxRunCount equals the brute-force distinct-filter mode count") {
+    import spark.implicits._
+    // random-ish arrays with heavy repeats, plus edge shapes: singleton,
+    // all-equal, all-distinct
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      i.toLong -> (0 until n).map(_ => s"t${rnd.nextInt(6)}")
+    } ++ Seq(200L -> Seq("x"), 201L -> Seq.fill(17)("y"),
+      202L -> (0 until 23).map(j => s"u$j"))
+    val df = rows.toDF("id", "arr")
+      .withColumn("fast", graft.ext.TextAnalysis.maxRunCount(col("arr")))
+      .withColumn("brute", array_max(transform(array_distinct(col("arr")),
+        g => size(filter(col("arr"), x => x === g)))))
+    assert(df.filter(col("fast") =!= col("brute")).isEmpty)
+  }
+
   test("repetition flags a degenerate doc and keeps a diverse one") {
     import spark.implicits._
     import graft.ext.TextAnalysis
