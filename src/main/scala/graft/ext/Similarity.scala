@@ -43,20 +43,26 @@ object Similarity {
   /** [[quantizeInt8]] over an existing (vec_id, embedding) frame. */
   private[graft] def quantizeInt8Of(emb: DataFrame): DataFrame = {
     val x = col("embedding")
-    val scale = array_max(transform(x, v => abs(v.cast("double"))))
-    val q = transform(x, v =>
-      when(scale === 0.0, lit(0L))
-        .otherwise(floor(v.cast("double") * 127.0 / scale + 0.5)))
-    val err = array_max(zip_with(q, x, (qi, xi) =>
-      when(scale === 0.0, lit(0.0))
-        .otherwise(abs(qi.cast("double") * scale / 127.0 -
-          xi.cast("double")))))
+    // scale and the quantized array are hoisted to their own projections
+    // (same reason as in [[int8RescoreTopK]]: a lambda that inlines an
+    // O(dim) subexpression re-runs it per element — quadratic per vector
+    // in interpreted HOF evaluation; a per-row attribute reference is
+    // O(1)). q is then referenced twice (md5 + error bound) but computed
+    // once.
     emb
+      .withColumn("scale",
+        array_max(transform(x, v => abs(v.cast("double")))))
+      .withColumn("q", transform(x, v =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(v.cast("double") * 127.0 / col("scale") + 0.5))))
       .select(col("vec_id"), size(x).cast("long").as("n_dims"),
-        scale.as("scale"),
-        md5(concat_ws(",", transform(q, _.cast("string")))
+        col("scale"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string")))
           .cast("binary")).as("q_md5"),
-        err.as("max_err"))
+        array_max(zip_with(col("q"), x, (qi, xi) =>
+          when(col("scale") === 0.0, lit(0.0))
+            .otherwise(abs(qi.cast("double") * col("scale") / 127.0 -
+              xi.cast("double"))))).as("max_err"))
       .orderBy(col("vec_id"))
   }
 
@@ -305,13 +311,19 @@ object Similarity {
   def int8RescoreTopK(spark: SparkSession, dir: String, nQueries: Int,
                       k: Int, rescoreFactor: Int = 4): DataFrame = {
     val emb = embeddings(spark, dir)
-    val scale = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-    // the int→double cast happens HERE, once per vector — inside the
-    // pair loop it would re-run per (query, candidate) pair
-    val quant = emb.select(col("vec_id"), col("embedding"),
-      transform(quantizedInts(col("embedding")), v => v.cast("double"))
-        .as("qi"),
-      scale.as("scale"), norm(col("embedding")).as("nrm"))
+    // scale is hoisted to its own projection so the quantization lambda
+    // reads a per-row attribute (O(1) per element) instead of re-running
+    // the inlined array_max per element (O(dim) — quadratic per vector in
+    // interpreted HOF evaluation). The int→double cast happens HERE, once
+    // per vector — inside the pair loop it would re-run per pair.
+    val quant = emb
+      .withColumn("scale",
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+      .withColumn("qi", transform(col("embedding"), v =>
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(floor(v.cast("double") * 127.0 / col("scale") + 0.5))))
+      .select(col("vec_id"), col("embedding"), col("qi"), col("scale"),
+        norm(col("embedding")).as("nrm"))
     val q = quant.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"),
         col("qi").as("qqi"), col("scale").as("qscale"), col("nrm").as("qn"))
