@@ -28,6 +28,12 @@ object ExtEntry {
     "dedup_jaccard" -> ((s, dir) =>
       TextDedup.nearDupPairs(s, dir, 0.5).orderBy(col("d1"), col("d2"))),
 
+    "dedup_incremental" -> ((s, dir) =>
+      TextDedup.incrementalDedup(s, dir, 0.5)),
+
+    "split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(s, dir, 0.5)),
+
     "dedup_cluster" -> ((s, dir) =>
       TextDedup.nearDupClusters(s, dir, 0.5).orderBy(col("cluster_id"))),
 
@@ -289,19 +295,24 @@ object ExtEntry {
       |  generate_series(1, greatest(len(w) - 2, 1)),
       |  i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM docs)""".stripMargin
 
+  // The signature/banding pipeline shared by every MinHash oracle: per-doc
+  // 8-chunk minhash signature → 4 band hashes (bands0, uncapped).
+  private val sigBandsCte =
+    """mh AS (SELECT doc_id, j, min(CASE WHEN j < 4
+      |    THEN substr(md5(s), j * 8 + 1, 8)
+      |    ELSE substr(md5('x:' || s), (j - 4) * 8 + 1, 8) END) AS m
+      |  FROM sh, UNNEST(shingles) AS t(s), UNNEST([0,1,2,3,4,5,6,7]) AS u(j)
+      |  GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, array_agg(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+      |bands0 AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+      |  FROM sig, UNNEST([0,1,2,3]) AS bb(b))""".stripMargin
+
   // Mirrors TextDedup.maxBucket: band-bucket membership is pruned to the
   // first K doc_ids (rank over the same sorted ordering) BEFORE the
   // self-join, so the oracle computes the same capped candidate function
   // as candidatePairsFromBands on degenerate >K buckets.
   private val bandsCte =
-    s"""mh AS (SELECT doc_id, j, min(CASE WHEN j < 4
-       |    THEN substr(md5(s), j * 8 + 1, 8)
-       |    ELSE substr(md5('x:' || s), (j - 4) * 8 + 1, 8) END) AS m
-       |  FROM sh, UNNEST(shingles) AS t(s), UNNEST([0,1,2,3,4,5,6,7]) AS u(j)
-       |  GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, array_agg(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
-       |bands0 AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
-       |  FROM sig, UNNEST([0,1,2,3]) AS bb(b)),
+    s"""$sigBandsCte,
        |bands AS (SELECT doc_id, b, bh FROM (
        |    SELECT doc_id, b, bh,
        |      row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rk
@@ -432,6 +443,59 @@ object ExtEntry {
          |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
          |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // mirrors TextDedup.incrementalDedup: corpus-side buckets rank-capped,
+    // new-side uncapped, candidates strictly new×corpus, Jaccard verify,
+    // then one admission verdict per new doc (best match by jaccard desc /
+    // id asc, left-joined so no-match docs report keep = true)
+    "dedup_incremental" ->
+      s"""WITH $shinglesCte,
+         |$sigBandsCte,
+         |corpusb AS (SELECT doc_id, b, bh FROM (
+         |    SELECT doc_id, b, bh,
+         |      row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rk
+         |    FROM bands0 WHERE doc_id % 10 < 8) WHERE rk <= ${graft.ext.TextDedup.maxBucket}),
+         |newb AS (SELECT doc_id, b, bh FROM bands0 WHERE doc_id % 10 >= 8),
+         |cand AS (SELECT DISTINCT n.doc_id AS d_new, c.doc_id AS d_old
+         |  FROM newb n JOIN corpusb c ON n.b = c.b AND n.bh = c.bh),
+         |ver AS (SELECT d_new, d_old,
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS j
+         |  FROM cand JOIN sh s1 ON s1.doc_id = d_new JOIN sh s2 ON s2.doc_id = d_old
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |best AS (SELECT d_new, d_old, j,
+         |    row_number() OVER (PARTITION BY d_new ORDER BY j DESC, d_old) AS rk,
+         |    count(*) OVER (PARTITION BY d_new) AS nm FROM ver)
+         |SELECT d.doc_id, coalesce(b.nm, 0) AS n_matches,
+         |  b.d_old AS best_match, round(b.j, 6) AS best_jaccard,
+         |  b.d_old IS NULL AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.d_new
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Curation.splitLeakage: the dedup_jaccard verified pairs,
+    // each endpoint's split recomputed from its id (pure hash — no join
+    // back to documents), cross-split rows only
+    "split_leakage" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |ver AS (SELECT d1, d2,
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+         |  FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |lab AS (SELECT d1, d2, jaccard,
+         |    CASE WHEN substr(md5(CAST(d1 AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
+         |         WHEN substr(md5(CAST(d1 AS VARCHAR)), 1, 4) < '1999' THEN 'val'
+         |         ELSE 'train' END AS split1,
+         |    CASE WHEN substr(md5(CAST(d2 AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
+         |         WHEN substr(md5(CAST(d2 AS VARCHAR)), 1, 4) < '1999' THEN 'val'
+         |         ELSE 'train' END AS split2
+         |  FROM ver)
+         |SELECT d1, d2, split1, split2, jaccard FROM lab
+         |WHERE split1 <> split2 ORDER BY d1, d2""".stripMargin,
 
     // connected components stated declaratively: the recursive CTE is the
     // transitive closure of the verified pair graph (tiny after LSH+

@@ -74,9 +74,22 @@ object Curation {
     */
   def splitColumn(testTh: String = "0ccc",
                   valTh: String = "1999"): org.apache.spark.sql.Column =
-    when(sampleKey < testTh, "test")
-      .when(sampleKey < valTh, "val")
+    splitOf(col("doc_id"), testTh, valTh)
+
+  /** [[splitColumn]] as a pure function of an arbitrary id column — lets
+    * consumers that carry doc ids under other names (pair tables, join
+    * outputs) recompute the split WITHOUT joining back to the documents
+    * table: the assignment is hash-of-id, so it costs a projection, not a
+    * shuffle.
+    */
+  def splitOf(id: org.apache.spark.sql.Column,
+              testTh: String = "0ccc",
+              valTh: String = "1999"): org.apache.spark.sql.Column = {
+    val key = substring(md5(id.cast("string")), 1, 4)
+    when(key < testTh, "test")
+      .when(key < valTh, "val")
       .otherwise("train")
+  }
 
   def splitAssign(spark: SparkSession, dir: String,
                   testTh: String = "0ccc",
@@ -85,6 +98,29 @@ object Curation {
       .select(col("doc_id"), col("lang"), sampleKey.as("split_key"),
         splitColumn(testTh, valTh).as("split"))
       .orderBy(col("doc_id"))
+
+  /** Cross-split leakage report: verified near-duplicate pairs
+    * ([[TextDedup.nearDupPairs]] — MinHash-LSH candidates, exact Jaccard
+    * ≥ `threshold`) whose two documents land in DIFFERENT train/val/test
+    * splits. A near-dup straddling train and test is silent eval
+    * contamination that [[decontaminate]]'s exact-overlap probe misses;
+    * this is the audit a split assignment ships with.
+    *
+    * Scale shape: the split of each endpoint is recomputed from the pair
+    * ids via [[splitOf]] (the assignment is a pure hash of doc_id), so
+    * the audit adds ZERO joins and ZERO shuffles on top of the near-dup
+    * pipeline it rides — at 100 TB the leakage check is free once the
+    * dedup pass runs anyway.
+    */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    TextDedup.nearDupPairs(spark, dir, threshold)
+      .withColumn("split1", splitOf(col("d1")))
+      .withColumn("split2", splitOf(col("d2")))
+      .filter(col("split1") =!= col("split2"))
+      .select(col("d1"), col("d2"), col("split1"), col("split2"),
+        col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
 
   /** Per-source quota cap (the common-crawl-style "at most N documents
     * per domain" operator): keep the first `n` docs of each source in

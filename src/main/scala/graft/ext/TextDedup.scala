@@ -230,6 +230,70 @@ object TextDedup {
       .filter(col("edit_dist") =!= -1L)
   }
 
+  /** Incremental near-dup admission: dedupe a NEW ingest batch against
+    * the EXISTING corpus without ever pairing the corpus against itself.
+    * This is the daily-crawl shape at 100 TB — the corpus's band-bucket
+    * table is a standing artifact, and each increment only joins ITS
+    * bands against it: cost scales with the increment, not the corpus.
+    * Here both sides derive from one documents scan, split by a
+    * deterministic id rule (`doc_id % 10 >= 8` is the "new batch",
+    * scale-invariant so every SF draws the same 20%); the PLAN is the
+    * thing to read — new×corpus candidates only, no corpus×corpus and no
+    * new×new pair ever forms.
+    *
+    * Corpus bucket membership is rank-capped at [[maxBucket]] like every
+    * LSH op here (sorted doc_id, oracle mirrors with rank ≤ cap); the
+    * new side is NOT capped — an incoming doc must not escape dedup by
+    * landing in a crowded bucket.
+    *
+    * Emits one admission verdict per new doc: match count, the best
+    * corpus match by verified Jaccard (ties → smaller id), and
+    * keep = no corpus match reached `threshold`.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isNew = col("doc_id") % 10 >= 8
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val bnd = bands(signaturesOf(sh))
+    val corpusBands = bnd.filter(!(col("doc_id") % 10 >= 8))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("band_hash"))
+          .orderBy(col("doc_id"))))
+      .filter(col("rk") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("d_old"))
+    val newBands = bnd.filter(isNew)
+      .select(col("band"), col("band_hash"), col("doc_id").as("d_new"))
+    val cand = newBands.join(corpusBands, Seq("band", "band_hash"))
+      .select(col("d_new"), col("d_old")).distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("d_new"), col("shingles").as("s1")),
+        Seq("d_new"))
+      .join(sh.select(col("doc_id").as("d_old"), col("shingles").as("s2")),
+        Seq("d_old"))
+      .select(col("d_new"), col("d_old"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("d_new"))
+    val best = verified
+      .withColumn("rk",
+        row_number().over(w.orderBy(col("jaccard").desc, col("d_old").asc)))
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("d_new").as("doc_id"), col("n_matches"),
+        col("d_old").as("best_match"),
+        round(col("jaccard"), 6).as("best_jaccard"))
+    documents(spark, dir).filter(isNew)
+      .select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"),
+        col("best_match").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup over text: one group per md5(text) with the surviving
     * (minimum) doc_id and the copy count. Single map-side-combined shuffle.
     */

@@ -100,6 +100,51 @@ class CurationSpec extends SparkTestBase {
     assert(s.exceptAll(reshard).isEmpty && reshard.exceptAll(s).isEmpty)
   }
 
+  test("splitLeakage rows are exactly the cross-split near-dup pairs") {
+    val pairs = TextDedup.nearDupPairs(spark, sf, 0.5)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val splitOfId = Curation.splitAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val leaks = Curation.splitLeakage(spark, sf, 0.5).collect()
+    leaks.foreach { r =>
+      val (a, b) = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      assert(pairs((a, b)), s"($a,$b) not a verified near-dup pair")
+      // the recomputed split matches the assignment table's
+      assert(r.getAs[String]("split1") == splitOfId(a))
+      assert(r.getAs[String]("split2") == splitOfId(b))
+      assert(r.getAs[String]("split1") != r.getAs[String]("split2"))
+    }
+    // completeness: every cross-split pair is reported
+    val expected = pairs.count { case (a, b) => splitOfId(a) != splitOfId(b) }
+    assert(leaks.length == expected)
+  }
+
+  test("incrementalDedup: verdict per new doc, matches only into the corpus") {
+    val inc = TextDedup.incrementalDedup(spark, sf, 0.5).collect()
+    val newIds = Ingest.table(spark, sf, "documents")
+      .filter(col("doc_id") % 10 >= 8).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(inc.length == newIds.size)
+    inc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(newIds(id), s"$id is not a new-batch doc")
+      val n = r.getAs[Long]("n_matches")
+      val keep = r.getAs[Boolean]("keep")
+      if (keep) {
+        assert(n == 0L && r.isNullAt(r.fieldIndex("best_match")))
+      } else {
+        assert(n > 0L)
+        val m = r.getAs[Long]("best_match")
+        assert(!newIds(m), s"best match $m must come from the corpus side")
+        assert(r.getAs[Double]("best_jaccard") >= 0.5)
+      }
+    }
+    // non-degenerate: the synthetic corpus has both admitted and rejected
+    assert(inc.exists(_.getAs[Boolean]("keep")))
+    assert(inc.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("maxRunCount equals the brute-force distinct-filter mode count") {
     import spark.implicits._
     // random-ish arrays with heavy repeats, plus edge shapes: singleton,
