@@ -407,6 +407,33 @@ object SparkEntry {
             col("exact_events").cast("double") * 0.10).as("events_within_5rsd"))
         .orderBy(col("event_type"))),
 
+    // Two-level sketch rollup — the pattern that makes count-distinct
+    // re-aggregable at 100 TB: level 1 builds one DataSketches HLL per
+    // (event_type, 180-s bucket) — the partial a daily partition would
+    // PERSIST — and level 2 answers the per-type question by hll_union of
+    // those sketches alone, never rescanning raw events. A re-slice by a
+    // different dimension is a different union over the same stored
+    // partials (KBs per bucket, not TBs of raw). Estimates are
+    // engine-specific, so the oracle-checked surface is the deterministic
+    // part (n_buckets, exact_users) plus the bound boolean, as in
+    // agg_approx_distinct (lgConfigK=12 → rsd ≈ 1.6%; bound 10%).
+    "agg_sketch_rollup" -> ((s, dir) => {
+      val ev = Ingest.events(s, dir)
+        .withColumn("minute", Ingest.minuteBucket(unix_millis(col("ts"))))
+      val partials = ev.groupBy(col("event_type"), col("minute"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = partials.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_buckets"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.10).as("union_within_10pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // sessionization: 30-min-gap sessions via lag + running sum windows
     "window_sessionize" -> ((s, dir) => {
       val ev = silverBase(s, dir)
@@ -1192,6 +1219,14 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  count(DISTINCT event_id) AS exact_events,
         |  TRUE AS users_within_5rsd, TRUE AS events_within_5rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_sketch_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(floor(epoch_ms(ts) / 1000.0 / 180.0) AS BIGINT))
+        |    AS n_buckets,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS union_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "window_rank" ->

@@ -74,6 +74,33 @@ class AggregateSpec extends SparkTestBase {
     }
   }
 
+  test("HLL sketch rollup: unioned bucket partials land within the bound") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.ops.Ingest.events(spark, dir)
+      .withColumn("minute",
+        graft.ops.Ingest.minuteBucket(unix_millis(col("ts"))))
+    // the raw unioned estimate (the query itself only emits the boolean)
+    val est = ev.groupBy(col("event_type"), col("minute"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val (buckets, e) = est(t)
+      // the rollup genuinely merged partials, not a single-sketch rename
+      assert(buckets > 1, s"$t rolled up only $buckets bucket(s)")
+      assert(math.abs(e - n).toDouble / n < 0.1, s"$t: union $e vs exact $n")
+    }
+    // and the registered query's booleans agree
+    val q = SparkEntry.queries("agg_sketch_rollup")(spark, dir).collect()
+    assert(q.nonEmpty && q.forall(_.getAs[Boolean]("union_within_10pct")))
+  }
+
   test("processing the same batch through fold twice double-counts (why the pipeline guards batch ids)") {
     val b = Seq(("g", 1.0, 100L)).toDF("group_id", "score", "event_timestamp")
     val gold1 = Aggregate.partial(b, "group_id", "score", "event_timestamp")
