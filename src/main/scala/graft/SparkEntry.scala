@@ -435,6 +435,37 @@ object SparkEntry {
     }),
 
     // sessionization: 30-min-gap sessions via lag + running sum windows
+    // Ordered-step funnel (view → click → purchase, strictly increasing
+    // event time): how many users reach each step. Implemented as CHAINED
+    // CONDITIONAL MIN-AGGREGATIONS, not per-user event arrays: min is
+    // decomposable, so each stage partial-aggregates map-side and a
+    // million-event bot user contributes one partial per mapper — the
+    // reducer never sees raw rows. Each stage's join keys and groupBy
+    // keys are all user_id, so the stages reuse one hash partitioning.
+    "funnel_steps" -> ((s, dir) => {
+      val e = Ingest.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ems"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ems")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ems") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ems")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ems") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ems")).as("t3"))
+      def level(df: DataFrame, step: Long, ty: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(ty).as("event_type"),
+            col("n_users"))
+      level(s1, 1L, "view")
+        .unionAll(level(s2, 2L, "click"))
+        .unionAll(level(s3, 3L, "purchase"))
+        .orderBy(col("step"))
+    }),
+
     "window_sessionize" -> ((s, dir) => {
       val ev = silverBase(s, dir)
       val byUser = org.apache.spark.sql.expressions.Window
@@ -1220,6 +1251,22 @@ object SparkEntry {
         |  count(DISTINCT event_id) AS exact_events,
         |  TRUE AS users_within_5rsd, TRUE AS events_within_5rsd
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events),
+        |s1 AS (SELECT user_id, min(ems) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ems) AS t2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND ems > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ems) AS t3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND ems > t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
 
     "agg_sketch_rollup" ->
       """SELECT event_type,
