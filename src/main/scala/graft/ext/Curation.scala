@@ -249,40 +249,63 @@ object Curation {
     * per-gram evidence mixes (arithmetic vs geometric), which the
     * hash-exact oracle bar decides.
     *
-    * Scale shape: feature extraction is scan-local; the model is ONE
-    * map-side-combined groupBy onto `nBuckets` rows (a constant), which
-    * then BROADCASTS back to the per-doc scoring pass — the corpus
-    * shuffles once, on doc_id, with partial aggregation. Training-data
-    * selection at 100 TB = two scans + one bounded shuffle.
+    * Scale shape: the model pass is the ONLY shuffle — grams explode
+    * into a map-side-combined groupBy onto `nBuckets` rows (a constant),
+    * which collapses into ONE broadcast row holding the bucket counts as
+    * two 256-slot arrays. The scoring pass is then SCAN-LOCAL: each
+    * document folds its own bucket ids against the broadcast arrays
+    * (O(1) array index per gram) — no per-gram shuffle, no groupBy on
+    * doc_id, the corpus never moves. Training-data selection at 100 TB =
+    * two scans + one 256-row rollup.
     */
   def dsirWeights(spark: SparkSession, dir: String,
                   targetLang: String = "en"): DataFrame = {
     val nBuckets = 256
     val w = split(col("text"), " ")
-    val grams = documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(transform(
-        sequence(lit(1), greatest(size(w) - 1, lit(1))),
-        i => concat_ws(" ", slice(w, i, lit(2))))).as("g"))
-      .withColumn("b", conv(substring(md5(col("g")), 1, 2), 16, 10)
-        .cast("long"))
-    val model = grams
+    def gramsOf(c: org.apache.spark.sql.Column) = transform(
+      sequence(lit(1), greatest(size(c) - 1, lit(1))),
+      i => concat_ws(" ", slice(c, i, lit(2))))
+    val bucketOf = (g: org.apache.spark.sql.Column) =>
+      conv(substring(md5(g), 1, 2), 16, 10).cast("long")
+    val model = documents(spark, dir)
+      .select(col("lang"), explode(gramsOf(w)).as("g"))
+      .withColumn("b", bucketOf(col("g")))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("s_cnt"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
-    val totals = model.agg(sum(col("s_cnt")).as("s_total"),
-      sum(col("t_cnt")).as("t_total"))
-    grams
-      .join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("t_cnt") + 1L).as("num"),
-        sum(col("s_cnt") + 1L).as("den"))
-      .crossJoin(broadcast(totals))
+    // one row: dense 256-slot count arrays + smoothed totals (buckets no
+    // gram hashed into read as 0 — they can never be indexed by a doc
+    // anyway, since every doc bucket contributed to the model)
+    val modelRow = model
+      .agg(
+        map_from_arrays(collect_list(col("b")),
+          collect_list(col("s_cnt"))).as("s_map"),
+        map_from_arrays(collect_list(col("b")),
+          collect_list(col("t_cnt"))).as("t_map"),
+        (sum(col("s_cnt")) + nBuckets).cast("double").as("s_tb"),
+        (sum(col("t_cnt")) + nBuckets).cast("double").as("t_tb"))
+      .select(
+        transform(sequence(lit(0L), lit(nBuckets - 1L)),
+          i => coalesce(element_at(col("s_map"), i), lit(0L))).as("s_arr"),
+        transform(sequence(lit(0L), lit(nBuckets - 1L)),
+          i => coalesce(element_at(col("t_map"), i), lit(0L))).as("t_arr"),
+        col("s_tb"), col("t_tb"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        transform(gramsOf(w), g => bucketOf(g)).as("bs"))
+      .crossJoin(broadcast(modelRow))
+      .select(col("doc_id"), col("lang"),
+        size(col("bs")).cast("long").as("n_grams"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
+          acc + element_at(col("t_arr"), (b + 1).cast("int")) + 1L)
+          .as("num"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
+          acc + element_at(col("s_arr"), (b + 1).cast("int")) + 1L)
+          .as("den"),
+        col("s_tb"), col("t_tb"))
       .select(col("doc_id"), col("lang"), col("n_grams"),
-        round((col("num").cast("double") *
-          (col("s_total") + nBuckets).cast("double")) /
-          (col("den").cast("double") *
-            (col("t_total") + nBuckets).cast("double")), 6).as("weight"))
+        round((col("num").cast("double") * col("s_tb")) /
+          (col("den").cast("double") * col("t_tb")), 6).as("weight"))
       .withColumn("target_like", col("weight") > 1.0)
       .orderBy(col("doc_id"))
   }
