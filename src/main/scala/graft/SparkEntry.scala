@@ -434,6 +434,55 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Two-level HISTOGRAM quantile — the mergeable-percentile companion
+    // to agg_sketch_rollup (Spark exposes no t-digest partial column, but
+    // equi-width bin counts are the poor-man's mergeable sketch: integer
+    // counts add associatively, so level-1 partials per (type, 180-s
+    // bucket) roll up by summation and a re-slice never rescans raw
+    // events). The estimate — left edge of the bin where the cumulative
+    // count reaches the integer target rank — is DETERMINISTIC, so the
+    // oracle checks it hash-exactly alongside the exact interpolated
+    // percentiles (bin width = range/64 bounds the error; target ranks
+    // use pure integer arithmetic: ceil(q·n) = (q·n + denom-1) div denom
+    // — no float rank compare to drift between engines).
+    "agg_percentile_rollup" -> ((s, dir) => {
+      val ev = Ingest.events(s, dir)
+        .withColumn("minute", Ingest.minuteBucket(unix_millis(col("ts"))))
+      val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .withColumn("bw", (col("mx") - col("mn")) / lit(64.0))
+      val partials = ev.crossJoin(broadcast(mm))
+        .withColumn("bin", when(col("bw") === 0.0, lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("mn")) / col("bw")).cast("long"),
+            lit(63L))))
+        .groupBy(col("event_type"), col("minute"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val hist = partials.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("c")).as("c"))
+      val n = hist.groupBy(col("event_type")).agg(sum(col("c")).as("nt"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bin"))
+      val picks = hist.join(n, Seq("event_type"))
+        .withColumn("cum", sum(col("c")).over(wc))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("cum") >= expr("(nt + 1) div 2"), col("bin")))
+            .as("b50"),
+          min(when(col("cum") >= expr("(9 * nt + 9) div 10"), col("bin")))
+            .as("b90"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("exact_p90"))
+      picks.crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          round(col("mn") + col("b50") * col("bw"), 6).as("hist_p50"),
+          round(col("mn") + col("b90") * col("bw"), 6).as("hist_p90"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_p50"), col("hist_p50"),
+          col("exact_p90"), col("hist_p90"))
+        .orderBy(col("event_type"))
+    }),
+
     // sessionization: 30-min-gap sessions via lag + running sum windows
     // Ordered-step funnel (view → click → purchase, strictly increasing
     // event time): how many users reach each step. Implemented as CHAINED
@@ -1251,6 +1300,35 @@ object SparkEntry {
         |  count(DISTINCT event_id) AS exact_events,
         |  TRUE AS users_within_5rsd, TRUE AS events_within_5rsd
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_percentile_rollup" ->
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx,
+        |    (max(value) - min(value)) / 64.0 AS bw FROM events),
+        |binned AS (SELECT event_type,
+        |    CASE WHEN bw = 0 THEN 0
+        |         ELSE least(CAST(floor((value - mn) / bw) AS BIGINT), 63)
+        |    END AS bin
+        |  FROM events, mm),
+        |hist AS (SELECT event_type, bin, count(*) AS c
+        |  FROM binned GROUP BY event_type, bin),
+        |n AS (SELECT event_type, sum(c) AS nt FROM hist GROUP BY event_type),
+        |cum AS (SELECT hist.event_type, bin, nt,
+        |    sum(c) OVER (PARTITION BY hist.event_type ORDER BY bin) AS cum
+        |  FROM hist JOIN n ON hist.event_type = n.event_type),
+        |picks AS (SELECT event_type,
+        |    min(CASE WHEN cum >= (nt + 1) // 2 THEN bin END) AS b50,
+        |    min(CASE WHEN cum >= (9 * nt + 9) // 10 THEN bin END) AS b90
+        |  FROM cum GROUP BY event_type),
+        |exact AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |    round(quantile_cont(value, 0.9), 6) AS exact_p90
+        |  FROM events GROUP BY event_type)
+        |SELECT p.event_type, exact_p50,
+        |  round(mn + b50 * bw, 6) AS hist_p50,
+        |  exact_p90,
+        |  round(mn + b90 * bw, 6) AS hist_p90
+        |FROM picks p JOIN exact ON p.event_type = exact.event_type, mm
+        |ORDER BY p.event_type""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events),

@@ -101,6 +101,23 @@ class AggregateSpec extends SparkTestBase {
     assert(q.nonEmpty && q.forall(_.getAs[Boolean]("union_within_10pct")))
   }
 
+  test("histogram quantile rollup lands within two bin widths of exact") {
+    val dir = "/root/testdata/sf0.001"
+    val mm = graft.ops.Ingest.events(spark, dir)
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx")).head
+    val bw = (mm.getAs[Double]("mx") - mm.getAs[Double]("mn")) / 64.0
+    val rows = SparkEntry.queries("agg_percentile_rollup")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(math.abs(r.getAs[Double]("hist_p50") -
+        r.getAs[Double]("exact_p50")) <= 2 * bw, s"$t p50")
+      assert(math.abs(r.getAs[Double]("hist_p90") -
+        r.getAs[Double]("exact_p90")) <= 2 * bw, s"$t p90")
+    }
+  }
+
   test("processing the same batch through fold twice double-counts (why the pipeline guards batch ids)") {
     val b = Seq(("g", 1.0, 100L)).toDF("group_id", "score", "event_timestamp")
     val gold1 = Aggregate.partial(b, "group_id", "score", "event_timestamp")
