@@ -128,6 +128,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental dedup joins new bands against corpus buckets, no self-pair") {
+    val p = executedPlan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus-side cap is the only ranking window; candidates form by
+    // hash join on the band bucket, never by a corpus self-join
+    assert(p.contains("Window"), p)
+  }
+
+  test("funnel stages fold map-side: partial min aggregation, no event arrays") {
+    val p = executedPlan("funnel_steps")
+    // decomposable min => partial_min in the aggregate nodes; a
+    // collect_list/window formulation would show neither
+    assert(p.contains("partial_min") || p.contains("min("), p)
+    assert(!p.contains("collect_list") && !p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sketch rollups stay cartesian-free; percentile rollup broadcasts its " +
+    "one-row bounds") {
+    Seq("agg_sketch_rollup", "agg_percentile_rollup").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+    // the single-row min/max frame rides a broadcast nested loop — the
+    // benign scalar-broadcast shape, not a data-x-data cartesian
+    val pq = executedPlan("agg_percentile_rollup")
+    assert(pq.contains("BroadcastExchange"), pq)
+  }
+
   test("projection query prunes the scan to the referenced columns") {
     val df = SparkEntry.queries("filter_notin")(spark, sf)
     df.collect()
