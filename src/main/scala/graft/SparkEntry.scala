@@ -484,6 +484,37 @@ object SparkEntry {
     }),
 
     // sessionization: 30-min-gap sessions via lag + running sum windows
+    // Daily retention cohorts — the funnel's sibling analytics shape:
+    // cohort = a user's first active day; each (cohort, day-offset) cell
+    // counts users still active that many days later, with the fraction
+    // of the cohort it represents. The raw event table collapses FIRST
+    // into the distinct user-day activity grid (map-side-combinable, and
+    // orders of magnitude smaller than raw events at 100 TB — a user's
+    // thousandth event that day is dropped at the mapper); every
+    // aggregate after that (min, count_distinct, the cohort-size self
+    // join) runs on the grid, keyed by user_id or the tiny cohort table.
+    "retention_cohorts" -> ((s, dir) => {
+      val grid = Ingest.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+        .distinct()
+      val cohorts = grid.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val act = grid.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+      val sizes = act.filter(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_active").as("cohort_size"))
+      act.join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Ordered-step funnel (view → click → purchase, strictly increasing
     // event time): how many users reach each step. Implemented as CHAINED
     // CONDITIONAL MIN-AGGREGATIONS, not per-user event arrays: min is
@@ -1329,6 +1360,22 @@ object SparkEntry {
         |  round(mn + b90 * bw, 6) AS hist_p90
         |FROM picks p JOIN exact ON p.event_type = exact.event_type, mm
         |ORDER BY p.event_type""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+        |act AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |    count(DISTINCT ud.user_id) AS n_active
+        |  FROM ud JOIN c ON ud.user_id = c.user_id
+        |  GROUP BY cohort_day, day - cohort_day),
+        |sz AS (SELECT cohort_day, n_active AS cohort_size FROM act
+        |  WHERE day_offset = 0)
+        |SELECT a.cohort_day, day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
+        |ORDER BY a.cohort_day, day_offset""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events),
