@@ -484,6 +484,41 @@ object SparkEntry {
     }),
 
     // sessionization: 30-min-gap sessions via lag + running sum windows
+    // Daily volume anomaly detection — the monitoring query a streaming
+    // deployment runs against its own history: per (event_type, day)
+    // counts z-scored against that type's distribution over all days.
+    // Variance comes from EXACT integer sums (n, Σc, Σc²) combined in one
+    // fixed IEEE expression — deliberately NOT stddev_samp, whose
+    // Welford-style accumulation is engine- and order-dependent and would
+    // break the hash-exact oracle. sqrt is correctly rounded per IEEE 754,
+    // so the whole z-score is deterministic. The day-count grid is tiny
+    // (types × days) — raw events collapse at the mappers, the stats
+    // table is a broadcast.
+    "anomaly_daily" -> ((s, dir) => {
+      val daily = Ingest.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("sq"))
+        .select(col("event_type"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1)).as("std"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("c").as("n_events"),
+          when(col("std") === 0.0, lit(0.0))
+            .otherwise(round((col("c") - col("mean")) / col("std"), 6))
+            .as("z"),
+          (col("std") > 0.0 &&
+            abs((col("c") - col("mean")) / col("std")) > 2.0)
+            .as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Daily retention cohorts — the funnel's sibling analytics shape:
     // cohort = a user's first active day; each (cohort, day-offset) cell
     // counts users still active that many days later, with the fraction
@@ -1360,6 +1395,24 @@ object SparkEntry {
         |  round(mn + b90 * bw, 6) AS hist_p90
         |FROM picks p JOIN exact ON p.event_type = exact.event_type, mm
         |ORDER BY p.event_type""".stripMargin,
+
+    "anomaly_daily" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, 2),
+        |stats AS (SELECT event_type,
+        |    CAST(sum(c) AS DOUBLE) / count(*) AS mean,
+        |    sqrt((CAST(sum(c * c) AS DOUBLE) -
+        |      CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / count(*)) /
+        |      (count(*) - 1)) AS std
+        |  FROM daily GROUP BY event_type)
+        |SELECT d.event_type, day, c AS n_events,
+        |  CASE WHEN std = 0 THEN 0.0
+        |       ELSE round((c - mean) / std, 6) END AS z,
+        |  std > 0 AND abs((c - mean) / std) > 2.0 AS is_anomaly
+        |FROM daily d JOIN stats s ON d.event_type = s.event_type
+        |ORDER BY d.event_type, day""".stripMargin,
 
     "retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id,
