@@ -255,6 +255,11 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val isNew = col("doc_id") % 10 >= 8
     val sh = docShingles(spark, dir).localCheckpoint(true)
+    // the band table feeds both sides of the candidate join; it is NOT
+    // materialized — the minhash pipeline re-runs per side, but it is a
+    // codegen'd projection over the checkpointed shingles, measured
+    // cheaper than an extra materialization barrier (and in production
+    // the corpus side is a standing bucket table, not recomputed at all)
     val bnd = bands(signaturesOf(sh))
     val corpusBands = bnd.filter(!(col("doc_id") % 10 >= 8))
       .withColumn("rk", row_number().over(
