@@ -37,6 +37,9 @@ object ExtEntry {
     "dedup_cluster" -> ((s, dir) =>
       TextDedup.nearDupClusters(s, dir, 0.5).orderBy(col("cluster_id"))),
 
+    "dedup_survivors" -> ((s, dir) =>
+      TextDedup.survivors(s, dir, 0.5)),
+
     "text_simhash" -> ((s, dir) =>
       TextDedup.simhash(s, dir).orderBy(col("doc_id"))),
 
@@ -518,6 +521,33 @@ object ExtEntry {
          |  FROM reach GROUP BY node)
          |SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc
          |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // mirrors TextDedup.survivors: cluster labels from the same recursive
+    // closure, singletons fall through the left join as their own keeper,
+    // then one merge-aggregation per keeper
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$bandsCte,
+         |pairs AS (SELECT d1, d2 FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a),
+         |lbl AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT coalesce(l.cluster_id, d.doc_id) AS keeper_doc_id,
+         |  count(*) AS n_members,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+         |  string_agg(DISTINCT d.lang, ',' ORDER BY d.lang) AS langs,
+         |  max(d.doc_id) AS latest_member
+         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+         |GROUP BY coalesce(l.cluster_id, d.doc_id)
+         |ORDER BY keeper_doc_id""".stripMargin,
 
     "text_simhash" ->
       s"""WITH $simhashCte

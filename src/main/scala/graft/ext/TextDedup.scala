@@ -506,6 +506,39 @@ object TextDedup {
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
 
+  /** Survivorship merge — the record-consolidation step after near-dup
+    * clustering: every document maps to its cluster keeper (the least
+    * doc_id of its connected component; itself when it has no near-dup),
+    * and the keeper row carries attributes MERGED across all members —
+    * member count, summed chars, the sorted distinct language set, the
+    * latest member id. This is what actually ships after a dedup pass:
+    * one row per retained entity, with the dropped rows' metadata folded
+    * in rather than discarded.
+    *
+    * Scale shape: cluster labels come from [[clusters]] (O(log d) label
+    * propagation over the LSH-pruned pair graph — tiny relative to the
+    * corpus); the corpus joins the label table on doc_id (labels
+    * broadcastable — one row per PAIRED doc only, singletons fall
+    * through the left join as their own keeper), then one
+    * map-side-combined groupBy on the keeper id.
+    */
+  def survivors(spark: SparkSession, dir: String,
+                threshold: Double): DataFrame = {
+    val lbl = clusters(
+      nearDupPairs(spark, dir, threshold).select(col("d1"), col("d2")))
+      .select(col("node").as("doc_id"), col("lbl"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(lbl), Seq("doc_id"), "left")
+      .withColumn("keeper", coalesce(col("lbl"), col("doc_id")))
+      .groupBy(col("keeper").as("keeper_doc_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        max(col("doc_id")).as("latest_member"))
+      .orderBy(col("keeper_doc_id"))
+  }
+
   /** Sub-document exact dedup at segment granularity (the CCNet
     * paragraph-dedup shape, Wenzek et al. 2020 §3.1; Lee et al. 2021
     * keep-first-occurrence policy): the corpus is cut into

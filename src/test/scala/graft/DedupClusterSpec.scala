@@ -104,4 +104,24 @@ class DedupClusterSpec extends SparkTestBase {
     // every cluster is a genuine duplicate group
     assert(got.forall(_._2 >= 2))
   }
+
+  test("survivorship partitions the corpus: every doc counted once, " +
+    "keepers are cluster minima") {
+    val dir = "/root/testdata/sf0.001"
+    val surv = TextDedup.survivors(spark, dir, 0.5).collect()
+    val nDocs = graft.ops.Ingest.table(spark, dir, "documents").count()
+    // exhaustive and disjoint: member counts sum to the corpus
+    assert(surv.map(_.getAs[Long]("n_members")).sum == nDocs)
+    // the keeper is the least member: never above latest_member
+    surv.foreach { r =>
+      assert(r.getAs[Long]("keeper_doc_id") <= r.getAs[Long]("latest_member"))
+      assert(r.getAs[String]("langs").nonEmpty)
+    }
+    // clustered keepers agree with nearDupClusters' labels
+    val clusterIds = TextDedup.nearDupClusters(spark, dir, 0.5)
+      .select("cluster_id").collect().map(_.getLong(0)).toSet
+    val multi = surv.filter(_.getAs[Long]("n_members") >= 2)
+      .map(_.getAs[Long]("keeper_doc_id")).toSet
+    assert(clusterIds.subsetOf(multi))
+  }
 }
