@@ -516,11 +516,14 @@ object TextDedup {
     * in rather than discarded.
     *
     * Scale shape: cluster labels come from [[clusters]] (O(log d) label
-    * propagation over the LSH-pruned pair graph — tiny relative to the
-    * corpus); the corpus joins the label table on doc_id (labels
-    * broadcastable — one row per PAIRED doc only, singletons fall
-    * through the left join as their own keeper), then one
-    * map-side-combined groupBy on the keeper id.
+    * propagation over the LSH-pruned pair graph); the corpus joins the
+    * label table on doc_id as a plain shuffled equi-join — the label
+    * side is one row per PAIRED doc, which on a real web crawl is
+    * 30–50% of the corpus, far past broadcast range, so the join must
+    * NOT carry a broadcast hint (AQE may still choose broadcast when
+    * the label side happens to be small at runtime, which is the right
+    * division of labor). Singletons fall through the left join as their
+    * own keeper; then one map-side-combined groupBy on the keeper id.
     */
   def survivors(spark: SparkSession, dir: String,
                 threshold: Double): DataFrame = {
@@ -529,7 +532,7 @@ object TextDedup {
       .select(col("node").as("doc_id"), col("lbl"))
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(broadcast(lbl), Seq("doc_id"), "left")
+      .join(lbl, Seq("doc_id"), "left")
       .withColumn("keeper", coalesce(col("lbl"), col("doc_id")))
       .groupBy(col("keeper").as("keeper_doc_id"))
       .agg(count(lit(1)).as("n_members"),

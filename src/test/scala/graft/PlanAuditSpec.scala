@@ -158,6 +158,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pq.contains("BroadcastExchange"), pq)
   }
 
+  test("survivors label join carries no broadcast hint anywhere in the plan") {
+    // the label side is one row per PAIRED doc — 30–50% of a real web
+    // crawl, corpus-proportional, so a broadcast HINT is an executor-OOM
+    // at 100 TB. AQE converting the join at runtime when the label side
+    // happens to be small is fine (that decision sees actual sizes); a
+    // hard-coded hint is not. Pin: zero join-strategy hints survive into
+    // the optimized plan.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("dedup_survivors")(spark, sf)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j.hint
+    }
+    assert(hinted.isEmpty, s"unexpected join hints: ${hinted.mkString(", ")}")
+    assert(df.collect().nonEmpty)
+  }
+
   test("projection query prunes the scan to the referenced columns") {
     val df = SparkEntry.queries("filter_notin")(spark, sf)
     df.collect()
