@@ -38,6 +38,13 @@ object Bench {
     // the driver's full run leaves this unset.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd name — a silent empty selection would emit an
+    // empty benchmark that reads as "nothing regressed"
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
@@ -60,7 +67,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps}"""
+    // the driver scrapes stdout's tail, which has truncated the (long)
+    // JSON line before (r6: 72 of 113 timings visible, parsed: null) —
+    // persist the full line to a file so the capture never depends on
+    // how much of the log tail survives
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -505,9 +505,13 @@ object SparkEntry {
           sum(col("c") * col("c")).as("sq"))
         .select(col("event_type"),
           (col("s").cast("double") / col("n")).as("mean"),
-          sqrt((col("sq").cast("double") -
-            col("s").cast("double") * col("s").cast("double") / col("n")) /
-            (col("n") - 1)).as("std"))
+          // n = 1 (single observed day) would divide by zero; a one-day
+          // history has no dispersion estimate, so std := 0 — z and
+          // is_anomaly then take the std=0 branch (0 / false) below
+          when(col("n") > 1,
+            sqrt((col("sq").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / col("n")) /
+              (col("n") - 1))).otherwise(lit(0.0)).as("std"))
       daily.join(broadcast(stats), Seq("event_type"))
         .select(col("event_type"), col("day"), col("c").as("n_events"),
           when(col("std") === 0.0, lit(0.0))
@@ -1403,9 +1407,11 @@ object SparkEntry {
         |  FROM events GROUP BY event_type, 2),
         |stats AS (SELECT event_type,
         |    CAST(sum(c) AS DOUBLE) / count(*) AS mean,
-        |    sqrt((CAST(sum(c * c) AS DOUBLE) -
-        |      CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / count(*)) /
-        |      (count(*) - 1)) AS std
+        |    CASE WHEN count(*) > 1 THEN
+        |      sqrt((CAST(sum(c * c) AS DOUBLE) -
+        |        CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / count(*)) /
+        |        (count(*) - 1))
+        |    ELSE 0.0 END AS std
         |  FROM daily GROUP BY event_type)
         |SELECT d.event_type, day, c AS n_events,
         |  CASE WHEN std = 0 THEN 0.0

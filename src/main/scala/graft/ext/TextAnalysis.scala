@@ -45,8 +45,12 @@ object TextAnalysis {
     * (the array's mode count): sort, then one linear run-length scan via
     * `aggregate`. O(n log n) per row, replacing the O(n²)
     * `array_distinct × filter` formulation (each distinct element
-    * re-scanning the whole array) — identical value, since both compute
-    * max over elements of the element's occurrence count. On the sf0.1
+    * re-scanning the whole array) — identical value FOR NON-EMPTY,
+    * NULL-FREE arrays, the only inputs the call sites produce (token /
+    * n-gram arrays of non-empty documents): on an empty array this
+    * returns 0 where the brute force returns null, and a null element
+    * counts as a run here (`<=>`) where `array_contains`-style counting
+    * would skip it. On the sf0.1
     * corpus this halves the quality-gate/repetition scan cost; at 100 TB
     * the difference is quadratic-vs-linearithmic in document length.
     */
