@@ -28,8 +28,11 @@ object ExtEntry {
     "dedup_jaccard" -> ((s, dir) =>
       TextDedup.nearDupPairs(s, dir, 0.5).orderBy(col("d1"), col("d2"))),
 
+    // reads the corpus side from the persisted band/shingle index
+    // (built on first use in the session, reused after — the amortized
+    // daily-crawl shape); the oracle recomputes the same thing in SQL
     "dedup_incremental" -> ((s, dir) =>
-      TextDedup.incrementalDedup(s, dir, 0.5)),
+      TextDedup.incrementalDedupIndexed(s, dir, 0.5)),
 
     "split_leakage" -> ((s, dir) =>
       Curation.splitLeakage(s, dir, 0.5)),

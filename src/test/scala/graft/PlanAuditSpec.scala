@@ -132,9 +132,13 @@ class PlanAuditSpec extends SparkTestBase {
     val p = executedPlan("dedup_incremental")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    // the corpus-side cap is the only ranking window; candidates form by
-    // hash join on the band bucket, never by a corpus self-join
+    // best-match ranking is the only window; candidates form by hash
+    // join on the band bucket, never by a corpus self-join
     assert(p.contains("Window"), p)
+    // the corpus side comes from the PERSISTED index tables, not a
+    // per-run minhash recompute — the amortized daily-crawl shape
+    assert(p.contains("graft_dedup_bands"), p)
+    assert(p.contains("graft_dedup_shingles"), p)
   }
 
   test("funnel stages fold map-side: partial min aggregation, no event arrays") {
