@@ -494,33 +494,16 @@ object SparkEntry {
     // so the whole z-score is deterministic. The day-count grid is tiny
     // (types × days) — raw events collapse at the mappers, the stats
     // table is a broadcast.
+    // The rollup below the daily grid lives in ops/Analytics so the
+    // incrementally-maintained streaming twin (StreamingAnalytics)
+    // provably runs the identical expressions over its snapshot.
     "anomaly_daily" -> ((s, dir) => {
       val daily = Ingest.events(s, dir)
         .groupBy(col("event_type"),
           floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
             .as("day"))
         .agg(count(lit(1)).as("c"))
-      val stats = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-          sum(col("c") * col("c")).as("sq"))
-        .select(col("event_type"),
-          (col("s").cast("double") / col("n")).as("mean"),
-          // n = 1 (single observed day) would divide by zero; a one-day
-          // history has no dispersion estimate, so std := 0 — z and
-          // is_anomaly then take the std=0 branch (0 / false) below
-          when(col("n") > 1,
-            sqrt((col("sq").cast("double") -
-              col("s").cast("double") * col("s").cast("double") / col("n")) /
-              (col("n") - 1))).otherwise(lit(0.0)).as("std"))
-      daily.join(broadcast(stats), Seq("event_type"))
-        .select(col("event_type"), col("day"), col("c").as("n_events"),
-          when(col("std") === 0.0, lit(0.0))
-            .otherwise(round((col("c") - col("mean")) / col("std"), 6))
-            .as("z"),
-          (col("std") > 0.0 &&
-            abs((col("c") - col("mean")) / col("std")) > 2.0)
-            .as("is_anomaly"))
-        .orderBy(col("event_type"), col("day"))
+      graft.ops.Analytics.anomalyOf(daily)
     }),
 
     // Daily retention cohorts — the funnel's sibling analytics shape:
@@ -538,20 +521,7 @@ object SparkEntry {
           floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
             .as("day"))
         .distinct()
-      val cohorts = grid.groupBy(col("user_id"))
-        .agg(min(col("day")).as("cohort_day"))
-      val act = grid.join(cohorts, Seq("user_id"))
-        .groupBy(col("cohort_day"),
-          (col("day") - col("cohort_day")).as("day_offset"))
-        .agg(count_distinct(col("user_id")).as("n_active"))
-      val sizes = act.filter(col("day_offset") === 0)
-        .select(col("cohort_day"), col("n_active").as("cohort_size"))
-      act.join(broadcast(sizes), Seq("cohort_day"))
-        .select(col("cohort_day"), col("day_offset"), col("n_active"),
-          col("cohort_size"),
-          round(col("n_active").cast("double") / col("cohort_size"), 6)
-            .as("retention"))
-        .orderBy(col("cohort_day"), col("day_offset"))
+      graft.ops.Analytics.retentionOf(grid)
     }),
 
     // Ordered-step funnel (view → click → purchase, strictly increasing

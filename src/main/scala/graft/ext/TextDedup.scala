@@ -364,11 +364,28 @@ object TextDedup {
     * an artifact of the test harness's derby-free setup, not the design
     * (a real deployment points the session at a persistent metastore).
     */
+  /** A prior SESSION's index leaves data files in the warehouse dir that
+    * this session's in-memory catalog has no entry for — saveAsTable
+    * would then refuse with LOCATION_ALREADY_EXISTS. Remove the stale
+    * location before rebuilding (the rebuild recreates identical content;
+    * with a persistent metastore the catalog hit makes this moot).
+    */
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   def ensureDedupIndex(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bt = bandsTable(dir)
     val st = shinglesTable(dir)
     if (!spark.catalog.tableExists(bt) || !spark.catalog.tableExists(st)) {
+      spark.sql(s"DROP TABLE IF EXISTS $bt")
+      spark.sql(s"DROP TABLE IF EXISTS $st")
+      dropStaleLocation(spark, bt)
+      dropStaleLocation(spark, st)
       val corpus = documents(spark, dir).filter(!(col("doc_id") % 10 >= 8))
       val sh = shinglesFor(corpus).localCheckpoint(true)
       sh.write.mode("overwrite")

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The analytics rollup tails shared by the batch queries
+  * (`retention_cohorts`, `anomaly_daily` in SparkEntry) and their
+  * incrementally-maintained streaming twins
+  * ([[graft.streaming.StreamingAnalytics]]): the streaming side
+  * maintains the SMALL intermediate grid (per-user cohort deltas / the
+  * (event_type, day) count table) incrementally — the part whose input
+  * is 100 TB of raw events — and both sides run the identical tiny
+  * rollup below it, so "streamed view == batch query" is equality by
+  * construction once the grids agree (StreamingAnalyticsSpec asserts
+  * exactly that).
+  */
+object Analytics {
+
+  /** Cohort retention over the distinct (user_id, day) activity grid:
+    * cohort = first active day; each (cohort, day-offset) cell counts
+    * users still active that many days later.
+    */
+  def retentionOf(grid: DataFrame): DataFrame = {
+    val cohorts = grid.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val act = grid.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    retentionFromActivity(act)
+  }
+
+  /** The tail below the (cohort_day, day_offset) → n_active activity
+    * table — cohort sizes and retention fractions. The activity table is
+    * tiny (cohorts × offsets), so the size frame broadcasts.
+    */
+  def retentionFromActivity(act: DataFrame): DataFrame = {
+    val sizes = act.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    act.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Daily volume anomaly z-scores over the (event_type, day, c) count
+    * grid. Variance comes from EXACT integer sums (n, Σc, Σc²) combined
+    * in one fixed IEEE expression — deliberately NOT stddev_samp, whose
+    * Welford-style accumulation is engine- and order-dependent and would
+    * break the hash-exact oracle. n = 1 (single observed day) has no
+    * dispersion estimate: std := 0, so z = 0 and is_anomaly = false.
+    */
+  def anomalyOf(daily: DataFrame): DataFrame = {
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        when(col("n") > 1,
+          sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1))).otherwise(lit(0.0)).as("std"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        when(col("std") === 0.0, lit(0.0))
+          .otherwise(round((col("c") - col("mean")) / col("std"), 6))
+          .as("z"),
+        (col("std") > 0.0 &&
+          abs((col("c") - col("mean")) / col("std")) > 2.0)
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+}

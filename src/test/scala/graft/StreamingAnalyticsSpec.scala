@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingFunnel.Ev
+
+/** VERDICT r6 next-round #3: the retention / anomaly views maintained
+  * incrementally over the event stream must equal the batch queries
+  * after N in-order batches. Both sides share the rollup tail in
+  * ops/Analytics — the test pins that the incrementally-maintained GRID
+  * converges to the batch grid.
+  */
+class StreamingAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val D = StreamingAnalytics.msPerDay
+
+  // three batches, arriving in time order: multi-day users, a user
+  // active twice on one day (must count once), single-day users, and a
+  // second event type with its own daily profile
+  private val batches = Seq(
+    Seq(Ev(1, "view", 0 * D + 10), Ev(2, "view", 0 * D + 20),
+      Ev(1, "click", 0 * D + 30), Ev(3, "view", 1 * D + 5)),
+    Seq(Ev(1, "view", 1 * D + 40), Ev(1, "view", 1 * D + 50),
+      Ev(2, "click", 2 * D + 7), Ev(4, "view", 2 * D + 9)),
+    Seq(Ev(1, "purchase", 3 * D + 1), Ev(3, "view", 3 * D + 2),
+      Ev(2, "view", 3 * D + 3), Ev(5, "click", 3 * D + 4)))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.collect().toSeq
+
+  test("incrementally maintained retention equals the batch query after " +
+    "N batches") {
+    val input = MemoryStream[Ev](41, spark, None)
+    val q = StreamingAnalytics.retentionDeltas(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_stream_retention").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+
+      // each user-day is emitted exactly once, so counting delta rows
+      // per cell reproduces the batch count_distinct activity table
+      // localCheckpoint: retentionFromActivity joins act against its own
+      // offset-0 slice, and a memory-table view can't be self-joined
+      // lazily (conflicting-reference resolution error)
+      val act = spark.table("graft_stream_retention")
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .localCheckpoint(true)
+      val streamed = rows(Analytics.retentionFromActivity(act))
+
+      val grid = batches.flatten.toDF()
+        .select(col("user_id"),
+          floor(col("ems") / lit(D)).cast("long").as("day"))
+        .distinct()
+      val batch = rows(Analytics.retentionOf(grid))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("incrementally maintained daily counts feed the same anomaly view " +
+    "as the batch query") {
+    val input = MemoryStream[Ev](42, spark, None)
+    // the gold-stage pattern: update-mode fold emits new totals per
+    // touched (event_type, day); the sink upserts them by key
+    val snapshot = scala.collection.mutable.Map[(String, Long), Long]()
+    val q = StreamingAnalytics.dailyCounts(input.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          snapshot((r.getString(0), r.getLong(1))) = r.getLong(2)
+        }
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+
+      val daily = snapshot.toSeq
+        .map { case ((et, day), c) => (et, day, c) }
+        .toDF("event_type", "day", "c")
+      val streamed = rows(Analytics.anomalyOf(daily))
+
+      val batchDaily = batches.flatten.toDF()
+        .groupBy(col("event_type"),
+          floor(col("ems") / lit(D)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val batch = rows(Analytics.anomalyOf(batchDaily))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+}
