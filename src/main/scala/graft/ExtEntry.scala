@@ -90,6 +90,12 @@ object ExtEntry {
     "text_unk_mask" -> ((s, dir) =>
       TextAnalysis.unkMask(s, dir, 32)),
 
+    // the production-size-vocabulary variant: top-4096 word-trigram
+    // vocab probed via broadcast hash join on the exploded gram stream
+    // (no O(v) literal array — the plan that survives v = 1e5+)
+    "text_unk_mask_bigvocab" -> ((s, dir) =>
+      TextAnalysis.unkMaskBigVocab(s, dir, 4096)),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s, dir).orderBy(col("doc_id"))),
 
@@ -744,6 +750,20 @@ object ExtEntry {
         |  CAST(len(list_filter(string_split(text, ' '),
         |    x -> NOT list_contains(v, x))) AS BIGINT) AS n_unk
         |FROM documents, vl ORDER BY doc_id""".stripMargin,
+
+    "text_unk_mask_bigvocab" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM s, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+        |vocab AS (SELECT gram FROM g GROUP BY gram
+        |  ORDER BY count(*) DESC, gram LIMIT 4096)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN v.gram IS NOT NULL THEN g.gram
+        |    ELSE '<unk>' END, '|' ORDER BY pos) AS text_masked,
+        |  CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unk
+        |FROM g LEFT JOIN vocab v ON g.gram = v.gram
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id,

@@ -162,6 +162,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pq.contains("BroadcastExchange"), pq)
   }
 
+  test("big-vocab unk mask probes via broadcast hash join, no literal array") {
+    val p = executedPlan("text_unk_mask_bigvocab")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the O(v)-per-unit literal probe of the small-vocab form must be
+    // absent — the vocab side is a joined frame, not an inlined array
+    assert(!p.contains("array_contains"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("survivors label join carries no broadcast hint anywhere in the plan") {
     // the label side is one row per PAIRED doc — 30–50% of a real web
     // crawl, corpus-proportional, so a broadcast HINT is an executor-OOM
