@@ -211,6 +211,25 @@ object SparkEntry {
           col("event_count"))
     }),
 
+    // S12 closure over the analytics family (VERDICT r6 #6): the
+    // retention view serves through the same paginated surface as gold —
+    // Serve.page + the Mongo _id projection, keyed by the composite
+    // (cohort_day, day_offset) cell id
+    "serve_analytics" -> ((s, dir) => {
+      val grid = Ingest.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+        .distinct()
+      val ret = graft.ops.Analytics.retentionOf(grid)
+        .withColumn("_id",
+          concat_ws(":", col("cohort_day"), col("day_offset")))
+      Serve.page(ret, Seq(col("cohort_day"), col("day_offset")),
+          pageNo = 2, pageSize = 20)
+        .select(col("_id"), col("cohort_day"), col("day_offset"),
+          col("n_active"), col("cohort_size"), col("retention"))
+    }),
+
     // top-k serving (TakeOrderedAndProject — no global sort)
     "serve_topk" -> ((s, dir) => {
       val gold = silverBase(s, dir).groupBy(col("user_id"))
@@ -1229,6 +1248,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
         |  count(*) AS event_count
         |FROM events GROUP BY user_id ORDER BY user_id LIMIT 20 OFFSET 20""".stripMargin,
+
+    "serve_analytics" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+        |act AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |    count(DISTINCT ud.user_id) AS n_active
+        |  FROM ud JOIN c ON ud.user_id = c.user_id
+        |  GROUP BY cohort_day, day - cohort_day),
+        |sz AS (SELECT cohort_day, n_active AS cohort_size FROM act
+        |  WHERE day_offset = 0)
+        |SELECT CAST(a.cohort_day AS VARCHAR) || ':' ||
+        |    CAST(day_offset AS VARCHAR) AS _id,
+        |  a.cohort_day, day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
+        |ORDER BY a.cohort_day, day_offset LIMIT 20 OFFSET 20""".stripMargin,
 
     "serve_topk" ->
       """SELECT user_id,
