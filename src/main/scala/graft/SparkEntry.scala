@@ -356,23 +356,25 @@ object SparkEntry {
     // the same audit through the OPTIMIZER: the join is WRITTEN naively
     // (a pure BETWEEN band — nested-loop as written) and
     // plans.RangeJoinRewrite turns it into the identical bucketed
-    // equi-join at optimization time. localCheckpoint materializes the
-    // (small, aggregated) result inside the conf scope so the width
-    // setting can't leak into later queries' plans.
+    // equi-join at optimization time. The bin width is a SESSION conf —
+    // the same contract as Databricks' range-join binSize — left set
+    // rather than scoped with a localCheckpoint barrier: the rule's
+    // guards (inner join, pure long-typed range band, no cross-side
+    // equality) make it provably inert for every other query shape
+    // (RangeJoinRewriteSpec pins equi/outer/non-long cases untouched),
+    // and dropping the barrier removes ~0.7s of materialization that
+    // existed only to contain the conf (VERDICT r6 #4).
     "join_range_auto" -> ((s, dir) => {
       graft.plans.RangeJoinRewrite.install(s)
       s.conf.set(graft.plans.RangeJoinRewrite.widthKey, "3600000")
-      try {
-        val (pts, iv) = sessionIntervals(s, dir)
-        pts.join(iv, col("ems") >= col("session_start") &&
-            col("ems") <= col("session_end"))
-          .filter(col("p_user") =!= col("s_user"))
-          .groupBy(col("s_user"), col("session_start"))
-          .agg(count(lit(1)).as("n_concurrent"),
-            count_distinct(col("p_user")).as("n_users"))
-          .orderBy(col("s_user"), col("session_start"))
-          .localCheckpoint(true)
-      } finally s.conf.unset(graft.plans.RangeJoinRewrite.widthKey)
+      val (pts, iv) = sessionIntervals(s, dir)
+      pts.join(iv, col("ems") >= col("session_start") &&
+          col("ems") <= col("session_end"))
+        .filter(col("p_user") =!= col("s_user"))
+        .groupBy(col("s_user"), col("session_start"))
+        .agg(count(lit(1)).as("n_concurrent"),
+          count_distinct(col("p_user")).as("n_users"))
+        .orderBy(col("s_user"), col("session_start"))
     }),
 
     // Corrected fold variant: true all-time min/max (SURVEY §7.5-3)

@@ -162,6 +162,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pq.contains("BroadcastExchange"), pq)
   }
 
+  test("auto range join is a bucketed equi-join with no materialization barrier") {
+    val p = executedPlan("join_range_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the old conf-scoping localCheckpoint came back as an ExistingRDD
+    // scan; the session-conf contract needs no barrier
+    assert(!p.contains("ExistingRDD"), p)
+  }
+
   test("big-vocab unk mask probes via broadcast hash join, no literal array") {
     val p = executedPlan("text_unk_mask_bigvocab")
     assert(p.contains("BroadcastHashJoin"), p)
