@@ -887,6 +887,96 @@ object Pipeline {
       .start()
   }
 
+  // ——————————— stage 4: analytics maintenance (retention view) ———————————
+
+  private def retentionBase(cfg: Config): String = s"${cfg.baseDir}/retention"
+
+  /** Newest retention snapshot `retention/v=<batchId>` with id < `below`. */
+  private def currentRetentionSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      cfg: Config, below: Long = Long.MaxValue): Option[(Long, Path)] = {
+    val base = new Path(retentionBase(cfg))
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+        .map(_ -> s.getPath))
+      .filter(_._1 < below)
+      .sortBy(_._1).lastOption
+  }
+
+  /** Stage 4 — the reference's incremental-aggregate pattern
+    * (`gold.py:7-46`) applied to the retention view: the silver insert
+    * feed drives per-entity cohort deltas
+    * ([[StreamingAnalytics.retentionDeltasByEntity]], O(active days)
+    * state per group_id), and each micro-batch folds its delta counts
+    * into a tiny versioned activity snapshot. The serving read is
+    * [[retentionActivity]] + `Analytics.retentionFromActivity` — the
+    * identical rollup the batch `retention_cohorts` query runs, so the
+    * live view equals the batch backfill on in-order streams
+    * (PipelineSpec pins it over the real silver chain).
+    */
+  def startRetention(spark: SparkSession, cfg: Config): StreamingQuery = {
+    import spark.implicits._
+    val acts = silverInsertStream(spark, cfg)
+      .select(col("group_id").as("entity"),
+        col("event_timestamp").as("ems"))
+      .as[graft.streaming.StreamingAnalytics.Activity]
+    graft.streaming.StreamingAnalytics.retentionDeltasByEntity(acts).toDF()
+      .writeStream
+      .queryName("graft_retention")
+      .option("checkpointLocation", cfg.checkpoint("retention"))
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldRetention(spark, batch, batchId, cfg)
+      }
+      .start()
+  }
+
+  /** Replay-safe snapshot fold: version `v=<batchId>` is computed from
+    * the newest snapshot STRICTLY OLDER than this batch plus the batch's
+    * delta counts — a batch replayed after a crash recomputes its own
+    * version rather than compounding onto it. One generation back is
+    * retained for that guard; older versions are vacuumed. The snapshot
+    * is (cohort_day, day_offset, n_active) — cohorts × offsets rows,
+    * tiny by construction, so the rewrite is O(view), never O(events).
+    */
+  private[graft] def foldRetention(spark: SparkSession, batch: DataFrame,
+                                   batchId: Long, cfg: Config): Unit = {
+    val base = new Path(retentionBase(cfg))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = batch.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val prev = currentRetentionSnapshot(fs, cfg, below = batchId)
+    val merged = prev match {
+      case Some((_, p)) =>
+        spark.read.parquet(p.toString).unionByName(delta)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(sum(col("n_active")).as("n_active"))
+      case None => delta
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"${retentionBase(cfg)}/v=$batchId")
+    prev.foreach { case (keepId, _) =>
+      fs.listStatus(base).toSeq
+        .filter(s => s.getPath.getName.startsWith("v="))
+        .filter(s => s.getPath.getName.stripPrefix("v=").toLongOption
+          .exists(_ < keepId))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
+
+  /** The maintained (cohort_day, day_offset, n_active) activity view —
+    * feed it to `Analytics.retentionFromActivity` for the serving shape.
+    */
+  def retentionActivity(spark: SparkSession, cfg: Config): DataFrame = {
+    val fs = new Path(retentionBase(cfg))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentRetentionSnapshot(fs, cfg)
+    require(cur.nonEmpty, s"retention view ${retentionBase(cfg)} has no data yet")
+    spark.read.parquet(cur.get._2.toString)
+  }
+
   /** Stage-3 source: the gold change feed as a streaming DataFrame
     * (`_change_type` / `_commit_version` carried — the CDF-read analog).
     */

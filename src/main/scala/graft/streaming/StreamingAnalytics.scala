@@ -48,16 +48,22 @@ object StreamingAnalytics {
     */
   case class RetState(cohort_day: Long, days: Seq[Long])
 
-  class RetentionProcessor extends StatefulProcessor[Long, Ev, CohortDelta] {
+  /** Generic over the key and row type — the processor never looks at
+    * the key, only at each row's event time (via `ems`), so the same
+    * logic serves the Long-keyed event stream and the string-keyed
+    * pipeline entity stream.
+    */
+  class RetentionProcessor[K, R](ems: R => Long)
+      extends StatefulProcessor[K, R, CohortDelta] {
     @transient private var st: ValueState[RetState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[RetState]("cohort",
         Encoders.product[RetState], TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[Ev],
+    override def handleInputRows(key: K, rows: Iterator[R],
         timerValues: TimerValues): Iterator[CohortDelta] = {
-      val batchDays = rows.map(r => Math.floorDiv(r.ems, msPerDay)).toSet
+      val batchDays = rows.map(r => Math.floorDiv(ems(r), msPerDay)).toSet
       if (batchDays.isEmpty) Iterator.empty
       else {
         val prev = if (st.exists()) st.get() else null
@@ -77,7 +83,20 @@ object StreamingAnalytics {
   def retentionDeltas(events: Dataset[Ev]): Dataset[CohortDelta] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new RetentionProcessor,
+      .transformWithState(new RetentionProcessor[Long, Ev](_.ems),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** (entity, ems) activity row — the pipeline-side input shape, keyed
+    * by the silver stream's string `group_id`.
+    */
+  case class Activity(entity: String, ems: Long)
+
+  /** [[retentionDeltas]] for the string-keyed pipeline entity stream. */
+  def retentionDeltasByEntity(acts: Dataset[Activity]): Dataset[CohortDelta] = {
+    import acts.sparkSession.implicits._
+    acts.groupByKey(_.entity)
+      .transformWithState(new RetentionProcessor[String, Activity](_.ems),
         TimeMode.None(), OutputMode.Update())
   }
 

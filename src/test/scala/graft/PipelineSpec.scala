@@ -115,6 +115,43 @@ class PipelineSpec extends SparkTestBase {
     } finally silverQ.stop()
   }
 
+  test("retention stage maintains the cohort view incrementally over the " +
+    "real silver chain") {
+    val cfg = freshCfg()
+    val D = 86400000L
+    val t0 = 1700006400000L // day-aligned-ish base; alignment irrelevant
+    val input = MemoryStream[Event](40, spark, None)
+    val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
+    try {
+      input.addData(
+        ev("r1", "g1", 1f, t0), ev("r2", "g2", 1f, t0 + D))
+      silverQ.processAllAvailable()
+      val retQ = Pipeline.startRetention(spark, cfg)
+      try {
+        retQ.processAllAvailable()
+        input.addData( // g1 returns next day; g3 is a new cohort
+          ev("r3", "g1", 1f, t0 + D), ev("r4", "g2", 1f, t0 + 2 * D),
+          ev("r5", "g3", 1f, t0 + 2 * D))
+        silverQ.processAllAvailable(); retQ.processAllAvailable()
+        input.addData( // same-day repeat (must not re-count) + late riser
+          ev("r6", "g1", 1f, t0 + D + 1000), ev("r7", "g3", 1f, t0 + 3 * D))
+        silverQ.processAllAvailable(); retQ.processAllAvailable()
+
+        val streamed = graft.ops.Analytics.retentionFromActivity(
+          Pipeline.retentionActivity(spark, cfg).localCheckpoint(true))
+          .collect().toSeq.map(_.toSeq)
+        val grid = spark.read.parquet(cfg.silverPath)
+          .select(col("group_id").as("user_id"),
+            floor(col("event_timestamp") / lit(D)).cast("long").as("day"))
+          .distinct()
+        val batch = graft.ops.Analytics.retentionOf(grid)
+          .collect().toSeq.map(_.toSeq)
+        assert(streamed.nonEmpty && streamed == batch,
+          s"streamed $streamed vs batch $batch")
+      } finally retQ.stop()
+    } finally silverQ.stop()
+  }
+
   test("streaming tumbling-window aggregation emits finalized windows (append mode)") {
     val input = MemoryStream[Event](4, spark, None)
     val t0 = 1700000000000L // aligned to epoch minutes
