@@ -45,31 +45,33 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
-  /** Daily volume anomaly z-scores over the (event_type, day, c) count
-    * grid. Variance comes from EXACT integer sums (n, Σc, Σc²) combined
-    * in one fixed IEEE expression — deliberately NOT stddev_samp, whose
-    * Welford-style accumulation is engine- and order-dependent and would
-    * break the hash-exact oracle. n = 1 (single observed day) has no
-    * dispersion estimate: std := 0, so z = 0 and is_anomaly = false.
+  /** Daily volume anomaly z-scores over the (`key`, day, c) count grid
+    * (`key` is the series column — `event_type` for the batch query,
+    * `group_id` for the pipeline view). Variance comes from EXACT
+    * integer sums (n, Σc, Σc²) combined in one fixed IEEE expression —
+    * deliberately NOT stddev_samp, whose Welford-style accumulation is
+    * engine- and order-dependent and would break the hash-exact oracle.
+    * n = 1 (single observed day) has no dispersion estimate: std := 0,
+    * so z = 0 and is_anomaly = false.
     */
-  def anomalyOf(daily: DataFrame): DataFrame = {
-    val stats = daily.groupBy(col("event_type"))
+  def anomalyOf(daily: DataFrame, key: String = "event_type"): DataFrame = {
+    val stats = daily.groupBy(col(key))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("sq"))
-      .select(col("event_type"),
+      .select(col(key),
         (col("s").cast("double") / col("n")).as("mean"),
         when(col("n") > 1,
           sqrt((col("sq").cast("double") -
             col("s").cast("double") * col("s").cast("double") / col("n")) /
             (col("n") - 1))).otherwise(lit(0.0)).as("std"))
-    daily.join(broadcast(stats), Seq("event_type"))
-      .select(col("event_type"), col("day"), col("c").as("n_events"),
+    daily.join(broadcast(stats), Seq(key))
+      .select(col(key), col("day"), col("c").as("n_events"),
         when(col("std") === 0.0, lit(0.0))
           .otherwise(round((col("c") - col("mean")) / col("std"), 6))
           .as("z"),
         (col("std") > 0.0 &&
           abs((col("c") - col("mean")) / col("std")) > 2.0)
           .as("is_anomaly"))
-      .orderBy(col("event_type"), col("day"))
+      .orderBy(col(key), col("day"))
   }
 }

@@ -977,6 +977,87 @@ object Pipeline {
     spark.read.parquet(cur.get._2.toString)
   }
 
+  // ———————————— stage 5: analytics maintenance (anomaly view) ————————————
+
+  private def anomalyBase(cfg: Config): String = s"${cfg.baseDir}/anomaly"
+
+  private def currentAnomalySnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      cfg: Config, below: Long = Long.MaxValue): Option[(Long, Path)] = {
+    val base = new Path(anomalyBase(cfg))
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+        .map(_ -> s.getPath))
+      .filter(_._1 < below)
+      .sortBy(_._1).lastOption
+  }
+
+  /** Stage 5 — the anomaly sibling of [[startRetention]]: an update-mode
+    * streaming aggregation maintains the per-(group_id, day) running
+    * count grid over the silver insert feed; each micro-batch emits new
+    * TOTALS for its touched cells, and the fold REPLACES those cells in
+    * the versioned snapshot (totals are authoritative, so replay is
+    * naturally idempotent under the strictly-older-prev guard). The
+    * serving read is `Analytics.anomalyOf(anomalyDailyCounts(...),
+    * "group_id")` — the identical z-score rollup as the batch query.
+    * State is one sum per live (group, day) cell — the grid, not the
+    * events.
+    */
+  def startAnomaly(spark: SparkSession, cfg: Config): StreamingQuery = {
+    silverInsertStream(spark, cfg)
+      .groupBy(col("group_id"),
+        floor(col("event_timestamp") / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream
+      .queryName("graft_anomaly")
+      .option("checkpointLocation", cfg.checkpoint("anomaly"))
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldAnomaly(spark, batch, batchId, cfg)
+      }
+      .start()
+  }
+
+  private[graft] def foldAnomaly(spark: SparkSession, batch: DataFrame,
+                                 batchId: Long, cfg: Config): Unit = {
+    val base = new Path(anomalyBase(cfg))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = batch.select(col("group_id"), col("day"), col("c"))
+    val prev = currentAnomalySnapshot(fs, cfg, below = batchId)
+    val merged = prev match {
+      case Some((_, p)) =>
+        val cur = spark.read.parquet(p.toString)
+        // replace-by-key: untouched cells carry over, touched cells take
+        // the batch's new totals
+        cur.join(delta.select(col("group_id"), col("day")).distinct(),
+            Seq("group_id", "day"), "left_anti")
+          .unionByName(delta)
+      case None => delta
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"${anomalyBase(cfg)}/v=$batchId")
+    prev.foreach { case (keepId, _) =>
+      fs.listStatus(base).toSeq
+        .filter(s => s.getPath.getName.startsWith("v="))
+        .filter(s => s.getPath.getName.stripPrefix("v=").toLongOption
+          .exists(_ < keepId))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
+
+  /** The maintained (group_id, day, c) count grid — feed it to
+    * `Analytics.anomalyOf(_, "group_id")` for the z-score view.
+    */
+  def anomalyDailyCounts(spark: SparkSession, cfg: Config): DataFrame = {
+    val fs = new Path(anomalyBase(cfg))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentAnomalySnapshot(fs, cfg)
+    require(cur.nonEmpty, s"anomaly view ${anomalyBase(cfg)} has no data yet")
+    spark.read.parquet(cur.get._2.toString)
+  }
+
   /** Stage-3 source: the gold change feed as a streaming DataFrame
     * (`_change_type` / `_commit_version` carried — the CDF-read analog).
     */

@@ -152,6 +152,43 @@ class PipelineSpec extends SparkTestBase {
     } finally silverQ.stop()
   }
 
+  test("anomaly stage maintains the daily-count grid incrementally over " +
+    "the real silver chain") {
+    val cfg = freshCfg()
+    val D = 86400000L
+    val t0 = 1700006400000L
+    val input = MemoryStream[Event](41, spark, None)
+    val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
+    try {
+      input.addData(
+        ev("a1", "g1", 1f, t0), ev("a2", "g1", 1f, t0 + 1000),
+        ev("a3", "g2", 1f, t0 + D))
+      silverQ.processAllAvailable()
+      val anomQ = Pipeline.startAnomaly(spark, cfg)
+      try {
+        anomQ.processAllAvailable()
+        input.addData( // g1 day-0 grows (same cell updated), new days
+          ev("a4", "g1", 1f, t0 + 2000), ev("a5", "g1", 1f, t0 + D),
+          ev("a6", "g2", 1f, t0 + 2 * D))
+        silverQ.processAllAvailable(); anomQ.processAllAvailable()
+        input.addData(ev("a7", "g1", 1f, t0 + 2 * D))
+        silverQ.processAllAvailable(); anomQ.processAllAvailable()
+
+        val streamed = graft.ops.Analytics.anomalyOf(
+          Pipeline.anomalyDailyCounts(spark, cfg), "group_id")
+          .collect().toSeq.map(_.toSeq)
+        val batchDaily = spark.read.parquet(cfg.silverPath)
+          .groupBy(col("group_id"),
+            floor(col("event_timestamp") / lit(D)).cast("long").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val batch = graft.ops.Analytics.anomalyOf(batchDaily, "group_id")
+          .collect().toSeq.map(_.toSeq)
+        assert(streamed.nonEmpty && streamed == batch,
+          s"streamed $streamed vs batch $batch")
+      } finally anomQ.stop()
+    } finally silverQ.stop()
+  }
+
   test("streaming tumbling-window aggregation emits finalized windows (append mode)") {
     val input = MemoryStream[Event](4, spark, None)
     val t0 = 1700000000000L // aligned to epoch minutes
