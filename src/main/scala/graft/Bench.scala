@@ -64,18 +64,20 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps}"""
-    // the driver scrapes stdout's tail, which has truncated the (long)
-    // JSON line before (r6: 72 of 113 timings visible, parsed: null) —
-    // persist the full line to a file so the capture never depends on
-    // how much of the log tail survives
+    def toJson(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"n_queries":${results.size}}"""
+    }
+    // The driver scrapes a bounded tail of stdout, which truncated the
+    // full 115-query line in r6 AND r7 (parsed: null both rounds). The
+    // full map goes to BENCH_LOCAL.json; stdout's FINAL line is compact —
+    // the same schema, but `queries` carries only the slowest 10 — so it
+    // always fits the tail window and parses.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+      (toJson(results) + "\n").getBytes("UTF-8"))
+    println(toJson(results.sortBy(-_._2).take(10).sortBy(_._1)))
     spark.stop()
   }
 }

@@ -230,6 +230,20 @@ object SparkEntry {
           col("n_active"), col("cohort_size"), col("retention"))
     }),
 
+    // keyset (seek) pagination — serve_page's deep-page twin: the same
+    // gold projection, but the page starts AFTER the last seen key
+    // (user_id 19 = end of page 1) via a pushed-down key predicate, no
+    // offset sort-and-discard anywhere in the plan
+    "serve_keyset" -> ((s, dir) => {
+      val gold = silverBase(s, dir).groupBy(col("user_id")).agg(
+        dsum(col("value")).as("cumulative_score"),
+        count(lit(1)).as("event_count"))
+      Serve.keyset(Serve.withDocId(gold, "user_id"), col("user_id"),
+          lit(19L), 20)
+        .select(col("user_id"), col("_id"), col("cumulative_score"),
+          col("event_count"))
+    }),
+
     // top-k serving (TakeOrderedAndProject — no global sort)
     "serve_topk" -> ((s, dir) => {
       val gold = silverBase(s, dir).groupBy(col("user_id"))
@@ -1268,6 +1282,13 @@ object SparkEntry {
         |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
         |ORDER BY a.cohort_day, day_offset LIMIT 20 OFFSET 20""".stripMargin,
+
+    "serve_keyset" ->
+      """SELECT user_id, user_id AS _id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
+        |  count(*) AS event_count
+        |FROM events WHERE user_id > 19
+        |GROUP BY user_id ORDER BY user_id LIMIT 20""".stripMargin,
 
     "serve_topk" ->
       """SELECT user_id,

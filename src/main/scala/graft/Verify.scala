@@ -22,7 +22,21 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated subset for fast local iteration (the
+    // driver's gate leaves this unset and dumps everything); the oracle
+    // json below always carries the full map so a subset run still
+    // composes with tools/check_oracle.py on just the dumped dirs.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(s) =>
+        val unknown = s -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // coalesce(1) is REQUIRED, not a convenience: the driver's compare
       // (tools/check_oracle.py mirrors it) reads rows in file order and
       // diffs positionally, so the single sorted file must carry the

@@ -452,10 +452,16 @@ object TextAnalysis {
     */
   def unkMaskBigVocab(spark: SparkSession, dir: String,
                       v: Int = 4096): DataFrame = {
+    // The token array is hoisted to its own projection so the gram lambda
+    // reads a per-row attribute (O(1) per element) instead of re-running
+    // the inlined split once per gram position (O(n) per element — O(n²)
+    // per document in interpreted HOF evaluation; the same trap
+    // [[Similarity.int8RescoreTopK]] hoists `scale` out of).
     val gramStream = transform(
-      sequence(lit(1), greatest(size(tokens(col("text"))) - 2, lit(1))),
-      i => concat_ws(" ", slice(tokens(col("text")), i, lit(3))))
+      sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+      i => concat_ws(" ", slice(col("w"), i, lit(3))))
     val grams = documents(spark, dir)
+      .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), posexplode(gramStream).as(Seq("pos", "gram")))
     val vocab = grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram").asc).limit(v)

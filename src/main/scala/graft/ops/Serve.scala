@@ -22,6 +22,19 @@ object Serve {
   def page(df: DataFrame, order: Seq[Column], pageNo: Int, pageSize: Int): DataFrame =
     df.orderBy(order: _*).offset((pageNo - 1) * pageSize).limit(pageSize)
 
+  /** Keyset (seek) pagination — the deep-page plan (VERDICT r7 #4): the
+    * caller passes the last key of the previous page and the engine
+    * filters `key > after` before taking the next `n` rows, instead of
+    * sorting and DISCARDING the whole offset prefix. The predicate is on
+    * the group key, so Catalyst pushes it below the aggregate to the
+    * scan (PushedFilters on the parquet read) — page cost is O(page),
+    * independent of how deep the page is, where the offset form's cost
+    * grows with offset × partitions. The reference pages Mongo with
+    * skip/limit (route.ts:9-17); this is the shape that survives 100×.
+    */
+  def keyset(df: DataFrame, key: Column, after: Column, n: Int): DataFrame =
+    df.filter(key > after).orderBy(key).limit(n)
+
   /** Top-k — planned as TakeOrderedAndProject, no full sort. */
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)

@@ -50,16 +50,23 @@ object StreamingJoin {
                    horizonMs: Long,
                    watermarkDelay: String = "30 seconds",
                    joinType: String = "inner"): DataFrame = {
+    // timestamp_millis is the exact long→timestamp conversion — the
+    // (ms / 1000).cast round-trip goes through Double and can truncate a
+    // microsecond, letting a pair exactly at the horizon boundary diverge
+    // from the long-arithmetic batch twin. Likewise the horizon interval
+    // is emitted in integral MILLISECONDS: a Double-formatted seconds
+    // literal turns into scientific notation for horizonMs ≥ 1e10 and
+    // fails to parse.
     val l = left
-      .withColumn("_lts", (col(leftTsMs) / lit(1000)).cast("timestamp"))
+      .withColumn("_lts", timestamp_millis(col(leftTsMs)))
       .withWatermark("_lts", watermarkDelay)
     val r = right
-      .withColumn("_rts", (col(rightTsMs) / lit(1000)).cast("timestamp"))
+      .withColumn("_rts", timestamp_millis(col(rightTsMs)))
       .withWatermark("_rts", watermarkDelay)
     l.join(r,
         col(leftKey) === col(rightKey) &&
           col("_rts") >= col("_lts") &&
-          col("_rts") <= col("_lts") + expr(s"INTERVAL ${horizonMs / 1000.0} SECONDS"),
+          col("_rts") <= col("_lts") + expr(s"INTERVAL $horizonMs MILLISECONDS"),
         joinType)
       .drop("_lts", "_rts")
   }
