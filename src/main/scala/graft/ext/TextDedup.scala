@@ -377,8 +377,22 @@ object TextDedup {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
-  def ensureDedupIndex(spark: SparkSession, dir: String): Unit = {
+  /** Band rows for the band-table build: signatures over a shingle frame
+    * (normally the just-saved bucketed shingle table — a parquet scan,
+    * never a checkpointed corpus), bucket-capped at [[maxBucket]].
+    * Exposed so DedupIndexSpec can pin the build plan scan-rooted.
+    */
+  private[graft] def cappedBandRows(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    bands(signaturesOf(sh))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("band_hash"))
+          .orderBy(col("doc_id"))))
+      .filter(col("rk") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+  }
+
+  def ensureDedupIndex(spark: SparkSession, dir: String): Unit = {
     val bt = bandsTable(dir)
     val st = shinglesTable(dir)
     if (!spark.catalog.tableExists(bt) || !spark.catalog.tableExists(st)) {
@@ -387,16 +401,17 @@ object TextDedup {
       dropStaleLocation(spark, bt)
       dropStaleLocation(spark, st)
       val corpus = documents(spark, dir).filter(!(col("doc_id") % 10 >= 8))
-      val sh = shinglesFor(corpus).localCheckpoint(true)
-      sh.write.mode("overwrite")
+      // Write-through, not localCheckpoint (VERDICT r7 #2): the corpus
+      // streams through ONCE into the bucketed shingle table, and the
+      // signature/band pass re-reads that table — a parquet scan — so
+      // the build never materializes the full corpus in executor
+      // storage. At 100 TB the old checkpoint was a full-corpus
+      // executor-memory/disk pin; the saved table is the durable
+      // artifact anyway.
+      shinglesFor(corpus).write.mode("overwrite")
         .bucketBy(8, "doc_id").sortBy("doc_id")
         .saveAsTable(st)
-      bands(signaturesOf(sh))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("band"), col("band_hash"))
-            .orderBy(col("doc_id"))))
-        .filter(col("rk") <= maxBucket)
-        .select(col("band"), col("band_hash"), col("doc_id"))
+      cappedBandRows(spark.table(st))
         .write.mode("overwrite")
         .bucketBy(8, "band", "band_hash").sortBy("band", "band_hash")
         .saveAsTable(bt)

@@ -957,17 +957,43 @@ object Pipeline {
     }
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"${retentionBase(cfg)}/v=$batchId")
-    prev.foreach { case (keepId, _) =>
-      fs.listStatus(base).toSeq
-        .filter(s => s.getPath.getName.startsWith("v="))
-        .filter(s => s.getPath.getName.stripPrefix("v=").toLongOption
-          .exists(_ < keepId))
-        .foreach(s => fs.delete(s.getPath, true))
-    }
+    vacuumSnapshots(fs, base)
+  }
+
+  /** How many snapshot generations a versioned view retains. More than
+    * the single replay-guard generation on purpose (ADVICE r7): a
+    * serving reader holds a LAZY frame over the newest `v=` dir, so a
+    * one-generation window let a read that executes (or re-executes)
+    * after two further micro-batches hit FileNotFoundException on the
+    * vacuumed path. Each snapshot is O(view) — cohorts × offsets / live
+    * grid cells — so the cost of the wider window is a few tiny files,
+    * and readers get `retain − 1` micro-batches to materialize. Callers
+    * that hold results across many batches should still copy promptly
+    * (the specs localCheckpoint).
+    */
+  private[graft] val snapshotRetain = 4
+
+  /** Keep the newest [[snapshotRetain]] `v=<id>` generations, delete the
+    * rest. The newest version strictly older than any replayed batch id
+    * survives inside the window, so the strictly-older-prev replay guard
+    * in the folds is unaffected.
+    */
+  private def vacuumSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+                              base: Path): Unit = {
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+        .map(_ -> s.getPath))
+      .sortBy(-_._1)
+      .drop(snapshotRetain)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** The maintained (cohort_day, day_offset, n_active) activity view —
     * feed it to `Analytics.retentionFromActivity` for the serving shape.
+    * The frame is LAZY over the newest retained snapshot; it stays
+    * readable for [[snapshotRetain]]−1 further micro-batches — execute
+    * (or copy) within that window.
     */
   def retentionActivity(spark: SparkSession, cfg: Config): DataFrame = {
     val fs = new Path(retentionBase(cfg))
@@ -1038,17 +1064,13 @@ object Pipeline {
     }
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"${anomalyBase(cfg)}/v=$batchId")
-    prev.foreach { case (keepId, _) =>
-      fs.listStatus(base).toSeq
-        .filter(s => s.getPath.getName.startsWith("v="))
-        .filter(s => s.getPath.getName.stripPrefix("v=").toLongOption
-          .exists(_ < keepId))
-        .foreach(s => fs.delete(s.getPath, true))
-    }
+    vacuumSnapshots(fs, base)
   }
 
   /** The maintained (group_id, day, c) count grid — feed it to
-    * `Analytics.anomalyOf(_, "group_id")` for the z-score view.
+    * `Analytics.anomalyOf(_, "group_id")` for the z-score view. Lazy
+    * over the newest retained snapshot; readable for
+    * [[snapshotRetain]]−1 further micro-batches (see [[snapshotRetain]]).
     */
   def anomalyDailyCounts(spark: SparkSession, cfg: Config): DataFrame = {
     val fs = new Path(anomalyBase(cfg))

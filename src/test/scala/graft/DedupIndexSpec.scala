@@ -63,4 +63,26 @@ class DedupIndexSpec extends SparkTestBase {
       assert(stored == kept1.count())
     } finally dropIndex()
   }
+
+  test("index build streams the corpus through the saved shingle table — " +
+    "band-build plan is scan-rooted, no checkpoint/ExistingRDD node") {
+    dropIndex()
+    try {
+      TextDedup.ensureDedupIndex(spark, dir)
+      val build = TextDedup.cappedBandRows(
+        spark.table(TextDedup.shinglesTable(dir)))
+      val plan = build.queryExecution.executedPlan.toString
+      assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
+        s"band build must read the saved table, not a checkpointed corpus:\n$plan")
+      assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
+        s"band build must scan the bucketed shingle table:\n$plan")
+      // and the built band table is exactly the capped recompute over
+      // the stored shingles — write-through changed the plan, not rows
+      val built = rows(spark.table(TextDedup.bandsTable(dir))
+        .orderBy(col("band"), col("band_hash"), col("doc_id")))
+      val recomputed = rows(
+        build.orderBy(col("band"), col("band_hash"), col("doc_id")))
+      assert(built.nonEmpty && built == recomputed)
+    } finally dropIndex()
+  }
 }
