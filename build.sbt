@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the logger prefixes every line with "[info] ", which kept the driver's
+// bench capture from parsing the final JSON metric line (r8 tail shows
+// the full compact line, still `parsed: null`). With StdoutOutput the
+// metric line is raw JSON on its own line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -461,7 +461,17 @@ object TextDedup {
   def appendToDedupIndex(spark: SparkSession, dir: String,
                          admitted: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val shA = shinglesFor(admitted).localCheckpoint(true)
+    // Idempotent at doc granularity: a doc_id already in the shingle
+    // store is dropped before either append, so a REPLAYED admission
+    // batch (the streaming loop's crash-between-append-and-marker
+    // window, [[graft.streaming.StreamingDedup.startIndexedAdmission]])
+    // cannot double-insert. The probe is a left-anti join against the
+    // doc_id-bucketed shingle table — corpus side stays in place (no
+    // exchange), and column pruning reduces the scan to the id column.
+    val fresh = admitted.join(
+      spark.table(shinglesTable(dir)).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val shA = shinglesFor(fresh).localCheckpoint(true)
     val bA = bands(signaturesOf(shA))
     val occupancy = spark.table(bandsTable(dir))
       .join(bA.select(col("band"), col("band_hash")).distinct(),
@@ -480,6 +490,13 @@ object TextDedup {
     shA.write.mode("append")
       .bucketBy(8, "doc_id").sortBy("doc_id")
       .saveAsTable(shinglesTable(dir))
+    // The admitted frame may be rooted in a DIFFERENT session than the
+    // one future readers use (foreachBatch hands the micro-batch a cloned
+    // session; DataFrame.write goes through the frame's own session, so
+    // only THAT session's relation cache is invalidated). Refresh on the
+    // caller's session so its next read lists the appended files.
+    spark.catalog.refreshTable(bandsTable(dir))
+    spark.catalog.refreshTable(shinglesTable(dir))
   }
 
   /** Exact dedup over text: one group per md5(text) with the surviving

@@ -18,16 +18,23 @@ object Ingest {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table carries a nanosecond-precision parquet timestamp,
-    * which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a
-    * long (ns) via the legacy conf and truncate ns→µs ourselves — exactly
-    * the truncation DuckDB applies when it reads the same file, so oracle
-    * comparisons see identical values (FIXTURES.md §A timestamp caveat).
+  /** The `events` table's `ts` encoding varies across testdata
+    * generations: nanosecond-precision parquet timestamps (which Spark 4
+    * rejects outright — PARQUET_TYPE_ILLEGAL) or plain microsecond
+    * TIMESTAMP_NTZ. Sniff the footer schema and normalize either to a
+    * session-timezone (UTC) microsecond timestamp — exactly the value
+    * DuckDB sees reading the same file (ns truncates to µs; µs is
+    * as-is), so oracle comparisons line up (FIXTURES.md §A caveat).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long generation
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // µs timestamp generation; NTZ + UTC session tz ⇒ same instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** 180-second bucket of an epoch-ms column — the reference's misnamed

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextDedup
+import graft.streaming.StreamingDedup
+
+/** VERDICT r7 #1 — the streaming admit loop and the batch index are ONE
+  * standing corpus: docs admitted through the stream land in the
+  * persisted band/shingle tables and subsequent BATCH admission sees
+  * them; docs appended by the batch path are visible to later STREAM
+  * batches. Isolated on a copied documents table so the sf0.001 index
+  * used by DedupIndexSpec is untouched.
+  */
+class DedupStreamAdmitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a private dir keyed copy of the documents table → private index tables
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_stream_admit").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def dropIndex(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${TextDedup.bandsTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${TextDedup.shinglesTable(dir)}")
+  }
+
+  test("stream-admitted docs land in the batch index, and batch-appended " +
+    "docs are visible to later stream batches") {
+    dropIndex()
+    try {
+      val corpusText = TextDedup.documents(spark, dir)
+        .filter(col("doc_id") % 10 < 8)
+        .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+      val novelA = "zebra quilt harbors seventeen lanterns under the " +
+        "copper bridge while gulls argue about tide tables all afternoon"
+      val novelB = "mossy turbines hum beside the glass orchard where " +
+        "nine cartographers trade rumors of an unmapped inland sea"
+
+      val outDir = Files.createTempDirectory("graft_admit_out").toString
+      val ckpt = Files.createTempDirectory("graft_admit_ckpt").toString
+      val input = MemoryStream[(Long, String)](91, spark, None)
+      val q = StreamingDedup.startIndexedAdmission(spark, dir,
+        input.toDF().toDF("doc_id", "text"), 0.5, outDir, ckpt)
+      try {
+        // wave 1 through the STREAM: one novel doc, one copy of a corpus doc
+        input.addData((10001L, novelA), (10002L, corpusText))
+        q.processAllAvailable()
+        val v1 = spark.read.parquet(s"$outDir/v=0")
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+        assert(v1 == Map(10001L -> true, 10002L -> false), s"wave-1 verdicts: $v1")
+
+        // stream → batch: batch admission of a copy of the stream keeper
+        // must reject it, best_match = the doc the STREAM admitted
+        val vBatch = TextDedup.admitIndexed(spark, dir,
+          Seq((20001L, novelA)).toDF("doc_id", "text"), 0.5).collect().head
+        assert(!vBatch.getAs[Boolean]("keep") &&
+          vBatch.getAs[Long]("best_match") == 10001L,
+          s"batch admission missed the stream keeper: $vBatch")
+
+        // batch → stream: append a novel doc via the BATCH half…
+        TextDedup.appendToDedupIndex(spark, dir,
+          Seq((20002L, novelB)).toDF("doc_id", "text"))
+        // …then a stream copy of it must be rejected with that best_match
+        input.addData((30001L, novelB))
+        q.processAllAvailable()
+        val v2 = spark.read.parquet(s"$outDir/v=1").collect().head
+        assert(!v2.getAs[Boolean]("keep") &&
+          v2.getAs[Long]("best_match") == 20002L,
+          s"stream admission missed the batch-appended doc: $v2")
+
+        // the index carries exactly the two keepers beyond the corpus
+        val extra = spark.table(TextDedup.shinglesTable(dir))
+          .filter(col("doc_id") >= 10000L)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        assert(extra == Set(10001L, 20002L), s"index extras: $extra")
+      } finally q.stop()
+    } finally dropIndex()
+  }
+
+  test("appendToDedupIndex is idempotent at doc granularity (replay-safe)") {
+    dropIndex()
+    try {
+      TextDedup.ensureDedupIndex(spark, dir)
+      val doc = Seq((40001L,
+        "eleven quiet observatories catalog the violet meteor stream " +
+          "above a frozen caldera every second equinox")).toDF("doc_id", "text")
+      TextDedup.appendToDedupIndex(spark, dir, doc)
+      val sh1 = spark.table(TextDedup.shinglesTable(dir)).count()
+      val b1 = spark.table(TextDedup.bandsTable(dir)).count()
+      TextDedup.appendToDedupIndex(spark, dir, doc) // replayed batch
+      assert(spark.table(TextDedup.shinglesTable(dir)).count() == sh1,
+        "replayed append duplicated shingle rows")
+      assert(spark.table(TextDedup.bandsTable(dir)).count() == b1,
+        "replayed append duplicated band rows")
+    } finally dropIndex()
+  }
+}
