@@ -232,14 +232,14 @@ object SparkEntry {
 
     // keyset (seek) pagination — serve_page's deep-page twin: the same
     // gold projection, but the page starts AFTER the last seen key
-    // (user_id 19 = end of page 1) via a pushed-down key predicate, no
-    // offset sort-and-discard anywhere in the plan
+    // (user_id 7 — a key present at every test SF) via a pushed-down key
+    // predicate, no offset sort-and-discard anywhere in the plan
     "serve_keyset" -> ((s, dir) => {
       val gold = silverBase(s, dir).groupBy(col("user_id")).agg(
         dsum(col("value")).as("cumulative_score"),
         count(lit(1)).as("event_count"))
       Serve.keyset(Serve.withDocId(gold, "user_id"), col("user_id"),
-          lit(19L), 20)
+          lit(7L), 20)
         .select(col("user_id"), col("_id"), col("cumulative_score"),
           col("event_count"))
     }),
@@ -1287,7 +1287,7 @@ object SparkEntry {
       """SELECT user_id, user_id AS _id,
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
         |  count(*) AS event_count
-        |FROM events WHERE user_id > 19
+        |FROM events WHERE user_id > 7
         |GROUP BY user_id ORDER BY user_id LIMIT 20""".stripMargin,
 
     "serve_topk" ->

@@ -392,6 +392,13 @@ object TextDedup {
       .select(col("band"), col("band_hash"), col("doc_id"))
   }
 
+  /** Test hook (ADVICE r8): observes the exact band frame
+    * [[ensureDedupIndex]] is about to write, so DedupIndexSpec asserts
+    * on the build plan the function ACTUALLY executes rather than on a
+    * reconstruction of it. No-op by default; tests must reset it.
+    */
+  private[graft] var onBandBuild: DataFrame => Unit = _ => ()
+
   def ensureDedupIndex(spark: SparkSession, dir: String): Unit = {
     val bt = bandsTable(dir)
     val st = shinglesTable(dir)
@@ -411,8 +418,9 @@ object TextDedup {
       shinglesFor(corpus).write.mode("overwrite")
         .bucketBy(8, "doc_id").sortBy("doc_id")
         .saveAsTable(st)
-      cappedBandRows(spark.table(st))
-        .write.mode("overwrite")
+      val bandBuild = cappedBandRows(spark.table(st))
+      onBandBuild(bandBuild)
+      bandBuild.write.mode("overwrite")
         .bucketBy(8, "band", "band_hash").sortBy("band", "band_hash")
         .saveAsTable(bt)
     }

@@ -99,4 +99,24 @@ object Metrics {
       .agg(max(col("updated_at")).as("max_updated_at"))
       .select(col("max_updated_at"),
         (lit(asOfMs) - col("max_updated_at")).as("lag_ms"))
+
+  /** Freshness of the MAINTAINED retention view behind
+    * [[Pipeline.serveRetention]] (stage 6): lag from `asOfMs` to the
+    * newest snapshot's write time, plus the snapshot version. One
+    * driver-side file-status probe — no scan, no job — so the dashboard
+    * can poll it at any rate. One row:
+    * (snapshot_version, snapshot_ts_ms, lag_ms).
+    */
+  def retentionFreshness(spark: SparkSession, cfg: Pipeline.Config,
+                         asOfMs: Long): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(cfg.baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = Pipeline.currentRetentionSnapshot(fs, cfg)
+    require(cur.nonEmpty, s"retention view under ${cfg.baseDir} has no data yet")
+    val (version, path) = cur.get
+    val ts = fs.getFileStatus(path).getModificationTime
+    Seq((version, ts, asOfMs - ts))
+      .toDF("snapshot_version", "snapshot_ts_ms", "lag_ms")
+  }
 }

@@ -66,23 +66,46 @@ class DedupIndexSpec extends SparkTestBase {
 
   test("index build streams the corpus through the saved shingle table — " +
     "band-build plan is scan-rooted, no checkpoint/ExistingRDD node") {
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec,
+      FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     dropIndex()
+    // capture the frame ensureDedupIndex ACTUALLY writes (ADVICE r8 —
+    // a test-built reconstruction would keep passing even if the build
+    // reintroduced a checkpoint internally)
+    var captured: Option[org.apache.spark.sql.DataFrame] = None
+    TextDedup.onBandBuild = df => captured = Some(df)
     try {
       TextDedup.ensureDedupIndex(spark, dir)
-      val build = TextDedup.cappedBandRows(
-        spark.table(TextDedup.shinglesTable(dir)))
-      val plan = build.queryExecution.executedPlan.toString
-      assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
-        s"band build must read the saved table, not a checkpointed corpus:\n$plan")
-      assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
-        s"band build must scan the bucketed shingle table:\n$plan")
+      val build = captured.getOrElse(
+        fail("ensureDedupIndex never invoked the band-build hook"))
+      // assert on plan node CLASSES, not toString fragments (ADVICE r8:
+      // string matching is brittle across Spark/AQE formatting changes)
+      def root(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val nodes = root(build.queryExecution.executedPlan).collect {
+        case n => n
+      }
+      assert(!nodes.exists(n => n.isInstanceOf[RDDScanExec] ||
+        n.isInstanceOf[ExternalRDDScanExec[_]]),
+        s"band build must read the saved table, not a checkpointed corpus:\n" +
+          nodes.map(_.nodeName).mkString(", "))
+      assert(nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+        s"band build must scan the bucketed shingle table:\n" +
+          nodes.map(_.nodeName).mkString(", "))
       // and the built band table is exactly the capped recompute over
       // the stored shingles — write-through changed the plan, not rows
       val built = rows(spark.table(TextDedup.bandsTable(dir))
         .orderBy(col("band"), col("band_hash"), col("doc_id")))
-      val recomputed = rows(
-        build.orderBy(col("band"), col("band_hash"), col("doc_id")))
+      val recomputed = rows(TextDedup.cappedBandRows(
+          spark.table(TextDedup.shinglesTable(dir)))
+        .orderBy(col("band"), col("band_hash"), col("doc_id")))
       assert(built.nonEmpty && built == recomputed)
-    } finally dropIndex()
+    } finally {
+      TextDedup.onBandBuild = _ => ()
+      dropIndex()
+    }
   }
 }

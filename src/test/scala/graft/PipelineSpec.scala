@@ -152,6 +152,54 @@ class PipelineSpec extends SparkTestBase {
     } finally silverQ.stop()
   }
 
+  test("stage 6 serves the maintained retention view through the same " +
+    "paginated surface as the batch query, with a freshness probe") {
+    val cfg = freshCfg()
+    val D = 86400000L
+    val t0 = 1700006400000L
+    val input = MemoryStream[Event](45, spark, None)
+    val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
+    try {
+      val retQ = Pipeline.startRetention(spark, cfg)
+      try {
+        Seq(
+          Seq(ev("s1", "g1", 1f, t0), ev("s2", "g2", 1f, t0 + D)),
+          Seq(ev("s3", "g1", 1f, t0 + D), ev("s4", "g3", 1f, t0 + 2 * D)),
+          Seq(ev("s5", "g2", 1f, t0 + 2 * D), ev("s6", "g1", 1f, t0 + 2 * D))
+        ).foreach { b =>
+          input.addData(b)
+          silverQ.processAllAvailable(); retQ.processAllAvailable()
+        }
+
+        val served = Pipeline.serveRetention(spark, cfg, pageNo = 1, pageSize = 3)
+          .collect().toSeq.map(_.toSeq)
+
+        // the batch equivalent: the same rollup + page over the silver
+        // log's distinct (entity, day) grid — what serve_analytics runs
+        val grid = spark.read.parquet(cfg.silverPath)
+          .select(col("group_id").as("user_id"),
+            floor(col("event_timestamp") / lit(D)).cast("long").as("day"))
+          .distinct()
+        val ret = graft.ops.Analytics.retentionOf(grid)
+          .withColumn("_id",
+            concat_ws(":", col("cohort_day"), col("day_offset")))
+        val batch = graft.ops.Serve.page(ret,
+            Seq(col("cohort_day"), col("day_offset")), 1, 3)
+          .select(col("_id"), col("cohort_day"), col("day_offset"),
+            col("n_active"), col("cohort_size"), col("retention"))
+          .collect().toSeq.map(_.toSeq)
+        assert(served.nonEmpty && served == batch,
+          s"served $served vs batch $batch")
+
+        val f = graft.streaming.Metrics
+          .retentionFreshness(spark, cfg, System.currentTimeMillis())
+          .collect().head
+        assert(f.getAs[Long]("lag_ms") >= 0L &&
+          f.getAs[Long]("snapshot_version") >= 0L, s"freshness row: $f")
+      } finally retQ.stop()
+    } finally silverQ.stop()
+  }
+
   test("anomaly stage maintains the daily-count grid incrementally over " +
     "the real silver chain") {
     val cfg = freshCfg()

@@ -63,6 +63,55 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late-event policy: a time-traveling event before the assigned " +
+    "cohort is ignored, and the divergence vs batch is exactly that set") {
+    val input = MemoryStream[Ev](43, spark, None)
+    val q = StreamingAnalytics.retentionDeltas(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_stream_retention_late").start()
+    try {
+      // user 7 arrives OUT OF ORDER: first seen on day 2 (cohort := 2);
+      // later batches time-travel to days 0 and 1 (< cohort → ignored,
+      // never re-cohorted) and to day 3 (late but >= cohort → counted).
+      // user 8 is fully in-order: days 0 then 1.
+      val waves = Seq(
+        Seq(Ev(7, "view", 2 * D + 10), Ev(8, "view", 0 * D + 10)),
+        Seq(Ev(7, "view", 0 * D + 20), // time-travel below cohort: dropped
+          Ev(7, "view", 3 * D + 30), // late arrival, new day >= cohort
+          Ev(8, "view", 1 * D + 40)),
+        Seq(Ev(7, "view", 1 * D + 50), // below cohort again: dropped
+          Ev(7, "view", 2 * D + 60))) // already-seen day: no re-emit
+      waves.foreach { b => input.addData(b); q.processAllAvailable() }
+
+      val streamed = spark.table("graft_stream_retention_late")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")))
+        .sorted
+      // documented arrival-order semantics: user 7 cohort 2, days {2, 3};
+      // user 8 cohort 0, days {0, 1} — each user-day exactly once
+      val expected = Seq((0L, 0L), (0L, 1L), (2L, 0L), (2L, 1L)).sorted
+      assert(streamed == expected, s"streamed $streamed vs $expected")
+
+      // batch over the same events re-cohorts user 7 to day 0 with days
+      // {0, 1, 2, 3} — the divergence is exactly user 7's view, nothing
+      // else (user 8's in-order cells match bit-for-bit)
+      val batchCells = waves.flatten.toDF()
+        .select(col("user_id"), floor(col("ems") / lit(D)).cast("long").as("day"))
+        .distinct().collect().toSeq
+        .groupBy(_.getLong(0)).values.toSeq
+        .flatMap { rs =>
+          val days = rs.map(_.getLong(1)); val c = days.min
+          days.map(d => (c, d - c))
+        }.sorted
+      assert(batchCells == Seq((0L, 0L), (0L, 1L), (0L, 2L), (0L, 3L),
+        (0L, 0L), (0L, 1L)).sorted)
+      val inOrderCells = Seq((0L, 0L), (0L, 1L)) // user 8's cells
+      assert(inOrderCells.forall(streamed.contains(_)) &&
+        inOrderCells.forall(batchCells.contains(_)),
+        "in-order user's cells must agree between stream and batch")
+    } finally q.stop()
+  }
+
   test("incrementally maintained daily counts feed the same anomaly view " +
     "as the batch query") {
     val input = MemoryStream[Ev](42, spark, None)
