@@ -286,6 +286,13 @@ object ExtEntry {
     "dedup_segments" -> ((s, dir) =>
       TextDedup.segmentDedup(s, dir, k = 5).orderBy(col("doc_id"))),
 
+    // exact substring-level dedup: OVERLAPPING 5-gram runs repeated
+    // across >= 2 docs removed from every occurrence, docs reassembled
+    // in order (Lee et al. 2021 exact-substring family)
+    "dedup_substring" -> ((s, dir) =>
+      TextDedup.substringDedup(s, dir, n = 5, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // PII scrub (email/IP/card/phone sentinels) over the doc_id-augmented
     // corpus; redactPii itself is generic over any text column
     "pii_redact" -> ((s, dir) => Curation.piiRedact(s, dir)),
@@ -1269,6 +1276,30 @@ object ExtEntry {
         |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN seg END,
         |    ' ' ORDER BY seg_no), '')) AS dedup_md5
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 4, 0))) AS p
+        |  FROM t),
+        |g AS (SELECT doc_id, p,
+        |    md5(array_to_string(w[p : p + 4], ' ')) AS gh
+        |  FROM g0),
+        |rep AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.p, g.p + 4)) AS pos
+        |  FROM g JOIN rep USING (gh))),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |    generate_subscripts(w, 1) AS pos
+        |  FROM t)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.tok END,
+        |    ' ' ORDER BY tok.pos), '')) AS clean_md5
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     // same augmentation, same four patterns applied in the same order,
     // counts taken on the string each pattern actually sees

@@ -804,4 +804,74 @@ object TextDedup {
       .select(col("doc_id"), col("n_segs"), col("n_kept"),
         (col("n_segs") - col("n_kept")).as("n_dropped"), col("dedup_md5"))
   }
+
+  // —————————————————— exact substring-level dedup ——————————————————
+
+  /** Exact substring-level dedup (VERDICT r7 #7) — the exact-substring
+    * family of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", §4: suffix-array spans repeated verbatim
+    * across documents are removed from EVERY occurrence) re-expressed as
+    * a frequency-thresholded OVERLAPPING-shingle scan, shuffle-keyed
+    * throughout:
+    *
+    *   1. every n-token shingle at every start position (overlapping —
+    *      contrast [[segmentDedup]]'s fixed non-overlapping grid, whose
+    *      spans miss repeats that straddle segment boundaries);
+    *   2. a shingle occurring in ≥ `minDocs` DISTINCT documents marks
+    *      ALL n positions it covers, in every document it occurs in —
+    *      consecutive repeated shingles merge into maximal covered runs,
+    *      so a long verbatim span vanishes wholesale (no arbitrary
+    *      surviving copy, the Lee-et-al policy for boilerplate);
+    *   3. each document reassembles from its surviving tokens IN ORDER
+    *      (SubstringDedupSpec pins reconstruction identity: a document
+    *      with no cross-document repeat rebuilds verbatim).
+    *
+    * Scale shape: gram extraction is a scan-local projection (one row
+    * per token position); the frequency pass is one map-side-combined
+    * aggregation on the 128-bit gram key; coverage is a keyed join on
+    * that key (never all-pairs — the repeated-gram side is pre-reduced
+    * to one row per distinct gram); reassembly is the per-doc shuffle
+    * every rebuild pays ([[segmentDedup]], `cleanBoilerplate`). Each
+    * stage is linear in corpus tokens.
+    */
+  def substringDedup(spark: SparkSession, dir: String,
+                     n: Int = 5, minDocs: Int = 2): DataFrame =
+    substringDedupOf(documents(spark, dir), n, minDocs)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame, keeping
+    * the rebuilt `clean_text` — the reconstruction-identity test
+    * surface.
+    */
+  private[graft] def substringDedupOf(docs: DataFrame,
+                                      n: Int, minDocs: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = t
+      .select(col("doc_id"), col("w"),
+        explode(when(size(col("w")) >= n,
+            sequence(lit(1), size(col("w")) - lit(n - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("w"), col("p"), lit(n)))
+          .cast("binary")).as("g"))
+    val rep = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val cov = grams.join(rep, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tok = t
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    tok.join(cov.withColumn("hit", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("hit")).as("n_removed"),
+        array_join(transform(array_sort(
+          collect_list(when(col("hit").isNull, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"))
+  }
 }

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkTestBase {
     // deliberate broadcast-crossjoins against tiny centroid/query sets are
     // BroadcastNestedLoopJoin — allowed ONLY for the ann_* queries
     Seq("dedup_exact", "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
-      "dedup_embedding_lsh", "dedup_editdist", "dedup_containment").foreach { q =>
+      "dedup_embedding_lsh", "dedup_editdist", "dedup_containment",
+      "dedup_segments", "dedup_substring").foreach { q =>
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.TextDedup
+
+/** VERDICT r7 #7 — exact substring-level dedup semantics on synthetic
+  * corpora: reconstruction identity where nothing repeats across
+  * documents, wholesale removal of cross-document verbatim runs (every
+  * occurrence — the Lee et al. 2021 policy), and within-document-only
+  * repetition left untouched (the threshold counts DISTINCT documents).
+  * The sf-corpus oracle row (`dedup_substring`) is the other half of the
+  * gate; PlanAuditSpec pins the plan cartesian-free.
+  */
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val n = 5
+
+  test("reconstruction identity: no cross-document repeats rebuild verbatim") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "short text")) // below n tokens: no grams, must survive intact
+      .toDF("doc_id", "text")
+    val out = TextDedup.substringDedupOf(docs, n, 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("clean_text")).toSeq == Seq(
+      "alpha beta gamma delta epsilon zeta eta",
+      "one two three four five six seven eight nine",
+      "short text"))
+    assert(out.forall(_.getAs[Long]("n_removed") == 0L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(7L, 9L, 2L))
+  }
+
+  test("cross-document verbatim runs vanish from every occurrence; " +
+    "the surrounding text survives in order") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight" // 10 toks
+    val docs = Seq(
+      (1L, shared),
+      (2L, shared),
+      (3L, s"intro words here $shared closing words now"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.substringDedupOf(docs, n, 2)
+      .orderBy("doc_id").collect()
+    // docs 1 and 2: every position is covered by some shared 5-gram
+    assert(out(0).getAs[String]("clean_text") == "" &&
+      out(0).getAs[Long]("n_removed") == 10L)
+    assert(out(1).getAs[String]("clean_text") == "" &&
+      out(1).getAs[Long]("n_removed") == 10L)
+    // doc 3: exactly the shared run is removed — no gram that straddles
+    // the run boundary occurs elsewhere, so the frame text is untouched
+    assert(out(2).getAs[String]("clean_text") ==
+      "intro words here closing words now",
+      s"doc 3 rebuilt as '${out(2).getAs[String]("clean_text")}'")
+    assert(out(2).getAs[Long]("n_removed") == 10L)
+  }
+
+  test("within-document-only repetition is kept (threshold counts " +
+    "distinct documents)") {
+    val docs = Seq(
+      (1L, "echo delta echo delta echo delta echo delta echo delta"),
+      (2L, "completely different vocabulary with no overlap at all"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.substringDedupOf(docs, n, 2)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("n_removed") == 0L))
+  }
+}
