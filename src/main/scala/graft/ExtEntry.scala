@@ -293,6 +293,17 @@ object ExtEntry {
       TextDedup.substringDedup(s, dir, n = 5, minDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // the daily-crawl form: the 20% batch admitted against the STANDING
+    // gram-frequency index of the 80% corpus — per-batch cost scales
+    // with the increment, corpus side probed in place (bucketed)
+    "dedup_substring_admit" -> ((s, dir) =>
+      TextDedup.admitSubstringIndexed(s, dir,
+          TextDedup.documents(s, dir).filter(col("doc_id") % 10 >= 8),
+          n = 5, minDocs = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
     // PII scrub (email/IP/card/phone sentinels) over the doc_id-augmented
     // corpus; redactPii itself is generic over any text column
     "pii_redact" -> ((s, dir) => Curation.piiRedact(s, dir)),
@@ -1293,6 +1304,45 @@ object ExtEntry {
         |tok AS (SELECT doc_id, unnest(w) AS tok,
         |    generate_subscripts(w, 1) AS pos
         |  FROM t)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.tok END,
+        |    ' ' ORDER BY tok.pos), '')) AS clean_md5
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    // the oracle recomputes what the engine answers from the standing
+    // index: gram totals = corpus distinct docs + batch distinct docs
+    "dedup_substring_admit" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |c AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |gb0 AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 4, 0))) AS p
+        |  FROM b),
+        |gb AS (SELECT doc_id, p,
+        |    md5(array_to_string(w[p : p + 4], ' ')) AS gh
+        |  FROM gb0),
+        |gc0 AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 4, 0))) AS p
+        |  FROM c),
+        |gc AS (SELECT doc_id,
+        |    md5(array_to_string(w[p : p + 4], ' ')) AS gh
+        |  FROM gc0),
+        |bc AS (SELECT gh, count(DISTINCT doc_id) AS b_docs
+        |  FROM gb GROUP BY gh),
+        |cc AS (SELECT gh, count(DISTINCT doc_id) AS n_docs
+        |  FROM gc GROUP BY gh),
+        |tot AS (SELECT bc.gh FROM bc LEFT JOIN cc USING (gh)
+        |  WHERE bc.b_docs + coalesce(cc.n_docs, 0) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT gb.doc_id, unnest(generate_series(gb.p, gb.p + 4)) AS pos
+        |  FROM gb JOIN tot USING (gh))),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |    generate_subscripts(w, 1) AS pos
+        |  FROM b)
         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
         |  md5(coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.tok END,

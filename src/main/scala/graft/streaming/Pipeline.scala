@@ -1115,6 +1115,24 @@ object Pipeline {
         col("n_active"), col("cohort_size"), col("retention"))
   }
 
+  /** [[serveRetention]]'s anomaly sibling: the maintained daily-count
+    * grid through `Analytics.anomalyOf` and the same paginated `_id`
+    * surface. Same eager + strict read discipline.
+    */
+  def serveAnomaly(spark: SparkSession, cfg: Config,
+                   pageNo: Int, pageSize: Int): DataFrame = {
+    val fs = new Path(anomalyBase(cfg))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentAnomalySnapshot(fs, cfg)
+    require(cur.nonEmpty, s"anomaly view ${anomalyBase(cfg)} has no data yet")
+    val daily = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(cur.get._2.toString).localCheckpoint(true)
+    val anom = graft.ops.Analytics.anomalyOf(daily, "group_id")
+      .withColumn("_id", concat_ws(":", col("group_id"), col("day")))
+    graft.ops.Serve.page(anom, Seq(col("group_id"), col("day")),
+      pageNo, pageSize)
+  }
+
 
   /** Stage-3 source: the gold change feed as a streaming DataFrame
     * (`_change_type` / `_commit_version` carried — the CDF-read analog).

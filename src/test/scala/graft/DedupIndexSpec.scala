@@ -13,10 +13,7 @@ class DedupIndexSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropIndex(): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${TextDedup.bandsTable(dir)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${TextDedup.shinglesTable(dir)}")
-  }
+  private def dropIndex(): Unit = TextDedup.purgeDedupIndex(spark, dir)
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
@@ -62,6 +59,39 @@ class DedupIndexSpec extends SparkTestBase {
         .filter(col("doc_id") % 10 === 8).count()
       assert(stored == kept1.count())
     } finally dropIndex()
+  }
+
+  test("a session that lost its catalog entries REATTACHES the surviving " +
+    "index data instead of rebuilding the corpus") {
+    dropIndex()
+    var builds = 0
+    TextDedup.onBandBuild = _ => builds += 1
+    try {
+      TextDedup.ensureDedupIndex(spark, dir)
+      assert(builds == 1)
+      val before = rows(spark.table(TextDedup.bandsTable(dir))
+        .orderBy(col("band"), col("band_hash"), col("doc_id")))
+
+      // simulate the next session: the in-memory catalog entry dies with
+      // the JVM but the EXTERNAL table data survives at the fixed
+      // location — DROP TABLE on an external table keeps the files
+      spark.sql(s"DROP TABLE ${TextDedup.bandsTable(dir)}")
+      spark.sql(s"DROP TABLE ${TextDedup.shinglesTable(dir)}")
+
+      TextDedup.ensureDedupIndex(spark, dir)
+      assert(builds == 1, "reattach must not re-run the corpus band build")
+      val after = rows(spark.table(TextDedup.bandsTable(dir))
+        .orderBy(col("band"), col("band_hash"), col("doc_id")))
+      assert(after.nonEmpty && after == before)
+
+      // the reattached bucketed tables serve admission identically
+      val viaIndex = rows(TextDedup.incrementalDedupIndexed(spark, dir, 0.5))
+      val recomputed = rows(TextDedup.incrementalDedup(spark, dir, 0.5))
+      assert(viaIndex.nonEmpty && viaIndex == recomputed)
+    } finally {
+      TextDedup.onBandBuild = _ => ()
+      dropIndex()
+    }
   }
 
   test("index build streams the corpus through the saved shingle table — " +

@@ -26,10 +26,7 @@ class DedupStreamAdmitSpec extends SparkTestBase {
     d
   }
 
-  private def dropIndex(): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${TextDedup.bandsTable(dir)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${TextDedup.shinglesTable(dir)}")
-  }
+  private def dropIndex(): Unit = TextDedup.purgeDedupIndex(spark, dir)
 
   test("stream-admitted docs land in the batch index, and batch-appended " +
     "docs are visible to later stream batches") {
@@ -81,6 +78,34 @@ class DedupStreamAdmitSpec extends SparkTestBase {
           .select(col("doc_id")).collect().map(_.getLong(0)).toSet
         assert(extra == Set(10001L, 20002L), s"index extras: $extra")
       } finally q.stop()
+    } finally dropIndex()
+  }
+
+  test("torn append — bands committed, shingles lost — replays without " +
+    "duplicate band rows and completes the shingle half") {
+    dropIndex()
+    try {
+      TextDedup.ensureDedupIndex(spark, dir)
+      val doc = Seq((50001L,
+        "fourteen amber beacons relay the harvest ledger across the " +
+          "salt flats before the winter caravan departs")).toDF("doc_id", "text")
+      // simulate the crash window: the band half committed, the shingle
+      // half (and the verdict marker) never did
+      TextDedup.appendBandRows(spark, dir,
+        TextDedup.shinglesFor(doc).localCheckpoint(true))
+      val bandsAfterCrash = spark.table(TextDedup.bandsTable(dir))
+        .filter(col("doc_id") === 50001L).count()
+      assert(bandsAfterCrash > 0, "precondition: crash left band rows behind")
+
+      // the replayed full append must not double the band rows, and must
+      // land the missing shingle rows
+      TextDedup.appendToDedupIndex(spark, dir, doc)
+      assert(spark.table(TextDedup.bandsTable(dir))
+        .filter(col("doc_id") === 50001L).count() == bandsAfterCrash,
+        "replay duplicated band rows")
+      assert(spark.table(TextDedup.shinglesTable(dir))
+        .filter(col("doc_id") === 50001L).count() == 1L,
+        "replay failed to complete the shingle half")
     } finally dropIndex()
   }
 

@@ -233,6 +233,18 @@ class PipelineSpec extends SparkTestBase {
           .collect().toSeq.map(_.toSeq)
         assert(streamed.nonEmpty && streamed == batch,
           s"streamed $streamed vs batch $batch")
+
+        // stage 6's anomaly sibling serves the same page the batch
+        // query computes
+        val servedPage = Pipeline.serveAnomaly(spark, cfg, 1, 4)
+          .collect().toSeq.map(_.toSeq)
+        val batchPage = graft.ops.Serve.page(
+            graft.ops.Analytics.anomalyOf(batchDaily, "group_id")
+              .withColumn("_id", concat_ws(":", col("group_id"), col("day"))),
+            Seq(col("group_id"), col("day")), 1, 4)
+          .collect().toSeq.map(_.toSeq)
+        assert(servedPage.nonEmpty && servedPage == batchPage,
+          s"served $servedPage vs batch $batchPage")
       } finally anomQ.stop()
     } finally silverQ.stop()
   }
