@@ -131,6 +131,44 @@ object StreamingDedup {
       .start()
   }
 
+  /** [[startIndexedAdmission]]'s substring sibling: a document stream
+    * cleaned per micro-batch against the SAME standing gram-frequency
+    * index the batch `dedup_substring_admit` path maintains. Each batch:
+    * verdicts (cleaned text per doc) against current gram totals,
+    * recorded to `outDir/v=<batchId>` as the replay marker — recomputing
+    * after this batch's contributions landed would see every batch gram
+    * at +1 and over-remove — then the CLEANED text folds into the index
+    * under a per-batch tag ([[TextDedup.appendToSubstringIndex]] makes a
+    * replayed tag a no-op). Interleaved batch admissions and stream
+    * batches see one corpus, both directions.
+    */
+  def startSubstringAdmission(spark: SparkSession, dir: String,
+                              docs: DataFrame, outDir: String,
+                              checkpoint: String, n: Int = 5,
+                              minDocs: Int = 2): StreamingQuery = {
+    TextDedup.ensureSubstringIndex(spark, dir, n)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vdir = new Path(s"$outDir/v=$batchId")
+        val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val b = batch.localCheckpoint(true)
+        val cleaned =
+          if (fs.exists(vdir)) spark.read.parquet(vdir.toString)
+          else {
+            val v = TextDedup.admitSubstringIndexed(spark, dir, b, n, minDocs)
+              .localCheckpoint(true)
+            v.coalesce(1).write.mode("overwrite").parquet(vdir.toString)
+            v
+          }
+        TextDedup.appendToSubstringIndex(spark, dir,
+          cleaned.select(col("doc_id"), col("clean_text")),
+          s"stream_b$batchId", n)
+        ()
+      }
+      .start()
+  }
+
   /** doc stream → candidate-pair stream. Pairs may repeat across bands;
     * downstream dedups with the exact-verify join as in the batch path.
     */

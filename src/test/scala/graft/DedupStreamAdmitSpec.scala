@@ -81,6 +81,49 @@ class DedupStreamAdmitSpec extends SparkTestBase {
     } finally dropIndex()
   }
 
+  test("substring admission stream and batch share ONE standing gram " +
+    "index, both directions") {
+    TextDedup.purgeSubstringIndex(spark, dir)
+    try {
+      val novelA = "seven turquoise observatories exchange tide " +
+        "forecasts with the northern lighthouse keepers every dawn"
+      val novelB = "clockwork meadows rehearse the thunder canon " +
+        "beneath eleven woven aqueducts of amber glass"
+      val outDir = Files.createTempDirectory("graft_substr_out").toString
+      val ckpt = Files.createTempDirectory("graft_substr_ckpt").toString
+      val input = MemoryStream[(Long, String)](92, spark, None)
+      val q = StreamingDedup.startSubstringAdmission(spark, dir,
+        input.toDF().toDF("doc_id", "text"), outDir, ckpt)
+      try {
+        // wave 1 through the STREAM: a novel doc admits verbatim
+        input.addData((60001L, novelA))
+        q.processAllAvailable()
+        val v1 = spark.read.parquet(s"$outDir/v=0").collect().head
+        assert(v1.getAs[Long]("n_removed") == 0L &&
+          v1.getAs[String]("clean_text") == novelA, s"wave 1: $v1")
+
+        // stream → batch: a batch copy of the stream-admitted text is
+        // now fully covered by the stream's contributions
+        val vb = TextDedup.admitSubstringIndexed(spark, dir,
+          Seq((70001L, novelA)).toDF("doc_id", "text")).collect().head
+        assert(vb.getAs[String]("clean_text") == "" &&
+          vb.getAs[Long]("n_removed") == vb.getAs[Long]("n_tokens"),
+          s"batch copy survived the stream contributions: $vb")
+
+        // batch → stream: fold a novel doc in via the BATCH half...
+        TextDedup.appendToSubstringIndex(spark, dir,
+          Seq((70002L, novelB)).toDF("doc_id", "clean_text"), "batchX")
+        // ...then a stream copy of it must vanish wholesale
+        input.addData((60002L, novelB))
+        q.processAllAvailable()
+        val v2 = spark.read.parquet(s"$outDir/v=1").collect().head
+        assert(v2.getAs[String]("clean_text") == "" &&
+          v2.getAs[Long]("n_removed") == v2.getAs[Long]("n_tokens"),
+          s"stream copy survived the batch contributions: $v2")
+      } finally q.stop()
+    } finally TextDedup.purgeSubstringIndex(spark, dir)
+  }
+
   test("torn append — bands committed, shingles lost — replays without " +
     "duplicate band rows and completes the shingle half") {
     dropIndex()
