@@ -59,6 +59,14 @@ object ExtEntry {
       Similarity.ivfTopK(s, dir, nQueries = 10, nCentroids = 16,
         nProbe = 2, k = 3)),
 
+    // the PERSISTED-index form: probe the standing centroid table, search
+    // only the probed cells' co-located bucket rows — per-query cost is
+    // probe-cells x cell-members; the corpus-wide assignment ran once at
+    // index build (oracle identical to ann_ivf_topk by construction)
+    "ann_ivf_indexed" -> ((s, dir) =>
+      Similarity.ivfIndexedTopK(s, dir, nQueries = 10, nCentroids = 16,
+        nProbe = 2, k = 3)),
+
     // int8 embedding quantization — scan-local storage-reduction op;
     // payload checked by md5 over the quantized ints, quality by the
     // max reconstruction error
@@ -292,6 +300,11 @@ object ExtEntry {
     "dedup_substring" -> ((s, dir) =>
       TextDedup.substringDedup(s, dir, n = 5, minDocs = 2)
         .orderBy(col("doc_id"))),
+
+    // the observability face of substring dedup: per-language share of
+    // token mass inside cross-doc repeated runs (crawl-health metric)
+    "corpus_dup_profile" -> ((s, dir) =>
+      TextDedup.dupProfile(s, dir, n = 5, minDocs = 2)),
 
     // the daily-crawl form: the 20% batch admitted against the STANDING
     // gram-frequency index of the 80% corpus — per-batch cost scales
@@ -662,6 +675,12 @@ object ExtEntry {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
+      nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap),
+
+    // same contract as ann_ivf_topk — the index changes the plan, not
+    // the rows
+    "ann_ivf_indexed" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
 
@@ -1311,6 +1330,29 @@ object ExtEntry {
         |FROM tok LEFT JOIN cov
         |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "corpus_dup_profile" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 4, 0))) AS p
+        |  FROM t),
+        |g AS (SELECT doc_id, p,
+        |    md5(array_to_string(w[p : p + 4], ' ')) AS gh
+        |  FROM g0),
+        |rep AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, count(*) AS covered FROM (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT g.doc_id, unnest(generate_series(g.p, g.p + 4)) AS pos
+        |    FROM g JOIN rep USING (gh))) GROUP BY doc_id)
+        |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(t.w)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(cov.covered, 0)) AS BIGINT) AS dup_tokens,
+        |  round(CAST(sum(coalesce(cov.covered, 0)) AS DOUBLE)
+        |    / sum(len(t.w)), 6) AS dup_ratio
+        |FROM t LEFT JOIN cov USING (doc_id)
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
 
     // the oracle recomputes what the engine answers from the standing
     // index: gram totals = corpus distinct docs + batch distinct docs

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared machinery for the STANDING index tables (dedup band/shingle,
+  * substring gram, IVF cell): external bucketed parquet at a fixed
+  * warehouse location, so the data outlives any one session's in-memory
+  * catalog entry and the next session REATTACHES instead of rebuilding
+  * (the derby-free harness's stand-in for a persistent metastore).
+  */
+private[ext] object IndexCatalog {
+
+  def indexKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+  /** Fixed data location for `table` under the warehouse dir. */
+  def tableLocation(spark: SparkSession, table: String): Path =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+
+  /** Re-register a prior session's surviving table data:
+    * `CREATE TABLE … CLUSTERED BY … LOCATION` reattaches the bucketed
+    * parquet (bucket ids are encoded in the file names, so bucketed
+    * joins keep their no-exchange shape). Only a location whose last
+    * write committed (`_SUCCESS` present) is reattached — a torn write
+    * is deleted so the caller rebuilds. Returns true on reattach.
+    */
+  def reattachIfPresent(spark: SparkSession, table: String,
+                        bucketCols: Seq[String]): Boolean = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return false
+    if (!fs.exists(new Path(loc, "_SUCCESS"))) {
+      fs.delete(loc, true) // torn write: rebuild from scratch
+      return false
+    }
+    val schema = spark.read.parquet(loc.toString).schema
+    val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val bk = bucketCols.map(c => s"`$c`").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $table ($cols) USING PARQUET
+         |CLUSTERED BY ($bk) SORTED BY ($bk) INTO 8 BUCKETS
+         |LOCATION '${loc.toString}'""".stripMargin)
+    true
+  }
+
+  /** Drop the catalog entry AND the data at the fixed location. */
+  def purge(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+}

@@ -532,4 +532,113 @@ object Similarity {
       .select(col("vec_id") +: cols: _*)
       .orderBy(col("vec_id"))
   }
+
+  // ————————————————— standing IVF index (persisted cells) —————————————————
+
+  private[graft] def ivfCentsTable(dir: String): String =
+    s"graft_ivf_cents_${IndexCatalog.indexKey(dir)}"
+  private[graft] def ivfCellsTable(dir: String): String =
+    s"graft_ivf_cells_${IndexCatalog.indexKey(dir)}"
+
+  /** Build the STANDING IVF index for `dir` if absent: the trained
+    * centroid table (tiny) and the cell-assignment table
+    * (cent_id, cid, ce, en) bucketed by `cent_id` — each cell's members
+    * AND their vectors co-located in the bucket files, the posting-list
+    * layout a real IVF deployment uses. [[ivfTopK]] re-assigns the whole
+    * corpus on every call (train + crossJoin + window — the offline
+    * build cost paid per query); with the index, a query pays only
+    * probe-cells × cell-members, and the corpus-wide assignment runs
+    * ONCE. A prior session's data reattaches via [[IndexCatalog]] like
+    * the dedup/gram indexes.
+    */
+  def ensureIvfIndex(spark: SparkSession, dir: String, nQueries: Int,
+                     nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
+                     sampleCap: Int = defaultIvfSampleCap): Unit = {
+    import spark.implicits._
+    val ct = ivfCentsTable(dir)
+    val lt = ivfCellsTable(dir)
+    if (!spark.catalog.tableExists(ct) || !spark.catalog.tableExists(lt)) {
+      spark.sql(s"DROP TABLE IF EXISTS $ct")
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      val reatC = IndexCatalog.reattachIfPresent(spark, ct, Seq("cent_id"))
+      val reatL = IndexCatalog.reattachIfPresent(spark, lt, Seq("cent_id"))
+      if (!(reatC && reatL)) {
+        spark.sql(s"DROP TABLE IF EXISTS $ct")
+        spark.sql(s"DROP TABLE IF EXISTS $lt")
+        Seq(ct, lt).foreach(IndexCatalog.purge(spark, _))
+        val emb = embeddings(spark, dir)
+        val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters,
+          sampleMod, sampleCap)
+        val cents = trained.zipWithIndex.toSeq
+          .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+          .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
+        cents.write.mode("overwrite")
+          .bucketBy(8, "cent_id").sortBy("cent_id")
+          .option("path", IndexCatalog.tableLocation(spark, ct).toString)
+          .saveAsTable(ct)
+        val cand = emb.filter(col("vec_id") >= nQueries)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            norm(col("embedding")).as("en"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid"))
+          .orderBy(col("acos").desc, col("cent_id").asc)
+        cand.crossJoin(broadcast(spark.table(ct)))
+          .select(col("cid"), col("ce"), col("en"),
+            (dot(col("ce"), col("cemb")) / (col("en") * col("cn"))).as("acos"),
+            col("cent_id"))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+          .select(col("cent_id"), col("cid"), col("ce"), col("en"))
+          .write.mode("overwrite")
+          .bucketBy(8, "cent_id").sortBy("cent_id")
+          .option("path", IndexCatalog.tableLocation(spark, lt).toString)
+          .saveAsTable(lt)
+      }
+    }
+  }
+
+  /** IVF ANN against the STANDING index: per query, score the (broadcast)
+    * centroid table for its `nProbe` cells, then search exactly within
+    * those cells' co-located bucket rows — no corpus-wide assignment, no
+    * training, no corpus-side exchange per query. Identical output to
+    * [[ivfTopK]] with the same parameters (the oracle and the spec both
+    * pin it).
+    */
+  def ivfIndexedTopK(spark: SparkSession, dir: String, nQueries: Int,
+                     nCentroids: Int, nProbe: Int, k: Int,
+                     iters: Int = 2, sampleMod: Int = 3,
+                     sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    ensureIvfIndex(spark, dir, nQueries, nCentroids, iters, sampleMod,
+      sampleCap)
+    val cents = spark.table(ivfCentsTable(dir))
+    val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+    val sims = probed.join(spark.table(ivfCellsTable(dir)), Seq("cent_id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Drop the IVF index tables and their data (spec teardown). */
+  def purgeIvfIndex(spark: SparkSession, dir: String): Unit =
+    Seq(ivfCentsTable(dir), ivfCellsTable(dir))
+      .foreach(IndexCatalog.purge(spark, _))
 }
