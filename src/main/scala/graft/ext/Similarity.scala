@@ -535,10 +535,10 @@ object Similarity {
 
   // ————————————————— standing IVF index (persisted cells) —————————————————
 
-  private[graft] def ivfCentsTable(dir: String): String =
-    s"graft_ivf_cents_${IndexCatalog.indexKey(dir)}"
-  private[graft] def ivfCellsTable(dir: String): String =
-    s"graft_ivf_cells_${IndexCatalog.indexKey(dir)}"
+  private[graft] def ivfCentsTable(dir: String, nCentroids: Int): String =
+    s"graft_ivf_cents_${IndexCatalog.indexKey(dir)}_c$nCentroids"
+  private[graft] def ivfCellsTable(dir: String, nCentroids: Int): String =
+    s"graft_ivf_cells_${IndexCatalog.indexKey(dir)}_c$nCentroids"
 
   /** Build the STANDING IVF index for `dir` if absent: the trained
     * centroid table (tiny) and the cell-assignment table
@@ -555,8 +555,8 @@ object Similarity {
                      nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
                      sampleCap: Int = defaultIvfSampleCap): Unit = {
     import spark.implicits._
-    val ct = ivfCentsTable(dir)
-    val lt = ivfCellsTable(dir)
+    val ct = ivfCentsTable(dir, nCentroids)
+    val lt = ivfCellsTable(dir, nCentroids)
     if (!spark.catalog.tableExists(ct) || !spark.catalog.tableExists(lt)) {
       spark.sql(s"DROP TABLE IF EXISTS $ct")
       spark.sql(s"DROP TABLE IF EXISTS $lt")
@@ -610,7 +610,7 @@ object Similarity {
                      sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     ensureIvfIndex(spark, dir, nQueries, nCentroids, iters, sampleMod,
       sampleCap)
-    val cents = spark.table(ivfCentsTable(dir))
+    val cents = spark.table(ivfCentsTable(dir, nCentroids))
     val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
@@ -624,7 +624,8 @@ object Similarity {
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cent_id"))
-    val sims = probed.join(spark.table(ivfCellsTable(dir)), Seq("cent_id"))
+    val sims = probed.join(spark.table(ivfCellsTable(dir, nCentroids)),
+        Seq("cent_id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
@@ -637,8 +638,45 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Admit newly arrived vectors into the STANDING IVF index: assign
+    * each against the (broadcast) frozen centroid table and append to
+    * the cell table's touched buckets. Idempotent at vector granularity
+    * — an anti-join on (cent_id, cid) drops already-present rows reading
+    * only the touched buckets in place, so a replayed admission batch
+    * cannot double-insert (the [[graft.ext.TextDedup.appendBandRows]]
+    * pattern). Centroids stay FROZEN between rebuilds — the standard IVF
+    * deployment shape: admission cost is batch × centroids, and centroid
+    * drift is handled by periodic offline retraining
+    * ([[purgeIvfIndex]] + [[ensureIvfIndex]]), not per-batch.
+    */
+  def appendToIvfIndex(spark: SparkSession, dir: String,
+                       newVecs: DataFrame, nCentroids: Int): Unit = {
+    val cents = spark.table(ivfCentsTable(dir, nCentroids))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("acos").desc, col("cent_id").asc)
+    newVecs
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("en"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("ce"), col("en"),
+        (dot(col("ce"), col("cemb")) / (col("en") * col("cn"))).as("acos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("cent_id"), col("cid"), col("ce"), col("en"))
+      .join(spark.table(ivfCellsTable(dir, nCentroids))
+          .select(col("cent_id"), col("cid")),
+        Seq("cent_id", "cid"), "left_anti")
+      .write.mode("append")
+      .bucketBy(8, "cent_id").sortBy("cent_id")
+      .saveAsTable(ivfCellsTable(dir, nCentroids))
+    spark.catalog.refreshTable(ivfCellsTable(dir, nCentroids))
+  }
+
   /** Drop the IVF index tables and their data (spec teardown). */
-  def purgeIvfIndex(spark: SparkSession, dir: String): Unit =
-    Seq(ivfCentsTable(dir), ivfCellsTable(dir))
+  def purgeIvfIndex(spark: SparkSession, dir: String,
+                    nCentroids: Int = 16): Unit =
+    Seq(ivfCentsTable(dir, nCentroids), ivfCellsTable(dir, nCentroids))
       .foreach(IndexCatalog.purge(spark, _))
 }

@@ -930,8 +930,8 @@ object TextDedup {
 
   // ———————— standing gram index (substring admission, daily-crawl) ————————
 
-  private[graft] def gramsTable(dir: String): String =
-    s"graft_substr_grams_${indexKey(dir)}"
+  private[graft] def gramsTable(dir: String, n: Int): String =
+    s"graft_substr_grams_${indexKey(dir)}_n$n"
 
   /** Build the STANDING gram-frequency index for `dir` if absent: one
     * bucketed external table (g, n_docs, src) where `n_docs` rows are
@@ -945,7 +945,7 @@ object TextDedup {
     */
   def ensureSubstringIndex(spark: SparkSession, dir: String,
                            n: Int = 5): Unit = {
-    val t = gramsTable(dir)
+    val t = gramsTable(dir, n)
     if (!spark.catalog.tableExists(t)) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       if (!reattachIfPresent(spark, t, Seq("g"))) {
@@ -964,8 +964,9 @@ object TextDedup {
   /** The standing per-gram distinct-doc counts: contributions summed by
     * gram. GroupBy on the bucket column — no exchange on the corpus side.
     */
-  private def gramCounts(spark: SparkSession, dir: String): DataFrame =
-    spark.table(gramsTable(dir)).groupBy(col("g"))
+  private def gramCounts(spark: SparkSession, dir: String,
+                         n: Int): DataFrame =
+    spark.table(gramsTable(dir, n)).groupBy(col("g"))
       .agg(sum(col("n_docs")).as("n_docs"))
 
   /** Admit a new-docs batch against the STANDING gram index: a position
@@ -988,7 +989,7 @@ object TextDedup {
     val batchCounts = g.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("b_docs"))
     val totals = batchCounts
-      .join(gramCounts(spark, dir), Seq("g"), "left")
+      .join(gramCounts(spark, dir, n), Seq("g"), "left")
       .filter(col("b_docs") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
       .select(col("g"))
     val cov = g.join(totals, Seq("g"))
@@ -1010,7 +1011,7 @@ object TextDedup {
                              cleaned: DataFrame, batchTag: String,
                              n: Int = 5): Unit = {
     require(batchTag != "corpus", "tag 'corpus' is reserved")
-    val t = gramsTable(dir)
+    val t = gramsTable(dir, n)
     val done = spark.table(t)
       .filter(col("src") === batchTag).limit(1).count() > 0
     if (!done) {
@@ -1061,6 +1062,7 @@ object TextDedup {
   }
 
   /** Drop the substring gram index and its data (spec teardown). */
-  def purgeSubstringIndex(spark: SparkSession, dir: String): Unit =
-    IndexCatalog.purge(spark, gramsTable(dir))
+  def purgeSubstringIndex(spark: SparkSession, dir: String,
+                          n: Int = 5): Unit =
+    IndexCatalog.purge(spark, gramsTable(dir, n))
 }

@@ -36,14 +36,42 @@ class IvfIndexSpec extends SparkTestBase {
     try {
       val before = rows(Similarity.ivfIndexedTopK(spark, dir,
         nQueries = 10, nCentroids = 16, nProbe = 2, k = 3))
-      val cellsBefore = spark.table(Similarity.ivfCellsTable(dir)).count()
+      val cellsBefore = spark.table(Similarity.ivfCellsTable(dir, 16)).count()
       // external tables: DROP keeps the files, like a died JVM would
-      spark.sql(s"DROP TABLE ${Similarity.ivfCentsTable(dir)}")
-      spark.sql(s"DROP TABLE ${Similarity.ivfCellsTable(dir)}")
+      spark.sql(s"DROP TABLE ${Similarity.ivfCentsTable(dir, 16)}")
+      spark.sql(s"DROP TABLE ${Similarity.ivfCellsTable(dir, 16)}")
       val after = rows(Similarity.ivfIndexedTopK(spark, dir,
         nQueries = 10, nCentroids = 16, nProbe = 2, k = 3))
       assert(after == before)
-      assert(spark.table(Similarity.ivfCellsTable(dir)).count() == cellsBefore)
+      assert(spark.table(Similarity.ivfCellsTable(dir, 16)).count() == cellsBefore)
+    } finally purge()
+  }
+
+  test("admitted vectors join the standing index and become searchable; " +
+    "a replayed admission is a no-op") {
+    import spark.implicits._
+    purge()
+    try {
+      Similarity.ensureIvfIndex(spark, dir, nQueries = 10, nCentroids = 16)
+      // a synthetic vector equal to query 0's embedding — its top-1 must
+      // become this new vector with sim 1.0 once admitted
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val newVec = Seq((900001L, q0)).toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(spark, dir, newVec, nCentroids = 16)
+      val n = spark.table(Similarity.ivfCellsTable(dir, 16)).count()
+      Similarity.appendToIvfIndex(spark, dir, newVec, nCentroids = 16) // replay
+      assert(spark.table(Similarity.ivfCellsTable(dir, 16)).count() == n,
+        "replayed admission duplicated cell rows")
+
+      val top = Similarity.ivfIndexedTopK(spark, dir,
+          nQueries = 10, nCentroids = 16, nProbe = 2, k = 3)
+        .filter(col("qid") === 0L && col("rank") === 1L)
+        .collect().head
+      assert(top.getAs[Long]("cid") == 900001L &&
+        top.getAs[Double]("sim") == 1.0,
+        s"admitted identical vector must be query 0's top-1: $top")
     } finally purge()
   }
 

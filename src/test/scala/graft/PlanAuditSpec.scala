@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin — allowed ONLY for the ann_* queries
     Seq("dedup_exact", "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
       "dedup_embedding_lsh", "dedup_editdist", "dedup_containment",
-      "dedup_segments", "dedup_substring").foreach { q =>
+      "dedup_segments", "dedup_substring", "dedup_substring_admit",
+      "corpus_dup_profile").foreach { q =>
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)

@@ -50,10 +50,10 @@ class SubstringIndexSpec extends SparkTestBase {
 
       TextDedup.appendToSubstringIndex(spark, dir,
         Seq((90001L, novel)).toDF("doc_id", "clean_text"), "wave1")
-      val n = spark.table(TextDedup.gramsTable(dir)).count()
+      val n = spark.table(TextDedup.gramsTable(dir, 5)).count()
       TextDedup.appendToSubstringIndex(spark, dir,
         Seq((90001L, novel)).toDF("doc_id", "clean_text"), "wave1")
-      assert(spark.table(TextDedup.gramsTable(dir)).count() == n,
+      assert(spark.table(TextDedup.gramsTable(dir, 5)).count() == n,
         "replayed append added contribution rows")
 
       // a wave-2 copy of the admitted text is now fully covered
@@ -71,11 +71,11 @@ class SubstringIndexSpec extends SparkTestBase {
     purge()
     try {
       TextDedup.ensureSubstringIndex(spark, dir)
-      val before = spark.table(TextDedup.gramsTable(dir)).count()
+      val before = spark.table(TextDedup.gramsTable(dir, 5)).count()
       // external table: DROP keeps the files, like a died JVM would
-      spark.sql(s"DROP TABLE ${TextDedup.gramsTable(dir)}")
+      spark.sql(s"DROP TABLE ${TextDedup.gramsTable(dir, 5)}")
       TextDedup.ensureSubstringIndex(spark, dir)
-      assert(spark.table(TextDedup.gramsTable(dir)).count() == before)
+      assert(spark.table(TextDedup.gramsTable(dir, 5)).count() == before)
     } finally purge()
   }
 }
