@@ -946,6 +946,7 @@ object TextDedup {
   def ensureSubstringIndex(spark: SparkSession, dir: String,
                            n: Int = 5): Unit = {
     val t = gramsTable(dir, n)
+    recoverCompaction(spark, dir, n)
     if (!spark.catalog.tableExists(t)) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       if (!reattachIfPresent(spark, t, Seq("g"))) {
@@ -999,22 +1000,43 @@ object TextDedup {
     rebuildWithout(newDocs, cov)
   }
 
+  /** One empty marker file per SEEN batch tag, in a sibling directory of
+    * the gram table (outside the table location, so a compaction rewrite
+    * of the table data cannot erase the replay guards). Marker creation
+    * is a single file create — atomic at the granularity that matters:
+    * the marker either exists or it does not, never partially.
+    */
+  private def tagsDir(spark: SparkSession, dir: String, n: Int): Path =
+    new Path(tableLocation(spark, gramsTable(dir, n)).toString + "_tags")
+
+  private def markTag(fs: org.apache.hadoop.fs.FileSystem,
+                      td: Path, tag: String): Unit = {
+    fs.mkdirs(td)
+    fs.create(new Path(td, tag), true).close()
+  }
+
   /** Fold an admitted batch's CLEANED text into the standing gram index
     * (what entered the corpus is the post-removal text). A replayed tag
-    * is a no-op: each append job writes files carrying only its own
-    * `src`, so the existence probe prunes on parquet footer min/max —
-    * O(files) footer reads, no data scan — and the parquet commit
-    * protocol makes the append atomic at job granularity (a crashed
-    * append leaves no visible files, so the replay re-runs it cleanly).
+    * is a no-op, through BOTH guards: the per-tag marker file (survives
+    * [[compactSubstringIndex]] folding the tag's rows away) and the data
+    * probe on `src` (each append job writes files carrying only its own
+    * tag, so the probe prunes on parquet footer min/max — footer reads,
+    * no data scan). The parquet commit protocol makes the append atomic
+    * at job granularity; a crash between the append commit and the
+    * marker create replays into the data probe, which skips and
+    * back-fills the marker.
     */
   def appendToSubstringIndex(spark: SparkSession, dir: String,
                              cleaned: DataFrame, batchTag: String,
                              n: Int = 5): Unit = {
     require(batchTag != "corpus", "tag 'corpus' is reserved")
     val t = gramsTable(dir, n)
-    val done = spark.table(t)
+    val td = tagsDir(spark, dir, n)
+    val fs = td.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(td, batchTag))) return
+    val inData = spark.table(t)
       .filter(col("src") === batchTag).limit(1).count() > 0
-    if (!done) {
+    if (!inData) {
       gramRows(cleaned.select(col("doc_id"), col("clean_text").as("text")), n)
         .groupBy(col("g"))
         .agg(count_distinct(col("doc_id")).as("n_docs"))
@@ -1023,6 +1045,71 @@ object TextDedup {
         .bucketBy(8, "g").sortBy("g")
         .saveAsTable(t)
       spark.catalog.refreshTable(t)
+    }
+    markTag(fs, td, batchTag)
+  }
+
+  /** Fold the per-tag contribution log back into one `corpus` row set —
+    * the maintenance pass that keeps the standing gram table's file
+    * count bounded as admission batches accumulate (each append adds a
+    * bucket-set of small files; at daily-crawl cadence that is linear
+    * growth the read-time `sum` then pays on every probe).
+    *
+    * Crash-safe in every window, single-maintainer assumed (run it
+    * quiesced, like silver compaction):
+    *   1. every tag present in the data gets its marker file FIRST — so
+    *      once the tag rows fold away, a replayed old batch still
+    *      no-ops on the marker;
+    *   2. the summed contributions stage to a sibling `_compact_tmp`
+    *      location as a bucketed table (temp catalog name, dropped
+    *      after — files stay);
+    *   3. swap: drop the table entry, delete the old location, RENAME
+    *      the staging dir in, re-register. A crash between delete and
+    *      rename is recovered by [[ensureSubstringIndex]], which
+    *      completes the rename before its reattach check (the staged
+    *      data carries `_SUCCESS`, so it is known complete).
+    */
+  def compactSubstringIndex(spark: SparkSession, dir: String,
+                            n: Int = 5): Unit = {
+    val t = gramsTable(dir, n)
+    val loc = tableLocation(spark, t)
+    val staging = new Path(loc.toString + "_compact_tmp")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, dir, n)
+    ensureSubstringIndex(spark, dir, n)
+    // 1. markers for every tag the data carries (idempotent creates)
+    val td = tagsDir(spark, dir, n)
+    spark.table(t).filter(col("src") =!= "corpus")
+      .select(col("src")).distinct().collect().map(_.getString(0))
+      .foreach(markTag(fs, td, _))
+    // 2. stage the folded table (bucketed ⇒ via a temp catalog name)
+    val tmpTable = t + "_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.table(t).groupBy(col("g"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .withColumn("src", lit("corpus"))
+      .write.bucketBy(8, "g").sortBy("g")
+      .option("path", staging.toString)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $tmpTable") // external: staged files stay
+    // 3. swap
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    fs.delete(loc, true)
+    require(fs.rename(staging, loc), s"rename $staging -> $loc failed")
+    IndexCatalog.reattachIfPresent(spark, t, Seq("g"))
+  }
+
+  /** Complete a compaction whose crash window left the table location
+    * deleted but the staged replacement intact (`_SUCCESS` present).
+    */
+  private def recoverCompaction(spark: SparkSession, dir: String,
+                                n: Int): Unit = {
+    val loc = tableLocation(spark, gramsTable(dir, n))
+    val staging = new Path(loc.toString + "_compact_tmp")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc) && fs.exists(new Path(staging, "_SUCCESS"))) {
+      require(fs.rename(staging, loc), s"rename $staging -> $loc failed")
     }
   }
 
@@ -1061,8 +1148,15 @@ object TextDedup {
       .orderBy(col("lang"))
   }
 
-  /** Drop the substring gram index and its data (spec teardown). */
+  /** Drop the substring gram index, its data, its tag markers, and any
+    * staged compaction (spec teardown / full rebuild).
+    */
   def purgeSubstringIndex(spark: SparkSession, dir: String,
-                          n: Int = 5): Unit =
+                          n: Int = 5): Unit = {
     IndexCatalog.purge(spark, gramsTable(dir, n))
+    val loc = tableLocation(spark, gramsTable(dir, n))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(tagsDir(spark, dir, n), new Path(loc.toString + "_compact_tmp"))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+  }
 }

@@ -75,6 +75,35 @@ class IvfIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("stream-admitted vectors land in the shared standing index and " +
+    "batch searches see them") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    purge()
+    try {
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val ckpt = Files.createTempDirectory("graft_ivf_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Float])](93, spark, None)
+      val q = graft.streaming.StreamingSimilarity.startIvfAdmission(
+        spark, dir, input.toDF().toDF("vec_id", "embedding"), ckpt,
+        nQueries = 10, nCentroids = 16)
+      try {
+        input.addData((900002L, q0))
+        q.processAllAvailable()
+        val top = Similarity.ivfIndexedTopK(spark, dir,
+            nQueries = 10, nCentroids = 16, nProbe = 2, k = 3)
+          .filter(col("qid") === 0L && col("rank") === 1L)
+          .collect().head
+        assert(top.getAs[Long]("cid") == 900002L &&
+          top.getAs[Double]("sim") == 1.0,
+          s"stream-admitted vector must be query 0's top-1: $top")
+      } finally q.stop()
+    } finally purge()
+  }
+
   test("the probed plan searches only the probed cells — the cell table " +
     "is filtered by the probe join, never scanned into a corpus-wide " +
     "reassignment") {

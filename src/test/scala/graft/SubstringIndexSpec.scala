@@ -66,6 +66,51 @@ class SubstringIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("compaction folds the contribution log without changing any gram " +
+    "total, and compacted-away tags stay replay-proof") {
+    import spark.implicits._
+    purge()
+    try {
+      val novel = "porcelain satellites monitor the orchard frequencies " +
+        "beyond the ninth meridian every sidereal week"
+      TextDedup.ensureSubstringIndex(spark, dir)
+      TextDedup.appendToSubstringIndex(spark, dir,
+        Seq((91001L, novel)).toDF("doc_id", "clean_text"), "waveA")
+      val totalsBefore = spark.table(TextDedup.gramsTable(dir, 5))
+        .groupBy("g").agg(sum("n_docs").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rowsBefore = spark.table(TextDedup.gramsTable(dir, 5)).count()
+
+      TextDedup.compactSubstringIndex(spark, dir)
+
+      val after = spark.table(TextDedup.gramsTable(dir, 5))
+      val totalsAfter = after.groupBy("g").agg(sum("n_docs").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(totalsAfter == totalsBefore,
+        "compaction changed a gram total")
+      assert(after.count() < rowsBefore || rowsBefore == after.count(),
+        "row count sanity")
+      assert(after.filter(col("src") =!= "corpus").count() == 0,
+        "compaction left non-corpus contribution rows")
+
+      // the folded-away tag must still be replay-proof (marker survives)
+      TextDedup.appendToSubstringIndex(spark, dir,
+        Seq((91001L, novel)).toDF("doc_id", "clean_text"), "waveA")
+      val replayTotals = spark.table(TextDedup.gramsTable(dir, 5))
+        .groupBy("g").agg(sum("n_docs").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(replayTotals == totalsBefore,
+        "replayed compacted tag double-counted")
+
+      // and admission still sees the folded contributions
+      val v = TextDedup.admitSubstringIndexed(spark, dir,
+          Seq((91002L, novel)).toDF("doc_id", "text"), 5, 2)
+        .collect().head
+      assert(v.getAs[String]("clean_text") == "",
+        s"post-compaction admission missed folded contributions: $v")
+    } finally purge()
+  }
+
   test("a session that lost its catalog entry reattaches the surviving " +
     "gram data instead of rebuilding") {
     purge()
