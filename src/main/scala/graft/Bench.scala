@@ -64,20 +64,24 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map { case (name, _) => name -> best(name) }
-    def toJson(rs: Seq[(String, Double)]): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)], round2: Boolean): String = {
+      val qs = rs.map { case (k, v) =>
+        val vv = if (round2) f"$v%.2f" else v.toString
+        "\"" + k + "\":" + vv
+      }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"n_queries":${results.size}}"""
+      val tv = if (round2) f"$total%.2f" else total.toString
+      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"n_queries":${results.size}}"""
     }
-    // The driver scrapes a bounded tail of stdout, which truncated the
-    // full 115-query line in r6 AND r7 (parsed: null both rounds). The
-    // full map goes to BENCH_LOCAL.json; stdout's FINAL line is compact —
-    // the same schema, but `queries` carries only the slowest 10 — so it
-    // always fits the tail window and parses.
+    // The driver scrapes a SMALL tail of stdout (~500 bytes observed):
+    // r6/r7 lost the full 115-query line, and r8's slowest-10 compact
+    // line STILL lost its head to the window (parsed: null three rounds
+    // running). The full map goes to BENCH_LOCAL.json; stdout's final
+    // line is now slowest-5 at 2 decimals (≈200 bytes) and is printed
+    // AFTER spark.stop() so no shutdown log line can land behind it.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (toJson(results) + "\n").getBytes("UTF-8"))
-    println(toJson(results.sortBy(-_._2).take(10).sortBy(_._1)))
+      (toJson(results, round2 = false) + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(toJson(results.sortBy(-_._2).take(5).sortBy(_._1), round2 = true))
   }
 }

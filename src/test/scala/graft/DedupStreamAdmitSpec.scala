@@ -81,6 +81,53 @@ class DedupStreamAdmitSpec extends SparkTestBase {
     } finally dropIndex()
   }
 
+  test("indexed admission survives a checkpoint restart: committed " +
+    "batches are not re-admitted, new batches admit against the same " +
+    "standing index") {
+    dropIndex()
+    try {
+      val novelC = "ivory pendulums chart the monsoon ledger across " +
+        "fourteen basalt terraces while cartwheels idle in the harbor"
+      val novelD = "gossamer flywheels tally the eclipse rosters under " +
+        "seven lacquered bridges each solstice evening"
+      val outDir = Files.createTempDirectory("graft_restart_out").toString
+      val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+      val input = MemoryStream[(Long, String)](94, spark, None)
+      val stream = input.toDF().toDF("doc_id", "text")
+      val q1 = StreamingDedup.startIndexedAdmission(spark, dir,
+        stream, 0.5, outDir, ckpt)
+      try {
+        input.addData((80001L, novelC))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val shinglesAfterB0 = spark.table(TextDedup.shinglesTable(dir))
+        .filter(col("doc_id") >= 80000L).count()
+
+      // restart from the same checkpoint; the committed batch must not
+      // re-run (its verdict marker + the idempotent append both guard),
+      // and a post-restart batch admits against the SAME index
+      val q2 = StreamingDedup.startIndexedAdmission(spark, dir,
+        stream, 0.5, outDir, ckpt)
+      try {
+        input.addData((80002L, novelC), (80003L, novelD))
+        q2.processAllAvailable()
+        assert(spark.read.parquet(s"$outDir/v=0").count() == 1,
+          "restart rewrote batch 0's verdicts")
+        val v1 = spark.read.parquet(s"$outDir/v=1")
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            r.getAs[Boolean]("keep")).toMap
+        assert(v1 == Map(80002L -> false, 80003L -> true),
+          s"post-restart batch verdicts: $v1")
+        val extras = spark.table(TextDedup.shinglesTable(dir))
+          .filter(col("doc_id") >= 80000L)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        assert(extras == Set(80001L, 80003L),
+          s"index extras after restart: $extras (batch-0 keeper count " +
+            s"before restart: $shinglesAfterB0)")
+      } finally q2.stop()
+    } finally dropIndex()
+  }
+
   test("substring admission stream and batch share ONE standing gram " +
     "index, both directions") {
     TextDedup.purgeSubstringIndex(spark, dir)
@@ -121,6 +168,45 @@ class DedupStreamAdmitSpec extends SparkTestBase {
           v2.getAs[Long]("n_removed") == v2.getAs[Long]("n_tokens"),
           s"stream copy survived the batch contributions: $v2")
       } finally q.stop()
+    } finally TextDedup.purgeSubstringIndex(spark, dir)
+  }
+
+  test("substring admission survives a checkpoint restart without " +
+    "re-folding committed batches") {
+    TextDedup.purgeSubstringIndex(spark, dir)
+    try {
+      val novelE = "copper weathervanes rehearse the auroral census " +
+        "over twelve shale amphitheaters at every perihelion"
+      val outDir = Files.createTempDirectory("graft_substr_rs_out").toString
+      val ckpt = Files.createTempDirectory("graft_substr_rs_ckpt").toString
+      val input = MemoryStream[(Long, String)](95, spark, None)
+      val stream = input.toDF().toDF("doc_id", "text")
+      val q1 = StreamingDedup.startSubstringAdmission(spark, dir,
+        stream, outDir, ckpt)
+      try {
+        input.addData((85001L, novelE))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val totals = spark.table(TextDedup.gramsTable(dir, 5))
+        .groupBy("g").agg(sum("n_docs").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val q2 = StreamingDedup.startSubstringAdmission(spark, dir,
+        stream, outDir, ckpt)
+      try {
+        input.addData((85002L, novelE)) // duplicate of the committed keeper
+        q2.processAllAvailable()
+        val v1 = spark.read.parquet(s"$outDir/v=1").collect().head
+        assert(v1.getAs[String]("clean_text") == "",
+          s"post-restart duplicate survived: $v1")
+        // batch 0's contributions must appear exactly once; batch 1's
+        // cleaned text is empty so it contributes nothing
+        val totalsAfter = spark.table(TextDedup.gramsTable(dir, 5))
+          .groupBy("g").agg(sum("n_docs").as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(totalsAfter == totals,
+          "restart re-folded a committed batch's contributions")
+      } finally q2.stop()
     } finally TextDedup.purgeSubstringIndex(spark, dir)
   }
 

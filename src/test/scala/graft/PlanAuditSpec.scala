@@ -49,6 +49,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p) // max_by agg, not row_number
   }
 
+  test("keyset pagination pushes the seek predicate to the scan and " +
+    "plans no offset") {
+    val p = executedPlan("serve_keyset")
+    // the `user_id > 7` seek filter must reach the parquet reader —
+    // page cost stays O(page) at any depth
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), GreaterThan(user_id,7)]") ||
+      p.contains("GreaterThan(user_id,7)"), p)
+    assert(!p.toLowerCase.contains("offset"),
+      s"keyset page must not sort-and-discard an offset prefix:\n$p")
+    // and the offset twin really does plan the offset (the contrast)
+    val off = executedPlan("serve_page")
+    assert(off.toLowerCase.contains("offset"), off)
+  }
+
   test("semi/anti subquery anchors plan as semi/anti hash joins") {
     val q4 = executedPlan("tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
