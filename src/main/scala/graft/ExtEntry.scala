@@ -306,6 +306,11 @@ object ExtEntry {
     "corpus_dup_profile" -> ((s, dir) =>
       TextDedup.dupProfile(s, dir, n = 5, minDocs = 2)),
 
+    // tokenizer-training statistics: BPE's first-merge pair counts
+    // (in-word adjacent symbol pairs + word-final </w> pairs), top-40
+    "tokenizer_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(s, dir, k = 40)),
+
     // the daily-crawl form: the 20% batch admitted against the STANDING
     // gram-frequency index of the 80% corpus — per-batch cost scales
     // with the increment, corpus side probed in place (bucketed)
@@ -1330,6 +1335,21 @@ object ExtEntry {
         |FROM tok LEFT JOIN cov
         |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "tokenizer_pair_counts" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |ww AS (SELECT w FROM w0 WHERE len(w) > 0),
+        |inner_pairs AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(w) - 1, 0)),
+        |    i -> substring(w, i, 2))) AS pair
+        |  FROM ww WHERE len(w) >= 2),
+        |term_pairs AS (SELECT substring(w, -1, 1) || '</w>' AS pair FROM ww),
+        |allp AS (SELECT pair FROM inner_pairs
+        |  UNION ALL SELECT pair FROM term_pairs)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM allp GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
 
     "corpus_dup_profile" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w

@@ -545,4 +545,39 @@ object TextAnalysis {
           sequence(lit(1), greatest(size(col("w")) - 4, lit(1))),
           i => md5(concat_ws(" ", slice(col("w"), i, lit(5)))))).as("min_shingle"))
   }
+
+  /** The BPE building block — tokenizer-training statistics over the
+    * corpus: counts of adjacent SYMBOL PAIRS within words, the quantity
+    * BPE's first merge iteration maximizes (Sennrich et al. 2016 §3.2).
+    * A pair is the 2-character substring at each in-word position, plus
+    * the terminal (last-char, `</w>`) pair that lets BPE distinguish
+    * word-final symbols. Output: the top-k pairs by corpus count
+    * (deterministic tie-break on the pair string) — at 100 TB this is
+    * the whole first training pass: one scan-local explode (O(chars)
+    * rows of a few bytes), one map-side-combined count, top-k as
+    * TakeOrderedAndProject. Later merge iterations re-run the same scan
+    * over re-paired symbols (a driver loop of bounded k, the k-means
+    * pattern) — the per-iteration shape is this operator's.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String, k: Int): DataFrame =
+    bpePairCountsOf(documents(spark, dir), k)
+
+  private[graft] def bpePairCountsOf(docs: DataFrame, k: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val inner = words
+      .select(explode(expr(
+        // guard: sequence(1, 0) would run DESCENDING in Spark
+        "case when length(w) >= 2 then transform(sequence(1, length(w) - 1), " +
+          "i -> substring(w, i, 2)) else cast(array() as array<string>) end"))
+        .as("pair"))
+    val terminal = words
+      .select(concat(substring(col("w"), -1, 1), lit("</w>")).as("pair"))
+    inner.unionByName(terminal)
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -1307,6 +1307,19 @@ object Pipeline {
   def awaitAny(spark: SparkSession): Unit =
     spark.streams.awaitAnyTermination()
 
+  /** The full maintained surface: the reference's three stages plus the
+    * analytics maintenance pair (stages 4–5). Stage 6 is the read path
+    * ([[serveRetention]]/[[serveAnomaly]]) — not a stream. PipelineSpec
+    * runs all five concurrently and pins every maintained view against
+    * its batch oracle.
+    */
+  def startAllWithAnalytics(spark: SparkSession, raw: DataFrame, cfg: Config,
+                            format: graft.storage.TableFormat =
+                              graft.storage.TableFormat.parquet)
+      : Seq[StreamingQuery] =
+    startAll(spark, raw, cfg, format) ++
+      Seq(startRetention(spark, cfg), startAnomaly(spark, cfg))
+
   /** Tiny markers for gold-fold replay protection: one global batch id
     * (fast path: whole batch already applied) plus one per gold bucket
     * (bucket-granular idempotence for crashes mid-swap).

@@ -11,6 +11,19 @@ import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
 class ExtSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("bpe pair counts: in-word adjacent pairs + word-final </w>, " +
+    "1-char words contribute only the terminal pair, multibyte intact") {
+    val docs = Seq((1L, "ab ab a 日本")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bpePairCountsOf(docs, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // "ab" ×2 → pair "ab" ×2, terminal "b</w>" ×2; "a" → only "a</w>";
+    // "日本" → pair "日本", terminal "本</w>"
+    val expected = Seq("ab" -> 2L, "b</w>" -> 2L, "a</w>" -> 1L,
+      "日本" -> 1L, "本</w>" -> 1L)
+      .sortBy { case (p, c) => (-c, p) }
+    assert(got == expected, s"got $got")
+  }
+
   test("shingles: distinct 3-gram word windows; short docs degrade to one") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextDedup.shingles(split(col("text"), " "), 3).as("sh"))

@@ -627,6 +627,58 @@ class PipelineSpec extends SparkTestBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("five concurrent stages: serving, retention, and anomaly views all " +
+    "equal their batch oracles") {
+    val cfg = freshCfg()
+    val D = 86400000L
+    val t0 = 1700006400000L
+    val input = MemoryStream[Event](14, spark, None)
+    val qs = Pipeline.startAllWithAnalytics(spark, input.toDF(), cfg)
+    def settle(): Unit = { qs.foreach(_.processAllAvailable()) }
+    try {
+      input.addData(
+        ev("f1", "g1", 1.0f, t0), ev("f2", "g2", 2.0f, t0 + D))
+      settle()
+      input.addData(
+        ev("f3", "g1", 3.0f, t0 + D), ev("f4", "g3", 4.0f, t0 + 2 * D),
+        ev("f1", "g1", 1.0f, t0)) // duplicate — must not double anywhere
+      settle()
+
+      // serving view == batch projection
+      val streamed = Pipeline.serveSnapshot(spark, cfg)
+        .select(col("_id"), col("event_count")).orderBy("_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = Pipeline.serveProjection(spark, cfg)
+        .select(col("_id"), col("event_count")).orderBy("_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+
+      // retention view == batch rollup over the silver grid
+      val ret = graft.ops.Analytics.retentionFromActivity(
+        Pipeline.retentionActivity(spark, cfg).localCheckpoint(true))
+        .collect().map(_.toSeq).toSeq
+      val grid = spark.read.parquet(cfg.silverPath)
+        .select(col("group_id").as("user_id"),
+          floor(col("event_timestamp") / lit(D)).cast("long").as("day"))
+        .distinct()
+      val retBatch = graft.ops.Analytics.retentionOf(grid)
+        .collect().map(_.toSeq).toSeq
+      assert(ret.nonEmpty && ret == retBatch)
+
+      // anomaly view == batch z-scores over the silver daily counts
+      val anom = graft.ops.Analytics.anomalyOf(
+        Pipeline.anomalyDailyCounts(spark, cfg), "group_id")
+        .collect().map(_.toSeq).toSeq
+      val daily = spark.read.parquet(cfg.silverPath)
+        .groupBy(col("group_id"),
+          floor(col("event_timestamp") / lit(D)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val anomBatch = graft.ops.Analytics.anomalyOf(daily, "group_id")
+        .collect().map(_.toSeq).toSeq
+      assert(anom.nonEmpty && anom == anomBatch)
+    } finally qs.foreach(_.stop())
+  }
+
   test("vacuumGoldChanges reclaims consumed versions; serve state intact") {
     val cfg = freshCfg()
     val input = MemoryStream[Event](19, spark, None)
