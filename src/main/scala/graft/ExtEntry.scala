@@ -311,6 +311,13 @@ object ExtEntry {
     "tokenizer_pair_counts" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(s, dir, k = 40)),
 
+    // the Lee et al. minimum-run-length knob: only covered runs of >= 8
+    // tokens are removed — short incidental repeats (common phrases)
+    // survive, long verbatim boilerplate still vanishes wholesale
+    "dedup_substring_runs" -> ((s, dir) =>
+      TextDedup.substringDedupRuns(s, dir, n = 5, minDocs = 2, minRun = 8)
+        .orderBy(col("doc_id"))),
+
     // the daily-crawl form: the 20% batch admitted against the STANDING
     // gram-frequency index of the 80% corpus — per-batch cost scales
     // with the increment, corpus side probed in place (bucketed)
@@ -1373,6 +1380,37 @@ object ExtEntry {
         |    / sum(len(t.w)), 6) AS dup_ratio
         |FROM t LEFT JOIN cov USING (doc_id)
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+
+    "dedup_substring_runs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 4, 0))) AS p
+        |  FROM t),
+        |g AS (SELECT doc_id, p,
+        |    md5(array_to_string(w[p : p + 4], ' ')) AS gh
+        |  FROM g0),
+        |rep AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.p, g.p + 4)) AS pos
+        |  FROM g JOIN rep USING (gh))),
+        |runs AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cov),
+        |kept AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY doc_id, grp) AS run_len
+        |    FROM runs) WHERE run_len >= 8),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |    generate_subscripts(w, 1) AS pos
+        |  FROM t)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(kept.pos) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN kept.pos IS NULL THEN tok.tok END,
+        |    ' ' ORDER BY tok.pos), '')) AS clean_md5
+        |FROM tok LEFT JOIN kept
+        |  ON tok.doc_id = kept.doc_id AND tok.pos = kept.pos
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     // the oracle recomputes what the engine answers from the standing
     // index: gram totals = corpus distinct docs + batch distinct docs

@@ -928,6 +928,46 @@ object TextDedup {
     rebuildWithout(docs, cov)
   }
 
+  /** [[substringDedupOf]] with the Lee-et-al minimum-run-length knob
+    * (§4 removes only repeats of ≥50 tokens): positions covered by
+    * cross-document repeated shingles form maximal RUNS per document
+    * (gaps-and-islands: run id = pos − rank, one per-doc window over the
+    * covered positions only — a frame that is ≤ the dedup's own output),
+    * and only runs of at least `minRun` tokens are removed. `minRun = n`
+    * degenerates to [[substringDedupOf]] (every covered run is ≥ n by
+    * construction). Keeps short incidental repeats — common phrases —
+    * while long verbatim boilerplate still vanishes wholesale.
+    */
+  private[graft] def substringDedupRunsOf(docs: DataFrame, n: Int,
+                                          minDocs: Int,
+                                          minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramRows(docs, n)
+    val rep = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val cov = grams.join(rep, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .distinct()
+    val runs = cov
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("run_len", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("grp"))))
+      .filter(col("run_len") >= minRun)
+      .select(col("doc_id"), col("pos"))
+    rebuildWithout(docs, runs)
+  }
+
+  /** Registered form of [[substringDedupRunsOf]] over the corpus. */
+  def substringDedupRuns(spark: SparkSession, dir: String, n: Int = 5,
+                         minDocs: Int = 2, minRun: Int = 8): DataFrame =
+    substringDedupRunsOf(documents(spark, dir), n, minDocs, minRun)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+
   // ———————— standing gram index (substring admission, daily-crawl) ————————
 
   private[graft] def gramsTable(dir: String, n: Int): String =

@@ -54,6 +54,31 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(out(2).getAs[Long]("n_removed") == 10L)
   }
 
+  test("run-length threshold: a short shared phrase survives, a long " +
+    "shared run still vanishes") {
+    val longRun = "the quick brown fox jumps over the lazy dog tonight" // 10
+    val phrase = "as a matter of fact" // exactly 5 tokens → run of 5 < 8
+    val docs = Seq(
+      (1L, s"alpha beta $longRun gamma delta"),
+      (2L, s"epsilon zeta $longRun eta theta"),
+      (3L, s"iota kappa $phrase lambda mu nu"),
+      (4L, s"xi omicron pi $phrase rho sigma"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.substringDedupRunsOf(docs, n, 2, minRun = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "alpha beta gamma delta" &&
+      out(0).getAs[Long]("n_removed") == 10L)
+    assert(out(1).getAs[String]("clean_text") == "epsilon zeta eta theta")
+    // the 5-token phrase is covered (>= minDocs) but its run is < 8:
+    // both docs rebuild verbatim
+    assert(out(2).getAs[String]("clean_text") ==
+      s"iota kappa $phrase lambda mu nu" &&
+      out(2).getAs[Long]("n_removed") == 0L,
+      s"short phrase was shredded: ${out(2)}")
+    assert(out(3).getAs[String]("clean_text") ==
+      s"xi omicron pi $phrase rho sigma")
+  }
+
   test("within-document-only repetition is kept (threshold counts " +
     "distinct documents)") {
     val docs = Seq(
