@@ -41,13 +41,21 @@ object Maintenance {
     spark.sparkContext.setLogLevel("WARN")
     val cfg = Pipeline.Config(baseDir)
     val format = graft.storage.TableFormat.parquet
+    // Optional: also fold the substring gram index's per-batch
+    // contribution log (round 9) — pass the indexed corpus dir as
+    // SPARK_GRAFT_GRAM_INDEX_DIR. Same single-maintainer contract as
+    // silver compaction: run it quiesced.
+    val gramDir = sys.env.get("SPARK_GRAFT_GRAM_INDEX_DIR")
     do {
       val t0 = System.nanoTime()
       format.optimize(spark, cfg)
       format.optimizeServe(spark, cfg)
       format.vacuumChangeFeed(spark, cfg)
+      gramDir.foreach(graft.ext.TextDedup.compactSubstringIndex(spark, _))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
-        f"vacuumed ${cfg.goldChangesPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"vacuumed ${cfg.goldChangesPath}" +
+        gramDir.fold("")(d => s" + folded gram log for $d") +
+        f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)
     spark.stop()

@@ -79,6 +79,62 @@ class SubstringDedupSpec extends SparkTestBase {
       s"xi omicron pi $phrase rho sigma")
   }
 
+  test("property: engine output equals a driver-side brute-force " +
+    "reference over seeded random corpora (base + run-length forms)") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    def reference(docs: Seq[(Long, String)], n: Int,
+                  minRun: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+      toks.foreach { case (id, w) =>
+        w.sliding(n).filter(_.size == n)
+          .foreach(g => gramDocs(g) = gramDocs.getOrElse(g, Set()) + id)
+      }
+      toks.map { case (id, w) =>
+        val cov = Array.fill(w.size)(false)
+        for (i <- 0 to w.size - n
+             if w.size >= n && gramDocs(w.slice(i, i + n)).size >= 2;
+             j <- i until i + n) cov(j) = true
+        // keep only maximal covered runs of >= minRun
+        val keep = Array.fill(w.size)(false)
+        var i = 0
+        while (i < w.size) {
+          if (cov(i)) {
+            var j = i
+            while (j < w.size && cov(j)) j += 1
+            if (j - i >= minRun) (i until j).foreach(keep(_) = true)
+            i = j
+          } else i += 1
+        }
+        val clean = w.zipWithIndex.collect {
+          case (t, k) if !keep(k) => t
+        }.mkString(" ")
+        id -> ((w.size.toLong, keep.count(identity).toLong, clean))
+      }.toMap
+    }
+    val vocab = (0 until 30).map(i => s"w$i")
+    for (trial <- 1 to 5) {
+      var docs = (0 until 6).map { d =>
+        (d.toLong, Seq.fill(8 + rnd.nextInt(18))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      if (trial % 2 == 0) // force a long cross-doc run some trials
+        docs = docs.updated(5, (5L, docs.head._2))
+      val df = docs.toDF("doc_id", "text")
+      for (minRun <- Seq(n, 8)) {
+        val expected = reference(docs, n, minRun)
+        val got = (if (minRun == n) TextDedup.substringDedupOf(df, n, 2)
+                   else TextDedup.substringDedupRunsOf(df, n, 2, minRun))
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+              r.getAs[String]("clean_text")))).toMap
+        assert(got == expected,
+          s"trial $trial minRun $minRun:\n$got\nvs\n$expected")
+      }
+    }
+  }
+
   test("within-document-only repetition is kept (threshold counts " +
     "distinct documents)") {
     val docs = Seq(
