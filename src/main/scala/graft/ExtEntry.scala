@@ -311,6 +311,11 @@ object ExtEntry {
     "tokenizer_pair_counts" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(s, dir, k = 40)),
 
+    // between-crawls snapshot diff: per-language added/removed/changed/
+    // unchanged counts + token-mass delta, one full-outer join on the
+    // doc key comparing content hashes (texts never cross the shuffle)
+    "snapshot_diff" -> ((s, dir) => Curation.snapshotDiff(s, dir)),
+
     // the Lee et al. minimum-run-length knob: only covered runs of >= 8
     // tokens are removed — short incidental repeats (common phrases)
     // survive, long verbatim boilerplate still vanishes wholesale
@@ -1357,6 +1362,27 @@ object ExtEntry {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM allp GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang AS lang1, md5(text) AS h1,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok1
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, lang AS lang2,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h2,
+        |    CAST(len(string_split(
+        |      CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END,
+        |      ' ')) AS BIGINT) AS tok2
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT coalesce(lang1, lang2) AS lang,
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |      WHEN h2 IS NULL THEN 'removed'
+        |      WHEN h1 = h2 THEN 'unchanged'
+        |      ELSE 'changed' END AS status,
+        |    coalesce(tok2, 0) - coalesce(tok1, 0) AS tok_delta
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok_delta) AS BIGINT) AS tok_delta
+        |FROM d GROUP BY lang, status ORDER BY lang, status""".stripMargin,
 
     "corpus_dup_profile" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w

@@ -40,8 +40,8 @@ object SparkEntry {
     * (p_user, ems) and the sampled users' 30-min-gap sessions as
     * intervals (s_user, [session_start, session_end = last + 30 min]).
     */
-  private def sessionIntervals(s: SparkSession,
-                               dir: String): (DataFrame, DataFrame) = {
+  private def sessionIntervals(s: SparkSession, dir: String,
+                               userMod: Int = 15): (DataFrame, DataFrame) = {
     val ev = silverBase(s, dir)
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -49,7 +49,7 @@ object SparkEntry {
       .partitionBy(col("user_id"))
       .orderBy(col("event_timestamp").asc, col("event_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val iv = ev.filter(col("user_id") % 15 === 0)
+    val iv = ev.filter(col("user_id") % userMod === 0)
       .withColumn("prev", lag(col("event_timestamp"), 1).over(byUser))
       .withColumn("new_s",
         when(col("prev").isNull ||
@@ -365,6 +365,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_concurrent"),
           count_distinct(col("p_user")).as("n_users"))
         .orderBy(col("s_user"), col("session_start"))
+    }),
+
+    // interval x interval OVERLAP join (the shape point-in-interval
+    // can't state): concurrent-session pairs across distinct users,
+    // bucketed equi-join with per-pair single-bucket attribution — no
+    // nested loop, no pair-wide distinct
+    "join_interval_overlap" -> ((s, dir) => {
+      // % 5 (not the shared % 15): sf0.001 has user ids 0..14 — one
+      // sessioned user would make cross-user overlap vacuously empty
+      val (_, iv) = sessionIntervals(s, dir, userMod = 5)
+      val a = iv.select(col("s_user").as("a_user"),
+        col("session_start").as("a_start"), col("session_end").as("a_end"))
+      val b = iv.select(col("s_user").as("b_user"),
+        col("session_start").as("b_start"), col("session_end").as("b_end"))
+      graft.ops.RangeJoin.intervalOverlap(a, b,
+          "a_start", "a_end", "b_start", "b_end", 3600000L)
+        .filter(col("a_user") < col("b_user"))
+        .groupBy(col("a_user"), col("b_user"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("a_user"), col("b_user"))
     }),
 
     // the same audit through the OPTIMIZER: the join is WRITTEN naively
@@ -1367,6 +1387,28 @@ object SparkEntry {
     // optimizer-rewritten (join_range_auto)
     "join_range" -> rangeJoinOracle,
     "join_range_auto" -> rangeJoinOracle,
+
+    "join_interval_overlap" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id % 5 = 0),
+        |m AS (SELECT user_id, event_id, ems,
+        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ems, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
+        |    max(ems) + 1800000 AS session_end
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT a.s_user AS a_user, b.s_user AS b_user,
+        |  count(*) AS n_overlaps
+        |FROM iv a JOIN iv b
+        |  ON a.session_start <= b.session_end
+        |  AND b.session_start <= a.session_end
+        |  AND a.s_user < b.s_user
+        |GROUP BY a.s_user, b.s_user
+        |ORDER BY a_user, b_user""".stripMargin,
 
     "upsert_fold_alltime" ->
       """WITH p1 AS (

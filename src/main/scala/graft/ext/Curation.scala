@@ -473,4 +473,44 @@ object Curation {
         coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus snapshot diff — the between-crawls CDC rollup a curation
+    * pipeline runs before promoting a new snapshot: per language, how
+    * many documents were added / removed / changed / unchanged, plus the
+    * token-mass delta. One full-outer join on the (bucketable) doc key
+    * comparing content hashes — never the texts themselves across the
+    * shuffle — then a languages-sized rollup; the batch analog of the
+    * gold change feed's insert/preimage/postimage classification.
+    *
+    * Snapshots are derived deterministically from the one `documents`
+    * table so the DuckDB oracle reproduces them: v1 (the prior crawl)
+    * drops `doc_id % 7 = 0`; v2 (today's) drops `doc_id % 5 = 0` and
+    * re-extracts `doc_id % 11 = 0` with normalized whitespace-case
+    * (upper), modelling re-crawled pages whose content shifted.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ext.TextDedup.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("lang").as("lang1"),
+        md5(col("text").cast("binary")).as("h1"),
+        size(split(col("text"), " ")).cast("long").as("tok1"))
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text2",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("lang").as("lang2"),
+        md5(col("text2").cast("binary")).as("h2"),
+        size(split(col("text2"), " ")).cast("long").as("tok2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang1"), col("lang2")).as("lang"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce(col("tok2"), lit(0L)) - coalesce(col("tok1"), lit(0L)))
+          .as("tok_delta"))
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_delta")).as("tok_delta"))
+      .orderBy(col("lang"), col("status"))
+  }
 }

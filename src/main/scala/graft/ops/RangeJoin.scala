@@ -58,6 +58,35 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Interval × interval OVERLAP join (`a.lo <= b.hi AND b.lo <= a.hi`,
+    * inclusive) — the shape [[pointInInterval]] cannot state, and the
+    * third temporal join Spark's batch API lacks. Same binning technique,
+    * both sides exploded into their covered buckets; an overlapping pair
+    * shares every bucket between the later start and the earlier end, so
+    * the join would emit it once per shared bucket — instead of a
+    * pair-wide `distinct` (a full extra shuffle of the output), each pair
+    * is ATTRIBUTED to exactly one bucket: the later interval's start
+    * bucket, which overlap guarantees both sides cover. The plan stays a
+    * plain equi-join plus two scan-local filters; expansion cost is
+    * `len/width + 1` rows per interval per side.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val a = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(lLo), bucketWidth),
+        bucketOf(col(lHi), bucketWidth))))
+    val b = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rLo), bucketWidth),
+        bucketOf(col(rHi), bucketWidth))))
+    a.join(b, Seq("__bucket"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bucket") === greatest(
+        bucketOf(col(lLo), bucketWidth), bucketOf(col(rLo), bucketWidth)))
+      .drop("__bucket")
+  }
+
   /** Parity oracle for tests: the same join as a cross-join + filter.
     * Never use outside tests — this is exactly the plan the bucketed form
     * exists to avoid.
@@ -67,4 +96,10 @@ object RangeJoin {
                                           hiCol: String): DataFrame =
     points.crossJoin(intervals)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+
+  private[graft] def intervalOverlapNaive(left: DataFrame, right: DataFrame,
+                                          lLo: String, lHi: String,
+                                          rLo: String, rHi: String): DataFrame =
+    left.crossJoin(right)
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
 }

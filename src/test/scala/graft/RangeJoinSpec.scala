@@ -50,6 +50,42 @@ class RangeJoinSpec extends SparkTestBase {
     assert(pairs(r) === Set(1L -> 1L, 1L -> 2L))
   }
 
+  test("interval overlap: each overlapping pair appears EXACTLY once " +
+    "(multi-bucket shared spans), matches the naive oracle, plan is an " +
+    "equi-join") {
+    val rnd = new scala.util.Random(11)
+    val mk = (0 until 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(300)) // spans many width-50 buckets
+    }
+    val a = mk.toDF("a_id", "a_lo", "a_hi")
+    val b = mk.map { case (id, lo, hi) => (id + 1000, lo, hi) }
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b,
+      "a_lo", "a_hi", "b_lo", "b_hi", 50L)
+    val gotPairs = got.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSeq
+    assert(gotPairs.size == gotPairs.distinct.size,
+      "a pair was emitted more than once")
+    val expected = RangeJoin.intervalOverlapNaive(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs.toSet == expected)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("interval overlap bounds: touching endpoints overlap, disjoint " +
+    "intervals do not") {
+    val a = Seq((1L, 0L, 10L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((1L, 10L, 20L), (2L, 11L, 20L)).toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", 7L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set(1L -> 1L))
+  }
+
   test("matches the naive cross-join oracle on random-ish data") {
     val ps = pts((1L to 200L).map(i => i -> (i * 7919L) % 10000L): _*)
     val is = ivs((1L to 40L).map { i =>
