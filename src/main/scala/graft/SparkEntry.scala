@@ -116,6 +116,28 @@ object SparkEntry {
       |GROUP BY iv.s_user, iv.session_start
       |ORDER BY iv.s_user, iv.session_start""".stripMargin
 
+  private val overlapJoinOracle =
+    """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id % 5 = 0),
+      |m AS (SELECT user_id, event_id, ems,
+      |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM g),
+      |s AS (SELECT user_id, ems, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ems, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
+      |    max(ems) + 1800000 AS session_end
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT a.s_user AS a_user, b.s_user AS b_user,
+      |  count(*) AS n_overlaps
+      |FROM iv a JOIN iv b
+      |  ON a.session_start <= b.session_end
+      |  AND b.session_start <= a.session_end
+      |  AND a.s_user < b.s_user
+      |GROUP BY a.s_user, b.s_user
+      |ORDER BY a_user, b_user""".stripMargin
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_flagship" -> ((s, dir) => goldFlagship(s, dir)),
 
@@ -409,6 +431,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_concurrent"),
           count_distinct(col("p_user")).as("n_users"))
         .orderBy(col("s_user"), col("session_start"))
+    }),
+
+    // the overlap twin of join_range_auto: the join is WRITTEN naively
+    // (pure overlap band — nested-loop as written) and the optimizer
+    // rule rewrites it to the double-exploded bucketed equi-join with
+    // single-bucket pair attribution
+    "join_overlap_auto" -> ((s, dir) => {
+      graft.plans.RangeJoinRewrite.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.widthKey, "3600000")
+      val (_, iv) = sessionIntervals(s, dir, userMod = 5)
+      val a = iv.select(col("s_user").as("a_user"),
+        col("session_start").as("a_start"), col("session_end").as("a_end"))
+      val b = iv.select(col("s_user").as("b_user"),
+        col("session_start").as("b_start"), col("session_end").as("b_end"))
+      a.join(b, col("a_start") <= col("b_end") &&
+          col("b_start") <= col("a_end"))
+        .filter(col("a_user") < col("b_user"))
+        .groupBy(col("a_user"), col("b_user"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("a_user"), col("b_user"))
     }),
 
     // Corrected fold variant: true all-time min/max (SURVEY §7.5-3)
@@ -1388,27 +1430,8 @@ object SparkEntry {
     "join_range" -> rangeJoinOracle,
     "join_range_auto" -> rangeJoinOracle,
 
-    "join_interval_overlap" ->
-      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
-        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events WHERE user_id % 5 = 0),
-        |m AS (SELECT user_id, event_id, ems,
-        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
-        |  FROM g),
-        |s AS (SELECT user_id, ems, sum(new_s) OVER (
-        |    PARTITION BY user_id ORDER BY ems, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
-        |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
-        |    max(ems) + 1800000 AS session_end
-        |  FROM s GROUP BY user_id, sid)
-        |SELECT a.s_user AS a_user, b.s_user AS b_user,
-        |  count(*) AS n_overlaps
-        |FROM iv a JOIN iv b
-        |  ON a.session_start <= b.session_end
-        |  AND b.session_start <= a.session_end
-        |  AND a.s_user < b.s_user
-        |GROUP BY a.s_user, b.s_user
-        |ORDER BY a_user, b_user""".stripMargin,
+    "join_interval_overlap" -> overlapJoinOracle,
+    "join_overlap_auto" -> overlapJoinOracle,
 
     "upsert_fold_alltime" ->
       """WITH p1 AS (

@@ -111,6 +111,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       sides <- sideOf(p1, lo, hi, left, right)
     } yield (p1, lo, hi, sides._1, sides._2)).headOption
 
+    bandRewrite(j, left, right, cond, width, band)
+      .orElse(overlapRewrite(j, left, right, cond, width, conjuncts))
+  }
+
+  private def bandRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                          cond: Expression, width: Long,
+                          band: Option[(Expression, Expression, Expression,
+                            LogicalPlan, LogicalPlan)]): Option[LogicalPlan] = {
     band.map { case (p, lo, hi, points, intervals) =>
       val bucketAlias =
         Alias(bucketOf(p, width), "__graft_bucket_p")()
@@ -143,4 +151,51 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else if (refsOnlyLong(p, right) && refsOnlyLong(lo, left) && refsOnlyLong(hi, left))
       Some((right, left))
     else None
+
+  /** The interval-OVERLAP pattern (`l.lo <= r.hi AND r.lo <= l.hi`, each
+    * bound long-typed and wholly one side's): rewrite mirrors
+    * [[graft.ops.RangeJoin.intervalOverlap]] — BOTH sides exploded over
+    * their covered buckets, equi-join on the two generated buckets, the
+    * original predicate kept as the residual, and each qualifying pair
+    * ATTRIBUTED to the later start's bucket (which overlap guarantees
+    * both sides cover) so it emerges exactly once without a distinct.
+    */
+  private def overlapRewrite(j: Join, left: LogicalPlan,
+                             right: LogicalPlan, cond: Expression,
+                             width: Long,
+                             conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    val le = conjuncts.collect { // x <= y, either spelling
+      case LessThanOrEqual(x, y) => (x, y)
+      case GreaterThanOrEqual(y, x) => (x, y)
+    }
+    val overlap = (for {
+      (lLo, rHi) <- le // l.lo <= r.hi
+      (rLo, lHi) <- le // r.lo <= l.hi
+      if !(lLo.semanticEquals(rLo) && rHi.semanticEquals(lHi))
+      if refsOnlyLong(lLo, left) && refsOnlyLong(rHi, right) &&
+        refsOnlyLong(rLo, right) && refsOnlyLong(lHi, left)
+    } yield (lLo, lHi, rLo, rHi)).headOption
+
+    overlap.map { case (lLo, lHi, rLo, rHi) =>
+      val tz = Some(conf.sessionLocalTimeZone)
+      val lb = AttributeReference("__graft_bucket_l", LongType,
+        nullable = false)()
+      val rb = AttributeReference("__graft_bucket_r", LongType,
+        nullable = false)()
+      val genL = Generate(
+        Explode(Sequence(bucketOf(lLo, width), bucketOf(lHi, width), None, tz)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(lb), child = left)
+      val genR = Generate(
+        Explode(Sequence(bucketOf(rLo, width), bucketOf(rHi, width), None, tz)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(rb), child = right)
+      val attribution = EqualTo(lb,
+        Greatest(Seq(bucketOf(lLo, width), bucketOf(rLo, width))))
+      val newCond = And(And(EqualTo(lb, rb), attribution), cond)
+      logInfo(s"rewrote interval-overlap join (width=$width) to " +
+        "bucketed equi-join")
+      Project(j.output, Join(genL, genR, Inner, Some(newCond), j.hint))
+    }
+  }
 }

@@ -71,6 +71,40 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  // intervals for the OVERLAP pattern: assorted lengths, touching
+  // endpoints, containment, disjoint
+  private lazy val ivsB = Seq(
+    (11L, 50L, 150L), (12L, 100L, 100L), (13L, 990L, 1200L),
+    (14L, 0L, 49L), (15L, 600L, 1000L))
+    .toDF("b_id", "b_lo", "b_hi")
+
+  test("overlap pattern: naive interval-overlap join rewrites to a " +
+    "bucketed equi-join, each pair exactly once, results equal naive") {
+    withWidth(64L) {
+      val a = ivs.select(col("iv_id").as("a_id"), col("lo").as("a_lo"),
+        col("hi").as("a_hi"))
+      val joined = a.join(ivsB,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"), phys)
+      val got = joined.select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == got.distinct.size, "a pair was emitted twice")
+      val expected = a.crossJoin(ivsB)
+        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == expected)
+      // agrees with the hand-bucketed form
+      val hand = graft.ops.RangeJoin.intervalOverlap(a, ivsB,
+          "a_lo", "a_hi", "b_lo", "b_hi", 64L)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == hand)
+    }
+  }
+
   test("off by default; equi-join conjunct disables the rewrite") {
     // width unset → naive plan survives (rule is a no-op)
     val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
