@@ -200,6 +200,41 @@ class PipelineSpec extends SparkTestBase {
     } finally silverQ.stop()
   }
 
+  test("retention stage survives a checkpoint restart: committed batches " +
+    "are not re-folded, the view still equals the batch rollup") {
+    val cfg = freshCfg()
+    val D = 86400000L
+    val t0 = 1700006400000L
+    val input = MemoryStream[Event](46, spark, None)
+    val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
+    try {
+      val ret1 = Pipeline.startRetention(spark, cfg)
+      try {
+        input.addData(ev("r1", "g1", 1f, t0), ev("r2", "g2", 1f, t0 + D))
+        silverQ.processAllAvailable(); ret1.processAllAvailable()
+      } finally ret1.stop()
+
+      // restart stage 4 from its checkpoint; feed more days
+      val ret2 = Pipeline.startRetention(spark, cfg)
+      try {
+        input.addData(ev("r3", "g1", 1f, t0 + D), ev("r4", "g3", 1f, t0 + 2 * D))
+        silverQ.processAllAvailable(); ret2.processAllAvailable()
+
+        val streamed = graft.ops.Analytics.retentionFromActivity(
+          Pipeline.retentionActivity(spark, cfg).localCheckpoint(true))
+          .collect().toSeq.map(_.toSeq)
+        val grid = spark.read.parquet(cfg.silverPath)
+          .select(col("group_id").as("user_id"),
+            floor(col("event_timestamp") / lit(D)).cast("long").as("day"))
+          .distinct()
+        val batch = graft.ops.Analytics.retentionOf(grid)
+          .collect().toSeq.map(_.toSeq)
+        assert(streamed.nonEmpty && streamed == batch,
+          s"after restart: streamed $streamed vs batch $batch")
+      } finally ret2.stop()
+    } finally silverQ.stop()
+  }
+
   test("anomaly stage maintains the daily-count grid incrementally over " +
     "the real silver chain") {
     val cfg = freshCfg()
