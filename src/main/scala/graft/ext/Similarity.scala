@@ -535,10 +535,20 @@ object Similarity {
 
   // ————————————————— standing IVF index (persisted cells) —————————————————
 
-  private[graft] def ivfCentsTable(dir: String, nCentroids: Int): String =
-    s"graft_ivf_cents_${IndexCatalog.indexKey(dir)}_c$nCentroids"
-  private[graft] def ivfCellsTable(dir: String, nCentroids: Int): String =
-    s"graft_ivf_cells_${IndexCatalog.indexKey(dir)}_c$nCentroids"
+  /** Every knob that determines the trained centroids and the candidate
+    * partition is part of the table key — a stale index built with a
+    * different nQueries (its cells would include vectors another call
+    * treats as queries) or different training parameters must never be
+    * silently reused.
+    */
+  private[graft] def ivfKey(nQueries: Int, nCentroids: Int, iters: Int,
+                            sampleMod: Int, sampleCap: Int): String =
+    s"q${nQueries}_c${nCentroids}_i${iters}_m${sampleMod}_s$sampleCap"
+
+  private[graft] def ivfCentsTable(dir: String, key: String): String =
+    s"graft_ivf_cents_${IndexCatalog.indexKey(dir)}_$key"
+  private[graft] def ivfCellsTable(dir: String, key: String): String =
+    s"graft_ivf_cells_${IndexCatalog.indexKey(dir)}_$key"
 
   /** Build the STANDING IVF index for `dir` if absent: the trained
     * centroid table (tiny) and the cell-assignment table
@@ -555,16 +565,17 @@ object Similarity {
                      nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
                      sampleCap: Int = defaultIvfSampleCap): Unit = {
     import spark.implicits._
-    val ct = ivfCentsTable(dir, nCentroids)
-    val lt = ivfCellsTable(dir, nCentroids)
+    val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
+    val ct = ivfCentsTable(dir, key)
+    val lt = ivfCellsTable(dir, key)
     if (!spark.catalog.tableExists(ct) || !spark.catalog.tableExists(lt)) {
       spark.sql(s"DROP TABLE IF EXISTS $ct")
       spark.sql(s"DROP TABLE IF EXISTS $lt")
       val reatC = IndexCatalog.reattachIfPresent(spark, ct, Seq("cent_id"))
       val reatL = IndexCatalog.reattachIfPresent(spark, lt, Seq("cent_id"))
       if (!(reatC && reatL)) {
-        spark.sql(s"DROP TABLE IF EXISTS $ct")
-        spark.sql(s"DROP TABLE IF EXISTS $lt")
+        // purge drops both the (possibly half-reattached) entries and
+        // their data before a coherent rebuild of the pair
         Seq(ct, lt).foreach(IndexCatalog.purge(spark, _))
         val emb = embeddings(spark, dir)
         val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters,
@@ -610,7 +621,8 @@ object Similarity {
                      sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     ensureIvfIndex(spark, dir, nQueries, nCentroids, iters, sampleMod,
       sampleCap)
-    val cents = spark.table(ivfCentsTable(dir, nCentroids))
+    val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
+    val cents = spark.table(ivfCentsTable(dir, key))
     val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
@@ -624,7 +636,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cent_id"))
-    val sims = probed.join(spark.table(ivfCellsTable(dir, nCentroids)),
+    val sims = probed.join(spark.table(ivfCellsTable(dir, key)),
         Seq("cent_id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("cid"),
@@ -650,8 +662,11 @@ object Similarity {
     * ([[purgeIvfIndex]] + [[ensureIvfIndex]]), not per-batch.
     */
   def appendToIvfIndex(spark: SparkSession, dir: String,
-                       newVecs: DataFrame, nCentroids: Int): Unit = {
-    val cents = spark.table(ivfCentsTable(dir, nCentroids))
+                       newVecs: DataFrame, nQueries: Int, nCentroids: Int,
+                       iters: Int = 2, sampleMod: Int = 3,
+                       sampleCap: Int = defaultIvfSampleCap): Unit = {
+    val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
+    val cents = spark.table(ivfCentsTable(dir, key))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid"))
       .orderBy(col("acos").desc, col("cent_id").asc)
@@ -665,18 +680,22 @@ object Similarity {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("cent_id"), col("cid"), col("ce"), col("en"))
-      .join(spark.table(ivfCellsTable(dir, nCentroids))
+      .join(spark.table(ivfCellsTable(dir, key))
           .select(col("cent_id"), col("cid")),
         Seq("cent_id", "cid"), "left_anti")
       .write.mode("append")
       .bucketBy(8, "cent_id").sortBy("cent_id")
-      .saveAsTable(ivfCellsTable(dir, nCentroids))
-    spark.catalog.refreshTable(ivfCellsTable(dir, nCentroids))
+      .saveAsTable(ivfCellsTable(dir, key))
+    spark.catalog.refreshTable(ivfCellsTable(dir, key))
   }
 
   /** Drop the IVF index tables and their data (spec teardown). */
-  def purgeIvfIndex(spark: SparkSession, dir: String,
-                    nCentroids: Int = 16): Unit =
-    Seq(ivfCentsTable(dir, nCentroids), ivfCellsTable(dir, nCentroids))
+  def purgeIvfIndex(spark: SparkSession, dir: String, nQueries: Int = 10,
+                    nCentroids: Int = 16, iters: Int = 2,
+                    sampleMod: Int = 3,
+                    sampleCap: Int = defaultIvfSampleCap): Unit = {
+    val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
+    Seq(ivfCentsTable(dir, key), ivfCellsTable(dir, key))
       .foreach(IndexCatalog.purge(spark, _))
+  }
 }

@@ -910,23 +910,33 @@ object TextDedup {
           s => s.getField("tok")), " ").as("clean_text"))
   }
 
-  /** [[substringDedup]] over an arbitrary (doc_id, text) frame, keeping
-    * the rebuilt `clean_text` — the reconstruction-identity test
-    * surface.
+  /** (doc_id, pos) for every 1-based token position covered by an
+    * n-gram occurring in ≥ `minDocs` distinct documents — the shared
+    * head of the substring-dedup family ([[substringDedupOf]],
+    * [[substringDedupRunsOf]], [[dupProfile]]); keeping it in one place
+    * keeps the gram hashing and the n-1 span arithmetic from ever
+    * desynchronizing across the three.
     */
-  private[graft] def substringDedupOf(docs: DataFrame,
-                                      n: Int, minDocs: Int): DataFrame = {
+  private def coveredPositions(docs: DataFrame, n: Int,
+                               minDocs: Int): DataFrame = {
     val grams = gramRows(docs, n)
     val rep = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("g"))
-    val cov = grams.join(rep, Seq("g"))
+    grams.join(rep, Seq("g"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
       .distinct()
-    rebuildWithout(docs, cov)
   }
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame, keeping
+    * the rebuilt `clean_text` — the reconstruction-identity test
+    * surface.
+    */
+  private[graft] def substringDedupOf(docs: DataFrame,
+                                      n: Int, minDocs: Int): DataFrame =
+    rebuildWithout(docs, coveredPositions(docs, n, minDocs))
 
   /** [[substringDedupOf]] with the Lee-et-al minimum-run-length knob
     * (§4 removes only repeats of ≥50 tokens): positions covered by
@@ -942,16 +952,7 @@ object TextDedup {
                                           minDocs: Int,
                                           minRun: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = gramRows(docs, n)
-    val rep = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("g"))
-    val cov = grams.join(rep, Seq("g"))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
-      .distinct()
-    val runs = cov
+    val runs = coveredPositions(docs, n, minDocs)
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .withColumn("run_len", count(lit(1)).over(
@@ -1056,8 +1057,20 @@ object TextDedup {
   }
 
   /** Fold an admitted batch's CLEANED text into the standing gram index
-    * (what entered the corpus is the post-removal text). A replayed tag
-    * is a no-op, through BOTH guards: the per-tag marker file (survives
+    * (what entered the corpus is the post-removal text).
+    *
+    * Append only what [[admitSubstringIndexed]] RETURNED — that protocol
+    * is what makes cross-batch re-delivery of the same document safe
+    * without a doc registry: a re-delivered doc's grams are already in
+    * the index, so (at minDocs = 2) admission covers it entirely, its
+    * clean_text is empty, and this append contributes nothing. Feeding
+    * raw un-admitted text under fresh tags would double-count a
+    * re-delivered doc's contributions (and at minDocs > 2 even the
+    * protocol converges toward the threshold rather than never counting
+    * twice — acceptable for a threshold heuristic, but know it).
+    *
+    * A replayed tag is a no-op, through BOTH guards: the per-tag marker
+    * file (survives
     * [[compactSubstringIndex]] folding the tag's rows away) and the data
     * probe on `src` (each append job writes files carrying only its own
     * tag, so the probe prunes on parquet footer min/max — footer reads,
@@ -1165,15 +1178,7 @@ object TextDedup {
   def dupProfile(spark: SparkSession, dir: String,
                  n: Int = 5, minDocs: Int = 2): DataFrame = {
     val docs = documents(spark, dir)
-    val grams = gramRows(docs, n)
-    val rep = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("g"))
-    val cov = grams.join(rep, Seq("g"))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
-      .distinct()
+    val cov = coveredPositions(docs, n, minDocs)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
     docs.select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))

@@ -101,28 +101,69 @@ object StreamingDedup {
     * as the stream's standing state (stream-processor/processing/
     * silver.py:24-40), re-expressed over bucketed parquet tables.
     */
+  /** The verdict marker is trusted only when its write COMMITTED
+    * (`_SUCCESS` present — the parquet job writes it last): a crash mid
+    * verdict-write leaves a torn `v=<id>` dir that a bare existence
+    * check would read forever (schema-inference failure or partial
+    * verdicts on every replay — a permanent crash loop). A torn marker
+    * is deleted and recomputed, which is safe because the index append
+    * only ever runs AFTER the verdict write in program order.
+    */
+  private def readOrComputeMarker(spark: SparkSession, vdir: Path)
+      (compute: => DataFrame): DataFrame = {
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(vdir, "_SUCCESS"))) {
+      spark.read.parquet(vdir.toString)
+    } else {
+      if (fs.exists(vdir)) fs.delete(vdir, true) // torn write
+      val v = compute.localCheckpoint(true)
+      v.coalesce(1).write.mode("overwrite").parquet(vdir.toString)
+      v
+    }
+  }
+
+  /** Replay markers are keyed by batch id, so the marker dir and the
+    * checkpoint are ONE unit: a recreated checkpoint restarts batch ids
+    * at 0 and a bare marker dir would silently serve another lineage's
+    * verdicts. The binding file refuses that mismatch loudly.
+    */
+  private def bindToCheckpoint(spark: SparkSession, outDir: String,
+                               checkpoint: String): Unit = {
+    val p = new Path(outDir, "_bound_checkpoint")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val bound = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(bound == checkpoint,
+        s"marker dir $outDir is bound to checkpoint '$bound', not " +
+          s"'$checkpoint' — a reset checkpoint restarts batch ids at 0 " +
+          "and would reuse stale verdicts; recreate outDir and " +
+          "checkpoint together")
+    } else {
+      fs.mkdirs(new Path(outDir))
+      val out = fs.create(p, true)
+      try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def startIndexedAdmission(spark: SparkSession, dir: String,
                             docs: DataFrame, threshold: Double,
                             outDir: String, checkpoint: String)
       : StreamingQuery = {
     TextDedup.ensureDedupIndex(spark, dir)
+    bindToCheckpoint(spark, outDir, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val vdir = new Path(s"$outDir/v=$batchId")
-        val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val b = batch.localCheckpoint(true)
-        val verdicts =
-          if (fs.exists(vdir)) spark.read.parquet(vdir.toString)
-          else {
-            // materialized BEFORE the append — the verdict frame is lazy,
-            // and re-evaluating it after this batch's keepers join the
-            // index would have every keeper match itself
-            val v = TextDedup.admitIndexed(spark, dir, b, threshold)
-              .localCheckpoint(true)
-            v.coalesce(1).write.mode("overwrite").parquet(vdir.toString)
-            v
-          }
+        // materialized BEFORE the append — the verdict frame is lazy,
+        // and re-evaluating it after this batch's keepers join the
+        // index would have every keeper match itself
+        val verdicts = readOrComputeMarker(spark,
+          new Path(s"$outDir/v=$batchId")) {
+          TextDedup.admitIndexed(spark, dir, b, threshold)
+        }
         TextDedup.appendToDedupIndex(spark, dir,
           b.join(verdicts.filter(col("keep")).select(col("doc_id")),
             Seq("doc_id")))
@@ -147,20 +188,15 @@ object StreamingDedup {
                               checkpoint: String, n: Int = 5,
                               minDocs: Int = 2): StreamingQuery = {
     TextDedup.ensureSubstringIndex(spark, dir, n)
+    bindToCheckpoint(spark, outDir, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val vdir = new Path(s"$outDir/v=$batchId")
-        val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val b = batch.localCheckpoint(true)
-        val cleaned =
-          if (fs.exists(vdir)) spark.read.parquet(vdir.toString)
-          else {
-            val v = TextDedup.admitSubstringIndexed(spark, dir, b, n, minDocs)
-              .localCheckpoint(true)
-            v.coalesce(1).write.mode("overwrite").parquet(vdir.toString)
-            v
-          }
+        val cleaned = readOrComputeMarker(spark,
+          new Path(s"$outDir/v=$batchId")) {
+          TextDedup.admitSubstringIndexed(spark, dir, b, n, minDocs)
+        }
         TextDedup.appendToSubstringIndex(spark, dir,
           cleaned.select(col("doc_id"), col("clean_text")),
           s"stream_b$batchId", n)

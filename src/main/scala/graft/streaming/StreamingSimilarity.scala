@@ -27,7 +27,7 @@ object StreamingSimilarity {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.appendToIvfIndex(spark, dir, batch, nCentroids)
+        Similarity.appendToIvfIndex(spark, dir, batch, nQueries, nCentroids)
         ()
       }
       .start()

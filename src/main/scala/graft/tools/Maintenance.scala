@@ -43,15 +43,19 @@ object Maintenance {
     val format = graft.storage.TableFormat.parquet
     // Optional: also fold the substring gram index's per-batch
     // contribution log (round 9) — pass the indexed corpus dir as
-    // SPARK_GRAFT_GRAM_INDEX_DIR. Same single-maintainer contract as
-    // silver compaction: run it quiesced.
+    // SPARK_GRAFT_GRAM_INDEX_DIR and, if the index was built with a
+    // non-default gram width, SPARK_GRAFT_GRAM_INDEX_N (the tables are
+    // keyed by n — compacting the wrong n would leave the real log
+    // growing AND build a spurious corpus index as a side effect). Same
+    // single-maintainer contract as silver compaction: run it quiesced.
     val gramDir = sys.env.get("SPARK_GRAFT_GRAM_INDEX_DIR")
+    val gramN = sys.env.getOrElse("SPARK_GRAFT_GRAM_INDEX_N", "5").toInt
     do {
       val t0 = System.nanoTime()
       format.optimize(spark, cfg)
       format.optimizeServe(spark, cfg)
       format.vacuumChangeFeed(spark, cfg)
-      gramDir.foreach(graft.ext.TextDedup.compactSubstringIndex(spark, _))
+      gramDir.foreach(graft.ext.TextDedup.compactSubstringIndex(spark, _, gramN))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +

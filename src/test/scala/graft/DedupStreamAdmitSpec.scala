@@ -171,6 +171,41 @@ class DedupStreamAdmitSpec extends SparkTestBase {
     } finally TextDedup.purgeSubstringIndex(spark, dir)
   }
 
+  test("a torn verdict marker (no _SUCCESS) is recomputed, not trusted; " +
+    "a marker dir bound to another checkpoint is refused") {
+    dropIndex()
+    try {
+      val outDir = Files.createTempDirectory("graft_torn_out").toString
+      val ckpt = Files.createTempDirectory("graft_torn_ckpt").toString
+      // plant a torn batch-0 marker: dir exists, junk inside, no _SUCCESS
+      val torn = new java.io.File(s"$outDir/v=0")
+      torn.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/v=0/part-garbage"),
+        Array[Byte](1, 2, 3))
+      val input = MemoryStream[(Long, String)](96, spark, None)
+      val q = StreamingDedup.startIndexedAdmission(spark, dir,
+        input.toDF().toDF("doc_id", "text"), 0.5, outDir, ckpt)
+      try {
+        input.addData((86001L, "unglazed meridian flutes catalog the " +
+          "autumn convoy schedules across nine tidal platforms"))
+        q.processAllAvailable()
+        val v0 = spark.read.parquet(s"$outDir/v=0").collect()
+        assert(v0.length == 1 && v0.head.getAs[Boolean]("keep"),
+          s"torn marker was not recomputed: ${v0.toSeq}")
+      } finally q.stop()
+
+      // the marker dir is bound to its checkpoint: a different
+      // checkpoint must be refused loudly, not silently replay
+      val otherCkpt = Files.createTempDirectory("graft_other_ckpt").toString
+      val err = intercept[IllegalArgumentException] {
+        StreamingDedup.startIndexedAdmission(spark, dir,
+          input.toDF().toDF("doc_id", "text"), 0.5, outDir, otherCkpt)
+      }
+      assert(err.getMessage.contains("bound to checkpoint"))
+    } finally dropIndex()
+  }
+
   test("substring admission survives a checkpoint restart without " +
     "re-folding committed batches") {
     TextDedup.purgeSubstringIndex(spark, dir)

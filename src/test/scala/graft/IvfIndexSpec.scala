@@ -36,14 +36,14 @@ class IvfIndexSpec extends SparkTestBase {
     try {
       val before = rows(Similarity.ivfIndexedTopK(spark, dir,
         nQueries = 10, nCentroids = 16, nProbe = 2, k = 3))
-      val cellsBefore = spark.table(Similarity.ivfCellsTable(dir, 16)).count()
+      val cellsBefore = spark.table(Similarity.ivfCellsTable(dir, Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))).count()
       // external tables: DROP keeps the files, like a died JVM would
-      spark.sql(s"DROP TABLE ${Similarity.ivfCentsTable(dir, 16)}")
-      spark.sql(s"DROP TABLE ${Similarity.ivfCellsTable(dir, 16)}")
+      spark.sql(s"DROP TABLE ${Similarity.ivfCentsTable(dir, Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))}")
+      spark.sql(s"DROP TABLE ${Similarity.ivfCellsTable(dir, Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))}")
       val after = rows(Similarity.ivfIndexedTopK(spark, dir,
         nQueries = 10, nCentroids = 16, nProbe = 2, k = 3))
       assert(after == before)
-      assert(spark.table(Similarity.ivfCellsTable(dir, 16)).count() == cellsBefore)
+      assert(spark.table(Similarity.ivfCellsTable(dir, Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))).count() == cellsBefore)
     } finally purge()
   }
 
@@ -59,10 +59,10 @@ class IvfIndexSpec extends SparkTestBase {
         .filter(col("vec_id") === 0L).select(col("embedding"))
         .collect().head.getSeq[Float](0)
       val newVec = Seq((900001L, q0)).toDF("vec_id", "embedding")
-      Similarity.appendToIvfIndex(spark, dir, newVec, nCentroids = 16)
-      val n = spark.table(Similarity.ivfCellsTable(dir, 16)).count()
-      Similarity.appendToIvfIndex(spark, dir, newVec, nCentroids = 16) // replay
-      assert(spark.table(Similarity.ivfCellsTable(dir, 16)).count() == n,
+      Similarity.appendToIvfIndex(spark, dir, newVec, nQueries = 10, nCentroids = 16)
+      val n = spark.table(Similarity.ivfCellsTable(dir, Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))).count()
+      Similarity.appendToIvfIndex(spark, dir, newVec, nQueries = 10, nCentroids = 16) // replay
+      assert(spark.table(Similarity.ivfCellsTable(dir, Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))).count() == n,
         "replayed admission duplicated cell rows")
 
       val top = Similarity.ivfIndexedTopK(spark, dir,
