@@ -343,7 +343,12 @@ object ExtEntry {
     "text_unigram_lm" -> ((s, dir) => TextAnalysis.unigramLm(s, dir)),
 
     // DSIR hashed-bigram importance weights, target = the en slice
-    "dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir))
+    "dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
+
+    // DSIR's selection half: hash-uniform draw vs the weight-scaled cut
+    // (expected keep rate 0.25, biased toward target-like docs) —
+    // measure -> weights -> resample closed inside the engine
+    "sample_importance" -> ((s, dir) => Curation.sampleImportance(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -1562,6 +1567,48 @@ object ExtEntry {
         |      AS weight
         |  FROM agg, tot)
         |SELECT doc_id, lang, n_grams, weight, weight > 1.0 AS target_like
-        |FROM w2 ORDER BY doc_id""".stripMargin
+        |FROM w2 ORDER BY doc_id""".stripMargin,
+
+    // same weight chain as dsir_weights, then the selection cut
+    "sample_importance" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |grams AS (SELECT doc_id, lang, g,
+        |    (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS b
+        |  FROM d, UNNEST(list_transform(
+        |    generate_series(1, greatest(len(w) - 1, 1)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS t(g)),
+        |model AS (SELECT b, CAST(count(*) AS BIGINT) AS s_cnt,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_cnt
+        |  FROM grams GROUP BY b),
+        |tot AS (SELECT CAST(sum(s_cnt) AS BIGINT) AS s_total,
+        |    CAST(sum(t_cnt) AS BIGINT) AS t_total FROM model),
+        |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(t_cnt + 1) AS BIGINT) AS num,
+        |    CAST(sum(s_cnt + 1) AS BIGINT) AS den
+        |  FROM grams JOIN model USING (b) GROUP BY doc_id, lang),
+        |w2 AS (SELECT doc_id, lang,
+        |    round((CAST(num AS DOUBLE) * CAST(s_total + 256 AS DOUBLE)) /
+        |      (CAST(den AS DOUBLE) * CAST(t_total + 256 AS DOUBLE)), 6)
+        |      AS weight
+        |  FROM agg, tot),
+        |mean AS (SELECT CAST(sum(CAST(weight AS DECIMAL(27,6))) AS DOUBLE)
+        |    / count(*) AS mw FROM w2),
+        |sel AS (SELECT doc_id, lang, weight,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16,
+        |    CAST(floor(least(1.0, weight * 0.25 / mw) * 65536.0) AS BIGINT)
+        |      AS cut
+        |  FROM w2, mean)
+        |SELECT doc_id, lang, weight, CAST(u16 AS BIGINT) AS u16, cut
+        |FROM sel WHERE u16 < cut ORDER BY doc_id""".stripMargin
   )
 }

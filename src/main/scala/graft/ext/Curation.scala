@@ -474,6 +474,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR's SECOND half — the selection step the weights exist for
+    * (Xie et al. 2023: resample documents with probability proportional
+    * to the importance weight). Deterministic engine form: keep a doc
+    * iff its hash-uniform draw `u16` (first 4 md5 hex digits of the
+    * salted id — the [[sampleStratified]] key machinery) falls below
+    * `floor(min(1, weight·rate/mean_weight)·65536)`. Expected kept
+    * fraction ≈ `rate`, biased toward target-like documents; the cut is
+    * reshard- and retry-stable because both the draw and the weight are
+    * pure row functions. The mean is an exact DECIMAL sum cast to
+    * double (the repo's determinism convention — a float sum's
+    * partition-order drift could flip a doc sitting exactly on its
+    * cut). Same scan shape as [[dsirWeights]] plus one broadcast scalar.
+    */
+  def sampleImportance(spark: SparkSession, dir: String,
+                       targetLang: String = "en",
+                       rate: Double = 0.25): DataFrame = {
+    val w = dsirWeights(spark, dir, targetLang)
+    val mw = w.agg((sum(col("weight").cast("decimal(27,6)")).cast("double") /
+      count(lit(1))).as("mw"))
+    w.crossJoin(broadcast(mw))
+      .withColumn("u16",
+        conv(substring(md5(concat(lit("imp:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("long"))
+      .withColumn("cut",
+        floor(least(lit(1.0), col("weight") * lit(rate) / col("mw"))
+          * lit(65536.0)).cast("long"))
+      .filter(col("u16") < col("cut"))
+      .select(col("doc_id"), col("lang"), col("weight"), col("u16"),
+        col("cut"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus snapshot diff — the between-crawls CDC rollup a curation
     * pipeline runs before promoting a new snapshot: per language, how
     * many documents were added / removed / changed / unchanged, plus the
