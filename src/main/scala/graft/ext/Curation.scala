@@ -490,7 +490,10 @@ object Curation {
   def sampleImportance(spark: SparkSession, dir: String,
                        targetLang: String = "en",
                        rate: Double = 0.25): DataFrame = {
-    val w = dsirWeights(spark, dir, targetLang)
+    // the weight frame feeds TWO consumers (the mean and the cut) — left
+    // lazy, the whole gram pipeline would run twice; the materialized
+    // frame is one row per doc, four narrow columns, not the grams
+    val w = dsirWeights(spark, dir, targetLang).localCheckpoint(true)
     val mw = w.agg((sum(col("weight").cast("decimal(27,6)")).cast("double") /
       count(lit(1))).as("mw"))
     w.crossJoin(broadcast(mw))
