@@ -64,13 +64,18 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map { case (name, _) => name -> best(name) }
+    // Locale.ROOT: f"%.2f" under a comma-decimal default locale (de_DE)
+    // would emit "1,23" — invalid JSON, recreating the parsed:null
+    // failure this line exists to avoid. Double.toString is locale-safe.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def toJson(rs: Seq[(String, Double)], round2: Boolean): String = {
       val qs = rs.map { case (k, v) =>
-        val vv = if (round2) f"$v%.2f" else v.toString
+        val vv = if (round2) fmt2(v) else v.toString
         "\"" + k + "\":" + vv
       }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      val tv = if (round2) f"$total%.2f" else total.toString
+      val tv = if (round2) fmt2(total) else total.toString
       s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"n_queries":${results.size}}"""
     }
     // The driver scrapes a SMALL tail of stdout (~500 bytes observed):

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate
 
-import graft.catalyst.HashExpressions.{DotDouble, MinHashChunks, SimHash64, WordShingles}
+import graft.catalyst.HashExpressions.{DotDouble, DsirBuckets, DsirScore, MinHashChunks, SimHash64, WordShingles}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT graft_simhash64(split(text, ' ')) ...")` works for
@@ -38,6 +38,13 @@ object Functions {
     "graft_dot" -> (exprs => {
       val Seq(a, b) = arity("graft_dot", "(a, b)", 2)(exprs)
       DotDouble(a, b)
+    }),
+    "graft_dsir_buckets" -> (exprs =>
+      DsirBuckets(arity("graft_dsir_buckets", "(tokens)", 1)(exprs).head)),
+    "graft_dsir_score" -> (exprs => {
+      val Seq(toks, t, s) =
+        arity("graft_dsir_score", "(tokens, t_counts, s_counts)", 3)(exprs)
+      DsirScore(toks, t, s)
     }),
     "graft_word_shingles" -> (exprs =>
       arity("graft_word_shingles", "(tokens, n)", 2)(exprs)(1) match {

@@ -3,8 +3,9 @@ package graft.catalyst
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -149,6 +150,65 @@ object HashExpressions {
     s
   }
 
+  /** Hashed-bigram bucket of gram `i` of a word array: the first md5
+    * byte of `concat_ws(" ", slice(tokens, i+1, 2))` — i.e.
+    * `conv(substring(md5(g), 1, 2), 16, 10)` in the HOF formulation
+    * ([[graft.ext.Curation.dsirWeights]]) and the DuckDB oracle's
+    * strpos arithmetic. concat_ws semantics on the 0/1/2-element slice:
+    * nulls dropped, no dangling separator, empty slice hashes "".
+    */
+  private def gramBucket(md: MessageDigest, tokens: ArrayData,
+                         i: Int, len: Int): Int = {
+    md.reset()
+    val t0 = if (i < len) tokens.getUTF8String(i) else null
+    val t1 = if (i + 1 < len) tokens.getUTF8String(i + 1) else null
+    if (t0 != null) md.update(t0.getBytes)
+    if (t0 != null && t1 != null) md.update(' '.toByte)
+    if (t1 != null) md.update(t1.getBytes)
+    md.digest()(0) & 0xff
+  }
+
+  /** Row kernel for [[DsirBuckets]]: the `max(len-1, 1)` hashed-bigram
+    * bucket ids (0..255) of a word array, in gram order — the tight-loop
+    * twin of `transform(gramsOf(w), g => bucketOf(g))`.
+    */
+  def dsirBucketsEval(tokens: ArrayData): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val len = tokens.numElements()
+    val m = math.max(len - 1, 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = gramBucket(md, tokens, i, len).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Row kernel for [[DsirScore]]: fold the document's hashed-bigram
+    * buckets against the broadcast target/source count arrays in ONE
+    * pass — `(n_grams, Σ(t[b]+1), Σ(s[b]+1))` as exact longs, replacing
+    * two interpreted `aggregate` HOF folds plus an interpreted gram
+    * `transform`. Bit-for-bit with the HOF form: same gram order, same
+    * bucket math, same add-one smoothing inside the sum.
+    */
+  def dsirScoreEval(tokens: ArrayData, tArr: ArrayData,
+                    sArr: ArrayData): InternalRow = {
+    val md = MessageDigest.getInstance("MD5")
+    val len = tokens.numElements()
+    val m = math.max(len - 1, 1)
+    var num = 0L
+    var den = 0L
+    var i = 0
+    while (i < m) {
+      val b = gramBucket(md, tokens, i, len)
+      num += tArr.getLong(b) + 1L
+      den += sArr.getLong(b) + 1L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](m.toLong, num, den))
+  }
+
   private val kernelClass = "graft.catalyst.HashExpressions"
 
   /** Analysis-time input check shared by the token/shingle expressions:
@@ -270,6 +330,74 @@ object HashExpressions {
         l: Expression, r: Expression): DotDouble = copy(left = l, right = r)
   }
 
+  /** Hashed-bigram bucket ids of an array<string> word column — the
+    * model-pass half of the DSIR kernel (Xie et al. 2023). Exploding
+    * these longs replaces exploding interpreted gram STRINGS: the gram
+    * text never materializes, only its bucket.
+    */
+  case class DsirBuckets(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_dsir_buckets"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child)
+
+    override def nullSafeEval(input: Any): Any =
+      dsirBucketsEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.dsirBucketsEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): DsirBuckets =
+      copy(child = c)
+  }
+
+  /** The DSIR scoring fold: given a document's word array and the two
+    * broadcast 256-slot count arrays (target, source), returns
+    * `struct(n_grams, num, den)` where `num = Σ_g (t[bucket(g)]+1)` and
+    * `den = Σ_g (s[bucket(g)]+1)` over the doc's hashed bigrams — one
+    * tight codegen'd loop per row in place of an interpreted gram
+    * transform plus two interpreted aggregate folds.
+    */
+  case class DsirScore(first: Expression, second: Expression,
+                       third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("num", LongType, nullable = false),
+      StructField("den", LongType, nullable = false)))
+    override def prettyName: String = "graft_dsir_score"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def longArray(name: String, e: Expression): TypeCheckResult =
+        e.dataType match {
+          case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName $name argument expects array<bigint>, got ${other.sql}")
+        }
+      requireStringArray(prettyName, first) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          longArray("target-counts", second) match {
+            case TypeCheckResult.TypeCheckSuccess =>
+              longArray("source-counts", third)
+            case f => f
+          }
+        case f => f
+      }
+    }
+
+    override def nullSafeEval(toks: Any, t: Any, s: Any): Any =
+      dsirScoreEval(toks.asInstanceOf[ArrayData],
+        t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (c1, c2, c3) => s"${ev.value} = $kernelClass.dsirScoreEval($c1, $c2, $c3);")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): DsirScore =
+      copy(first = f, second = s, third = t)
+  }
+
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 
@@ -281,4 +409,11 @@ object HashExpressions {
 
   def dotDouble(a: Column, b: Column): Column =
     Bridge.column(DotDouble(Bridge.expression(a), Bridge.expression(b)))
+
+  def dsirBuckets(tokens: Column): Column =
+    Bridge.column(DsirBuckets(Bridge.expression(tokens)))
+
+  def dsirScore(tokens: Column, tArr: Column, sArr: Column): Column =
+    Bridge.column(DsirScore(Bridge.expression(tokens),
+      Bridge.expression(tArr), Bridge.expression(sArr)))
 }

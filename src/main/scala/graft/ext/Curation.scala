@@ -257,9 +257,31 @@ object Curation {
     * (O(1) array index per gram) — no per-gram shuffle, no groupBy on
     * doc_id, the corpus never moves. Training-data selection at 100 TB =
     * two scans + one 256-row rollup.
+    *
+    * CPU shape: both passes run the codegen'd DSIR kernel
+    * ([[graft.catalyst.HashExpressions.DsirScore]] /
+    * [[graft.catalyst.HashExpressions.DsirBuckets]]) — one tight JVM
+    * loop per document — instead of interpreted higher-order-function
+    * folds; [[dsirWeightsViaHof]] keeps the HOF formulation as the
+    * bit-for-bit parity oracle (SqlFunctionsSpec).
     */
   def dsirWeights(spark: SparkSession, dir: String,
-                  targetLang: String = "en"): DataFrame = {
+                  targetLang: String = "en"): DataFrame =
+    dsirWeightsImpl(spark, dir, targetLang, viaKernel = true)
+
+  /** The pure-built-in HOF formulation of [[dsirWeights]] — interpreted
+    * per gram, kept ONLY as the bit-for-bit parity oracle for the
+    * codegen'd kernel (SqlFunctionsSpec). Production callers use
+    * [[dsirWeights]].
+    */
+  private[graft] def dsirWeightsViaHof(spark: SparkSession, dir: String,
+                                       targetLang: String = "en"): DataFrame =
+    dsirWeightsImpl(spark, dir, targetLang, viaKernel = false)
+
+  private def dsirWeightsImpl(spark: SparkSession, dir: String,
+                              targetLang: String,
+                              viaKernel: Boolean): DataFrame = {
+    import graft.catalyst.HashExpressions
     val nBuckets = 256
     val w = split(col("text"), " ")
     def gramsOf(c: org.apache.spark.sql.Column) = transform(
@@ -267,9 +289,13 @@ object Curation {
       i => concat_ws(" ", slice(c, i, lit(2))))
     val bucketOf = (g: org.apache.spark.sql.Column) =>
       conv(substring(md5(g), 1, 2), 16, 10).cast("long")
+    // model pass: only the bucket id survives the explode — with the
+    // kernel, the gram STRING never materializes at all
+    val docBuckets =
+      if (viaKernel) HashExpressions.dsirBuckets(w)
+      else transform(gramsOf(w), g => bucketOf(g))
     val model = documents(spark, dir)
-      .select(col("lang"), explode(gramsOf(w)).as("g"))
-      .withColumn("b", bucketOf(col("g")))
+      .select(col("lang"), explode(docBuckets).as("b"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("s_cnt"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
@@ -290,19 +316,38 @@ object Curation {
         transform(sequence(lit(0L), lit(nBuckets - 1L)),
           i => coalesce(element_at(col("t_map"), i), lit(0L))).as("t_arr"),
         col("s_tb"), col("t_tb"))
-    documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        transform(gramsOf(w), g => bucketOf(g)).as("bs"))
-      .crossJoin(broadcast(modelRow))
-      .select(col("doc_id"), col("lang"),
-        size(col("bs")).cast("long").as("n_grams"),
-        aggregate(col("bs"), lit(0L), (acc, b) =>
-          acc + element_at(col("t_arr"), (b + 1).cast("int")) + 1L)
-          .as("num"),
-        aggregate(col("bs"), lit(0L), (acc, b) =>
-          acc + element_at(col("s_arr"), (b + 1).cast("int")) + 1L)
-          .as("den"),
-        col("s_tb"), col("t_tb"))
+    // scoring pass: with the kernel, ONE codegen'd fold computes
+    // (n_grams, num, den) per row; the HOF twin is two interpreted
+    // aggregate folds over an interpreted gram transform
+    val scored =
+      if (viaKernel)
+        documents(spark, dir)
+          .select(col("doc_id"), col("lang"), w.as("toks"))
+          .crossJoin(broadcast(modelRow))
+          .select(col("doc_id"), col("lang"),
+            HashExpressions.dsirScore(col("toks"), col("t_arr"),
+              col("s_arr")).as("sc"),
+            col("s_tb"), col("t_tb"))
+          .select(col("doc_id"), col("lang"),
+            col("sc").getField("n_grams").as("n_grams"),
+            col("sc").getField("num").as("num"),
+            col("sc").getField("den").as("den"),
+            col("s_tb"), col("t_tb"))
+      else
+        documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            transform(gramsOf(w), g => bucketOf(g)).as("bs"))
+          .crossJoin(broadcast(modelRow))
+          .select(col("doc_id"), col("lang"),
+            size(col("bs")).cast("long").as("n_grams"),
+            aggregate(col("bs"), lit(0L), (acc, b) =>
+              acc + element_at(col("t_arr"), (b + 1).cast("int")) + 1L)
+              .as("num"),
+            aggregate(col("bs"), lit(0L), (acc, b) =>
+              acc + element_at(col("s_arr"), (b + 1).cast("int")) + 1L)
+              .as("den"),
+            col("s_tb"), col("t_tb"))
+    scored
       .select(col("doc_id"), col("lang"), col("n_grams"),
         round((col("num").cast("double") * col("s_tb")) /
           (col("den").cast("double") * col("t_tb")), 6).as("weight"))

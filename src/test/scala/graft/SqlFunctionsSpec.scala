@@ -59,4 +59,41 @@ class SqlFunctionsSpec extends SparkTestBase {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // would throw on a bad registration
   }
+
+  test("DSIR kernel expressions match the HOF formulations element-wise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq("alpha beta gamma delta", "one", "", "x  y",
+      "alpha beta alpha beta").toDF("text")
+      .select(split($"text", " ").as("toks"))
+    def gramsOf(c: org.apache.spark.sql.Column) = transform(
+      sequence(lit(1), greatest(size(c) - 1, lit(1))),
+      i => concat_ws(" ", slice(c, i, lit(2))))
+    val hof = docs.select(transform(gramsOf($"toks"),
+      g => conv(substring(md5(g), 1, 2), 16, 10).cast("long")).as("bs"))
+      .collect().map(_.getSeq[Long](0))
+    val kern = docs.select(
+      graft.catalyst.HashExpressions.dsirBuckets($"toks").as("bs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(kern.toSeq == hof.toSeq)
+    // DsirScore folds the same buckets against given count arrays
+    val t = (0L until 256L).toArray
+    val s = (0L until 256L).map(_ * 3).toArray
+    val scored = docs.select(graft.catalyst.HashExpressions.dsirScore(
+      $"toks", lit(t), lit(s)).as("sc"))
+      .select($"sc.n_grams", $"sc.num", $"sc.den").collect()
+    scored.zip(hof).foreach { case (row, bs) =>
+      assert(row.getLong(0) == bs.length)
+      assert(row.getLong(1) == bs.map(b => t(b.toInt) + 1L).sum)
+      assert(row.getLong(2) == bs.map(b => s(b.toInt) + 1L).sum)
+    }
+  }
+
+  test("dsirWeights kernel form is bit-for-bit with the HOF parity oracle") {
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.ext.Curation.dsirWeights(spark, sf).collect()
+    val b = graft.ext.Curation.dsirWeightsViaHof(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
 }
