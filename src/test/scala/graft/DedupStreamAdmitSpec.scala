@@ -290,4 +290,40 @@ class DedupStreamAdmitSpec extends SparkTestBase {
         "replayed append duplicated band rows")
     } finally dropIndex()
   }
+
+  test("standing-index probes PRUNE: admission and append scans push the " +
+    "batch's touched keys as IN predicates (never a full index read)") {
+    dropIndex()
+    try {
+      TextDedup.ensureDedupIndex(spark, dir)
+      val batch = TextDedup.documents(spark, dir)
+        .filter(col("doc_id") % 10 >= 8).limit(20)
+      // 1. admission: band table pruned by band_hash, shingle store by
+      // the candidate d_old set
+      val verdicts = TextDedup.admitIndexed(spark, dir, batch, 0.6)
+      verdicts.collect()
+      val admitPlan = verdicts.queryExecution.executedPlan.toString
+      assert(admitPlan.contains("PushedFilters: [In(band_hash,"),
+        s"band-table scan not pruned:\n$admitPlan")
+      assert(admitPlan.contains("PushedFilters: [In(doc_id,"),
+        s"shingle-store scan not pruned:\n$admitPlan")
+      // 2. band append: occupancy + idempotency anti-join read only the
+      // touched buckets
+      val doc = Seq((41001L,
+        "fourteen amber lighthouses rotate their prisms toward the " +
+          "winter archipelago at dusk")).toDF("doc_id", "text")
+      val bandFrame = TextDedup.bandAppendFrame(spark, dir,
+        TextDedup.shinglesFor(doc))
+      assert(bandFrame.queryExecution.executedPlan.toString
+          .contains("PushedFilters: [In(band_hash,"),
+        "bandAppendFrame band-table scans not pruned")
+      // 3. shingle-store replay probe: pruned to the batch's ids (a
+      // single-doc batch's IN-list folds to EqualTo — same pushed prune)
+      val freshPlan = TextDedup.freshAgainstShingleStore(spark, dir, doc)
+        .queryExecution.executedPlan.toString
+      assert(freshPlan.contains("In(doc_id,") ||
+          freshPlan.contains("EqualTo(doc_id,"),
+        s"freshAgainstShingleStore probe not pruned:\n$freshPlan")
+    } finally dropIndex()
+  }
 }

@@ -120,4 +120,24 @@ class IvfIndexSpec extends SparkTestBase {
         s"indexed query re-ran the corpus assignment:\n$plan")
     } finally purge()
   }
+
+  test("the append replay-probe prunes the cell-table scan to the " +
+    "batch's assigned cells (pushed IN predicate on cent_id)") {
+    import spark.implicits._
+    purge()
+    try {
+      Similarity.ensureIvfIndex(spark, dir, nQueries = 10, nCentroids = 16)
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val newVec = Seq((910001L, q0)).toDF("vec_id", "embedding")
+      val frame = Similarity.ivfAppendFrame(spark, dir, newVec,
+        Similarity.ivfKey(10, 16, 2, 3, Similarity.defaultIvfSampleCap))
+      // a one-vector batch touches one cell, so the IN-list folds to
+      // EqualTo — the same pushed prune
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(plan.contains("In(cent_id,") || plan.contains("EqualTo(cent_id,"),
+        s"cell-table replay probe not pruned:\n$plan")
+    } finally purge()
+  }
 }

@@ -123,4 +123,18 @@ class SubstringIndexSpec extends SparkTestBase {
       assert(spark.table(TextDedup.gramsTable(dir, 5)).count() == before)
     } finally purge()
   }
+
+  test("the admission probe prunes the gram-table scan to the batch's " +
+    "touched grams (pushed IN predicate, never a full-log sum)") {
+    purge()
+    try {
+      val batch = TextDedup.documents(spark, dir)
+        .filter(col("doc_id") % 10 >= 8).limit(10)
+      val df = TextDedup.admitSubstringIndexed(spark, dir, batch, 5, 2)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(g,"),
+        s"gram-table scan not pruned to the batch's grams:\n$plan")
+    } finally purge()
+  }
 }
