@@ -209,6 +209,32 @@ object HashExpressions {
     new GenericInternalRow(Array[Any](m.toLong, num, den))
   }
 
+  /** Row kernel for [[BpeMergePair]]: one BPE merge step over a symbol
+    * array — replace adjacent (l, r) occurrences with the concatenated
+    * symbol, greedy left-to-right, non-overlapping, candidates read
+    * from the ORIGINAL sequence (a newly formed symbol cannot re-match
+    * within the same step) — exactly Sennrich et al. 2016's per-word
+    * `re.sub` merge semantics, and exactly the positional
+    * runs-and-parity SQL formulation the DuckDB oracle uses.
+    */
+  def bpeMergeEval(arr: ArrayData, l: UTF8String,
+                   r: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (i + 1 < n && s == l && arr.getUTF8String(i + 1) == r) {
+        out.add(UTF8String.concat(l, r))
+        i += 2
+      } else {
+        out.add(s)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val kernelClass = "graft.catalyst.HashExpressions"
 
   /** Analysis-time input check shared by the token/shingle expressions:
@@ -397,6 +423,46 @@ object HashExpressions {
         f: Expression, s: Expression, t: Expression): DsirScore =
       copy(first = f, second = s, third = t)
   }
+
+  /** One BPE merge step over an array<string> symbol column: adjacent
+    * (l, r) pairs collapse to the concatenated symbol, greedy
+    * left-to-right, non-overlapping ([[bpeMergeEval]]). l and r are
+    * per-iteration constants (the argmax merge), so the trainer binds
+    * them as string children — typically literals.
+    */
+  case class BpeMergePair(first: Expression, second: Expression,
+                          third: Expression) extends TernaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_merge_pair"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, first) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          if (second.dataType == StringType && third.dataType == StringType)
+            TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects (array<string>, string, string), got " +
+              s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+        case f => f
+      }
+
+    override def nullSafeEval(syms: Any, l: Any, r: Any): Any =
+      bpeMergeEval(syms.asInstanceOf[ArrayData],
+        l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (c1, c2, c3) => s"${ev.value} = $kernelClass.bpeMergeEval($c1, $c2, $c3);")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): BpeMergePair =
+      copy(first = f, second = s, third = t)
+  }
+
+  def bpeMergePair(syms: Column, l: Column, r: Column): Column =
+    Bridge.column(BpeMergePair(Bridge.expression(syms),
+      Bridge.expression(l), Bridge.expression(r)))
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalyst.HashExpressions
+import graft.ext.TextAnalysis
+
+/** The full BPE trainer behind `tokenizer_bpe_merges`: the merge order
+  * must be deterministic (count desc, then (l, r) lexicographic — the
+  * paper's Python `max` is dict-order-dependent, the engine's is
+  * pinned), the merge step must be greedy left-to-right non-overlapping
+  * on the ORIGINAL sequence, and iteration 1 must agree with the
+  * standalone `tokenizer_pair_counts` statistics.
+  */
+class BpeMergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("merge step kernel: greedy left-to-right, non-overlapping, no " +
+    "in-step re-matching") {
+    val df = Seq(
+      (1L, Seq("a", "a", "a", "a")),     // run of 3 candidates -> merge 1st, 3rd
+      (2L, Seq("a", "a", "a")),          // -> ["aa", "a"]
+      (3L, Seq("x", "a", "a", "y")),     // isolated pair
+      (4L, Seq("a", "b"))                // no (a,a) at all
+    ).toDF("id", "syms")
+    val got = df.select(col("id"),
+        HashExpressions.bpeMergePair(col("syms"), lit("a"), lit("a"))
+          .as("m"))
+      .orderBy(col("id")).collect().map(_.getSeq[String](1))
+    assert(got(0) == Seq("aa", "aa"))
+    assert(got(1) == Seq("aa", "a"))
+    assert(got(2) == Seq("x", "aa", "y"))
+    assert(got(3) == Seq("a", "b"))
+    // a symbol formed by the step does not re-match within the step:
+    // merging (a, aa) over [a, a, a] finds NO candidate pair until a
+    // prior step has formed "aa"
+    val chained = Seq(Seq("a", "aa", "x")).toDF("syms")
+      .select(HashExpressions.bpeMergePair(col("syms"), lit("a"), lit("aa")))
+      .collect().head.getSeq[String](0)
+    assert(chained == Seq("aaa", "x"))
+  }
+
+  test("trainer on a hand-computable corpus: counts, tie-break, and " +
+    "merge order are exact") {
+    // vocabulary: "low" x3, "lower" x1 => symbols l o w </w> (+ e r)
+    val docs = Seq("low low lower low").toDF("text")
+    val got = TextAnalysis.bpeMergesOf(spark, docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // iteration 1: pairs (l,o)=4, (o,w)=4, (w,</w>)=3, (w,e)=1, (e,r)=1,
+    // (r,</w>)=1 -> tie 4 vs 4 broken lexicographically: (l,o)
+    assert(got(0) == ((1L, "l", "o", 4L)), s"got ${got.toSeq}")
+    // iteration 2: (lo,w)=4 is now the unique max
+    assert(got(1) == ((2L, "lo", "w", 4L)), s"got ${got.toSeq}")
+    // iteration 3: (low,</w>)=3
+    assert(got(2) == ((3L, "low", "</w>", 3L)), s"got ${got.toSeq}")
+  }
+
+  test("merge table is deterministic across runs and input partitioning") {
+    val dir = "/root/testdata/sf0.001"
+    val a = TextAnalysis.bpeMerges(spark, dir, 6).collect().toSeq
+    val b = TextAnalysis.bpeMerges(spark, dir, 6).collect().toSeq
+    assert(a == b && a.size == 6)
+    val shuffled = graft.ops.Ingest.table(spark, dir, "documents")
+      .repartition(7, col("lang"))
+    val c = TextAnalysis.bpeMergesOf(spark, shuffled, 6).collect().toSeq
+    assert(a == c, "merge order must not depend on input partitioning")
+  }
+
+  test("iteration 1 agrees with tokenizer_pair_counts' top pair") {
+    val dir = "/root/testdata/sf0.001"
+    val top = TextAnalysis.bpePairCounts(spark, dir, k = 1).collect().head
+    val first = TextAnalysis.bpeMerges(spark, dir, 1).collect().head
+    assert(first.getString(3) == top.getString(0), // merged == pair
+      s"trainer's first merge ${first.getString(3)} != pair_counts top ${top.getString(0)}")
+    assert(first.getLong(4) == top.getLong(1))
+  }
+}
