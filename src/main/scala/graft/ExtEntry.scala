@@ -67,6 +67,13 @@ object ExtEntry {
       Similarity.ivfIndexedTopK(s, dir, nQueries = 10, nCentroids = 16,
         nProbe = 2, k = 3)),
 
+    // IVF index health: occupancy distribution, exact order-statistic
+    // assignment-similarity quantiles, drifted fraction — the inputs to
+    // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
+    "ann_ivf_stats" -> ((s, dir) =>
+      Similarity.ivfStats(s, dir, nQueries = 10, nCentroids = 16,
+        simThreshold = 0.1)),
+
     // int8 embedding quantization — scan-local storage-reduction op;
     // payload checked by md5 over the quantized ints, quality by the
     // max reconstruction error
@@ -494,6 +501,57 @@ object ExtEntry {
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ext.Similarity.ivfStats]]: rebuild the
+    * trained assignment (the standing cell table's content — pinned
+    * equal by `ann_ivf_indexed`), then the same three rollups. Quantiles
+    * are exact order statistics on round(sim, 6) — the value at
+    * cumulative position ceil(q·n) ascending — so no interpolation
+    * convention can diverge.
+    */
+  private def ivfStatsOracleSql(nQueries: Int, nCentroids: Int,
+                                simThreshold: Double, iters: Int,
+                                sampleMod: Int, sampleCap: Int): String = {
+    val cos = cosSql("CAST(ce[i] AS DOUBLE)", "cemb[i]")
+    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
+       |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id >= $nQueries),
+       |assign AS (SELECT cid, cent_id, $cos AS sim,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY $cos DESC, cent_id) AS rk
+       |  FROM cand, cents),
+       |cells AS (SELECT cid, cent_id, round(sim, 6) AS rsim
+       |  FROM assign WHERE rk = 1),
+       |percell AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM cells GROUP BY cent_id),
+       |occ AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST($nCentroids - count(*) AS BIGINT) AS n_empty_cells,
+       |    CAST(sum(n) AS BIGINT) AS n_vectors,
+       |    CAST(min(n) AS BIGINT) AS min_cell,
+       |    CAST(max(n) AS BIGINT) AS max_cell
+       |  FROM percell),
+       |byval AS (SELECT rsim, CAST(count(*) AS BIGINT) AS c
+       |  FROM cells GROUP BY rsim),
+       |cum AS (SELECT rsim, c, sum(c) OVER (ORDER BY rsim) AS cum
+       |  FROM byval),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM cells),
+       |quant AS (SELECT
+       |    min(CASE WHEN cum >= ceil(0.1 * nv) THEN rsim END) AS p10_sim,
+       |    min(CASE WHEN cum >= ceil(0.5 * nv) THEN rsim END) AS p50_sim,
+       |    min(CASE WHEN cum >= ceil(0.9 * nv) THEN rsim END) AS p90_sim,
+       |    CAST(sum(CASE WHEN rsim < $simThreshold THEN c ELSE 0 END)
+       |      AS BIGINT) AS n_drifted
+       |  FROM cum, tot)
+       |SELECT occ.n_cells, occ.n_empty_cells, occ.n_vectors, occ.min_cell,
+       |  occ.max_cell,
+       |  round(CAST(occ.n_vectors AS DOUBLE) / occ.n_cells, 6) AS avg_cell,
+       |  round(CAST(occ.max_cell AS DOUBLE) * occ.n_cells / occ.n_vectors, 6)
+       |    AS cell_skew,
+       |  quant.p10_sim, quant.p50_sim, quant.p90_sim, quant.n_drifted,
+       |  round(CAST(quant.n_drifted AS DOUBLE) / occ.n_vectors, 6)
+       |    AS frac_drifted
+       |FROM occ, quant""".stripMargin
+  }
+
   /** Unrolled fixed-iteration DuckDB oracle for `tokenizer_bpe_merges`:
     * iteration t's merge step is the POSITIONAL formulation of greedy
     * non-overlapping left-to-right replacement — candidate positions
@@ -762,6 +820,12 @@ object ExtEntry {
     // the rows
     "ann_ivf_indexed" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap),
+
+    // the trained assignment re-derived, then the same occupancy /
+    // order-statistic / drift rollups as Similarity.ivfStats
+    "ann_ivf_stats" -> ivfStatsOracleSql(nQueries = 10, nCentroids = 16,
+      simThreshold = 0.1, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
 
     "dedup_embedding" ->

