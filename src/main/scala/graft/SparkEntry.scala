@@ -252,6 +252,27 @@ object SparkEntry {
           col("n_active"), col("cohort_size"), col("retention"))
     }),
 
+    // serve_analytics' deep-page twin (VERDICT r9 #5): the same
+    // retention grid sought by composite keyset — (cohort_day,
+    // day_offset) lexicographically after (19723, 5), the fixed first
+    // cohort day at every test SF — no offset sort-and-discard; the
+    // streaming stage-6 surface (Pipeline.serveRetentionKeyset) runs
+    // the identical Serve.keyset2 shape over the maintained snapshot
+    "serve_analytics_keyset" -> ((s, dir) => {
+      val grid = Ingest.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"))
+        .distinct()
+      val ret = graft.ops.Analytics.retentionOf(grid)
+        .withColumn("_id",
+          concat_ws(":", col("cohort_day"), col("day_offset")))
+      Serve.keyset2(ret, col("cohort_day"), col("day_offset"),
+          lit(19723L), lit(5L), 20)
+        .select(col("_id"), col("cohort_day"), col("day_offset"),
+          col("n_active"), col("cohort_size"), col("retention"))
+    }),
+
     // keyset (seek) pagination — serve_page's deep-page twin: the same
     // gold projection, but the page starts AFTER the last seen key
     // (user_id 7 — a key present at every test SF) via a pushed-down key
@@ -1344,6 +1365,26 @@ object SparkEntry {
         |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
         |ORDER BY a.cohort_day, day_offset LIMIT 20 OFFSET 20""".stripMargin,
+
+    "serve_analytics_keyset" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+        |act AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |    count(DISTINCT ud.user_id) AS n_active
+        |  FROM ud JOIN c ON ud.user_id = c.user_id
+        |  GROUP BY cohort_day, day - cohort_day),
+        |sz AS (SELECT cohort_day, n_active AS cohort_size FROM act
+        |  WHERE day_offset = 0)
+        |SELECT CAST(a.cohort_day AS VARCHAR) || ':' ||
+        |    CAST(day_offset AS VARCHAR) AS _id,
+        |  a.cohort_day, day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
+        |WHERE a.cohort_day >= 19723
+        |  AND (a.cohort_day > 19723 OR day_offset > 5)
+        |ORDER BY a.cohort_day, day_offset LIMIT 20""".stripMargin,
 
     "serve_keyset" ->
       """SELECT user_id, user_id AS _id,

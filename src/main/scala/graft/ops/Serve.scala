@@ -35,6 +35,19 @@ object Serve {
   def keyset(df: DataFrame, key: Column, after: Column, n: Int): DataFrame =
     df.filter(key > after).orderBy(key).limit(n)
 
+  /** [[keyset]] for a COMPOSITE (two-column) page key, seeking rows with
+    * `(k1, k2)` lexicographically after `(a1, a2)`. Spelled as
+    * `k1 >= a1 AND (k1 > a1 OR k2 > a2)` rather than a struct compare:
+    * the leading-key bound is a plain conjunct Catalyst can push below
+    * aggregates to the scan, so a deep page still prunes on the leading
+    * key — the shape the stage-6 dashboard surfaces use
+    * ([[graft.streaming.Pipeline.serveRetentionKeyset]]).
+    */
+  def keyset2(df: DataFrame, k1: Column, k2: Column,
+              a1: Column, a2: Column, n: Int): DataFrame =
+    df.filter(k1 >= a1 && (k1 > a1 || k2 > a2))
+      .orderBy(k1, k2).limit(n)
+
   /** Top-k — planned as TakeOrderedAndProject, no full sort. */
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)

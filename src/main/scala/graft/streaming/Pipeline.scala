@@ -1115,6 +1115,32 @@ object Pipeline {
         col("n_active"), col("cohort_size"), col("retention"))
   }
 
+  /** [[serveRetention]]'s deep-page form (VERDICT r9 #5): the SAME
+    * served frame, but the page is sought by the last key of the
+    * previous page — `(cohort_day, day_offset)` lexicographically after
+    * `(afterCohort, afterOffset)` via [[graft.ops.Serve.keyset2]] — so
+    * there is NO offset sort-and-discard anywhere in the plan and a
+    * page deep into a 100× dashboard history costs O(page).
+    * PipelineSpec pins the no-offset plan and page-chaining equality
+    * with the offset form.
+    */
+  def serveRetentionKeyset(spark: SparkSession, cfg: Config,
+                           afterCohort: Long, afterOffset: Long,
+                           pageSize: Int): DataFrame = {
+    val fs = new Path(retentionBase(cfg))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentRetentionSnapshot(fs, cfg)
+    require(cur.nonEmpty, s"retention view ${retentionBase(cfg)} has no data yet")
+    val act = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(cur.get._2.toString).localCheckpoint(true)
+    val ret = graft.ops.Analytics.retentionFromActivity(act)
+      .withColumn("_id", concat_ws(":", col("cohort_day"), col("day_offset")))
+    graft.ops.Serve.keyset2(ret, col("cohort_day"), col("day_offset"),
+        lit(afterCohort), lit(afterOffset), pageSize)
+      .select(col("_id"), col("cohort_day"), col("day_offset"),
+        col("n_active"), col("cohort_size"), col("retention"))
+  }
+
   /** [[serveRetention]]'s anomaly sibling: the maintained daily-count
     * grid through `Analytics.anomalyOf` and the same paginated `_id`
     * surface. Same eager + strict read discipline.
@@ -1131,6 +1157,25 @@ object Pipeline {
       .withColumn("_id", concat_ws(":", col("group_id"), col("day")))
     graft.ops.Serve.page(anom, Seq(col("group_id"), col("day")),
       pageNo, pageSize)
+  }
+
+  /** [[serveAnomaly]]'s keyset (deep-page) form — same discipline as
+    * [[serveRetentionKeyset]], seeking `(group_id, day)` after the last
+    * seen key with no offset in the plan.
+    */
+  def serveAnomalyKeyset(spark: SparkSession, cfg: Config,
+                         afterGroup: String, afterDay: Long,
+                         pageSize: Int): DataFrame = {
+    val fs = new Path(anomalyBase(cfg))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentAnomalySnapshot(fs, cfg)
+    require(cur.nonEmpty, s"anomaly view ${anomalyBase(cfg)} has no data yet")
+    val daily = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(cur.get._2.toString).localCheckpoint(true)
+    val anom = graft.ops.Analytics.anomalyOf(daily, "group_id")
+      .withColumn("_id", concat_ws(":", col("group_id"), col("day")))
+    graft.ops.Serve.keyset2(anom, col("group_id"), col("day"),
+      lit(afterGroup), lit(afterDay), pageSize)
   }
 
 

@@ -191,6 +191,27 @@ class PipelineSpec extends SparkTestBase {
         assert(served.nonEmpty && served == batch,
           s"served $served vs batch $batch")
 
+        // deep-page twin (VERDICT r9 #5): seeking after page-1's last
+        // (cohort_day, day_offset) must serve exactly offset-page 2,
+        // with NO offset sort-and-discard anywhere in the plan
+        val last = served.last
+        val (lastC, lastO) = (last(1).asInstanceOf[Long],
+          last(2).asInstanceOf[Long])
+        val keysetDf = Pipeline.serveRetentionKeyset(spark, cfg,
+          lastC, lastO, pageSize = 3)
+        // "offset=" matches the limit-node parameter, not the
+        // day_offset column name
+        val keysetPlan = keysetDf.queryExecution.executedPlan.toString
+        assert(!keysetPlan.toLowerCase.contains("offset="),
+          s"stage-6 keyset page planned an offset:\n$keysetPlan")
+        val page2 = graft.ops.Serve.page(ret,
+            Seq(col("cohort_day"), col("day_offset")), 2, 3)
+          .select(col("_id"), col("cohort_day"), col("day_offset"),
+            col("n_active"), col("cohort_size"), col("retention"))
+          .collect().toSeq.map(_.toSeq)
+        assert(keysetDf.collect().toSeq.map(_.toSeq) == page2,
+          "keyset page must chain to exactly the next offset page")
+
         val f = graft.streaming.Metrics
           .retentionFreshness(spark, cfg, System.currentTimeMillis())
           .collect().head

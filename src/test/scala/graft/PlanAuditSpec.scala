@@ -61,6 +61,15 @@ class PlanAuditSpec extends SparkTestBase {
     // and the offset twin really does plan the offset (the contrast)
     val off = executedPlan("serve_page")
     assert(off.toLowerCase.contains("offset"), off)
+    // the composite-key analytics twin: the seek cannot reach the scan
+    // (cohort_day is an aggregate result), but the page must still plan
+    // seek-and-limit, never offset — "offset=" is the limit-node
+    // parameter, distinct from the day_offset column name
+    val ak = executedPlan("serve_analytics_keyset")
+    assert(!ak.toLowerCase.contains("offset="),
+      s"serve_analytics_keyset planned an offset:\n$ak")
+    val aOff = executedPlan("serve_analytics")
+    assert(aOff.toLowerCase.contains("offset="), aOff)
   }
 
   test("semi/anti subquery anchors plan as semi/anti hash joins") {
