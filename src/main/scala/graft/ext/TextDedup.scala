@@ -409,6 +409,18 @@ object TextDedup {
     */
   private[graft] var onBandBuild: DataFrame => Unit = _ => ()
 
+  /** Scoped installer for [[onBandBuild]] (ADVICE r9): guarantees the
+    * global hook is restored even when `body` throws, so a failing spec
+    * cannot leak a capturing closure (and its DataFrame references)
+    * across suites or miscount builds in a later test.
+    */
+  private[graft] def withBandBuildHook[T](hook: DataFrame => Unit)
+                                         (body: => T): T = {
+    val prev = onBandBuild
+    onBandBuild = hook
+    try body finally onBandBuild = prev
+  }
+
   def ensureDedupIndex(spark: SparkSession, dir: String): Unit = {
     val bt = bandsTable(dir)
     val st = shinglesTable(dir)
@@ -1073,6 +1085,23 @@ object TextDedup {
     }
   }
 
+  /** True when the standing gram index for `(dir, n)` already EXISTS —
+    * as a catalog entry or as complete (`_SUCCESS`-committed) data at
+    * its fixed location. The maintenance loop checks this before
+    * compacting (ADVICE r9): a mis-set SPARK_GRAFT_GRAM_INDEX_N would
+    * otherwise make [[compactSubstringIndex]] → [[ensureSubstringIndex]]
+    * silently BUILD a spurious full corpus index for the wrong n while
+    * the real contribution log keeps growing.
+    */
+  private[graft] def substringIndexExists(spark: SparkSession, dir: String,
+                                          n: Int): Boolean = {
+    val t = gramsTable(dir, n)
+    if (spark.catalog.tableExists(t)) return true
+    val loc = tableLocation(spark, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(loc, "_SUCCESS"))
+  }
+
   /** The standing per-gram distinct-doc counts: contributions summed by
     * gram. GroupBy on the bucket column — no exchange on the corpus
     * side. `onlyGrams` (the admission path) prunes the scan to the
@@ -1228,6 +1257,15 @@ object TextDedup {
     val staging = new Path(loc.toString + "_compact_tmp")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(spark, dir, n)
+    // fail fast on a wrong-n invocation (ADVICE r9): compaction folds an
+    // EXISTING index; quietly building a fresh corpus index here would
+    // leave the real log growing while burning a full corpus pass per
+    // maintenance tick
+    require(substringIndexExists(spark, dir, n),
+      s"compactSubstringIndex: no standing gram index for dir=$dir, " +
+        s"n=$n (check SPARK_GRAFT_GRAM_INDEX_N against the built " +
+        "index's gram width) — compaction folds an existing index, it " +
+        "does not build one")
     ensureSubstringIndex(spark, dir, n)
     // 1. markers for every tag the data carries (idempotent creates)
     val td = tagsDir(spark, dir, n)

@@ -122,28 +122,63 @@ object StreamingDedup {
     }
   }
 
+  /** The checkpoint's IDENTITY — the streaming query id recorded in
+    * `<checkpoint>/metadata` (`{"id":"<uuid>"}`, the file Structured
+    * Streaming writes on first start and adopts if already present).
+    * For a brand-new checkpoint the id is minted HERE, pre-start, so
+    * the binding below can know it before the query runs; Spark then
+    * reads and keeps it. A checkpoint deleted and recreated at the SAME
+    * path has no metadata file and gets a fresh id — which is exactly
+    * what makes same-path recreation detectable.
+    */
+  private def checkpointId(spark: SparkSession, checkpoint: String): String = {
+    val meta = new Path(checkpoint, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1)
+        case None => throw new IllegalStateException(
+          s"checkpoint metadata $meta is unreadable: $txt")
+      }
+    } else {
+      fs.mkdirs(new Path(checkpoint))
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(meta, false)
+      try out.write(s"""{"id":"$id"}""".getBytes("UTF-8"))
+      finally out.close()
+      id
+    }
+  }
+
   /** Replay markers are keyed by batch id, so the marker dir and the
     * checkpoint are ONE unit: a recreated checkpoint restarts batch ids
     * at 0 and a bare marker dir would silently serve another lineage's
-    * verdicts. The binding file refuses that mismatch loudly.
+    * verdicts. The binding records the checkpoint's IDENTITY
+    * ([[checkpointId]]), not its path string (ADVICE r9: a checkpoint
+    * deleted and recreated at the same path passes a path check but
+    * restarts ids at 0 all the same), and refuses a mismatch loudly.
     */
   private def bindToCheckpoint(spark: SparkSession, outDir: String,
                                checkpoint: String): Unit = {
+    val ckptId = checkpointId(spark, checkpoint)
     val p = new Path(outDir, "_bound_checkpoint")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
       val in = fs.open(p)
       val bound = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      require(bound == checkpoint,
-        s"marker dir $outDir is bound to checkpoint '$bound', not " +
-          s"'$checkpoint' — a reset checkpoint restarts batch ids at 0 " +
-          "and would reuse stale verdicts; recreate outDir and " +
-          "checkpoint together")
+      require(bound == ckptId,
+        s"marker dir $outDir is bound to checkpoint identity '$bound', " +
+          s"but '$checkpoint' now has identity '$ckptId' — a reset or " +
+          "recreated checkpoint restarts batch ids at 0 and would reuse " +
+          "stale verdicts; recreate outDir and checkpoint together")
     } else {
       fs.mkdirs(new Path(outDir))
       val out = fs.create(p, true)
-      try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+      try out.write(ckptId.getBytes("UTF-8")) finally out.close()
     }
   }
 

@@ -45,8 +45,9 @@ object Maintenance {
     // contribution log (round 9) — pass the indexed corpus dir as
     // SPARK_GRAFT_GRAM_INDEX_DIR and, if the index was built with a
     // non-default gram width, SPARK_GRAFT_GRAM_INDEX_N (the tables are
-    // keyed by n — compacting the wrong n would leave the real log
-    // growing AND build a spurious corpus index as a side effect). Same
+    // keyed by n; compactSubstringIndex FAILS FAST when no index exists
+    // for the configured n, so a mis-set width cannot silently build a
+    // spurious corpus index from inside this loop). Same
     // single-maintainer contract as silver compaction: run it quiesced.
     val gramDir = sys.env.get("SPARK_GRAFT_GRAM_INDEX_DIR")
     val gramN = sys.env.getOrElse("SPARK_GRAFT_GRAM_INDEX_N", "5").toInt

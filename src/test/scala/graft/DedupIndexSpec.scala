@@ -65,8 +65,7 @@ class DedupIndexSpec extends SparkTestBase {
     "index data instead of rebuilding the corpus") {
     dropIndex()
     var builds = 0
-    TextDedup.onBandBuild = _ => builds += 1
-    try {
+    try TextDedup.withBandBuildHook(_ => builds += 1) {
       TextDedup.ensureDedupIndex(spark, dir)
       assert(builds == 1)
       val before = rows(spark.table(TextDedup.bandsTable(dir))
@@ -88,10 +87,7 @@ class DedupIndexSpec extends SparkTestBase {
       val viaIndex = rows(TextDedup.incrementalDedupIndexed(spark, dir, 0.5))
       val recomputed = rows(TextDedup.incrementalDedup(spark, dir, 0.5))
       assert(viaIndex.nonEmpty && viaIndex == recomputed)
-    } finally {
-      TextDedup.onBandBuild = _ => ()
-      dropIndex()
-    }
+    } finally dropIndex()
   }
 
   test("index build streams the corpus through the saved shingle table — " +
@@ -104,8 +100,7 @@ class DedupIndexSpec extends SparkTestBase {
     // a test-built reconstruction would keep passing even if the build
     // reintroduced a checkpoint internally)
     var captured: Option[org.apache.spark.sql.DataFrame] = None
-    TextDedup.onBandBuild = df => captured = Some(df)
-    try {
+    try TextDedup.withBandBuildHook(df => captured = Some(df)) {
       TextDedup.ensureDedupIndex(spark, dir)
       val build = captured.getOrElse(
         fail("ensureDedupIndex never invoked the band-build hook"))
@@ -133,9 +128,6 @@ class DedupIndexSpec extends SparkTestBase {
           spark.table(TextDedup.shinglesTable(dir)))
         .orderBy(col("band"), col("band_hash"), col("doc_id")))
       assert(built.nonEmpty && built == recomputed)
-    } finally {
-      TextDedup.onBandBuild = _ => ()
-      dropIndex()
-    }
+    } finally dropIndex()
   }
 }

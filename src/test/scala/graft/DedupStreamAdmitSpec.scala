@@ -203,6 +203,20 @@ class DedupStreamAdmitSpec extends SparkTestBase {
           input.toDF().toDF("doc_id", "text"), 0.5, outDir, otherCkpt)
       }
       assert(err.getMessage.contains("bound to checkpoint"))
+
+      // ADVICE r9: the SAME path, deleted and recreated, is another
+      // lineage too — batch ids restart at 0 and the stale v=0 marker
+      // would be replayed as its verdicts. The binding is to the
+      // checkpoint's identity (metadata id), so same-path recreation is
+      // refused just as loudly.
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      val err2 = intercept[IllegalArgumentException] {
+        StreamingDedup.startIndexedAdmission(spark, dir,
+          input.toDF().toDF("doc_id", "text"), 0.5, outDir, ckpt)
+      }
+      assert(err2.getMessage.contains("bound to checkpoint identity"),
+        err2.getMessage)
     } finally dropIndex()
   }
 

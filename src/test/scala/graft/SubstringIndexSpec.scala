@@ -124,6 +124,23 @@ class SubstringIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("compaction fails fast on a gram width with no built index " +
+    "instead of building a spurious corpus index") {
+    purge()
+    try {
+      TextDedup.ensureSubstringIndex(spark, dir, n = 5)
+      // wrong width: no n=7 index exists — must refuse, not build
+      val err = intercept[IllegalArgumentException](
+        TextDedup.compactSubstringIndex(spark, dir, n = 7))
+      assert(err.getMessage.contains("no standing gram index") &&
+        err.getMessage.contains("n=7"), err.getMessage)
+      assert(!spark.catalog.tableExists(TextDedup.gramsTable(dir, 7)),
+        "refusal must not leave an n=7 table behind")
+      // the right width still compacts
+      TextDedup.compactSubstringIndex(spark, dir, n = 5)
+    } finally purge()
+  }
+
   test("the admission probe prunes the gram-table scan to the batch's " +
     "touched grams (pushed IN predicate, never a full-log sum)") {
     purge()
