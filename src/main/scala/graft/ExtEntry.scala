@@ -325,6 +325,13 @@ object ExtEntry {
     "tokenizer_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(s, dir, nMerges = 10)),
 
+    // the APPLY half: per-doc word/BPE-token/char counts + compression
+    // ratio after the 10 trained merges — encoding joins the exploded
+    // corpus words against the trained dict's subword counts, never
+    // re-merging per doc
+    "tokenizer_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(s, dir, nMerges = 10)),
+
     // between-crawls snapshot diff: per-language added/removed/changed/
     // unchanged counts + token-mass delta, one full-outer join on the
     // doc key comparing content hashes (texts never cross the shuffle)
@@ -563,6 +570,32 @@ object ExtEntry {
     * the two engines agree word-for-word.
     */
   private def bpeMergesOracle(n: Int): String = {
+    val union = (1 to n).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, cnt FROM m$t"
+    }.mkString("\nUNION ALL ")
+    s"${bpeChainCtes(n)}\n$union\nORDER BY rank"
+  }
+
+  /** DuckDB twin of [[graft.ext.TextAnalysis.bpeEncode]]: the same
+    * unrolled training chain, then per-word subword counts from the
+    * final dict joined back to the exploded corpus words.
+    */
+  private def bpeEncodeOracle(n: Int): String =
+    s"""${bpeChainCtes(n)},
+       |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM d$n),
+       |dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sub), 6)
+       |    AS compression
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def bpeChainCtes(n: Int): String = {
     val base =
       """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -594,16 +627,13 @@ object ExtEntry {
          |  LEFT JOIN k$t k2 ON e.w = k2.w AND e.i = k2.i + 1
          |  WHERE k2.i IS NULL
          |  GROUP BY e.w)""".stripMargin
-    }.mkString(",\n", ",\n", "\n")
-    val union = (1 to n).map { t =>
-      s"SELECT CAST($t AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
-        s"l || r AS merged, cnt FROM m$t"
-    }.mkString("\nUNION ALL ")
-    s"$base$iters$union\nORDER BY rank"
+    }.mkString(",\n", ",\n", "")
+    s"$base$iters"
   }
 
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_merges" -> bpeMergesOracle(10),
+    "tokenizer_bpe_encode" -> bpeEncodeOracle(10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

@@ -614,6 +614,19 @@ object TextAnalysis {
   private[graft] def bpeMergesOf(spark: SparkSession, docs: DataFrame,
                                  nMerges: Int): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, docs, nMerges)._1
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** The shared trainer loop behind [[bpeMerges]] and [[bpeEncode]]:
+    * returns the ranked merge list AND the final dict
+    * `(w, freq, syms)` — each distinct word's symbol sequence after all
+    * `nMerges` merges, which is exactly the lookup table a tokenizer
+    * APPLY pass needs.
+    */
+  private def bpeTrain(spark: SparkSession, docs: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     import graft.catalyst.HashExpressions
     // the one corpus pass: distinct-word frequencies, then each word as
     // its character symbols plus the word-end marker
@@ -621,7 +634,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
@@ -650,14 +663,47 @@ object TextAnalysis {
         merges += ((rank.toLong, l, r, l + r, cnt))
         // checkpoint per iteration: truncates the growing merge lineage
         // (the k-means pattern) — the dict is vocab-sized, not corpus-sized
-        dict = dict.select(col("freq"),
+        dict = dict.select(col("w"), col("freq"),
           HashExpressions.bpeMergePair(col("syms"), lit(l), lit(r))
             .as("syms"))
           .localCheckpoint(true)
         rank += 1
       }
     }
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
-      .orderBy(col("rank"))
+    (merges.toSeq, dict)
+  }
+
+  /** The APPLY half of the BPE pair ([[bpeMerges]] trains, this
+    * encodes): per document, the word count, the BPE token count after
+    * all `nMerges` merges, the character mass, and the chars-per-token
+    * compression ratio — the numbers a tokenizer-budget planner reads
+    * off a corpus.
+    *
+    * Scale shape: encoding joins the exploded words against the
+    * trained DICT's per-word subword counts (vocab-sized — AQE
+    * broadcasts it when small; never per-doc re-merging), then one
+    * map-side-combined rollup per doc. The corpus is touched twice
+    * total: once by the trainer's word count, once here.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+                nMerges: Int): DataFrame =
+    bpeEncodeOf(spark, documents(spark, dir), nMerges)
+
+  private[graft] def bpeEncodeOf(spark: SparkSession, docs: DataFrame,
+                                 nMerges: Int): DataFrame = {
+    val (_, dict) = bpeTrain(spark, docs, nMerges)
+    val sub = dict.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(sub, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("compression"))
+      .orderBy(col("doc_id"))
   }
 }

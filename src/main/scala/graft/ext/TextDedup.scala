@@ -499,21 +499,16 @@ object TextDedup {
     ensureDedupIndex(spark, dir)
     admissionVerdicts(
       newDocs,
-      newBands => {
-        val touched = newBands.select(col("band_hash")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        spark.table(bandsTable(dir))
-          .filter(col("band_hash").isin(touched: _*))
-          .select(col("band"), col("band_hash"), col("doc_id").as("d_old"))
-      },
-      cand => {
+      newBands =>
+        prunedOn(spark.table(bandsTable(dir)), "band_hash",
+          touchedKeys(newBands, "band_hash"))
+          .select(col("band"), col("band_hash"), col("doc_id").as("d_old")),
+      cand =>
         // cand = checkpointed newBands ⋈ the PRUNED band scan — cheap to
         // run once extra for the collect, and leaving it lazy keeps the
         // band scan (with its pushed filter) visible in the returned plan
-        val ids = cand.select(col("d_old")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        spark.table(shinglesTable(dir)).filter(col("doc_id").isin(ids: _*))
-      },
+        prunedOn(spark.table(shinglesTable(dir)), "doc_id",
+          touchedKeys(cand, "d_old")),
       threshold)
   }
 
@@ -565,10 +560,8 @@ object TextDedup {
     // checkpointed: read by the touched-hash collect, the occupancy
     // subplan, and the main append plan — 4 small rows per doc
     val bA = bands(signaturesOf(shA)).localCheckpoint(true)
-    val touched = bA.select(col("band_hash")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    def idx = spark.table(bandsTable(dir))
-      .filter(col("band_hash").isin(touched: _*))
+    val touched = touchedKeys(bA, "band_hash")
+    def idx = prunedOn(spark.table(bandsTable(dir)), "band_hash", touched)
     val occupancy = idx
       .join(bA.select(col("band"), col("band_hash")).distinct(),
         Seq("band", "band_hash"))
@@ -590,15 +583,12 @@ object TextDedup {
     */
   private[graft] def freshAgainstShingleStore(spark: SparkSession,
                                               dir: String,
-                                              admitted: DataFrame): DataFrame = {
-    val ids = admitted.select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+                                              admitted: DataFrame): DataFrame =
     admitted.join(
-      spark.table(shinglesTable(dir))
-        .filter(col("doc_id").isin(ids: _*))
+      prunedOn(spark.table(shinglesTable(dir)), "doc_id",
+        touchedKeys(admitted, "doc_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-  }
 
   def appendToDedupIndex(spark: SparkSession, dir: String,
                          admitted: DataFrame): Unit = {
@@ -1121,13 +1111,29 @@ object TextDedup {
     pruned.groupBy(col("g")).agg(sum(col("n_docs")).as("n_docs"))
   }
 
-  /** Above this many distinct batch grams, the IN-list prune is skipped:
-    * a multi-hundred-thousand-literal predicate costs more to plan and
-    * collect than the full-table sum it would save, and a batch that
-    * large is no longer "increment-sized" — it should go through a
-    * rebuild, not admission.
+  /** Above this many distinct touched keys, a standing-index IN-list
+    * prune is skipped (full-scan fallback): a multi-hundred-thousand-
+    * literal predicate costs more to collect and plan than the table
+    * read it would save, and a batch that large is no longer
+    * "increment-sized" — it should go through a rebuild, not admission.
     */
-  private[graft] val gramPruneMaxKeys = 200000
+  private[graft] val indexPruneMaxKeys = 200000
+
+  /** The batch's distinct touched keys in column `c`, or None when they
+    * exceed [[indexPruneMaxKeys]].
+    */
+  private def touchedKeys(df: DataFrame, c: String): Option[Seq[Any]] = {
+    val vals = df.select(col(c)).distinct().limit(indexPruneMaxKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    if (vals.length <= indexPruneMaxKeys) Some(vals) else None
+  }
+
+  /** `base` pruned to `keys` in column `c` (pushed literal IN), or the
+    * full scan when the cap waived the prune.
+    */
+  private def prunedOn(base: DataFrame, c: String,
+                       keys: Option[Seq[Any]]): DataFrame =
+    keys.fold(base)(ks => base.filter(col(c).isin(ks: _*)))
 
   /** Admit a new-docs batch against the STANDING gram index: a position
     * is covered when its gram's total distinct-doc count — standing
@@ -1152,10 +1158,7 @@ object TextDedup {
     // and the coverage join — increment-sized (one row per batch gram
     // occurrence)
     val g = gramRows(newDocs, n).localCheckpoint(true)
-    val touched = g.select(col("g")).distinct()
-      .limit(gramPruneMaxKeys + 1)
-      .collect().map(_.getString(0)).toSeq
-    val prune = if (touched.length <= gramPruneMaxKeys) Some(touched) else None
+    val prune = touchedKeys(g, "g").map(_.map(_.asInstanceOf[String]))
     val batchCounts = g.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("b_docs"))
     val totals = batchCounts

@@ -66,6 +66,20 @@ class BpeMergeSpec extends SparkTestBase {
     assert(a == c, "merge order must not depend on input partitioning")
   }
 
+  test("encode applies the trained merges via the dict: hand-computed " +
+    "token counts and compression") {
+    // after 3 merges ((l,o), (lo,w), (low,</w>)) on "low low lower
+    // low": low -> [low</w>] (1 subword), lower -> [low, e, r, </w>]
+    // (4). One doc, 4 words, 3*1 + 4 = 7 BPE tokens, 3+3+5+3 = 14 chars
+    val docs = Seq((7L, "low low lower low")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeOf(spark, docs, 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L &&
+      r.getLong(2) == 7L && r.getLong(3) == 14L &&
+      r.getDouble(4) == 2.0, s"got ${r.toSeq}")
+  }
+
   test("iteration 1 agrees with tokenizer_pair_counts' top pair") {
     val dir = "/root/testdata/sf0.001"
     val top = TextAnalysis.bpePairCounts(spark, dir, k = 1).collect().head
