@@ -350,7 +350,10 @@ object ExtEntry {
     "dedup_substring_admit" -> ((s, dir) =>
       TextDedup.admitSubstringIndexed(s, dir,
           TextDedup.documents(s, dir).filter(col("doc_id") % 10 >= 8),
-          n = 5, minDocs = 2)
+          n = 5, minDocs = 2,
+          // the 20% batch is corpus-sized by construction: flat plan,
+          // no viability-probe job
+          pruneHint = Some(false))
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("doc_id"))),
