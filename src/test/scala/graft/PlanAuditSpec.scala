@@ -72,6 +72,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(aOff.toLowerCase.contains("offset="), aOff)
   }
 
+  test("round-10 additions keep their scale shapes: BPE joins hash-based, " +
+    "IVF stats windowless over the corpus, encode never cartesian") {
+    // tokenizer_bpe_encode: the dict lookup is a hash join (broadcast or
+    // shuffled), never nested-loop; the merge loop itself runs at
+    // construction time, so the final plan is the encode join + rollup
+    val enc = executedPlan("tokenizer_bpe_encode")
+    assert(!enc.contains("CartesianProduct") &&
+      !enc.contains("BroadcastNestedLoopJoin"), enc)
+    // ann_ivf_stats: the only windows are over the DISTINCT rounded sims
+    // (the exact-quantile cumulative sum) — never a per-member
+    // corpus-wide window like the assignment's partitionBy(cid)
+    val stats = executedPlan("ann_ivf_stats")
+    assert(!stats.contains("windowspecdefinition(cid"), stats)
+    assert(!stats.contains("CartesianProduct"), stats)
+  }
+
   test("semi/anti subquery anchors plan as semi/anti hash joins") {
     val q4 = executedPlan("tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
