@@ -64,4 +64,31 @@ object StreamingSimilarity {
     s.getAs[Double]("frac_drifted") > maxDriftFrac ||
       s.getAs[Double]("cell_skew") > maxSkew
   }
+
+  /** The maintenance-loop face of the rule: evaluate [[shouldRetrain]]
+    * and, when it fires, execute the offline rebuild (purge + retrain +
+    * reassign from the source-of-truth embeddings table). Returns
+    * whether a rebuild ran. Same single-maintainer contract as the
+    * other compaction passes — run it quiesced: admission streams
+    * should be stopped (or between batches) during the swap, since
+    * purge momentarily leaves no cell table to append into.
+    *
+    * Note the rebuild trains from the EMBEDDINGS table, not the old
+    * index — stream-admitted vectors that only ever lived in the cell
+    * table drop out unless the ingest also lands them in the embedding
+    * store; that is the intended contract (the index is derived state,
+    * the table is truth).
+    */
+  def retrainIfNeeded(spark: SparkSession, dir: String, nQueries: Int,
+                      nCentroids: Int, simThreshold: Double = 0.1,
+                      maxDriftFrac: Double = 0.2,
+                      maxSkew: Double = 4.0): Boolean = {
+    val fire = shouldRetrain(spark, dir, nQueries, nCentroids,
+      simThreshold, maxDriftFrac, maxSkew)
+    if (fire) {
+      Similarity.purgeIvfIndex(spark, dir, nQueries, nCentroids)
+      Similarity.ensureIvfIndex(spark, dir, nQueries, nCentroids)
+    }
+    fire
+  }
 }

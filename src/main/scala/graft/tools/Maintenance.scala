@@ -51,15 +51,28 @@ object Maintenance {
     // single-maintainer contract as silver compaction: run it quiesced.
     val gramDir = sys.env.get("SPARK_GRAFT_GRAM_INDEX_DIR")
     val gramN = sys.env.getOrElse("SPARK_GRAFT_GRAM_INDEX_N", "5").toInt
+    // Optional: IVF index health check + conditional offline rebuild
+    // (round 10) — pass the indexed corpus dir as SPARK_GRAFT_IVF_DIR
+    // (+ _NQ/_NC when built with non-default shape). Runs
+    // StreamingSimilarity.retrainIfNeeded: the drift/skew rule decides,
+    // the rebuild retrains from the embeddings table. Quiesce admission
+    // streams around the tick, like the other passes.
+    val ivfDir = sys.env.get("SPARK_GRAFT_IVF_DIR")
+    val ivfNq = sys.env.getOrElse("SPARK_GRAFT_IVF_NQ", "10").toInt
+    val ivfNc = sys.env.getOrElse("SPARK_GRAFT_IVF_NC", "16").toInt
     do {
       val t0 = System.nanoTime()
       format.optimize(spark, cfg)
       format.optimizeServe(spark, cfg)
       format.vacuumChangeFeed(spark, cfg)
       gramDir.foreach(graft.ext.TextDedup.compactSubstringIndex(spark, _, gramN))
+      val retrained = ivfDir.exists(d => graft.streaming.StreamingSimilarity
+        .retrainIfNeeded(spark, d, ivfNq, ivfNc))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
+        ivfDir.fold("")(d =>
+          s" + ivf health for $d (retrained=$retrained)") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

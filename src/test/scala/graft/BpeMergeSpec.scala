@@ -40,6 +40,41 @@ class BpeMergeSpec extends SparkTestBase {
     assert(chained == Seq("aaa", "x"))
   }
 
+  test("merge kernel equals a naive driver-side reference over seeded " +
+    "random symbol sequences") {
+    import scala.util.Random
+    val rnd = new Random(41)
+    def naiveMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val alphabet = Seq("a", "b", "ab", "ba", "</w>")
+    val cases = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      val syms = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val l = alphabet(rnd.nextInt(alphabet.length))
+      val r = alphabet(rnd.nextInt(alphabet.length))
+      (i.toLong, syms, l, r)
+    }
+    // one job: l/r bound as COLUMNS, exercising the non-literal children
+    val got = cases.toDF("id", "syms", "l", "r")
+      .select(col("id"),
+        HashExpressions.bpeMergePair(col("syms"), col("l"), col("r"))
+          .as("m"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[String](1)).toMap
+    cases.foreach { case (id, syms, l, r) =>
+      assert(got(id) == naiveMerge(syms, l, r),
+        s"case $id: merge($syms, $l, $r) = ${got(id)}, " +
+          s"expected ${naiveMerge(syms, l, r)}")
+    }
+  }
+
   test("trainer on a hand-computable corpus: counts, tie-break, and " +
     "merge order are exact") {
     // vocabulary: "low" x3, "lower" x1 => symbols l o w </w> (+ e r)

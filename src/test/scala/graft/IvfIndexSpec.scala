@@ -193,6 +193,23 @@ class IvfIndexSpec extends SparkTestBase {
         maxDriftFrac = frac0 + 0.1, maxSkew = skew0 + 100.0)
       assert(fired, "30% off-distribution admissions must flip the " +
         "drift half of the retrain rule")
+
+      // the maintenance face executes the rebuild when the rule fires:
+      // the index retrains from the embeddings table (derived state vs
+      // source of truth), so the drifted cell rows fold out and the
+      // trigger reads calm again
+      val retrained = StreamingSimilarity.retrainIfNeeded(spark, dir,
+        nQueries = 10, nCentroids = 16, simThreshold = 0.1,
+        maxDriftFrac = frac0 + 0.1, maxSkew = skew0 + 100.0)
+      assert(retrained, "retrainIfNeeded must rebuild when the rule fires")
+      assert(!StreamingSimilarity.shouldRetrain(spark, dir,
+        nQueries = 10, nCentroids = 16, simThreshold = 0.1,
+        maxDriftFrac = frac0 + 0.1, maxSkew = skew0 + 100.0),
+        "post-rebuild index must read healthy again")
+      assert(!StreamingSimilarity.retrainIfNeeded(spark, dir,
+        nQueries = 10, nCentroids = 16, simThreshold = 0.1,
+        maxDriftFrac = frac0 + 0.1, maxSkew = skew0 + 100.0),
+        "a healthy index must not rebuild")
     } finally purge()
   }
 }

@@ -89,6 +89,38 @@ class SqlFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("DSIR kernel equals a naive driver-side reference over seeded " +
+    "random token arrays (incl. multi-byte tokens and empty docs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import scala.util.Random
+    val rnd = new Random(43)
+    val alphabet = Seq("a", "bb", "λ", "Ωx", "", "mid word")
+    val cases = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.length))))
+    }
+    def bucket(g: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      d(0) & 0xff
+    }
+    def naive(toks: Seq[String]): Seq[Long] = {
+      val m = math.max(toks.length - 1, 1)
+      (0 until m).map { i =>
+        val parts = Seq(toks.lift(i), toks.lift(i + 1)).flatten
+        bucket(parts.mkString(" ")).toLong
+      }
+    }
+    val got = cases.toDF("id", "toks")
+      .select(col("id"),
+        graft.catalyst.HashExpressions.dsirBuckets(col("toks")).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach { case (id, toks) =>
+      assert(got(id) == naive(toks),
+        s"case $id: buckets($toks) = ${got(id)}, expected ${naive(toks)}")
+    }
+  }
+
   test("dsirWeights kernel form is bit-for-bit with the HOF parity oracle") {
     val sf = "/root/testdata/sf0.001"
     val a = graft.ext.Curation.dsirWeights(spark, sf).collect()
