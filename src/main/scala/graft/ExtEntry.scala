@@ -625,7 +625,7 @@ object ExtEntry {
          |d$t AS MATERIALIZED (SELECT e.w AS w, any_value(e.freq) AS freq,
          |    list(CASE WHEN k.i IS NOT NULL THEN e.s || m.r ELSE e.s END
          |      ORDER BY e.i) AS syms
-         |  FROM e$t e CROSS JOIN m$t m
+         |  FROM e$t e LEFT JOIN m$t m ON true
          |  LEFT JOIN k$t k ON e.w = k.w AND e.i = k.i
          |  LEFT JOIN k$t k2 ON e.w = k2.w AND e.i = k2.i + 1
          |  WHERE k2.i IS NULL

@@ -36,6 +36,27 @@ object SparkEntry {
       .withColumn("event_timestamp", unix_millis(col("ts")))
       .withColumn("minute_timestamp", Ingest.minuteBucket(col("event_timestamp")))
 
+  /** The retention view both `serve_analytics*` page forms serve: the
+    * distinct (user, day) grid rolled up through `Analytics.retentionOf`
+    * with the Mongo-shaped `_id` — one definition so the offset and
+    * keyset surfaces cannot diverge.
+    */
+  private def analyticsRetentionFrame(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val grid = Ingest.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+          .as("day"))
+      .distinct()
+    graft.ops.Analytics.retentionOf(grid)
+      .withColumn("_id",
+        concat_ws(":", col("cohort_day"), col("day_offset")))
+  }
+
+  private def analyticsRetentionCols(page: DataFrame): DataFrame =
+    page.select(col("_id"), col("cohort_day"), col("day_offset"),
+      col("n_active"), col("cohort_size"), col("retention"))
+
   /** Shared input of the `join_range*` queries: all events as points
     * (p_user, ems) and the sampled users' 30-min-gap sessions as
     * intervals (s_user, [session_start, session_end = last + 30 min]).
@@ -237,20 +258,10 @@ object SparkEntry {
     // retention view serves through the same paginated surface as gold —
     // Serve.page + the Mongo _id projection, keyed by the composite
     // (cohort_day, day_offset) cell id
-    "serve_analytics" -> ((s, dir) => {
-      val grid = Ingest.events(s, dir)
-        .select(col("user_id"),
-          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
-            .as("day"))
-        .distinct()
-      val ret = graft.ops.Analytics.retentionOf(grid)
-        .withColumn("_id",
-          concat_ws(":", col("cohort_day"), col("day_offset")))
-      Serve.page(ret, Seq(col("cohort_day"), col("day_offset")),
-          pageNo = 2, pageSize = 20)
-        .select(col("_id"), col("cohort_day"), col("day_offset"),
-          col("n_active"), col("cohort_size"), col("retention"))
-    }),
+    "serve_analytics" -> ((s, dir) =>
+      analyticsRetentionCols(Serve.page(analyticsRetentionFrame(s, dir),
+        Seq(col("cohort_day"), col("day_offset")),
+        pageNo = 2, pageSize = 20))),
 
     // serve_analytics' deep-page twin (VERDICT r9 #5): the same
     // retention grid sought by composite keyset — (cohort_day,
@@ -258,20 +269,9 @@ object SparkEntry {
     // cohort day at every test SF — no offset sort-and-discard; the
     // streaming stage-6 surface (Pipeline.serveRetentionKeyset) runs
     // the identical Serve.keyset2 shape over the maintained snapshot
-    "serve_analytics_keyset" -> ((s, dir) => {
-      val grid = Ingest.events(s, dir)
-        .select(col("user_id"),
-          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
-            .as("day"))
-        .distinct()
-      val ret = graft.ops.Analytics.retentionOf(grid)
-        .withColumn("_id",
-          concat_ws(":", col("cohort_day"), col("day_offset")))
-      Serve.keyset2(ret, col("cohort_day"), col("day_offset"),
-          lit(19723L), lit(5L), 20)
-        .select(col("_id"), col("cohort_day"), col("day_offset"),
-          col("n_active"), col("cohort_size"), col("retention"))
-    }),
+    "serve_analytics_keyset" -> ((s, dir) =>
+      analyticsRetentionCols(Serve.keyset2(analyticsRetentionFrame(s, dir),
+        col("cohort_day"), col("day_offset"), lit(19723L), lit(5L), 20))),
 
     // keyset (seek) pagination — serve_page's deep-page twin: the same
     // gold projection, but the page starts AFTER the last seen key

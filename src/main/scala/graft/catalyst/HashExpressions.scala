@@ -194,6 +194,22 @@ object HashExpressions {
     */
   def dsirScoreEval(tokens: ArrayData, tArr: ArrayData,
                     sArr: ArrayData): InternalRow = {
+    // buckets index 0..255: a short count array from a sloppy SQL call
+    // would otherwise read out of bounds, and a null slot reads as
+    // garbage (UnsafeArrayData.getLong checks neither) — fail loudly
+    // instead of silently mis-scoring. Nullability can't be rejected at
+    // analysis: Literal inference marks even Array[Long] literals as
+    // containsNull=true.
+    require(tArr.numElements() >= 256 && sArr.numElements() >= 256,
+      s"graft_dsir_score: count arrays must have >= 256 slots, got " +
+        s"${tArr.numElements()} and ${sArr.numElements()}")
+    var j = 0
+    while (j < 256) {
+      if (tArr.isNullAt(j) || sArr.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"graft_dsir_score: count arrays must not contain nulls (slot $j)")
+      j += 1
+    }
     val md = MessageDigest.getInstance("MD5")
     val len = tokens.numElements()
     val m = math.max(len - 1, 1)
@@ -394,6 +410,10 @@ object HashExpressions {
     override def prettyName: String = "graft_dsir_score"
 
     override def checkInputDataTypes(): TypeCheckResult = {
+      // null-free-ness is enforced at runtime in dsirScoreEval —
+      // Literal inference marks even Array[Long] literals
+      // containsNull=true, so an analysis-time rejection would refuse
+      // legitimate callers
       def longArray(name: String, e: Expression): TypeCheckResult =
         e.dataType match {
           case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -432,8 +452,14 @@ object HashExpressions {
     */
   case class BpeMergePair(first: Expression, second: Expression,
                           third: Expression) extends TernaryExpression {
-    override def dataType: DataType =
-      ArrayType(StringType, containsNull = false)
+    // element nullability follows the input: the kernel passes null
+    // symbols through unmerged (a null never equals l), so claiming
+    // containsNull=false for a nullable input would lie to downstream
+    // writers that skip null tracking
+    override def dataType: DataType = first.dataType match {
+      case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+      case _ => ArrayType(StringType, containsNull = true)
+    }
     override def prettyName: String = "graft_bpe_merge_pair"
 
     override def checkInputDataTypes(): TypeCheckResult =

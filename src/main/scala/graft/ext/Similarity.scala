@@ -778,6 +778,30 @@ object Similarity {
           .as("frac_drifted"))
   }
 
+  /** True when the standing IVF index for this (dir, shape) EXISTS — as
+    * catalog entries or as complete (`_SUCCESS`-committed) data at the
+    * fixed locations. The health/retrain rule checks this before
+    * reading stats ([[graft.streaming.StreamingSimilarity]]): a mis-set
+    * shape must fail loudly, not silently train a fresh spurious index
+    * and then forever monitor it as "calm" while the real one drifts —
+    * the same guard class as
+    * [[graft.ext.TextDedup.substringIndexExists]].
+    */
+  private[graft] def ivfIndexExists(spark: SparkSession, dir: String,
+                                    nQueries: Int, nCentroids: Int,
+                                    iters: Int = 2, sampleMod: Int = 3,
+                                    sampleCap: Int = defaultIvfSampleCap)
+      : Boolean = {
+    val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
+    Seq(ivfCentsTable(dir, key), ivfCellsTable(dir, key)).forall { t =>
+      spark.catalog.tableExists(t) || {
+        val loc = IndexCatalog.tableLocation(spark, t)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+      }
+    }
+  }
+
   /** Drop the IVF index tables and their data (spec teardown). */
   def purgeIvfIndex(spark: SparkSession, dir: String, nQueries: Int = 10,
                     nCentroids: Int = 16, iters: Int = 2,

@@ -1100,20 +1100,30 @@ object Pipeline {
     * silently-partial rows to the dashboard.
     */
   def serveRetention(spark: SparkSession, cfg: Config,
-                     pageNo: Int, pageSize: Int): DataFrame = {
+                     pageNo: Int, pageSize: Int): DataFrame =
+    serveRetentionCols(graft.ops.Serve.page(servedRetentionFrame(spark, cfg),
+      Seq(col("cohort_day"), col("day_offset")), pageNo, pageSize))
+
+  /** The ONE retention frame both page forms serve: snapshot lookup,
+    * eager + strict read (see the class of docstring above), rollup,
+    * `_id`. Extracted so a future change to the read discipline cannot
+    * silently diverge between the offset and keyset surfaces.
+    */
+  private def servedRetentionFrame(spark: SparkSession,
+                                   cfg: Config): DataFrame = {
     val fs = new Path(retentionBase(cfg))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentRetentionSnapshot(fs, cfg)
     require(cur.nonEmpty, s"retention view ${retentionBase(cfg)} has no data yet")
     val act = spark.read.option("ignoreMissingFiles", "false")
       .parquet(cur.get._2.toString).localCheckpoint(true)
-    val ret = graft.ops.Analytics.retentionFromActivity(act)
+    graft.ops.Analytics.retentionFromActivity(act)
       .withColumn("_id", concat_ws(":", col("cohort_day"), col("day_offset")))
-    graft.ops.Serve.page(ret,
-        Seq(col("cohort_day"), col("day_offset")), pageNo, pageSize)
-      .select(col("_id"), col("cohort_day"), col("day_offset"),
-        col("n_active"), col("cohort_size"), col("retention"))
   }
+
+  private def serveRetentionCols(page: DataFrame): DataFrame =
+    page.select(col("_id"), col("cohort_day"), col("day_offset"),
+      col("n_active"), col("cohort_size"), col("retention"))
 
   /** [[serveRetention]]'s deep-page form (VERDICT r9 #5): the SAME
     * served frame, but the page is sought by the last key of the
@@ -1126,37 +1136,34 @@ object Pipeline {
     */
   def serveRetentionKeyset(spark: SparkSession, cfg: Config,
                            afterCohort: Long, afterOffset: Long,
-                           pageSize: Int): DataFrame = {
-    val fs = new Path(retentionBase(cfg))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = currentRetentionSnapshot(fs, cfg)
-    require(cur.nonEmpty, s"retention view ${retentionBase(cfg)} has no data yet")
-    val act = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(cur.get._2.toString).localCheckpoint(true)
-    val ret = graft.ops.Analytics.retentionFromActivity(act)
-      .withColumn("_id", concat_ws(":", col("cohort_day"), col("day_offset")))
-    graft.ops.Serve.keyset2(ret, col("cohort_day"), col("day_offset"),
-        lit(afterCohort), lit(afterOffset), pageSize)
-      .select(col("_id"), col("cohort_day"), col("day_offset"),
-        col("n_active"), col("cohort_size"), col("retention"))
-  }
+                           pageSize: Int): DataFrame =
+    serveRetentionCols(graft.ops.Serve.keyset2(
+      servedRetentionFrame(spark, cfg),
+      col("cohort_day"), col("day_offset"),
+      lit(afterCohort), lit(afterOffset), pageSize))
 
   /** [[serveRetention]]'s anomaly sibling: the maintained daily-count
     * grid through `Analytics.anomalyOf` and the same paginated `_id`
     * surface. Same eager + strict read discipline.
     */
   def serveAnomaly(spark: SparkSession, cfg: Config,
-                   pageNo: Int, pageSize: Int): DataFrame = {
+                   pageNo: Int, pageSize: Int): DataFrame =
+    graft.ops.Serve.page(servedAnomalyFrame(spark, cfg),
+      Seq(col("group_id"), col("day")), pageNo, pageSize)
+
+  /** [[servedRetentionFrame]]'s anomaly sibling — the one frame both
+    * anomaly page forms serve.
+    */
+  private def servedAnomalyFrame(spark: SparkSession,
+                                 cfg: Config): DataFrame = {
     val fs = new Path(anomalyBase(cfg))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentAnomalySnapshot(fs, cfg)
     require(cur.nonEmpty, s"anomaly view ${anomalyBase(cfg)} has no data yet")
     val daily = spark.read.option("ignoreMissingFiles", "false")
       .parquet(cur.get._2.toString).localCheckpoint(true)
-    val anom = graft.ops.Analytics.anomalyOf(daily, "group_id")
+    graft.ops.Analytics.anomalyOf(daily, "group_id")
       .withColumn("_id", concat_ws(":", col("group_id"), col("day")))
-    graft.ops.Serve.page(anom, Seq(col("group_id"), col("day")),
-      pageNo, pageSize)
   }
 
   /** [[serveAnomaly]]'s keyset (deep-page) form — same discipline as
@@ -1165,18 +1172,10 @@ object Pipeline {
     */
   def serveAnomalyKeyset(spark: SparkSession, cfg: Config,
                          afterGroup: String, afterDay: Long,
-                         pageSize: Int): DataFrame = {
-    val fs = new Path(anomalyBase(cfg))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = currentAnomalySnapshot(fs, cfg)
-    require(cur.nonEmpty, s"anomaly view ${anomalyBase(cfg)} has no data yet")
-    val daily = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(cur.get._2.toString).localCheckpoint(true)
-    val anom = graft.ops.Analytics.anomalyOf(daily, "group_id")
-      .withColumn("_id", concat_ws(":", col("group_id"), col("day")))
-    graft.ops.Serve.keyset2(anom, col("group_id"), col("day"),
+                         pageSize: Int): DataFrame =
+    graft.ops.Serve.keyset2(servedAnomalyFrame(spark, cfg),
+      col("group_id"), col("day"),
       lit(afterGroup), lit(afterDay), pageSize)
-  }
 
 
   /** Stage-3 source: the gold change feed as a streaming DataFrame

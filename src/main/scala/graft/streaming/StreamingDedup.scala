@@ -170,7 +170,15 @@ object StreamingDedup {
       val in = fs.open(p)
       val bound = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      require(bound == ckptId,
+      if (bound == checkpoint) {
+        // legacy binding (pre-identity format stored the PATH): accept
+        // under the old format's (weaker) path guarantee — recreation
+        // before the upgrade is indistinguishable, as it always was —
+        // and upgrade the file in place so THIS lineage onward gets the
+        // identity-level guard
+        val out = fs.create(p, true)
+        try out.write(ckptId.getBytes("UTF-8")) finally out.close()
+      } else require(bound == ckptId,
         s"marker dir $outDir is bound to checkpoint identity '$bound', " +
           s"but '$checkpoint' now has identity '$ckptId' — a reset or " +
           "recreated checkpoint restarts batch ids at 0 and would reuse " +

@@ -59,6 +59,17 @@ object StreamingSimilarity {
                     nCentroids: Int, simThreshold: Double = 0.1,
                     maxDriftFrac: Double = 0.2,
                     maxSkew: Double = 4.0): Boolean = {
+    // fail fast on a shape/dir misconfiguration: health-checking an
+    // index that was never built would silently BUILD a fresh spurious
+    // one (ivfStats -> ensureIvfIndex) and then forever monitor it as
+    // calm while the real index drifts — the gram-compaction guard's
+    // sibling hazard
+    require(Similarity.ivfIndexExists(spark, dir, nQueries, nCentroids),
+      s"shouldRetrain: no standing IVF index for dir=$dir, " +
+        s"nQueries=$nQueries, nCentroids=$nCentroids (check " +
+        "SPARK_GRAFT_IVF_DIR/_NQ/_NC against the built index's shape) " +
+        "— the health rule monitors an existing index, it does not " +
+        "build one")
     val s = Similarity.ivfStats(spark, dir, nQueries, nCentroids,
       simThreshold).collect().head
     s.getAs[Double]("frac_drifted") > maxDriftFrac ||

@@ -204,6 +204,24 @@ class DedupStreamAdmitSpec extends SparkTestBase {
       }
       assert(err.getMessage.contains("bound to checkpoint"))
 
+      // a LEGACY binding (pre-identity format: the file holds the
+      // checkpoint PATH) is accepted under the old guarantee and
+      // upgraded in place to the identity format. Drop the Hadoop
+      // checksum sidecar too — a raw-nio rewrite under a stale .crc
+      // reads back as a ChecksumException, not as legacy content.
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$outDir/._bound_checkpoint.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/_bound_checkpoint"),
+        ckpt.getBytes("UTF-8"))
+      val q2 = StreamingDedup.startIndexedAdmission(spark, dir,
+        input.toDF().toDF("doc_id", "text"), 0.5, outDir, ckpt)
+      q2.stop()
+      val upgraded = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$outDir/_bound_checkpoint")), "UTF-8")
+      assert(upgraded != ckpt && upgraded.nonEmpty,
+        "legacy path binding must upgrade to the checkpoint identity")
+
       // ADVICE r9: the SAME path, deleted and recreated, is another
       // lineage too — batch ids restart at 0 and the stale v=0 marker
       // would be replayed as its verdicts. The binding is to the
