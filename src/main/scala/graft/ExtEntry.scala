@@ -332,6 +332,11 @@ object ExtEntry {
     "tokenizer_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(s, dir, nMerges = 10)),
 
+    // the induced vocabulary: every subword unit with corpus occurrence
+    // mass and distinct-word coverage — the vocab-size-vs-coverage table
+    "tokenizer_bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(s, dir, nMerges = 10)),
+
     // between-crawls snapshot diff: per-language added/removed/changed/
     // unchanged counts + token-mass delta, one full-outer join on the
     // doc key comparing content hashes (texts never cross the shuffle)
@@ -598,6 +603,16 @@ object ExtEntry {
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of [[graft.ext.TextAnalysis.bpeVocab]]: the final
+    * dict's symbols exploded and rolled up.
+    */
+  private def bpeVocabOracle(n: Int): String =
+    s"""${bpeChainCtes(n)}
+       |SELECT s AS subword, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+       |FROM d$n, UNNEST(syms) AS u(s)
+       |GROUP BY s ORDER BY n_occurrences DESC, subword""".stripMargin
+
   private def bpeChainCtes(n: Int): String = {
     val base =
       """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -637,6 +652,7 @@ object ExtEntry {
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_merges" -> bpeMergesOracle(10),
     "tokenizer_bpe_encode" -> bpeEncodeOracle(10),
+    "tokenizer_bpe_vocab" -> bpeVocabOracle(10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

@@ -689,6 +689,22 @@ object TextAnalysis {
                 nMerges: Int): DataFrame =
     bpeEncodeOf(spark, documents(spark, dir), nMerges)
 
+  /** The VOCABULARY the trained merges induce: every subword unit in
+    * the final dict with its corpus occurrence mass (word frequency ×
+    * slots) and the number of distinct words containing it — the table
+    * a tokenizer-budget decision (vocab size vs coverage) reads.
+    * Vocab-sized output; one explode + rollup over the trained dict.
+    */
+  def bpeVocab(spark: SparkSession, dir: String,
+               nMerges: Int): DataFrame = {
+    val (_, dict) = bpeTrain(spark, documents(spark, dir), nMerges)
+    dict.select(col("w"), col("freq"), explode(col("syms")).as("subword"))
+      .groupBy(col("subword"))
+      .agg(sum(col("freq")).as("n_occurrences"),
+        count_distinct(col("w")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("subword"))
+  }
+
   private[graft] def bpeEncodeOf(spark: SparkSession, docs: DataFrame,
                                  nMerges: Int): DataFrame = {
     val (_, dict) = bpeTrain(spark, docs, nMerges)

@@ -115,6 +115,20 @@ class BpeMergeSpec extends SparkTestBase {
       r.getDouble(4) == 2.0, s"got ${r.toSeq}")
   }
 
+  test("vocab rollup on the hand corpus: occurrence mass and word " +
+    "coverage per subword") {
+    // after 3 merges: low(x3) -> [low</w>], lower(x1) -> [low, e, r, </w>]
+    val docs = Seq("low low lower low").toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_vocab")
+    docs.withColumn("doc_id", lit(1L))
+      .write.parquet(s"$dir/documents.parquet")
+    val vocab = TextAnalysis.bpeVocab(spark, dir.toString, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // low</w> occurs 3x in 1 word; low/e/r/</w> occur 1x in 1 word
+    assert(vocab == Seq(("low</w>", 3L, 1L), ("</w>", 1L, 1L),
+      ("e", 1L, 1L), ("low", 1L, 1L), ("r", 1L, 1L)), vocab.toString)
+  }
+
   test("iteration 1 agrees with tokenizer_pair_counts' top pair") {
     val dir = "/root/testdata/sf0.001"
     val top = TextAnalysis.bpePairCounts(spark, dir, k = 1).collect().head
