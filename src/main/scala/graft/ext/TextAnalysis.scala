@@ -608,8 +608,12 @@ object TextAnalysis {
     * Output: one row per merge — (rank, lhs, rhs, merged, cnt).
     */
   def bpeMerges(spark: SparkSession, dir: String,
-                nMerges: Int): DataFrame =
-    bpeMergesOf(spark, documents(spark, dir), nMerges)
+                nMerges: Int): DataFrame = {
+    import spark.implicits._
+    bpeTrainForDir(spark, dir, nMerges)._1
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
 
   private[graft] def bpeMergesOf(spark: SparkSession, docs: DataFrame,
                                  nMerges: Int): DataFrame = {
@@ -618,6 +622,23 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "merged", "cnt")
       .orderBy(col("rank"))
   }
+
+  /** Session-scoped memo of the trained (merges, dict) per (dir, n):
+    * the three registered tokenizer queries (`merges`, `encode`,
+    * `vocab`) share one training run instead of re-looping per query —
+    * the same derived-state amortization the standing indexes apply,
+    * in-memory because the dict is checkpointed RDD state that dies
+    * with the session anyway (hence the session-identity key: a cached
+    * frame must never leak across sessions).
+    */
+  private val bpeTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), (Seq[(Long, String, String, String, Long)], DataFrame)]
+
+  private def bpeTrainForDir(spark: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    bpeTrainCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, nMerges),
+      bpeTrain(spark, documents(spark, dir), nMerges))
 
   /** The shared trainer loop behind [[bpeMerges]] and [[bpeEncode]]:
     * returns the ranked merge list AND the final dict
@@ -687,7 +708,8 @@ object TextAnalysis {
     */
   def bpeEncode(spark: SparkSession, dir: String,
                 nMerges: Int): DataFrame =
-    bpeEncodeOf(spark, documents(spark, dir), nMerges)
+    bpeEncodeWith(spark, documents(spark, dir),
+      bpeTrainForDir(spark, dir, nMerges)._2)
 
   /** The VOCABULARY the trained merges induce: every subword unit in
     * the final dict with its corpus occurrence mass (word frequency ×
@@ -697,7 +719,7 @@ object TextAnalysis {
     */
   def bpeVocab(spark: SparkSession, dir: String,
                nMerges: Int): DataFrame = {
-    val (_, dict) = bpeTrain(spark, documents(spark, dir), nMerges)
+    val (_, dict) = bpeTrainForDir(spark, dir, nMerges)
     dict.select(col("w"), col("freq"), explode(col("syms")).as("subword"))
       .groupBy(col("subword"))
       .agg(sum(col("freq")).as("n_occurrences"),
@@ -706,8 +728,14 @@ object TextAnalysis {
   }
 
   private[graft] def bpeEncodeOf(spark: SparkSession, docs: DataFrame,
-                                 nMerges: Int): DataFrame = {
-    val (_, dict) = bpeTrain(spark, docs, nMerges)
+                                 nMerges: Int): DataFrame =
+    bpeEncodeWith(spark, docs, bpeTrain(spark, docs, nMerges)._2)
+
+  /** The encode join against an already-trained dict — shared by the
+    * memoized dir path and the arbitrary-frame test path.
+    */
+  private def bpeEncodeWith(spark: SparkSession, docs: DataFrame,
+                            dict: DataFrame): DataFrame = {
     val sub = dict.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
