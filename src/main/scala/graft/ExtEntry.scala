@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Layout, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Layout, Multimodal, Pq, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
@@ -73,6 +73,16 @@ object ExtEntry {
     "ann_ivf_stats" -> ((s, dir) =>
       Similarity.ivfStats(s, dir, nQueries = 10, nCentroids = 16,
         simThreshold = 0.1)),
+
+    // Product-Quantization ADC search (Jégou et al. 2011): candidates
+    // carry 8 code bytes instead of 256 float bytes, scoring is 8
+    // LUT lookup-adds per pair, exact float32 rescore on the top pool
+    "ann_pq_topk" -> ((s, dir) =>
+      Pq.pqTopK(s, dir, nQueries = 10, k = 3)),
+
+    // the PQ encode's observability face: per-subspace code occupancy
+    // and exact decimal-summed quantization error
+    "emb_pq_stats" -> ((s, dir) => Pq.pqStats(s, dir, nQueries = 10)),
 
     // int8 embedding quantization — scan-local storage-reduction op;
     // payload checked by md5 over the quantized ints, quality by the
@@ -567,6 +577,137 @@ object ExtEntry {
        |FROM occ, quant""".stripMargin
   }
 
+  /** Exact-integer squared L2 between two micro-unit subvector lists —
+    * the PQ k-means/encode distance. Equal EXACTLY to the engine's
+    * `‖a‖² − 2a·b + ‖b‖²` expansion because every term is an integer
+    * below 2^53.
+    */
+  private def pqL2Sql(a: String, b: String, subDim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $subDim), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The PQ codebook-training CTE chain (`samp` → subvector expansion →
+    * `pc0` init → Lloyd iterations keyed (sub, code) → `pcb`), shared by
+    * [[pqOracleSql]] and [[pqStatsOracleSql]]. Mirrors
+    * [[graft.ext.Pq.trainPqCodebooks]] digit-for-digit: micro-unit
+    * quantization, L2 argmin with smaller-code tie-break, exact-integer
+    * means re-quantized to the micro grid, emptied codes keeping their
+    * previous centroid via the coalesce.
+    */
+  private def pqTrainCtes(nQueries: Int, nSub: Int, kSub: Int, iters: Int,
+                          sampleMod: Int, sampleCap: Int): String = {
+    val subDim = 64 / nSub
+    val quant =
+      "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))"
+    def subOf(src: String): String =
+      s"list_transform(generate_series(1, $subDim), " +
+        s"i -> $src[(sub-1)*$subDim+i])"
+    val iterCtes = (1 to iters).map { n =>
+      val prev = s"pc${n - 1}"
+      s"""pa$n AS (SELECT sid, sub, code, sq, row_number() OVER (
+         |    PARTITION BY sid, sub
+         |    ORDER BY ${pqL2Sql("sq", "cq", subDim)} ASC, code) AS rk
+         |  FROM ssamp JOIN $prev USING (sub)),
+         |pm$n AS (SELECT sub, code, i, floor(sum(sq[i]) / count(*) + 0.5) AS c
+         |  FROM (SELECT sub, code, sq FROM pa$n WHERE rk = 1) t,
+         |       UNNEST(generate_series(1, $subDim)) AS g(i)
+         |  GROUP BY sub, code, i),
+         |pn$n AS (SELECT sub, code, array_agg(c ORDER BY i) AS cq
+         |  FROM pm$n GROUP BY sub, code),
+         |pc$n AS (SELECT p.sub, p.code, coalesce(nn.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN pn$n nn USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""samp AS (SELECT vec_id AS sid, $quant AS q
+       |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0
+       |    AND vec_id < ${nQueries.toLong + sampleCap.toLong * sampleMod}),
+       |ssamp AS (SELECT sid, sub, ${subOf("q")} AS sq
+       |  FROM samp, UNNEST(generate_series(1, $nSub)) AS g(sub)),
+       |pc0 AS (SELECT sub, vec_id - $nQueries AS code, ${subOf("q")} AS cq
+       |  FROM (SELECT vec_id, $quant AS q FROM embeddings
+       |        WHERE vec_id >= $nQueries AND vec_id < ${nQueries + kSub}) t,
+       |       UNNEST(generate_series(1, $nSub)) AS g(sub)),
+       |$iterCtes,
+       |pcb AS (SELECT sub, code, cq FROM pc$iters)""".stripMargin
+  }
+
+  /** Candidate encode CTEs shared by the two PQ oracles: micro-unit
+    * subvector expansion and the per-(cid, sub) argmin-L2 code with its
+    * exact integer distance.
+    */
+  private def pqEncodeCtes(nQueries: Int, nSub: Int, subDim: Int): String = {
+    val quant =
+      "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))"
+    s"""cand AS (SELECT vec_id AS cid, embedding AS ce, $quant AS cq64
+       |  FROM embeddings WHERE vec_id >= $nQueries),
+       |csub AS (SELECT cid, sub, list_transform(generate_series(1, $subDim),
+       |    i -> cq64[(sub-1)*$subDim+i]) AS sq
+       |  FROM cand, UNNEST(generate_series(1, $nSub)) AS g(sub)),
+       |encd AS (SELECT cid, sub, code, dist FROM (
+       |    SELECT cid, sub, code, ${pqL2Sql("sq", "cq", subDim)} AS dist,
+       |      row_number() OVER (PARTITION BY cid, sub
+       |        ORDER BY ${pqL2Sql("sq", "cq", subDim)} ASC, code) AS rk
+       |    FROM csub JOIN pcb USING (sub)) t WHERE rk = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ext.Pq.pqTopK]] including codebook training:
+    * per-query LUT partial dots (`lutp` — float components cast to
+    * double times the de-quantized centroid, the identical IEEE product
+    * sequence as the engine's codegen'd dot over a slice), the ADC sum
+    * replayed in sub order (`list_sum(list(pdot ORDER BY sub))` = the
+    * engine's left-to-right chained adds), the same
+    * `rescoreFactor·k` pool, and the exact float32-cosine rescore.
+    */
+  private def pqOracleSql(nQueries: Int, k: Int, nSub: Int, kSub: Int,
+                          iters: Int, sampleMod: Int, sampleCap: Int,
+                          rescoreFactor: Int): String = {
+    val subDim = 64 / nSub
+    s"""WITH ${pqTrainCtes(nQueries, nSub, kSub, iters, sampleMod, sampleCap)},
+       |${pqEncodeCtes(nQueries, nSub, subDim)},
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nQueries),
+       |lutp AS (SELECT qid, sub, code,
+       |    list_sum(list_transform(generate_series(1, $subDim), i ->
+       |      CAST(qe[(sub-1)*$subDim+i] AS DOUBLE) * (cq[i] / 1000000.0)))
+       |      AS pdot
+       |  FROM q, pcb),
+       |adcs AS (SELECT qid, cid, list_sum(list(pdot ORDER BY sub)) AS adc
+       |  FROM encd JOIN lutp USING (sub, code) GROUP BY qid, cid),
+       |pool AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS ark
+       |  FROM adcs) t WHERE ark <= ${rescoreFactor * k}),
+       |sims AS (SELECT p.qid, p.cid,
+       |    ${cosSql("CAST(q.qe[i] AS DOUBLE)", "CAST(cd.ce[i] AS DOUBLE)")}
+       |      AS sim
+       |  FROM pool p JOIN q ON p.qid = q.qid JOIN cand cd ON p.cid = cd.cid),
+       |rk AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, cid) AS rank FROM sims)
+       |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ext.Pq.pqStats]]: the encode re-derived,
+    * then per-subspace occupancy and the quantization-error sum carried
+    * exactly (BIGINT-cast integer distances, HUGEINT sum — the oracle
+    * half of the engine's decimal(38,0) sum) before the one double
+    * conversion at the end.
+    */
+  private def pqStatsOracleSql(nQueries: Int, nSub: Int, kSub: Int,
+                               iters: Int, sampleMod: Int,
+                               sampleCap: Int): String = {
+    val subDim = 64 / nSub
+    s"""WITH ${pqTrainCtes(nQueries, nSub, kSub, iters, sampleMod, sampleCap)},
+       |${pqEncodeCtes(nQueries, nSub, subDim)},
+       |percode AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(dist AS BIGINT)) AS ssec
+       |  FROM encd GROUP BY sub, code)
+       |SELECT CAST(sub - 1 AS BIGINT) AS sub_id,
+       |  CAST(count(*) AS BIGINT) AS n_codes_used,
+       |  CAST(min(n) AS BIGINT) AS min_cell,
+       |  CAST(max(n) AS BIGINT) AS max_cell,
+       |  round(CAST(sum(ssec) AS DOUBLE) / 1000000000000.0, 6) AS sse
+       |FROM percode GROUP BY sub ORDER BY sub""".stripMargin
+  }
+
   /** Unrolled fixed-iteration DuckDB oracle for `tokenizer_bpe_merges`:
     * iteration t's merge step is the POSITIONAL formulation of greedy
     * non-overlapping left-to-right replacement — candidate positions
@@ -876,6 +1017,13 @@ object ExtEntry {
     "ann_ivf_stats" -> ivfStatsOracleSql(nQueries = 10, nCentroids = 16,
       simThreshold = 0.1, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
+
+    "ann_pq_topk" -> pqOracleSql(nQueries = 10, k = 3, nSub = 8, kSub = 16,
+      iters = 2, sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap,
+      rescoreFactor = 4),
+
+    "emb_pq_stats" -> pqStatsOracleSql(nQueries = 10, nSub = 8, kSub = 16,
+      iters = 2, sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap),
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -1,0 +1,238 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity.{defaultIvfSampleCap, dot, embeddings, ivfSample, norm}
+
+/** Product Quantization (Jégou et al. 2011, "Product quantization for
+  * nearest neighbor search") — the standard billion-scale ANN compression:
+  * split each `dim`-vector into `nSub` subvectors, k-means each subspace
+  * into `kSub` codes, and store each vector as `nSub` small code ids.
+  * A candidate row shrinks from `dim` floats (256 B here) to `nSub`
+  * codes (8 B at 8×16) — a 32× narrower scan — and query-time scoring
+  * becomes `nSub` lookup-adds against a per-query lookup table (LUT of
+  * the query-subvector · sub-centroid dot products) instead of `dim`
+  * multiply-adds: the asymmetric distance computation (ADC) kernel.
+  *
+  * Cross-engine determinism follows the [[Similarity.trainIvfCentroids]]
+  * recipe digit-for-digit: micro-unit quantization (`floor(x·1e6+0.5)`)
+  * makes every k-means distance/mean an EXACT integer in double, so
+  * aggregation order cannot change a digit; assignment ties break toward
+  * the smaller code id; an emptied code keeps its previous centroid.
+  * Squared-L2 in the engine is expanded as `‖a‖² − 2a·b + ‖b‖²` (three
+  * codegen'd [[Similarity.dot]] kernels over exact integers — equal to
+  * the oracle's `Σ(aᵢ−bᵢ)²` EXACTLY, not just approximately, because
+  * every term is an integer below 2^53).
+  *
+  * Scale shape: training collects only the O(sampleCap) [[ivfSample]]
+  * slice; the codebook (nSub·kSub rows) is broadcast everywhere; encode
+  * is one scan + a (cid, sub_id)-keyed window; ADC search reads ONLY the
+  * codes payload and ships (qid, cid, adc) triples into the ranking
+  * shuffle — the float vectors are fetched solely for the
+  * `rescoreFactor·k`-row exact-rescore pool, the PQ+refine deployment
+  * shape ([[Similarity.int8RescoreTopK]]'s stage-2 twin).
+  */
+object Pq {
+
+  val dim = 64
+
+  /** Per-subspace deterministic Lloyd k-means over the [[ivfSample]]
+    * slice, in integer micro-units. Returns `[sub][code][subDim]` in
+    * MICRO units (callers de-quantize with `/1e6` where doubles are
+    * needed). Init: code `c` of every subspace is seeded from candidate
+    * vector `nQueries + c`'s subvector — the same deterministic
+    * table-slice seeding as IVF, reproduced verbatim by the oracle.
+    */
+  def trainPqCodebooks(emb: DataFrame, nQueries: Int, nSub: Int, kSub: Int,
+                       iters: Int, sampleMod: Int,
+                       sampleCap: Int = defaultIvfSampleCap)
+      : Array[Array[Array[Double]]] = {
+    val subDim = dim / nSub
+    def micro(fs: Seq[Float]): Array[Double] =
+      fs.map(f => math.floor(f.toDouble * 1e6 + 0.5)).toArray
+    val sample: Array[Array[Double]] =
+      ivfSample(emb, nQueries, sampleMod, sampleCap)
+        .orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(r => micro(r.getSeq[Float](0)))
+    val init: Array[Array[Double]] = emb
+      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + kSub)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(r => micro(r.getSeq[Float](0)))
+    def l2(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    Array.tabulate(nSub) { sub =>
+      val off = sub * subDim
+      var codes: Array[Array[Double]] =
+        init.map(_.slice(off, off + subDim))
+      for (_ <- 1 to iters) {
+        val assign = sample.map { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          for (c <- codes.indices) {
+            val d = l2(v, off, codes(c))
+            if (d < bestD) { best = c; bestD = d } // tie keeps smaller code
+          }
+          best
+        }
+        codes = codes.indices.map { c =>
+          val members = sample.indices.filter(assign(_) == c)
+          if (members.isEmpty) codes(c)
+          else Array.tabulate(subDim) { j =>
+            // exact integer sum, IEEE divide, re-quantize to the micro
+            // grid — the same mean formula as IVF and the oracle
+            val s = members.map(sample(_)(off + j)).sum
+            math.floor(s / members.size + 0.5)
+          }
+        }.toArray
+      }
+      codes
+    }
+  }
+
+  /** Subvector `s` of a float-array column, in integer micro-units —
+    * `subDim` codegen'd element_at/floor terms, no interpreted HOF.
+    */
+  private def microSub(e: Column, s: Int, subDim: Int): Column =
+    array((1 to subDim).map(i =>
+      floor(element_at(e, s * subDim + i).cast("double") * lit(1e6) +
+        lit(0.5)).cast("double")): _*)
+
+  /** The trained codebook as a broadcastable frame:
+    * (sub_id, code, cq micro-doubles, cn2 = exact ‖cq‖²).
+    */
+  private def codebookDf(spark: SparkSession,
+                         books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cq, c) => (s.toLong, c.toLong, cq.toSeq) }
+    }.toSeq.toDF("sub_id", "code", "cq")
+      .select(col("sub_id"), col("code"), col("cq"),
+        dot(col("cq"), col("cq")).as("cn2"))
+  }
+
+  /** Trains the codebooks and encodes every candidate: one row per
+    * (cid, sub_id) with the argmin-L2 `code` and its exact integer
+    * `dist` (micro² units). The argmin is the IVF assignment shape —
+    * broadcast codebook join + (cid, sub_id)-keyed `row_number` — with
+    * `‖sq‖²` hoisted per subvector so the per-code work is a single
+    * [[Similarity.dot]].
+    */
+  private[graft] def assignments(spark: SparkSession, dir: String,
+                                 nQueries: Int, nSub: Int, kSub: Int,
+                                 iters: Int, sampleMod: Int, sampleCap: Int)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val subDim = dim / nSub
+    val emb = embeddings(spark, dir)
+    val books =
+      trainPqCodebooks(emb, nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    val cb = codebookDf(spark, books)
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"),
+        explode(array((0 until nSub).map { s =>
+          struct(lit(s.toLong).as("sub_id"),
+            microSub(col("embedding"), s, subDim).as("sq"))
+        }: _*)).as("ss"))
+      .select(col("cid"), col("ss.sub_id").as("sub_id"), col("ss.sq").as("sq"))
+      .withColumn("sn2", dot(col("sq"), col("sq")))
+    val w = Window.partitionBy(col("cid"), col("sub_id"))
+      .orderBy(col("dist").asc, col("code").asc)
+    val enc = cand.join(broadcast(cb), Seq("sub_id"))
+      .select(col("cid"), col("sub_id"), col("code"),
+        (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
+          .as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("sub_id"), col("code"), col("dist"))
+    (books, enc)
+  }
+
+  /** PQ-ADC top-k: encode candidates to `nSub` codes, score every
+    * (query, candidate) pair with `nSub` LUT lookup-adds, exact-rescore
+    * the top `rescoreFactor·k` pool in float32 cosine, emit the final
+    * top `k` — (qid, cid, rank, sim).
+    *
+    * The LUT is a per-query 1-D array literal of `nSub·kSub` exact dot
+    * products (query subvector · de-quantized sub-centroid), laid out
+    * sub-major so the ADC sum is `nSub` codegen'd `element_at` terms
+    * chained left-to-right — the same addition order the oracle's
+    * `list_sum(list(pdot ORDER BY sub))` replays.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+             nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
+             sampleMod: Int = 3, sampleCap: Int = defaultIvfSampleCap,
+             rescoreFactor: Int = 4): DataFrame = {
+    val subDim = dim / nSub
+    val (books, enc) =
+      assignments(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+        sampleCap)
+    val codes = enc.groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
+        .as("codes"))
+    val emb = embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        array((for (s <- 0 until nSub; c <- 0 until kSub) yield
+          dot(slice(col("embedding"), s * subDim + 1, subDim),
+            array(books(s)(c).map(m => lit(m / 1e6)): _*))): _*).as("lut"))
+    val adc = (0 until nSub).map { s =>
+      element_at(col("lut"),
+        (lit(s * kSub) + element_at(col("codes"), s + 1).getField("code") +
+          lit(1)).cast("int"))
+    }.reduce(_ + _)
+    val wPool = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("cid").asc)
+    val pool = codes.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"), adc.as("adc"))
+      .withColumn("ark", row_number().over(wPool))
+      .filter(col("ark") <= rescoreFactor * k)
+      .select(col("qid"), col("cid"))
+    val qf = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val cf = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    cf.join(broadcast(pool), Seq("cid"))
+      .join(broadcast(qf), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The observability face of the PQ encode: per subspace, how many of
+    * the `kSub` codes are in use, the min/max code-cell occupancy, and
+    * the total squared quantization error (`sse`, de-quantized units).
+    * The error sum runs in decimal(38,0) — exact and order-independent,
+    * the only way a Σ of ~1e13-sized integers stays bit-reproducible
+    * across engines — and converts to double only at the end.
+    */
+  def pqStats(spark: SparkSession, dir: String, nQueries: Int,
+              nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
+              sampleMod: Int = 3,
+              sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    val (_, enc) =
+      assignments(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+        sampleCap)
+    val perCode = enc.groupBy(col("sub_id"), col("code"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(38,0)")).as("sse_dec"))
+    perCode.groupBy(col("sub_id"))
+      .agg(count(lit(1)).as("n_codes_used"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"),
+        round(sum(col("sse_dec")).cast("double") / lit(1e12), 6).as("sse"))
+      .orderBy(col("sub_id"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Pq, Similarity}
+
+/** Product-Quantization kernels: encode/search determinism, exact
+  * agreement between the engine's `‖a‖²−2a·b+‖b‖²` distance expansion
+  * and the definitional Σ(aᵢ−bᵢ)², ADC-vs-reconstruction parity, and
+  * the plan shape (broadcast codebook/query sides, no cartesian).
+  */
+class PqSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def micro(fs: Seq[Float]): Array[Double] =
+    fs.map(f => math.floor(f.toDouble * 1e6 + 0.5)).toArray
+
+  test("pqTopK is deterministic and returns dense ranks 1..k per query") {
+    val a = Pq.pqTopK(spark, dir, nQueries = 10, k = 3).collect().toSeq
+    val b = Pq.pqTopK(spark, dir, nQueries = 10, k = 3).collect().toSeq
+    assert(a == b)
+    val byQ = a.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted == Seq(1L, 2L, 3L)))
+  }
+
+  test("engine assignment distances equal the definitional Σ(aᵢ−bᵢ)² " +
+    "exactly, and every candidate gets one code per subspace") {
+    val (books, enc) = Pq.assignments(spark, dir, nQueries = 10, nSub = 8,
+      kSub = 16, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap)
+    val rows = enc.collect()
+    val cands = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> micro(r.getSeq[Float](1))).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      cands.size * 8)
+    rows.foreach { r =>
+      val (cid, sub, code, dist) =
+        (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getDouble(3))
+      val v = cands(cid)
+      val c = books(sub)(code)
+      val want = (0 until 8).map { i =>
+        val d = v(sub * 8 + i) - c(i); d * d
+      }.sum
+      assert(dist == want, s"cid=$cid sub=$sub") // EXACT integer equality
+      // and the chosen code is a true argmin (ties toward smaller code)
+      val better = books(sub).indices.exists { c2 =>
+        val d2 = (0 until 8).map { i =>
+          val d = v(sub * 8 + i) - books(sub)(c2)(i); d * d
+        }.sum
+        d2 < want || (d2 == want && c2 < code)
+      }
+      assert(!better, s"cid=$cid sub=$sub code=$code is not the argmin")
+    }
+  }
+
+  test("ADC score equals the query·reconstruction dot up to association " +
+    "(per-sub partial sums), within 1e-9") {
+    val nSub = 8; val kSub = 16
+    val (books, enc) = Pq.assignments(spark, dir, nQueries = 10, nSub = nSub,
+      kSub = kSub, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap)
+    val codes = enc.collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toInt).toSeq
+      }
+    val qs = Similarity.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    // the engine's ADC pool scores, re-derived through the public query
+    // (pool = rescoreFactor·k rows/query before exact rescore) are not
+    // directly exposed; recompute the ADC formula and compare with the
+    // mathematical identity adc = Σ_sub (q_sub · c_sub)
+    qs.foreach { case (_, qe) =>
+      codes.take(50).foreach { case (_, cs) =>
+        val adc = (0 until nSub).map { s =>
+          (0 until 8).map { i =>
+            qe(s * 8 + i).toDouble * (books(s)(cs(s))(i) / 1e6)
+          }.sum
+        }.sum
+        val recon = (0 until nSub).flatMap(s => books(s)(cs(s)).map(_ / 1e6))
+        val full = (0 until 64).map(i => qe(i).toDouble * recon(i)).sum
+        assert(math.abs(adc - full) <= 1e-9)
+      }
+    }
+  }
+
+  test("pqStats occupancies partition the candidate set; sse matches a " +
+    "driver-side exact recompute") {
+    val nCand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10).count()
+    val stats = Pq.pqStats(spark, dir, nQueries = 10).collect()
+    assert(stats.length == 8)
+    val (books, enc) = Pq.assignments(spark, dir, nQueries = 10, nSub = 8,
+      kSub = 16, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap)
+    val distBySub = enc.collect().groupBy(_.getLong(1))
+    stats.foreach { r =>
+      val sub = r.getLong(0)
+      assert(r.getLong(1) <= 16) // n_codes_used
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3))
+      val subRows = distBySub(sub)
+      assert(subRows.length.toLong == nCand)
+      // exact integer sum of the min distances, then the same /1e12
+      val sse = subRows.map(x => BigDecimal(x.getDouble(3))).sum
+      val want = (sse / BigDecimal(1e12)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == want, s"sub=$sub")
+    }
+    assert(books.length == 8 && books.forall(_.length == 16))
+  }
+
+  test("pqTopK plans without CartesianProduct; codebook and pool joins " +
+    "broadcast") {
+    val df = Pq.pqTopK(spark, dir, nQueries = 10, k = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
