@@ -80,6 +80,12 @@ object ExtEntry {
     "ann_pq_topk" -> ((s, dir) =>
       Pq.pqTopK(s, dir, nQueries = 10, k = 3)),
 
+    // the PERSISTED-codes form: per query only the 8-byte code rows are
+    // scanned for ADC; the train + corpus encode ran once at index
+    // build (oracle identical to ann_pq_topk by construction)
+    "ann_pq_indexed" -> ((s, dir) =>
+      Pq.pqIndexedTopK(s, dir, nQueries = 10, k = 3)),
+
     // the PQ encode's observability face: per-subspace code occupancy
     // and exact decimal-summed quantization error
     "emb_pq_stats" -> ((s, dir) => Pq.pqStats(s, dir, nQueries = 10)),
@@ -1021,6 +1027,12 @@ object ExtEntry {
     "ann_pq_topk" -> pqOracleSql(nQueries = 10, k = 3, nSub = 8, kSub = 16,
       iters = 2, sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap,
       rescoreFactor = 4),
+
+    // same contract as ann_pq_topk — the index changes the plan, not
+    // the rows
+    "ann_pq_indexed" -> pqOracleSql(nQueries = 10, k = 3, nSub = 8,
+      kSub = 16, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4),
 
     "emb_pq_stats" -> pqStatsOracleSql(nQueries = 10, nSub = 8, kSub = 16,
       iters = 2, sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap),

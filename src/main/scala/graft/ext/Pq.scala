@@ -152,30 +152,31 @@ object Pq {
     (books, enc)
   }
 
-  /** PQ-ADC top-k: encode candidates to `nSub` codes, score every
-    * (query, candidate) pair with `nSub` LUT lookup-adds, exact-rescore
-    * the top `rescoreFactor·k` pool in float32 cosine, emit the final
-    * top `k` — (qid, cid, rank, sim).
-    *
-    * The LUT is a per-query 1-D array literal of `nSub·kSub` exact dot
-    * products (query subvector · de-quantized sub-centroid), laid out
-    * sub-major so the ADC sum is `nSub` codegen'd `element_at` terms
-    * chained left-to-right — the same addition order the oracle's
-    * `list_sum(list(pdot ORDER BY sub))` replays.
+  /** Per-candidate code rows from the (cid, sub_id, code) assignment:
+    * one row per cid with `codes = array<struct<sub_id, code>>` in
+    * sub order — the 8-byte payload the ADC scan reads.
     */
-  def pqTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-             nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
-             sampleMod: Int = 3, sampleCap: Int = defaultIvfSampleCap,
-             rescoreFactor: Int = 4): DataFrame = {
-    val subDim = dim / nSub
-    val (books, enc) =
-      assignments(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
-        sampleCap)
-    val codes = enc.groupBy(col("cid"))
+  private def groupCodes(enc: DataFrame): DataFrame =
+    enc.groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
         .as("codes"))
-    val emb = embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < nQueries)
+
+  /** The ADC stage-1 pool: every (query, candidate) pair scored with
+    * `nSub` codegen'd LUT lookup-adds, top `poolK` per query by
+    * (adc desc, cid asc). The LUT is a per-query 1-D array literal of
+    * `nSub·kSub` exact dot products (query subvector · de-quantized
+    * sub-centroid), laid out sub-major so the ADC sum is `nSub`
+    * chained left-to-right adds — the addition order the oracle's
+    * `list_sum(list(pdot ORDER BY sub))` replays.
+    */
+  private[graft] def adcPool(spark: SparkSession, dir: String,
+                             codes: DataFrame,
+                             books: Array[Array[Array[Double]]],
+                             nQueries: Int, poolK: Int): DataFrame = {
+    val nSub = books.length
+    val kSub = books.head.length
+    val subDim = dim / nSub
+    val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"),
         array((for (s <- 0 until nSub; c <- 0 until kSub) yield
           dot(slice(col("embedding"), s * subDim + 1, subDim),
@@ -187,11 +188,21 @@ object Pq {
     }.reduce(_ + _)
     val wPool = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("cid").asc)
-    val pool = codes.crossJoin(broadcast(q))
+    codes.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"), adc.as("adc"))
       .withColumn("ark", row_number().over(wPool))
-      .filter(col("ark") <= rescoreFactor * k)
+      .filter(col("ark") <= poolK)
       .select(col("qid"), col("cid"))
+  }
+
+  /** Exact float32-cosine rescore of a (qid, cid) pool against the base
+    * vectors, final top `k` — [[Similarity.int8RescoreTopK]]'s stage-2
+    * shape.
+    */
+  private def exactRescore(spark: SparkSession, dir: String,
+                           pool: DataFrame, nQueries: Int,
+                           k: Int): DataFrame = {
+    val emb = embeddings(spark, dir)
     val qf = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
@@ -209,6 +220,24 @@ object Pq {
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** PQ-ADC top-k: encode candidates to `nSub` codes, score every
+    * (query, candidate) pair with `nSub` LUT lookup-adds, exact-rescore
+    * the top `rescoreFactor·k` pool in float32 cosine, emit the final
+    * top `k` — (qid, cid, rank, sim). Trains + encodes per call; the
+    * amortized deployment shape is [[pqIndexedTopK]].
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+             nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
+             sampleMod: Int = 3, sampleCap: Int = defaultIvfSampleCap,
+             rescoreFactor: Int = 4): DataFrame = {
+    val (books, enc) =
+      assignments(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+        sampleCap)
+    val pool = adcPool(spark, dir, groupCodes(enc), books, nQueries,
+      rescoreFactor * k)
+    exactRescore(spark, dir, pool, nQueries, k)
   }
 
   /** The observability face of the PQ encode: per subspace, how many of
@@ -234,5 +263,171 @@ object Pq {
         max(col("n")).as("max_cell"),
         round(sum(col("sse_dec")).cast("double") / lit(1e12), 6).as("sse"))
       .orderBy(col("sub_id"))
+  }
+
+  // ————————————— standing PQ index (persisted codebooks + codes) —————————————
+
+  /** Every knob that determines the trained codebooks and the candidate
+    * partition is part of the table key — the [[Similarity.ivfKey]]
+    * staleness rule.
+    */
+  private[graft] def pqKey(nQueries: Int, nSub: Int, kSub: Int, iters: Int,
+                           sampleMod: Int, sampleCap: Int): String =
+    s"q${nQueries}_u${nSub}_k${kSub}_i${iters}_m${sampleMod}_s$sampleCap"
+
+  private[graft] def pqBooksTable(dir: String, key: String): String =
+    s"graft_pq_books_${IndexCatalog.indexKey(dir)}_$key"
+  private[graft] def pqCodesTable(dir: String, key: String): String =
+    s"graft_pq_codes_${IndexCatalog.indexKey(dir)}_$key"
+
+  /** Build the STANDING PQ index for `dir` if absent: the trained
+    * codebook table (nSub·kSub rows, tiny) and the per-candidate code
+    * table (cid, codes) — the 8-byte-per-vector payload an ADC scan
+    * reads instead of the float vectors. [[pqTopK]] pays train + encode
+    * per call; with the index a query pays only the codes scan + LUT
+    * adds. A prior session's data reattaches via [[IndexCatalog]].
+    */
+  def ensurePqIndex(spark: SparkSession, dir: String, nQueries: Int,
+                    nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
+                    sampleMod: Int = 3,
+                    sampleCap: Int = defaultIvfSampleCap): Unit = {
+    val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    val bt = pqBooksTable(dir, key)
+    val kt = pqCodesTable(dir, key)
+    if (!spark.catalog.tableExists(bt) || !spark.catalog.tableExists(kt)) {
+      spark.sql(s"DROP TABLE IF EXISTS $bt")
+      spark.sql(s"DROP TABLE IF EXISTS $kt")
+      val reatB = IndexCatalog.reattachIfPresent(spark, bt, Seq("sub_id"))
+      val reatK = IndexCatalog.reattachIfPresent(spark, kt, Seq("cid"))
+      if (!(reatB && reatK)) {
+        Seq(bt, kt).foreach(IndexCatalog.purge(spark, _))
+        val (books, enc) = assignments(spark, dir, nQueries, nSub, kSub,
+          iters, sampleMod, sampleCap)
+        codebookDf(spark, books).write.mode("overwrite")
+          .bucketBy(8, "sub_id").sortBy("sub_id")
+          .option("path", IndexCatalog.tableLocation(spark, bt).toString)
+          .saveAsTable(bt)
+        groupCodes(enc).write.mode("overwrite")
+          .bucketBy(8, "cid").sortBy("cid")
+          .option("path", IndexCatalog.tableLocation(spark, kt).toString)
+          .saveAsTable(kt)
+      }
+    }
+  }
+
+  /** Drop the standing PQ index (catalog entries and data) — the
+    * rebuild half of a retrain.
+    */
+  def purgePqIndex(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
+                   sampleMod: Int = 3,
+                   sampleCap: Int = defaultIvfSampleCap): Unit = {
+    val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    IndexCatalog.purge(spark, pqBooksTable(dir, key))
+    IndexCatalog.purge(spark, pqCodesTable(dir, key))
+  }
+
+  /** The persisted codebook re-materialized as the in-memory
+    * `[sub][code][subDim]` micro-unit array the LUT literals need — a
+    * constant nSub·kSub-row collect.
+    */
+  private def readBooks(spark: SparkSession, bt: String, nSub: Int,
+                        kSub: Int): Array[Array[Array[Double]]] = {
+    val rows = spark.table(bt)
+      .select(col("sub_id"), col("code"), col("cq"))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(nSub)(s => Array.tabulate(kSub)(c => rows((s, c))))
+  }
+
+  /** PQ ANN against the STANDING index: identical output to [[pqTopK]]
+    * with the same parameters (training is deterministic, so the
+    * persisted codebook/codes equal the per-call ones — the spec pins
+    * it), but per query the plan reads ONLY the narrow codes table for
+    * stage 1: the train + corpus encode ran once at build.
+    */
+  def pqIndexedTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+                    nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
+                    sampleMod: Int = 3, sampleCap: Int = defaultIvfSampleCap,
+                    rescoreFactor: Int = 4): DataFrame = {
+    ensurePqIndex(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+      sampleCap)
+    val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    val books = readBooks(spark, pqBooksTable(dir, key), nSub, kSub)
+    val pool = adcPool(spark, dir, spark.table(pqCodesTable(dir, key)),
+      books, nQueries, rescoreFactor * k)
+    exactRescore(spark, dir, pool, nQueries, k)
+  }
+
+  /** Admit newly arrived vectors into the STANDING PQ index: encode
+    * each against the (broadcast) frozen codebook table and append the
+    * code rows. Idempotent at vector granularity — an anti-join on cid
+    * drops already-present rows, its codes-table probe pruned to the
+    * batch's cids by a literal IN when the batch is small enough for
+    * the pushed-predicate plan to win (the adaptive
+    * [[TextDedup.indexPruneMaxKeys]] policy). Codebooks stay FROZEN
+    * between rebuilds ([[purgePqIndex]] + [[ensurePqIndex]]), the same
+    * deployment shape as [[Similarity.appendToIvfIndex]].
+    *
+    * Note the raw-store split every real PQ deployment has: the index
+    * carries CODES only, so admitted vectors surface in the ADC stage;
+    * exact rescoring needs the caller's raw-vector store to also carry
+    * them (for the registered queries, the base embeddings table).
+    */
+  def appendToPqIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+                      nQueries: Int, nSub: Int = 8, kSub: Int = 16,
+                      iters: Int = 2, sampleMod: Int = 3,
+                      sampleCap: Int = defaultIvfSampleCap): Unit = {
+    ensurePqIndex(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+      sampleCap)
+    val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    val kt = pqCodesTable(dir, key)
+    pqAppendFrame(spark, newVecs, pqBooksTable(dir, key), kt, nSub)
+      .write.mode("append")
+      .bucketBy(8, "cid").sortBy("cid")
+      .saveAsTable(kt)
+    spark.catalog.refreshTable(kt)
+  }
+
+  /** The frame [[appendToPqIndex]] appends — split out so the spec
+    * asserts the executed plan (pruned idempotency probe, broadcast
+    * codebook).
+    */
+  private[graft] def pqAppendFrame(spark: SparkSession, newVecs: DataFrame,
+                                   bt: String, kt: String,
+                                   nSub: Int): DataFrame = {
+    val subDim = dim / nSub
+    val cb = spark.table(bt)
+    val w = Window.partitionBy(col("cid"), col("sub_id"))
+      .orderBy(col("dist").asc, col("code").asc)
+    // checkpointed: read by the touched-cid collect and the append plan
+    // — one narrow row per batch vector
+    val batchCodes = groupCodes(
+      newVecs
+        .select(col("vec_id").as("cid"),
+          explode(array((0 until nSub).map { s =>
+            struct(lit(s.toLong).as("sub_id"),
+              microSub(col("embedding"), s, subDim).as("sq"))
+          }: _*)).as("ss"))
+        .select(col("cid"), col("ss.sub_id").as("sub_id"),
+          col("ss.sq").as("sq"))
+        .withColumn("sn2", dot(col("sq"), col("sq")))
+        .join(broadcast(cb), Seq("sub_id"))
+        .select(col("cid"), col("sub_id"), col("code"),
+          (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
+            .as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cid"), col("sub_id"), col("code")))
+      .localCheckpoint(true)
+    val cids = batchCodes.select(col("cid")).distinct()
+      .limit(TextDedup.indexPruneMaxKeys + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val existing =
+      if (cids.length <= TextDedup.indexPruneMaxKeys)
+        spark.table(kt).filter(col("cid").isin(cids: _*))
+      else spark.table(kt)
+    batchCodes.join(existing.select(col("cid")), Seq("cid"), "left_anti")
   }
 }

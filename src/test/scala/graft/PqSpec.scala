@@ -123,4 +123,71 @@ class PqSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") ||
       p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  private def purgeIdx(): Unit = Pq.purgePqIndex(spark, dir, nQueries = 10)
+
+  test("indexed PQ top-k equals the per-call train+encode form; its " +
+    "ADC stage reads the codes table, not the vectors") {
+    purgeIdx()
+    try {
+      val indexed = Pq.pqIndexedTopK(spark, dir, nQueries = 10, k = 3)
+      val got = indexed.collect().toSeq
+      val direct = Pq.pqTopK(spark, dir, nQueries = 10, k = 3).collect().toSeq
+      assert(got.nonEmpty && got == direct)
+      val p = indexed.queryExecution.executedPlan.toString
+      assert(p.contains("graft_pq_codes_"), p) // stage 1 scans the index
+    } finally purgeIdx()
+  }
+
+  test("catalog loss reattaches the surviving PQ tables; results " +
+    "unchanged") {
+    purgeIdx()
+    try {
+      val key = Pq.pqKey(10, 8, 16, 2, 3, Similarity.defaultIvfSampleCap)
+      val before =
+        Pq.pqIndexedTopK(spark, dir, nQueries = 10, k = 3).collect().toSeq
+      val codesBefore = spark.table(Pq.pqCodesTable(dir, key)).count()
+      // external tables: DROP keeps the files, like a died JVM would
+      spark.sql(s"DROP TABLE ${Pq.pqBooksTable(dir, key)}")
+      spark.sql(s"DROP TABLE ${Pq.pqCodesTable(dir, key)}")
+      val after =
+        Pq.pqIndexedTopK(spark, dir, nQueries = 10, k = 3).collect().toSeq
+      assert(after == before)
+      assert(spark.table(Pq.pqCodesTable(dir, key)).count() == codesBefore)
+    } finally purgeIdx()
+  }
+
+  test("admitted vectors land in the codes table and surface in the ADC " +
+    "pool; a replayed admission is a no-op") {
+    import spark.implicits._
+    purgeIdx()
+    try {
+      Pq.ensurePqIndex(spark, dir, nQueries = 10)
+      val key = Pq.pqKey(10, 8, 16, 2, 3, Similarity.defaultIvfSampleCap)
+      val kt = Pq.pqCodesTable(dir, key)
+      val n0 = spark.table(kt).count()
+      // a synthetic vector equal to query 0's embedding — its codes are
+      // the codes of q0's nearest sub-centroids, so it must enter q0's
+      // ADC pool at the top
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val newId = 900000L
+      val batch = Seq((newId, q0)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")
+          .as("embedding"))
+      Pq.appendToPqIndex(spark, dir, batch, nQueries = 10)
+      assert(spark.table(kt).count() == n0 + 1)
+      Pq.appendToPqIndex(spark, dir, batch, nQueries = 10) // replay
+      assert(spark.table(kt).count() == n0 + 1)
+      val books = Pq.assignments(spark, dir, nQueries = 10, nSub = 8,
+        kSub = 16, iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap)._1
+      val pool = Pq.adcPool(spark, dir, spark.table(kt), books,
+        nQueries = 10, poolK = 12)
+        .filter(col("qid") === 0L).collect().map(_.getLong(1))
+      assert(pool.contains(newId),
+        s"admitted vector missing from q0's ADC pool: ${pool.toSeq}")
+    } finally purgeIdx()
+  }
 }
