@@ -387,6 +387,10 @@ object ExtEntry {
     // CCNet LM-filter shape; arithmetic-mean deviation documented)
     "text_unigram_lm" -> ((s, dir) => TextAnalysis.unigramLm(s, dir)),
 
+    // CCNet's head/middle/tail split: per-language LM score tertiles
+    // (keep head+middle, drop tail — the selection face of the LM filter)
+    "text_lm_buckets" -> ((s, dir) => TextAnalysis.lmBuckets(s, dir)),
+
     // DSIR hashed-bigram importance weights, target = the en slice
     "dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
 
@@ -1869,6 +1873,36 @@ object ExtEntry {
         |    AS mean_p,
         |  round(CAST(min_cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS min_p
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // per-language models, exact BIGINT sums, ONE division before the
+    // rank — rank order is bit-identical, ties break by doc_id; the
+    // tertile compare is integer arithmetic
+    "text_lm_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, t AS token FROM
+        |    (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(w) AS u(t)),
+        |model AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY lang, token),
+        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM model GROUP BY lang),
+        |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt) AS BIGINT) AS sum_cnt
+        |  FROM tok JOIN model USING (lang, token)
+        |  GROUP BY doc_id, lang),
+        |sc AS (SELECT doc_id, agg.lang, n_tokens,
+        |    CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE)
+        |      AS score
+        |  FROM agg JOIN tot ON agg.lang = tot.lang),
+        |rk AS (SELECT doc_id, lang, n_tokens, score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lm_rank,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+        |  FROM sc)
+        |SELECT doc_id, lang, n_tokens, round(score, 9) AS mean_p, lm_rank,
+        |  CASE WHEN lm_rank * 3 <= n_docs THEN 'head'
+        |       WHEN lm_rank * 3 <= 2 * n_docs THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     // hashed-bigram buckets via the first two md5 hex chars (the strpos
     // arithmetic equals the engine's conv(hex, 16, 10)); target_like

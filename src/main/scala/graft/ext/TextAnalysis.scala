@@ -530,6 +530,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style LM quality buckets (Wenzek et al. 2020 §4.3): score
+    * every document under ITS OWN language's corpus unigram LM, then
+    * split each language into head / middle / tail TERTILES by score —
+    * the split CCNet uses to keep head+middle and drop tail. Score is
+    * the [[unigramLm]] arithmetic-mean probability (same documented
+    * no-log deviation: exact BIGINT sums, ONE IEEE division, so ranks
+    * are bit-identical cross-engine); ranks tie-break by doc_id.
+    *
+    * Scale shape: the model pass is one map-side-combined wordcount per
+    * (lang, token); per-lang models broadcast; the scoring pass is one
+    * doc_id shuffle. The tertile needs a per-language rank — a per-lang
+    * sort of DOC SCORES (not tokens). At 100 TB the exact rank becomes
+    * the bottleneck and the deployment shape swaps in approx-percentile
+    * cutoffs over the score histogram (the `agg_sketch_rollup` pattern:
+    * one pass, no global sort, error confined to the bucket boundary);
+    * the registered query keeps the exact form the oracle can replay.
+    */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+    val model = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("total"))
+    val perDoc = toks.join(broadcast(model), Seq("lang", "token"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("score",
+        col("sum_cnt").cast("double") /
+          (col("n_tokens") * col("total")).cast("double"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    perDoc
+      .withColumn("lm_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(wLang))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("score"), 9).as("mean_p"), col("lm_rank"),
+        when(col("lm_rank") * 3 <= col("n_docs"), lit("head"))
+          .when(col("lm_rank") * 3 <= col("n_docs") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum
     * 5-gram shingle hash (a 1-hash winnowing sketch) — both stable under
     * leading/trailing/duplicate whitespace.

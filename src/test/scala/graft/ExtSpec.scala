@@ -24,6 +24,28 @@ class ExtSpec extends SparkTestBase {
     assert(got == expected, s"got $got")
   }
 
+  test("lm buckets: tertiles partition each language, sizes within one, " +
+    "head scores dominate tail") {
+    val got = TextAnalysis.lmBuckets(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getLong(4), r.getString(5)))
+    val nDocs = graft.ops.Ingest.table(spark, "/root/testdata/sf0.001",
+      "documents").count()
+    assert(got.length.toLong == nDocs) // every doc bucketed exactly once
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(Set("head", "middle", "tail").subsetOf(sizes.keySet) ||
+        rows.length < 3, lang)
+      if (rows.length >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang $sizes")
+      // ranks are a dense 1..n permutation within the language
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, lang)
+      val headMin = rows.filter(_._5 == "head").map(_._3).min
+      val tailMax = rows.filter(_._5 == "tail").map(_._3).max
+      assert(headMin >= tailMax, lang)
+    }
+  }
+
   test("shingles: distinct 3-gram word windows; short docs degrade to one") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextDedup.shingles(split(col("text"), " "), 3).as("sh"))
