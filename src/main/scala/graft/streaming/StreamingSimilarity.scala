@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ext.Similarity
+import graft.ext.{Pq, Similarity}
 
 /** Ingest-time admission into the STANDING IVF index — the embedding
   * sibling of [[StreamingDedup.startIndexedAdmission]]: each micro-batch
@@ -28,6 +28,28 @@ object StreamingSimilarity {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Similarity.appendToIvfIndex(spark, dir, batch, nQueries, nCentroids)
+        ()
+      }
+      .start()
+  }
+
+  /** The PQ sibling of [[startIvfAdmission]]: each micro-batch of newly
+    * embedded vectors is encoded against the frozen codebook table and
+    * appended to the persisted codes table, so interleaved batch
+    * ADC searches see stream-admitted vectors. Same no-marker replay
+    * contract — [[Pq.appendToPqIndex]] is idempotent at vector
+    * granularity. The raw-store caveat from [[Pq.appendToPqIndex]]
+    * applies: exact rescoring of admitted vectors needs the ingest to
+    * also land them in the caller's raw-vector store.
+    */
+  def startPqAdmission(spark: SparkSession, dir: String,
+                       vecs: DataFrame, checkpoint: String,
+                       nQueries: Int): StreamingQuery = {
+    Pq.ensurePqIndex(spark, dir, nQueries)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pq.appendToPqIndex(spark, dir, batch, nQueries)
         ()
       }
       .start()

@@ -157,6 +157,38 @@ class PqSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("stream-admitted vectors land in the shared codes table and " +
+    "batch ADC searches see them") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    purgeIdx()
+    try {
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val ckpt = Files.createTempDirectory("graft_pq_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Float])](97, spark, None)
+      val q = graft.streaming.StreamingSimilarity.startPqAdmission(
+        spark, dir, input.toDF().toDF("vec_id", "embedding"), ckpt,
+        nQueries = 10)
+      try {
+        input.addData((900001L, q0))
+        q.processAllAvailable()
+        val key = Pq.pqKey(10, 8, 16, 2, 3, Similarity.defaultIvfSampleCap)
+        val books = Pq.assignments(spark, dir, nQueries = 10, nSub = 8,
+          kSub = 16, iters = 2, sampleMod = 3,
+          sampleCap = Similarity.defaultIvfSampleCap)._1
+        val pool = Pq.adcPool(spark, dir,
+          spark.table(Pq.pqCodesTable(dir, key)), books,
+          nQueries = 10, poolK = 12)
+          .filter(col("qid") === 0L).collect().map(_.getLong(1))
+        assert(pool.contains(900001L),
+          s"stream-admitted vector missing from q0's ADC pool: ${pool.toSeq}")
+      } finally q.stop()
+    } finally purgeIdx()
+  }
+
   test("admitted vectors land in the codes table and surface in the ADC " +
     "pool; a replayed admission is a no-op") {
     import spark.implicits._
