@@ -116,12 +116,24 @@ object Pq {
         dot(col("cq"), col("cq")).as("cn2"))
   }
 
+  /** The (cid, sub_id)-keyed argmin over the broadcast-joined per-code
+    * distances: `min(struct(dist, code))` IS the (dist asc, code asc)
+    * tie-broken argmin, and unlike a `row_number` window it is a
+    * map-side-combinable aggregate — the kSub per-code rows collapse
+    * kSub→1 BEFORE the exchange and nothing sorts. Input must carry
+    * (cid, sub_id, code, dist).
+    */
+  private def argminByDist(scored: DataFrame): DataFrame =
+    scored.groupBy(col("cid"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("cid"), col("sub_id"),
+        col("m.code").as("code"), col("m.dist").as("dist"))
+
   /** Trains the codebooks and encodes every candidate: one row per
     * (cid, sub_id) with the argmin-L2 `code` and its exact integer
-    * `dist` (micro² units). The argmin is the IVF assignment shape —
-    * broadcast codebook join + (cid, sub_id)-keyed `row_number` — with
-    * `‖sq‖²` hoisted per subvector so the per-code work is a single
-    * [[Similarity.dot]].
+    * `dist` (micro² units). Broadcast codebook join, per-code work a
+    * single [[Similarity.dot]] with `‖sq‖²` hoisted per subvector,
+    * argmin via the combinable [[argminByDist]].
     */
   private[graft] def assignments(spark: SparkSession, dir: String,
                                  nQueries: Int, nSub: Int, kSub: Int,
@@ -140,15 +152,10 @@ object Pq {
         }: _*)).as("ss"))
       .select(col("cid"), col("ss.sub_id").as("sub_id"), col("ss.sq").as("sq"))
       .withColumn("sn2", dot(col("sq"), col("sq")))
-    val w = Window.partitionBy(col("cid"), col("sub_id"))
-      .orderBy(col("dist").asc, col("code").asc)
-    val enc = cand.join(broadcast(cb), Seq("sub_id"))
+    val enc = argminByDist(cand.join(broadcast(cb), Seq("sub_id"))
       .select(col("cid"), col("sub_id"), col("code"),
         (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
-          .as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("cid"), col("sub_id"), col("code"), col("dist"))
+          .as("dist")))
     (books, enc)
   }
 
@@ -399,11 +406,9 @@ object Pq {
                                    nSub: Int): DataFrame = {
     val subDim = dim / nSub
     val cb = spark.table(bt)
-    val w = Window.partitionBy(col("cid"), col("sub_id"))
-      .orderBy(col("dist").asc, col("code").asc)
     // checkpointed: read by the touched-cid collect and the append plan
     // — one narrow row per batch vector
-    val batchCodes = groupCodes(
+    val batchCodes = groupCodes(argminByDist(
       newVecs
         .select(col("vec_id").as("cid"),
           explode(array((0 until nSub).map { s =>
@@ -416,10 +421,7 @@ object Pq {
         .join(broadcast(cb), Seq("sub_id"))
         .select(col("cid"), col("sub_id"), col("code"),
           (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
-            .as("dist"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("cid"), col("sub_id"), col("code")))
+            .as("dist"))))
       .localCheckpoint(true)
     val cids = batchCodes.select(col("cid")).distinct()
       .limit(TextDedup.indexPruneMaxKeys + 1)

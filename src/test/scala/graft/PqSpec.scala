@@ -124,6 +124,16 @@ class PqSpec extends SparkTestBase {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("the encode argmin is a combinable aggregate, not a per-candidate " +
+    "window — kSub rows collapse before the exchange") {
+    val df = Pq.pqStats(spark, dir, nQueries = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition(cid"),
+      s"encode re-introduced the per-candidate window:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+
   private def purgeIdx(): Unit = Pq.purgePqIndex(spark, dir, nQueries = 10)
 
   test("indexed PQ top-k equals the per-call train+encode form; its " +
