@@ -86,6 +86,12 @@ object ExtEntry {
     "ann_pq_indexed" -> ((s, dir) =>
       Pq.pqIndexedTopK(s, dir, nQueries = 10, k = 3)),
 
+    // the composed deployment shape (faiss IVFPQ): probe nProbe coarse
+    // cells, ADC-score only their co-located 8-byte code rows, exact
+    // rescore the pool — candidate set AND per-candidate cost bounded
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Pq.ivfpqTopK(s, dir, nQueries = 10, nProbe = 2, k = 3)),
+
     // the PQ encode's observability face: per-subspace code occupancy
     // and exact decimal-summed quantization error
     "emb_pq_stats" -> ((s, dir) => Pq.pqStats(s, dir, nQueries = 10)),
@@ -605,7 +611,8 @@ object ExtEntry {
     * previous centroid via the coalesce.
     */
   private def pqTrainCtes(nQueries: Int, nSub: Int, kSub: Int, iters: Int,
-                          sampleMod: Int, sampleCap: Int): String = {
+                          sampleMod: Int, sampleCap: Int,
+                          emitSamp: Boolean = true): String = {
     val subDim = 64 / nSub
     val quant =
       "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))"
@@ -627,10 +634,14 @@ object ExtEntry {
          |pc$n AS (SELECT p.sub, p.code, coalesce(nn.cq, p.cq) AS cq
          |  FROM $prev p LEFT JOIN pn$n nn USING (sub, code))""".stripMargin
     }.mkString(",\n")
-    s"""samp AS (SELECT vec_id AS sid, $quant AS q
-       |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0
-       |    AND vec_id < ${nQueries.toLong + sampleCap.toLong * sampleMod}),
-       |ssamp AS (SELECT sid, sub, ${subOf("q")} AS sq
+    // `samp` is textually identical to ivfTrainCtes' — a combined
+    // IVF+PQ oracle emits it once (emitSamp = false here)
+    val sampCte =
+      s"""samp AS (SELECT vec_id AS sid, $quant AS q
+         |  FROM embeddings WHERE vec_id >= $nQueries AND vec_id % $sampleMod = 0
+         |    AND vec_id < ${nQueries.toLong + sampleCap.toLong * sampleMod}),
+         |""".stripMargin
+    s"""${if (emitSamp) sampCte else ""}ssamp AS (SELECT sid, sub, ${subOf("q")} AS sq
        |  FROM samp, UNNEST(generate_series(1, $nSub)) AS g(sub)),
        |pc0 AS (SELECT sub, vec_id - $nQueries AS code, ${subOf("q")} AS cq
        |  FROM (SELECT vec_id, $quant AS q FROM embeddings
@@ -716,6 +727,57 @@ object ExtEntry {
        |  CAST(max(n) AS BIGINT) AS max_cell,
        |  round(CAST(sum(ssec) AS DOUBLE) / 1000000000000.0, 6) AS sse
        |FROM percode GROUP BY sub ORDER BY sub""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ext.Pq.ivfpqTopK]]: BOTH training chains
+    * (IVF centroids + PQ codebooks — `samp` shared, emitted once), the
+    * candidate encode, the IVF cell assignment, the query probe, ADC
+    * restricted to the probed cells' members, and the exact rescore.
+    */
+  private def ivfpqOracleSql(nQueries: Int, nProbe: Int, k: Int,
+                             nCentroids: Int, nSub: Int, kSub: Int,
+                             iters: Int, sampleMod: Int, sampleCap: Int,
+                             rescoreFactor: Int): String = {
+    val subDim = 64 / nSub
+    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
+       |${pqTrainCtes(nQueries, nSub, kSub, iters, sampleMod, sampleCap,
+           emitSamp = false)},
+       |${pqEncodeCtes(nQueries, nSub, subDim)},
+       |assign AS (SELECT cid, cent_id, row_number() OVER (PARTITION BY cid
+       |    ORDER BY ${cosSql("CAST(ce[i] AS DOUBLE)", "cemb[i]")} DESC,
+       |    cent_id) AS rk
+       |  FROM cand, cents),
+       |cells AS (SELECT cid, cent_id FROM assign WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nQueries),
+       |probe AS (SELECT qid, cent_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cosSql("CAST(qe[i] AS DOUBLE)", "cemb[i]")} DESC,
+       |    cent_id) AS rk
+       |  FROM q, cents),
+       |probed AS (SELECT qid, cent_id FROM probe WHERE rk <= $nProbe),
+       |members AS (SELECT p.qid, c.cid
+       |  FROM probed p JOIN cells c USING (cent_id)),
+       |lutp AS (SELECT qid, sub, code,
+       |    list_sum(list_transform(generate_series(1, $subDim), i ->
+       |      CAST(qe[(sub-1)*$subDim+i] AS DOUBLE) * (cq[i] / 1000000.0)))
+       |      AS pdot
+       |  FROM q, pcb),
+       |adcs AS (SELECT m.qid, m.cid,
+       |    list_sum(list(pdot ORDER BY e.sub)) AS adc
+       |  FROM members m JOIN encd e ON m.cid = e.cid
+       |  JOIN lutp l ON l.qid = m.qid AND l.sub = e.sub AND l.code = e.code
+       |  GROUP BY m.qid, m.cid),
+       |pool AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS ark
+       |  FROM adcs) t WHERE ark <= ${rescoreFactor * k}),
+       |sims AS (SELECT p.qid, p.cid,
+       |    ${cosSql("CAST(q.qe[i] AS DOUBLE)", "CAST(cd.ce[i] AS DOUBLE)")}
+       |      AS sim
+       |  FROM pool p JOIN q ON p.qid = q.qid JOIN cand cd ON p.cid = cd.cid),
+       |rnk AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, cid) AS rank FROM sims)
+       |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rnk
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   /** Unrolled fixed-iteration DuckDB oracle for `tokenizer_bpe_merges`:
@@ -1036,6 +1098,10 @@ object ExtEntry {
     // the rows
     "ann_pq_indexed" -> pqOracleSql(nQueries = 10, k = 3, nSub = 8,
       kSub = 16, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4),
+
+    "ann_ivfpq_topk" -> ivfpqOracleSql(nQueries = 10, nProbe = 2, k = 3,
+      nCentroids = 16, nSub = 8, kSub = 16, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4),
 
     "emb_pq_stats" -> pqStatsOracleSql(nQueries = 10, nSub = 8, kSub = 16,

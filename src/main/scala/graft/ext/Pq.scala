@@ -176,31 +176,51 @@ object Pq {
     * chained left-to-right adds — the addition order the oracle's
     * `list_sum(list(pdot ORDER BY sub))` replays.
     */
-  private[graft] def adcPool(spark: SparkSession, dir: String,
-                             codes: DataFrame,
-                             books: Array[Array[Array[Double]]],
-                             nQueries: Int, poolK: Int): DataFrame = {
+  /** The per-query LUT frame (qid, lut): `nSub·kSub` exact dot products
+    * of the query subvector against each de-quantized sub-centroid,
+    * laid out sub-major.
+    */
+  private def lutFrame(spark: SparkSession, dir: String,
+                       books: Array[Array[Array[Double]]],
+                       nQueries: Int): DataFrame = {
     val nSub = books.length
     val kSub = books.head.length
     val subDim = dim / nSub
-    val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
+    embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"),
         array((for (s <- 0 until nSub; c <- 0 until kSub) yield
           dot(slice(col("embedding"), s * subDim + 1, subDim),
             array(books(s)(c).map(m => lit(m / 1e6)): _*))): _*).as("lut"))
-    val adc = (0 until nSub).map { s =>
+  }
+
+  /** The ADC sum: `nSub` codegen'd `element_at` lookups into the
+    * sub-major `lut` column, chained left-to-right — the addition order
+    * the oracle's `list_sum(list(pdot ORDER BY sub))` replays.
+    */
+  private def adcExpr(nSub: Int, kSub: Int): Column =
+    (0 until nSub).map { s =>
       element_at(col("lut"),
         (lit(s * kSub) + element_at(col("codes"), s + 1).getField("code") +
           lit(1)).cast("int"))
     }.reduce(_ + _)
+
+  private def topPoolOf(scored: DataFrame, poolK: Int): DataFrame = {
     val wPool = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("cid").asc)
-    codes.crossJoin(broadcast(q))
-      .select(col("qid"), col("cid"), adc.as("adc"))
-      .withColumn("ark", row_number().over(wPool))
+    scored.withColumn("ark", row_number().over(wPool))
       .filter(col("ark") <= poolK)
       .select(col("qid"), col("cid"))
   }
+
+  private[graft] def adcPool(spark: SparkSession, dir: String,
+                             codes: DataFrame,
+                             books: Array[Array[Array[Double]]],
+                             nQueries: Int, poolK: Int): DataFrame =
+    topPoolOf(
+      codes.crossJoin(broadcast(lutFrame(spark, dir, books, nQueries)))
+        .select(col("qid"), col("cid"),
+          adcExpr(books.length, books.head.length).as("adc")),
+      poolK)
 
   /** Exact float32-cosine rescore of a (qid, cid) pool against the base
     * vectors, final top `k` — [[Similarity.int8RescoreTopK]]'s stage-2
@@ -431,5 +451,144 @@ object Pq {
         spark.table(kt).filter(col("cid").isin(cids: _*))
       else spark.table(kt)
     batchCodes.join(existing.select(col("cid")), Seq("cid"), "left_anti")
+  }
+
+  // ——————— IVF-PQ: coarse cells over compressed codes (the faiss shape) ———————
+
+  private[graft] def ivfpqKey(nQueries: Int, nCentroids: Int, nSub: Int,
+                              kSub: Int, iters: Int, sampleMod: Int,
+                              sampleCap: Int): String =
+    s"q${nQueries}_c${nCentroids}_u${nSub}_k${kSub}_i${iters}" +
+      s"_m${sampleMod}_s$sampleCap"
+
+  private[graft] def ivfpqCentsTable(dir: String, key: String): String =
+    s"graft_ivfpq_cents_${IndexCatalog.indexKey(dir)}_$key"
+  private[graft] def ivfpqBooksTable(dir: String, key: String): String =
+    s"graft_ivfpq_books_${IndexCatalog.indexKey(dir)}_$key"
+  private[graft] def ivfpqCellsTable(dir: String, key: String): String =
+    s"graft_ivfpq_cells_${IndexCatalog.indexKey(dir)}_$key"
+
+  /** Build the STANDING IVF-PQ index if absent — the layout a 100 TB
+    * vector deployment actually runs (faiss IVFPQ): the IVF coarse
+    * centroids bound WHICH vectors a query inspects (`nProbe` of
+    * `nCentroids` cells), the PQ codes bound WHAT each inspection costs
+    * (8 code bytes + `nSub` lookup-adds, never the float vector). The
+    * cell table rows are (cent_id, cid, codes) bucketed by cent_id —
+    * each probed cell's compressed members co-located in its bucket
+    * files; raw vectors appear ONLY in the exact-rescore pool fetch.
+    * Per-query cost: nProbe·cellMembers·nSub lookup-adds over 8-byte
+    * rows, vs the corpus-wide float scan of [[Similarity.ivfTopK]]'s
+    * cells or [[pqTopK]]'s full ADC pass.
+    */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String, nQueries: Int,
+                       nCentroids: Int = 16, nSub: Int = 8, kSub: Int = 16,
+                       iters: Int = 2, sampleMod: Int = 3,
+                       sampleCap: Int = defaultIvfSampleCap): Unit = {
+    import spark.implicits._
+    val key = ivfpqKey(nQueries, nCentroids, nSub, kSub, iters, sampleMod,
+      sampleCap)
+    val ct = ivfpqCentsTable(dir, key)
+    val bt = ivfpqBooksTable(dir, key)
+    val lt = ivfpqCellsTable(dir, key)
+    val tables = Seq(ct -> Seq("cent_id"), bt -> Seq("sub_id"),
+      lt -> Seq("cent_id"))
+    if (!tables.forall { case (t, _) => spark.catalog.tableExists(t) }) {
+      tables.foreach { case (t, _) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+      val reattached = tables.map { case (t, bk) =>
+        IndexCatalog.reattachIfPresent(spark, t, bk)
+      }
+      if (!reattached.forall(identity)) {
+        tables.foreach { case (t, _) => IndexCatalog.purge(spark, t) }
+        val emb = embeddings(spark, dir)
+        val trained = Similarity.trainIvfCentroids(emb, nQueries, nCentroids,
+          iters, sampleMod, sampleCap)
+        val cents = trained.zipWithIndex.toSeq
+          .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+          .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
+        cents.write.mode("overwrite")
+          .bucketBy(8, "cent_id").sortBy("cent_id")
+          .option("path", IndexCatalog.tableLocation(spark, ct).toString)
+          .saveAsTable(ct)
+        val (books, enc) = assignments(spark, dir, nQueries, nSub, kSub,
+          iters, sampleMod, sampleCap)
+        codebookDf(spark, books).write.mode("overwrite")
+          .bucketBy(8, "sub_id").sortBy("sub_id")
+          .option("path", IndexCatalog.tableLocation(spark, bt).toString)
+          .saveAsTable(bt)
+        // the IVF cell assignment (cosine argmax, the ivfTopK window
+        // form the oracle replays NaN-for-NaN) over the PQ code rows
+        val cand = emb.filter(col("vec_id") >= nQueries)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            norm(col("embedding")).as("en"))
+        val wAssign = Window.partitionBy(col("cid"))
+          .orderBy(col("acos").desc, col("cent_id").asc)
+        val cells = cand.crossJoin(broadcast(spark.table(ct)))
+          .select(col("cid"),
+            (dot(col("ce"), col("cemb")) / (col("en") * col("cn")))
+              .as("acos"),
+            col("cent_id"))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+          .select(col("cent_id"), col("cid"))
+        cells.join(groupCodes(enc), Seq("cid"))
+          .select(col("cent_id"), col("cid"), col("codes"))
+          .write.mode("overwrite")
+          .bucketBy(8, "cent_id").sortBy("cent_id")
+          .option("path", IndexCatalog.tableLocation(spark, lt).toString)
+          .saveAsTable(lt)
+      }
+    }
+  }
+
+  /** Drop the standing IVF-PQ index (catalog entries and data). */
+  def purgeIvfPqIndex(spark: SparkSession, dir: String, nQueries: Int = 10,
+                      nCentroids: Int = 16, nSub: Int = 8, kSub: Int = 16,
+                      iters: Int = 2, sampleMod: Int = 3,
+                      sampleCap: Int = defaultIvfSampleCap): Unit = {
+    val key = ivfpqKey(nQueries, nCentroids, nSub, kSub, iters, sampleMod,
+      sampleCap)
+    Seq(ivfpqCentsTable(dir, key), ivfpqBooksTable(dir, key),
+      ivfpqCellsTable(dir, key)).foreach(IndexCatalog.purge(spark, _))
+  }
+
+  /** IVF-PQ top-k against the standing index: probe the `nProbe`
+    * nearest cells (broadcast centroid table), ADC-score ONLY those
+    * cells' co-located code rows, exact-rescore the top
+    * `rescoreFactor·k` pool in float32 cosine. The probe bounds the
+    * candidate set, the codes bound the per-candidate cost — both
+    * tables scan-pruned to what the query touches.
+    */
+  def ivfpqTopK(spark: SparkSession, dir: String, nQueries: Int,
+                nProbe: Int, k: Int, nCentroids: Int = 16, nSub: Int = 8,
+                kSub: Int = 16, iters: Int = 2, sampleMod: Int = 3,
+                sampleCap: Int = defaultIvfSampleCap,
+                rescoreFactor: Int = 4): DataFrame = {
+    ensureIvfPqIndex(spark, dir, nQueries, nCentroids, nSub, kSub, iters,
+      sampleMod, sampleCap)
+    val key = ivfpqKey(nQueries, nCentroids, nSub, kSub, iters, sampleMod,
+      sampleCap)
+    val cents = spark.table(ivfpqCentsTable(dir, key))
+    val books = readBooks(spark, ivfpqBooksTable(dir, key), nSub, kSub)
+    val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+    val members = broadcast(probed)
+      .join(spark.table(ivfpqCellsTable(dir, key)), Seq("cent_id"))
+      .select(col("qid"), col("cid"), col("codes"))
+    val pool = topPoolOf(
+      members.join(broadcast(lutFrame(spark, dir, books, nQueries)),
+        Seq("qid"))
+        .select(col("qid"), col("cid"), adcExpr(nSub, kSub).as("adc")),
+      rescoreFactor * k)
+    exactRescore(spark, dir, pool, nQueries, k)
   }
 }

@@ -199,6 +199,37 @@ class PqSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("IVF-PQ: deterministic dense top-k; the plan probes the standing " +
+    "cells table and never re-runs a corpus-wide assignment") {
+    Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+    try {
+      val df = Pq.ivfpqTopK(spark, dir, nQueries = 10, nProbe = 2, k = 3)
+      val a = df.collect().toSeq
+      val b = Pq.ivfpqTopK(spark, dir, nQueries = 10, nProbe = 2, k = 3)
+        .collect().toSeq
+      assert(a.nonEmpty && a == b)
+      val byQ = a.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      byQ.values.foreach(rs =>
+        assert(rs.map(_._2).sorted == (1L to rs.length).toSeq))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_ivfpq_cells_"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("windowspecdefinition(cid"),
+        s"IVF-PQ query re-ran the corpus assignment:\n$p")
+    } finally Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+  }
+
+  test("IVF-PQ with all cells probed equals plain PQ ADC search — the " +
+    "probe only restricts, never rescores differently") {
+    Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+    try {
+      val all = Pq.ivfpqTopK(spark, dir, nQueries = 10, nProbe = 16, k = 3)
+        .collect().toSeq
+      val pq = Pq.pqTopK(spark, dir, nQueries = 10, k = 3).collect().toSeq
+      assert(all == pq)
+    } finally Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+  }
+
   test("admitted vectors land in the codes table and surface in the ADC " +
     "pool; a replayed admission is a no-op") {
     import spark.implicits._
