@@ -60,6 +60,16 @@ object Maintenance {
     val ivfDir = sys.env.get("SPARK_GRAFT_IVF_DIR")
     val ivfNq = sys.env.getOrElse("SPARK_GRAFT_IVF_NQ", "10").toInt
     val ivfNc = sys.env.getOrElse("SPARK_GRAFT_IVF_NC", "16").toInt
+    // Optional: PQ codes-table file-growth compaction (round 10) — pass
+    // the indexed corpus dir as SPARK_GRAFT_PQ_DIR (+ _NQ / _MAX_FILES).
+    // Stream admission appends one file set per micro-batch; past the
+    // threshold the offline purge+rebuild IS the compaction (codes are
+    // derived state — rewriting from the embeddings table both compacts
+    // and refreshes codebook drift). Fails fast when no index exists
+    // for the configured shape, like the gram guard.
+    val pqDir = sys.env.get("SPARK_GRAFT_PQ_DIR")
+    val pqNq = sys.env.getOrElse("SPARK_GRAFT_PQ_NQ", "10").toInt
+    val pqMaxFiles = sys.env.getOrElse("SPARK_GRAFT_PQ_MAX_FILES", "64").toInt
     do {
       val t0 = System.nanoTime()
       format.optimize(spark, cfg)
@@ -68,11 +78,15 @@ object Maintenance {
       gramDir.foreach(graft.ext.TextDedup.compactSubstringIndex(spark, _, gramN))
       val retrained = ivfDir.exists(d => graft.streaming.StreamingSimilarity
         .retrainIfNeeded(spark, d, ivfNq, ivfNc))
+      val pqCompacted = pqDir.exists(d => graft.ext.Pq
+        .compactPqIndexIfNeeded(spark, d, pqNq, pqMaxFiles))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
         ivfDir.fold("")(d =>
           s" + ivf health for $d (retrained=$retrained)") +
+        pqDir.fold("")(d =>
+          s" + pq file growth for $d (compacted=$pqCompacted)") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

@@ -230,6 +230,43 @@ class PqSpec extends SparkTestBase {
     } finally Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
   }
 
+  test("file-growth compaction: appends past the threshold trigger the " +
+    "rebuild, a fresh index stays untouched, a missing index fails fast") {
+    import spark.implicits._
+    purgeIdx()
+    try {
+      intercept[IllegalArgumentException] {
+        Pq.compactPqIndexIfNeeded(spark, dir, nQueries = 10)
+      }
+      Pq.ensurePqIndex(spark, dir, nQueries = 10)
+      assert(!Pq.compactPqIndexIfNeeded(spark, dir, nQueries = 10,
+        maxFiles = 64))
+      val v0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      // three admission batches = three appended bucketed file sets
+      (1 to 3).foreach { i =>
+        Pq.appendToPqIndex(spark, dir,
+          Seq((910000L + i, v0)).toDF("vec_id", "embedding")
+            .select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")),
+          nQueries = 10)
+      }
+      val key = Pq.pqKey(10, 8, 16, 2, 3, Similarity.defaultIvfSampleCap)
+      val withAdmits = spark.table(Pq.pqCodesTable(dir, key)).count()
+      // threshold 1 file: the grown table must fire the rebuild
+      assert(Pq.compactPqIndexIfNeeded(spark, dir, nQueries = 10,
+        maxFiles = 1))
+      // rebuilt from the embeddings table (the source of truth): the
+      // admitted-only vectors drop out — the documented derived-state
+      // contract — and the table is back to one committed file set
+      val after = spark.table(Pq.pqCodesTable(dir, key)).count()
+      assert(after == withAdmits - 3)
+      assert(!Pq.compactPqIndexIfNeeded(spark, dir, nQueries = 10,
+        maxFiles = 64))
+    } finally purgeIdx()
+  }
+
   test("admitted vectors land in the codes table and surface in the ADC " +
     "pool; a replayed admission is a no-op") {
     import spark.implicits._
