@@ -335,6 +335,12 @@ object ExtEntry {
     "corpus_dup_profile" -> ((s, dir) =>
       TextDedup.dupProfile(s, dir, n = 5, minDocs = 2)),
 
+    // winnowing fingerprints (Schleimer et al. 2003, the MOSS selection
+    // rule): w-window minima over k-gram hashes — any shared run of
+    // >= w+k-1 tokens forces a shared fingerprint; partial-overlap pairs
+    "dedup_winnow" -> ((s, dir) =>
+      TextDedup.winnowPairs(s, dir, k = 4, w = 4, minShared = 2)),
+
     // tokenizer-training statistics: BPE's first-merge pair counts
     // (in-word adjacent symbol pairs + word-final </w> pairs), top-40
     "tokenizer_pair_counts" -> ((s, dir) =>
@@ -1753,6 +1759,41 @@ object ExtEntry {
         |FROM tok LEFT JOIN cov
         |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    // window minima replayed with the same frame (CURRENT ROW .. w-1
+    // FOLLOWING, truncating at the partition end for short docs); the
+    // bucket cap is the usual rank-on-sorted-ids <= cap
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id, w,
+         |    unnest(generate_series(1, greatest(len(w) - 3, 0))) AS p
+         |  FROM t),
+         |g AS (SELECT doc_id, p,
+         |    md5(array_to_string(w[p : p + 3], ' ')) AS gh
+         |  FROM g0),
+         |wins AS (SELECT doc_id, p,
+         |    min(gh) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM g),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins
+         |  WHERE p <= greatest(ng - 3, 1)),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |  FROM fps GROUP BY doc_id),
+         |capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         |  FROM fps) t2 WHERE rk <= $cap),
+         |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) >= 2)
+         |SELECT d1, d2, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) /
+         |    CAST(least(c1.nf, c2.nf) AS DOUBLE), 6) AS overlap
+         |FROM shared JOIN cnt c1 ON shared.d1 = c1.doc_id
+         |JOIN cnt c2 ON shared.d2 = c2.doc_id
+         |ORDER BY d1, d2""".stripMargin,
 
     "tokenizer_pair_counts" ->
       """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w

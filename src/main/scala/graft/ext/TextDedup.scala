@@ -790,6 +790,82 @@ object TextDedup {
     cross.unionByName(within)
   }
 
+  // —————————————————— winnowing fingerprints ——————————————————
+
+  /** Winnowing near-dup pairs (Schleimer et al. 2003, the MOSS
+    * algorithm): per document, hash every k-token gram, slide a window
+    * of `w` consecutive gram hashes, and keep each window's MINIMUM
+    * hash — the guarantee is that any shared run of ≥ w+k-1 tokens
+    * forces at least one shared fingerprint, while only ~2/(w+1) of
+    * grams are kept. Emits (d1, d2, n_shared, overlap) for pairs
+    * sharing ≥ `minShared` fingerprints, `overlap` = n_shared over the
+    * smaller doc's fingerprint count — the positional-selection member
+    * of the dedup family ([[candidatePairs]] selects by random minhash,
+    * [[simhashPairs]] by bit aggregation; winnowing's selection is
+    * locality-preserving, which is what makes it the plagiarism-
+    * detection standard for PARTIAL overlap).
+    *
+    * Documented simplification: fingerprints are the selected hash
+    * VALUES per doc (distinct), not (value, position) pairs — the
+    * variant every large-scale winnowing dedup runs, since positions
+    * only matter for highlighting.
+    *
+    * Scale shape: gram hashing and window minima are scan-local (the
+    * only shuffle before pair generation is the per-doc window's
+    * doc_id exchange, shared with the gram explode); pair generation is
+    * the capped-bucket explode of [[candidatePairs]] — one shuffle of
+    * (fp, doc_id) tuples, never a self-join; a degenerate boilerplate
+    * fingerprint is rank-capped at [[maxBucket]] members.
+    */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 4,
+                  w: Int = 4, minShared: Int = 2): DataFrame =
+    winnowPairsOf(documents(spark, dir), k, w, minShared, maxBucket)
+
+  /** Per-doc winnowing fingerprints: DISTINCT w-window minima over the
+    * ordered k-gram hashes. Window starts run 1..max(nGrams-w+1, 1) —
+    * the frame truncates at the partition end, so a doc with fewer than
+    * w grams contributes the min of all its grams (one full-doc
+    * window), and a doc with < k tokens contributes nothing (no grams).
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int,
+                                        w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    val wAll = Window.partitionBy(col("doc_id"))
+    gramRows(docs, k)
+      .withColumn("win_min", min(col("g")).over(wWin))
+      .withColumn("n_grams", count(lit(1)).over(wAll))
+      .filter(col("p") <= greatest(col("n_grams") - lit(w - 1), lit(1)))
+      .select(col("doc_id"), col("win_min").as("fp"))
+      .distinct()
+  }
+
+  private[graft] def winnowPairsOf(docs: DataFrame, k: Int, w: Int,
+                                   minShared: Int, cap: Int): DataFrame = {
+    // two consumers (pair counting, per-doc fingerprint counts) — one
+    // narrow (doc_id, fp) frame, materialized once
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint(true)
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val shared = fps.groupBy(col("fp"))
+      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(counts.select(col("doc_id").as("d1"), col("nf").as("n1")),
+        Seq("d1"))
+      .join(counts.select(col("doc_id").as("d2"), col("nf").as("n2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n1"), col("n2")).cast("double"), 6).as("overlap"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   // —————————————————— duplicate clustering ——————————————————
 
   /** Connected components over a near-dup pair graph — the step that

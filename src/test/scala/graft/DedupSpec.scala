@@ -21,6 +21,51 @@ class DedupSpec extends SparkTestBase {
       Seq(("a", 1L), ("b", 5L)))
   }
 
+  test("winnowing guarantee: every planted shared run of >= w+k-1 tokens " +
+    "forces a shared fingerprint (seeded random docs)") {
+    val k = 4; val w = 4
+    val rnd = new scala.util.Random(1234)
+    def word(): String = "w" + rnd.nextInt(5000)
+    // 30 doc pairs, each sharing one random run of exactly w+k-1 tokens
+    // embedded at random offsets inside otherwise-unrelated text
+    val docs = (0 until 30).flatMap { i =>
+      val run = Seq.fill(w + k - 1)(word())
+      def doc(id: Long): (Long, String) = {
+        val pre = Seq.fill(rnd.nextInt(20))(word())
+        val post = Seq.fill(rnd.nextInt(20))(word())
+        (id, (pre ++ run ++ post).mkString(" "))
+      }
+      Seq(doc(2L * i), doc(2L * i + 1))
+    }.toDF("doc_id", "text")
+    val fps = graft.ext.TextDedup.winnowFingerprints(docs, k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    (0 until 30).foreach { i =>
+      val a = fps(2L * i); val b = fps(2L * i + 1)
+      assert(a.intersect(b).nonEmpty,
+        s"pair $i shares a ${w + k - 1}-token run but no fingerprint")
+    }
+    // density: selection keeps far fewer fingerprints than grams
+    val nGrams = docs.select(col("doc_id"),
+        explode(sequence(lit(1), greatest(size(split(col("text"), " ")) -
+          lit(k - 1), lit(0)))).as("p")).count()
+    assert(fps.values.map(_.size).sum < nGrams)
+  }
+
+  test("winnowing short-doc edges: fewer than w grams still fingerprints " +
+    "(one full-doc window); fewer than k tokens contributes nothing") {
+    val k = 4; val w = 4
+    val docs = Seq(
+      (1L, "a b c d e"),   // 2 grams < w: one window over both
+      (2L, "a b c")        // < k tokens: no grams
+    ).toDF("doc_id", "text")
+    val fps = graft.ext.TextDedup.winnowFingerprints(docs, k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.length }
+    assert(fps(1L) == 1)
+    assert(!fps.contains(2L))
+  }
+
   test("insertOnlyMerge drops rows whose keys already exist in target") {
     val batch = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("bucket", "id")
     val target = Seq((1L, "x"), (9L, "z")).toDF("bucket", "id")

@@ -134,6 +134,23 @@ class PqSpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
 
+  test("property (seeded): the micro-unit L2 expansion ‖a‖²−2a·b+‖b‖² " +
+    "equals Σ(aᵢ−bᵢ)² EXACTLY — the identity both engines rely on") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 1000).foreach { _ =>
+      // micro-quantized components of floats in [-4, 4] — wider than the
+      // unit-ish embeddings to stress the exact-integer headroom
+      def vec(): Array[Double] = Array.fill(8)(
+        math.floor((rnd.nextDouble() * 8 - 4) * 1e6 + 0.5))
+      val a = vec(); val b = vec()
+      val direct = (0 until 8).map { i => val d = a(i) - b(i); d * d }.sum
+      def dot(x: Array[Double], y: Array[Double]): Double =
+        (0 until 8).map(i => x(i) * y(i)).sum
+      val expanded = dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+      assert(direct == expanded) // bitwise, not approximate
+    }
+  }
+
   private def purgeIdx(): Unit = Pq.purgePqIndex(spark, dir, nQueries = 10)
 
   test("indexed PQ top-k equals the per-call train+encode form; its " +
