@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate
 
-import graft.catalyst.HashExpressions.{DotDouble, DsirBuckets, DsirScore, MinHashChunks, SimHash64, WordShingles}
+import graft.catalyst.HashExpressions.{DotDouble, DsirBuckets, DsirScore, HammingHex, MinHashChunks, SimHash64, WordShingles}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT graft_simhash64(split(text, ' ')) ...")` works for
@@ -35,6 +35,10 @@ object Functions {
       SimHash64(arity("graft_simhash64", "(tokens)", 1)(exprs).head)),
     "graft_minhash_chunks" -> (exprs =>
       MinHashChunks(arity("graft_minhash_chunks", "(shingles)", 1)(exprs).head)),
+    "graft_hamming_hex" -> (exprs => {
+      val Seq(a, b) = arity("graft_hamming_hex", "(a, b)", 2)(exprs)
+      HammingHex(a, b)
+    }),
     "graft_dot" -> (exprs => {
       val Seq(a, b) = arity("graft_dot", "(a, b)", 2)(exprs)
       DotDouble(a, b)

@@ -264,6 +264,30 @@ object HashExpressions {
         s"$fn expects array<string>, got ${other.sql}")
     }
 
+  /** Hamming distance between two equal-length lowercase-hex strings:
+    * Σ_i popcount(nibble(aᵢ) XOR nibble(bᵢ)) — the simhash verify loop
+    * ([[graft.ext.TextDedup.simhashPairsFromHashes]]), exactly the HOF
+    * `aggregate(sequence(1, 16), ...)` instr/bit_count math.
+    */
+  def hammingHexEval(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    require(ab.length == bb.length,
+      s"graft_hamming_hex: length mismatch (${ab.length} vs ${bb.length})")
+    def nib(c: Byte): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else throw new IllegalArgumentException(
+        s"graft_hamming_hex: non-hex char '${c.toChar}'")
+    var s = 0
+    var i = 0
+    while (i < ab.length) {
+      s += Integer.bitCount(nib(ab(i)) ^ nib(bb(i)))
+      i += 1
+    }
+    s
+  }
+
   /** 64-bit SimHash over an array<string> token column, as 16 lowercase
     * hex chars. Bit b (MSB-first) is 1 iff Σ_tokens (±1 by bit b of the
     * first 8 md5 bytes) > 0 — exactly the ExtEntry.simhashCte math.
@@ -283,6 +307,32 @@ object HashExpressions {
 
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
+  }
+
+  /** Hamming distance between two equal-length hex strings — the
+    * codegen'd verify kernel for the simhash pair filter.
+    */
+  case class HammingHex(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_hamming_hex"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      hammingHexEval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (c1, c2) => s"${ev.value} = $kernelClass.hammingHexEval($c1, $c2);")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): HammingHex = copy(left = l, right = r)
   }
 
   /** The 8 MinHash chunk-minima over an array<string> shingle column:
@@ -492,6 +542,9 @@ object HashExpressions {
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def hammingHex(a: Column, b: Column): Column =
+    Bridge.column(HammingHex(Bridge.expression(a), Bridge.expression(b)))
 
   def minhashChunks(shingles: Column): Column =
     Bridge.column(MinHashChunks(Bridge.expression(shingles)))

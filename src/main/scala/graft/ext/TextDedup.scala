@@ -768,11 +768,11 @@ object TextDedup {
       .select(col("p.d1.rep").as("r1"), col("p.d2.rep").as("r2"),
         col("p.d1.simhash").as("h1"), col("p.d2.simhash").as("h2"))
       .distinct()
-      .withColumn("hamming", expr(
-        """aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count(
-          |  (instr('0123456789abcdef', substring(h1, i, 1)) - 1) ^
-          |  (instr('0123456789abcdef', substring(h2, i, 1)) - 1)))"""
-          .stripMargin))
+      // the verify loop runs in the codegen'd HammingHex kernel; the HOF
+      // instr/bit_count formulation it replaced is pinned equal in
+      // SqlFunctionsSpec
+      .withColumn("hamming",
+        graft.catalyst.HashExpressions.hammingHex(col("h1"), col("h2")))
       .filter(col("hamming") <= maxDist)
     // expand rep pairs through the member lists; distinct signatures mean
     // cross-class member ids interleave, hence least/greatest

@@ -30,6 +30,32 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(dot == 32.0)
   }
 
+  test("HammingHex kernel matches the HOF instr/bit_count formulation " +
+    "over the corpus simhashes; SQL form registered") {
+    import org.apache.spark.sql.functions._
+    Functions.register(spark)
+    // all pairs of the sf0.001 corpus's first 40 distinct signatures —
+    // covers the full nibble alphabet
+    val hs = graft.ext.TextDedup.simhash(spark, "/root/testdata/sf0.001")
+      .select(col("simhash")).distinct().orderBy(col("simhash"))
+      .limit(40)
+    val pairs = hs.select(col("simhash").as("h1"))
+      .crossJoin(hs.select(col("simhash").as("h2")))
+    val both = pairs.select(
+      graft.catalyst.HashExpressions.hammingHex(col("h1"), col("h2"))
+        .as("kernel"),
+      expr(
+        """aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count(
+          |  (instr('0123456789abcdef', substring(h1, i, 1)) - 1) ^
+          |  (instr('0123456789abcdef', substring(h2, i, 1)) - 1)))"""
+          .stripMargin).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val viaSql = spark.sql(
+      "SELECT graft_hamming_hex('00ff', '0f0f') AS d").collect().head.getInt(0)
+    assert(viaSql == 8)
+  }
+
   test("wrong arity fails with the function's signature, not an index error") {
     Functions.register(spark)
     val e1 = intercept[Exception](
