@@ -341,6 +341,11 @@ object ExtEntry {
     "dedup_winnow" -> ((s, dir) =>
       TextDedup.winnowPairs(s, dir, k = 4, w = 4, minShared = 2)),
 
+    // content-defined chunking (LBFS/FastCDC): hash-class boundaries
+    // move WITH content, so insertions reshape one chunk, not the grid;
+    // per-language storage-dedup rollup (distinct-chunk ratio)
+    "chunk_cdc" -> ((s, dir) => TextDedup.cdcChunkStats(s, dir, k = 4)),
+
     // tokenizer-training statistics: BPE's first-merge pair counts
     // (in-word adjacent symbol pairs + word-final </w> pairs), top-40
     "tokenizer_pair_counts" -> ((s, dir) =>
@@ -1759,6 +1764,39 @@ object ExtEntry {
         |FROM tok LEFT JOIN cov
         |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    // the boundary rule and the running-sum chunk assignment replayed
+    // with the same window frames; exact BIGINT counts, two final
+    // divisions
+    "chunk_cdc" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(w) AS tok,
+        |    generate_subscripts(w, 1) AS pos
+        |  FROM t),
+        |g0 AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 3, 0))) AS p
+        |  FROM t),
+        |g AS (SELECT doc_id, p + 3 AS pos, 1 AS is_end FROM g0
+        |  WHERE substr(md5(array_to_string(w[p : p + 3], ' ')), 1, 1) = '0'),
+        |ch AS (SELECT tok.doc_id, tok.lang, tok.pos, tok.tok,
+        |    coalesce(sum(g.is_end) OVER (PARTITION BY tok.doc_id
+        |      ORDER BY tok.pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM tok LEFT JOIN g ON tok.doc_id = g.doc_id AND tok.pos = g.pos),
+        |chunks AS (SELECT doc_id, lang, chunk_id,
+        |    CAST(count(*) AS BIGINT) AS n_tok,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |  FROM ch GROUP BY doc_id, lang, chunk_id)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+        |  round(CAST(count(DISTINCT chunk_hash) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS distinct_ratio,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_chunk_tokens
+        |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
 
     // window minima replayed with the same frame (CURRENT ROW .. w-1
     // FOLLOWING, truncating at the partition end for short docs); the

@@ -866,6 +866,68 @@ object TextDedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // —————————————————— content-defined chunking ——————————————————
+
+  /** Per-token chunk assignment under content-defined chunking
+    * (Muthitacharoen et al. 2001, LBFS; Xia et al. 2016, FastCDC): a
+    * chunk boundary falls AFTER token t iff the k-gram ENDING at t
+    * hashes into the boundary class (first md5 nibble = '0', expected
+    * chunk ≈ 16 tokens). Boundaries move WITH content — an insertion
+    * reshapes only its own chunk's neighborhood, where the fixed grid
+    * of [[segmentDedup]] re-frames every later segment. Documented
+    * simplification: no min/max chunk clamps (FastCDC's normalization);
+    * the boundary rule is the pure content-defined core both engines
+    * replay exactly. Output: (doc_id, chunk_id, n_tok, chunk_hash).
+    */
+  private[graft] def cdcChunksOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val ends = gramRows(docs, k)
+      .filter(substring(col("g"), 1, 1) === "0")
+      .select(col("doc_id"), (col("p") + lit(k - 1)).as("pos"),
+        lit(1L).as("is_end"))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.join(ends, Seq("doc_id", "pos"), "left")
+      .withColumn("chunk_id",
+        coalesce(sum(col("is_end")).over(wRun), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").cast("binary")).as("chunk_hash"))
+  }
+
+  /** The storage-dedup rollup over [[cdcChunksOf]]: per language, doc /
+    * chunk / distinct-chunk-hash counts, the distinct ratio (1 − ratio
+    * = share of chunk storage a content-addressed store saves across
+    * corpus snapshots), and mean tokens per chunk.
+    *
+    * Scale shape: gram hashing is scan-local; the chunk assembly is one
+    * doc_id-keyed window + aggregation (the [[substringDedup]] rebuild
+    * class); the rollup is languages-sized.
+    */
+  def cdcChunkStats(spark: SparkSession, dir: String,
+                    k: Int = 4): DataFrame = {
+    val docs = documents(spark, dir)
+    cdcChunksOf(docs, k)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        count_distinct(col("chunk_hash")).as("n_distinct_chunks"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chunks"),
+        col("n_distinct_chunks"),
+        round(col("n_distinct_chunks").cast("double") /
+          col("n_chunks").cast("double"), 6).as("distinct_ratio"),
+        round(col("n_tokens").cast("double") /
+          col("n_chunks").cast("double"), 6).as("avg_chunk_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // —————————————————— duplicate clustering ——————————————————
 
   /** Connected components over a near-dup pair graph — the step that

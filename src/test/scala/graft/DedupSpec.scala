@@ -66,6 +66,28 @@ class DedupSpec extends SparkTestBase {
     assert(!fps.contains(2L))
   }
 
+  test("CDC boundary-shift property: prepending tokens changes only the " +
+    "prefix chunks — the suffix chunk sequence is preserved (seeded)") {
+    val k = 4
+    val rnd = new scala.util.Random(77)
+    (0 until 10).foreach { trial =>
+      val base = Seq.fill(120 + rnd.nextInt(80))("w" + rnd.nextInt(500))
+      val prefix = Seq.fill(1 + rnd.nextInt(9))("p" + rnd.nextInt(500))
+      val docs = Seq(
+        (1L, base.mkString(" ")),
+        (2L, (prefix ++ base).mkString(" "))).toDF("doc_id", "text")
+      val ch = graft.ext.TextDedup.cdcChunksOf(docs, k).collect()
+        .groupBy(_.getLong(0))
+        .map { case (d, rs) =>
+          d -> rs.sortBy(_.getLong(1)).map(_.getString(3)).toSeq
+        }
+      val orig = ch(1L).drop(1) // all but the first (prefix-region) chunk
+      assert(orig.nonEmpty, s"trial $trial: doc produced a single chunk")
+      assert(ch(2L).takeRight(orig.length) == orig,
+        s"trial $trial: suffix chunks not preserved under prepend")
+    }
+  }
+
   test("insertOnlyMerge drops rows whose keys already exist in target") {
     val batch = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("bucket", "id")
     val target = Seq((1L, "x"), (9L, "z")).toDF("bucket", "id")

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkTestBase {
     Seq("dedup_exact", "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
       "dedup_embedding_lsh", "dedup_editdist", "dedup_containment",
       "dedup_segments", "dedup_substring", "dedup_substring_admit",
-      "dedup_substring_runs", "corpus_dup_profile").foreach { q =>
+      "dedup_substring_runs", "corpus_dup_profile",
+      "dedup_winnow").foreach { q =>
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
