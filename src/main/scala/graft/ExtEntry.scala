@@ -2014,7 +2014,8 @@ object ExtEntry {
         |  FROM tok JOIN model USING (token), tot
         |  GROUP BY doc_id)
         |SELECT doc_id, n_tokens, sum_cnt, min_cnt, n_rare,
-        |  round(CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE), 9)
+        |  round(CAST(sum_cnt AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)), 9)
         |    AS mean_p,
         |  round(CAST(min_cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS min_p
         |FROM agg ORDER BY doc_id""".stripMargin,
@@ -2035,8 +2036,8 @@ object ExtEntry {
         |  FROM tok JOIN model USING (lang, token)
         |  GROUP BY doc_id, lang),
         |sc AS (SELECT doc_id, agg.lang, n_tokens,
-        |    CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE)
-        |      AS score
+        |    CAST(sum_cnt AS DOUBLE) /
+        |      (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS score
         |  FROM agg JOIN tot ON agg.lang = tot.lang),
         |rk AS (SELECT doc_id, lang, n_tokens, score,
         |    CAST(row_number() OVER (PARTITION BY lang

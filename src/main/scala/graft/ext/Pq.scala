@@ -129,6 +129,30 @@ object Pq {
       .select(col("cid"), col("sub_id"),
         col("m.code").as("code"), col("m.dist").as("dist"))
 
+  /** The one encode pipeline BOTH the offline build and batch admission
+    * run — one definition, so build-time and admitted codes can never
+    * diverge: subvector explode in micro-units, `‖sq‖²` hoisted, the
+    * broadcast codebook join, the exact-integer distance expansion.
+    * `vecs` must carry (cid, embedding); `cb` is a codebook frame with
+    * (sub_id, code, cq, cn2).
+    */
+  private def encodeScored(vecs: DataFrame, cb: DataFrame,
+                           nSub: Int): DataFrame = {
+    val subDim = dim / nSub
+    vecs
+      .select(col("cid"),
+        explode(array((0 until nSub).map { s =>
+          struct(lit(s.toLong).as("sub_id"),
+            microSub(col("embedding"), s, subDim).as("sq"))
+        }: _*)).as("ss"))
+      .select(col("cid"), col("ss.sub_id").as("sub_id"), col("ss.sq").as("sq"))
+      .withColumn("sn2", dot(col("sq"), col("sq")))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("cid"), col("sub_id"), col("code"),
+        (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
+          .as("dist"))
+  }
+
   /** Trains the codebooks and encodes every candidate: one row per
     * (cid, sub_id) with the argmin-L2 `code` and its exact integer
     * `dist` (micro² units). Broadcast codebook join, per-code work a
@@ -139,23 +163,13 @@ object Pq {
                                  nQueries: Int, nSub: Int, kSub: Int,
                                  iters: Int, sampleMod: Int, sampleCap: Int)
       : (Array[Array[Array[Double]]], DataFrame) = {
-    val subDim = dim / nSub
     val emb = embeddings(spark, dir)
     val books =
       trainPqCodebooks(emb, nQueries, nSub, kSub, iters, sampleMod, sampleCap)
-    val cb = codebookDf(spark, books)
     val cand = emb.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("cid"),
-        explode(array((0 until nSub).map { s =>
-          struct(lit(s.toLong).as("sub_id"),
-            microSub(col("embedding"), s, subDim).as("sq"))
-        }: _*)).as("ss"))
-      .select(col("cid"), col("ss.sub_id").as("sub_id"), col("ss.sq").as("sq"))
-      .withColumn("sn2", dot(col("sq"), col("sq")))
-    val enc = argminByDist(cand.join(broadcast(cb), Seq("sub_id"))
-      .select(col("cid"), col("sub_id"), col("code"),
-        (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
-          .as("dist")))
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val enc = argminByDist(
+      encodeScored(cand, codebookDf(spark, books), nSub))
     (books, enc)
   }
 
@@ -168,14 +182,6 @@ object Pq {
       .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
         .as("codes"))
 
-  /** The ADC stage-1 pool: every (query, candidate) pair scored with
-    * `nSub` codegen'd LUT lookup-adds, top `poolK` per query by
-    * (adc desc, cid asc). The LUT is a per-query 1-D array literal of
-    * `nSub·kSub` exact dot products (query subvector · de-quantized
-    * sub-centroid), laid out sub-major so the ADC sum is `nSub`
-    * chained left-to-right adds — the addition order the oracle's
-    * `list_sum(list(pdot ORDER BY sub))` replays.
-    */
   /** The per-query LUT frame (qid, lut): `nSub·kSub` exact dot products
     * of the query subvector against each de-quantized sub-centroid,
     * laid out sub-major.
@@ -212,6 +218,11 @@ object Pq {
       .select(col("qid"), col("cid"))
   }
 
+  /** The ADC stage-1 pool over a FULL codes scan: every
+    * (query, candidate) pair scored with `nSub` codegen'd LUT
+    * lookup-adds ([[adcExpr]] against the broadcast [[lutFrame]]), top
+    * `poolK` per query by (adc desc, cid asc).
+    */
   private[graft] def adcPool(spark: SparkSession, dir: String,
                              codes: DataFrame,
                              books: Array[Array[Array[Double]]],
@@ -467,9 +478,22 @@ object Pq {
                       nQueries: Int, nSub: Int = 8, kSub: Int = 16,
                       iters: Int = 2, sampleMod: Int = 3,
                       sampleCap: Int = defaultIvfSampleCap): Unit = {
-    ensurePqIndex(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
-      sampleCap)
+    // fail fast on a shape mismatch rather than silently training and
+    // admitting into a brand-new index under a different key while the
+    // searched index never sees the admitted vectors — the same guard
+    // class as compactPqIndexIfNeeded (ensurePqIndex here would BUILD)
+    require(pqIndexExists(spark, dir, nQueries, nSub, kSub, iters,
+      sampleMod, sampleCap),
+      s"appendToPqIndex: no standing PQ index for dir=$dir, " +
+        s"nQueries=$nQueries, nSub=$nSub, kSub=$kSub — build it with " +
+        "ensurePqIndex (with the SAME parameters) before admitting")
     val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    if (!spark.catalog.tableExists(pqCodesTable(dir, key))) {
+      // data survives but the catalog entry was lost: reattach, the
+      // IndexCatalog lifecycle every standing index follows
+      ensurePqIndex(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+        sampleCap)
+    }
     val kt = pqCodesTable(dir, key)
     pqAppendFrame(spark, newVecs, pqBooksTable(dir, key), kt, nSub)
       .write.mode("append")
@@ -485,24 +509,11 @@ object Pq {
   private[graft] def pqAppendFrame(spark: SparkSession, newVecs: DataFrame,
                                    bt: String, kt: String,
                                    nSub: Int): DataFrame = {
-    val subDim = dim / nSub
-    val cb = spark.table(bt)
     // checkpointed: read by the touched-cid collect and the append plan
     // — one narrow row per batch vector
-    val batchCodes = groupCodes(argminByDist(
-      newVecs
-        .select(col("vec_id").as("cid"),
-          explode(array((0 until nSub).map { s =>
-            struct(lit(s.toLong).as("sub_id"),
-              microSub(col("embedding"), s, subDim).as("sq"))
-          }: _*)).as("ss"))
-        .select(col("cid"), col("ss.sub_id").as("sub_id"),
-          col("ss.sq").as("sq"))
-        .withColumn("sn2", dot(col("sq"), col("sq")))
-        .join(broadcast(cb), Seq("sub_id"))
-        .select(col("cid"), col("sub_id"), col("code"),
-          (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
-            .as("dist"))))
+    val batchCodes = groupCodes(argminByDist(encodeScored(
+      newVecs.select(col("vec_id").as("cid"), col("embedding")),
+      spark.table(bt), nSub)))
       .localCheckpoint(true)
     val cids = batchCodes.select(col("cid")).distinct()
       .limit(TextDedup.indexPruneMaxKeys + 1)

@@ -523,8 +523,11 @@ object TextAnalysis {
         max(col("total")).as("total"))
       .select(col("doc_id"), col("n_tokens"), col("sum_cnt"), col("min_cnt"),
         col("n_rare"),
+        // factors cast to double before the multiply — see lmBuckets'
+        // overflow note; bit-equal below 2^53
         round(col("sum_cnt").cast("double") /
-          (col("n_tokens") * col("total")).cast("double"), 9).as("mean_p"),
+          (col("n_tokens").cast("double") * col("total").cast("double")), 9)
+          .as("mean_p"),
         round(col("min_cnt").cast("double") / col("total").cast("double"), 9)
           .as("min_p"))
       .orderBy(col("doc_id"))
@@ -558,9 +561,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
       .join(broadcast(totals), Seq("lang"))
+      // each factor cast to double BEFORE the multiply: a Long product
+      // wraps silently past 2^63 at corpus scale (per-language total
+      // ~1e13 × a 1e6-token doc), while the double product just rounds —
+      // and both engines round identically. Below 2^53 the two forms
+      // are bit-equal, so small-scale hashes don't move.
       .withColumn("score",
         col("sum_cnt").cast("double") /
-          (col("n_tokens") * col("total")).cast("double"))
+          (col("n_tokens").cast("double") * col("total").cast("double")))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)
     val wLang = org.apache.spark.sql.expressions.Window
