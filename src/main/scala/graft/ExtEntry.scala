@@ -222,6 +222,12 @@ object ExtEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the complete shipping manifest: quality x exact-dedup survivors x
+    // near-dup canonicals x benchmark decontamination -> split
+    // assignment -> per-(split, lang) doc/token rollup — the dataset-
+    // card artifact, composed end-to-end inside the engine
+    "pipeline_pretrain" -> ((s, dir) => Curation.pretrainManifest(s, dir)),
+
     // deterministic stratified sampling: en down-weighted to ~25%, zh to
     // ~12.5%, everything else ~50% — hex thresholds on md5(doc_id), a
     // scan-local filter with zero shuffle (see Curation scaladoc)
@@ -1303,6 +1309,57 @@ object ExtEntry {
          |SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
          |FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01
          |ORDER BY doc_id""".stripMargin,
+
+    // pipeline_curate's keep set, additionally decontaminated against
+    // the src0 eval slice (5-gram leakage, the decontam_ngram CTEs) and
+    // with src0 itself excluded, rolled up per (split, lang); the split
+    // is the split_assign hex-range function
+    "pipeline_pretrain" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$bandsCte,
+         |pairs AS (SELECT d1, d2 FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a),
+         |near_drop AS (SELECT node AS doc_id FROM (
+         |    SELECT node, least(node, min(r)) AS cluster_id
+         |    FROM reach GROUP BY node) WHERE node <> cluster_id),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d5 AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |sh5 AS (SELECT doc_id, source, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(w) - 4, 1)),
+         |    i -> array_to_string(w[i:i+4], ' '))) AS s5 FROM d5),
+         |ev5 AS (SELECT DISTINCT g FROM (
+         |  SELECT unnest(s5) AS g FROM sh5 WHERE source = 'src0')),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id, unnest(s5) AS g FROM sh5 WHERE source <> 'src0')
+         |  WHERE g IN (SELECT g FROM ev5)),
+         |q AS (SELECT d.doc_id, d.lang,
+         |    len(string_split(d.text, ' ')) AS n_tokens,
+         |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+         |      x -> list_contains(['the','a','of','and','to','in','is','it','you','that'], x))) AS DOUBLE)
+         |      / len(string_split(lower(d.text), ' ')) AS stop_ratio
+         |  FROM documents d JOIN keep USING (doc_id)
+         |  WHERE d.source <> 'src0'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |f AS (SELECT
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+         |         THEN 'test'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+         |         THEN 'val' ELSE 'train' END AS split,
+         |    lang, n_tokens
+         |  FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01)
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM f GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

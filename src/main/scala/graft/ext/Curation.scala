@@ -593,4 +593,55 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_delta")).as("tok_delta"))
       .orderBy(col("lang"), col("status"))
   }
+
+  /** The complete shipping manifest — what a pretraining-data run
+    * actually delivers, composed end-to-end inside the engine (the §7.6
+    * capstone): quality gates × exact-dedup survivors × near-dup
+    * cluster canonicals × benchmark decontamination (the held-out
+    * `src0` slice is the eval set: its own docs are excluded AND every
+    * doc sharing a 5-gram with it is dropped) → deterministic
+    * train/val/test assignment ([[splitOf]]) → the per-(split, language)
+    * doc/token rollup a dataset card quotes.
+    *
+    * Scale shape: every deletion is a semi/anti join (never a collect),
+    * the eval shingle set broadcasts, the split is a pure row function,
+    * and the output is a 3·languages-row artifact — the corpus shuffles
+    * only inside the dedup machinery it already pays for.
+    */
+  def pretrainManifest(spark: SparkSession, dir: String): DataFrame = {
+    val keepExact = TextDedup.exactGroups(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val nearDrops = TextDedup.clusters(
+      TextDedup.nearDupPairs(spark, dir, 0.5).select(col("d1"), col("d2")))
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_id"))
+    val sh = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(TextDedup.shingles(split(col("text"), " "), 5)).as("g"))
+    val evalGrams = sh.filter(col("source") === "src0")
+      .select(col("g")).distinct()
+    val contam = sh.filter(col("source") =!= "src0")
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val toksLower = split(lower(col("text")), " ")
+    val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
+    val stopRatio =
+      size(filter(toksLower, x => array_contains(dict, x))).cast("double") /
+        size(toksLower)
+    documents(spark, dir)
+      .filter(col("source") =!= "src0")
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        stopRatio.as("stop_ratio"))
+      .filter(col("n_tokens").between(20, 400) && col("stop_ratio") >= 0.01)
+      .select(splitOf(col("doc_id")).as("split"), col("lang"),
+        col("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
 }

@@ -100,6 +100,34 @@ class CurationSpec extends SparkTestBase {
     assert(s.exceptAll(reshard).isEmpty && reshard.exceptAll(s).isEmpty)
   }
 
+  test("pretrainManifest equals the composition of its constituent " +
+    "queries: curate keep set, decontam drops, src0 exclusion, splits") {
+    val dir = "/root/testdata/sf0.001"
+    // the registered pipeline_curate query's keep set (doc_id, lang,
+    // n_tokens), re-derived here through the SAME constituent operators
+    // the manifest claims to compose
+    val curated = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val srcOf = Ingest.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val contaminated = Curation.decontaminate(spark, dir)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+    val expected = curated
+      .join(srcOf, Seq("doc_id"))
+      .filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(Curation.splitOf(col("doc_id")).as("split"), col("lang"),
+        col("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+      .collect().toSeq.map(_.toSeq)
+    val got = Curation.pretrainManifest(spark, dir)
+      .collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("splitLeakage rows are exactly the cross-split near-dup pairs") {
     val pairs = TextDedup.nearDupPairs(spark, sf, 0.5)
       .select(col("d1"), col("d2")).collect()
