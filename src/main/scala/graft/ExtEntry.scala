@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Layout, Multimodal, Pq, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Classifier, Curation, Layout, Multimodal, Pq, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
@@ -420,7 +420,15 @@ object ExtEntry {
     // DSIR's selection half: hash-uniform draw vs the weight-scaled cut
     // (expected keep rate 0.25, biased toward target-like docs) —
     // measure -> weights -> resample closed inside the engine
-    "sample_importance" -> ((s, dir) => Curation.sampleImportance(s, dir))
+    "sample_importance" -> ((s, dir) => Curation.sampleImportance(s, dir)),
+
+    // the classifier slot of CCNet/DCLM/FineWeb pipelines: hashed-bigram
+    // NB fit on a bounded hash-sampled labeled set (one aggregation
+    // pass, exact integers), scored corpus-wide by a scan-local codegen
+    // kernel — train / score / confusion share one memoized model pass
+    "text_clf_train" -> ((s, dir) => Classifier.trainedModel(s, dir)),
+    "text_clf_score" -> ((s, dir) => Classifier.scoreAll(s, dir)),
+    "text_clf_eval" -> ((s, dir) => Classifier.confusion(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -880,6 +888,9 @@ object ExtEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "text_clf_train" -> Classifier.trainOracle(),
+    "text_clf_score" -> Classifier.scoreOracle(),
+    "text_clf_eval" -> Classifier.confusionOracle(),
     "tokenizer_bpe_merges" -> bpeMergesOracle(10),
     "tokenizer_bpe_encode" -> bpeEncodeOracle(10),
     "tokenizer_bpe_vocab" -> bpeVocabOracle(10),

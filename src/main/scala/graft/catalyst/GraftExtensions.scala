@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate
 
-import graft.catalyst.HashExpressions.{DotDouble, DsirBuckets, DsirScore, HammingHex, MinHashChunks, SimHash64, WordShingles}
+import graft.catalyst.HashExpressions.{ClfBuckets, ClfScore, DotDouble, DsirBuckets, DsirScore, HammingHex, MinHashChunks, SimHash64, WordShingles}
 
 /** SQL-surface registration of the engine's custom expressions, so
   * `spark.sql("SELECT graft_simhash64(split(text, ' ')) ...")` works for
@@ -49,6 +49,13 @@ object Functions {
       val Seq(toks, t, s) =
         arity("graft_dsir_score", "(tokens, t_counts, s_counts)", 3)(exprs)
       DsirScore(toks, t, s)
+    }),
+    "graft_clf_buckets" -> (exprs =>
+      ClfBuckets(arity("graft_clf_buckets", "(tokens)", 1)(exprs).head)),
+    "graft_clf_score" -> (exprs => {
+      val Seq(toks, p, n) =
+        arity("graft_clf_score", "(tokens, pos_counts, neg_counts)", 3)(exprs)
+      ClfScore(toks, p, n)
     }),
     "graft_word_shingles" -> (exprs =>
       arity("graft_word_shingles", "(tokens, n)", 2)(exprs)(1) match {

@@ -157,15 +157,30 @@ object HashExpressions {
     * strpos arithmetic. concat_ws semantics on the 0/1/2-element slice:
     * nulls dropped, no dangling separator, empty slice hashes "".
     */
-  private def gramBucket(md: MessageDigest, tokens: ArrayData,
-                         i: Int, len: Int): Int = {
+  private def gramDigest(md: MessageDigest, tokens: ArrayData,
+                         i: Int, len: Int): Array[Byte] = {
     md.reset()
     val t0 = if (i < len) tokens.getUTF8String(i) else null
     val t1 = if (i + 1 < len) tokens.getUTF8String(i + 1) else null
     if (t0 != null) md.update(t0.getBytes)
     if (t0 != null && t1 != null) md.update(' '.toByte)
     if (t1 != null) md.update(t1.getBytes)
-    md.digest()(0) & 0xff
+    md.digest()
+  }
+
+  /** First-2-hex bucket (0..255) of the bigram at `i` — DSIR's space. */
+  private def gramBucket(md: MessageDigest, tokens: ArrayData,
+                         i: Int, len: Int): Int =
+    gramDigest(md, tokens, i, len)(0) & 0xff
+
+  /** First-3-hex bucket (0..4095) of the bigram at `i` — the classifier
+    * feature space (`conv(substring(md5(g), 1, 3), 16, 10)`): 16× fewer
+    * collisions than DSIR's 256 for a still-broadcastable model.
+    */
+  private def gramBucket12(md: MessageDigest, tokens: ArrayData,
+                           i: Int, len: Int): Int = {
+    val d = gramDigest(md, tokens, i, len)
+    ((d(0) & 0xff) << 4) | ((d(1) & 0xf0) >>> 4)
   }
 
   /** Row kernel for [[DsirBuckets]]: the `max(len-1, 1)` hashed-bigram
@@ -220,6 +235,56 @@ object HashExpressions {
       val b = gramBucket(md, tokens, i, len)
       num += tArr.getLong(b) + 1L
       den += sArr.getLong(b) + 1L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](m.toLong, num, den))
+  }
+
+  /** Row kernel for [[ClfBuckets]]: the `max(len-1, 1)` hashed-bigram
+    * 12-bit bucket ids (0..4095) of a word array, in gram order — the
+    * classifier-feature twin of [[dsirBucketsEval]].
+    */
+  def clfBucketsEval(tokens: ArrayData): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val len = tokens.numElements()
+    val m = math.max(len - 1, 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = gramBucket12(md, tokens, i, len).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Row kernel for [[ClfScore]]: fold the document's 12-bit hashed-
+    * bigram buckets against the broadcast per-class count arrays in ONE
+    * pass — `(n_grams, Σ(pos[b]+1), Σ(neg[b]+1))` as exact longs; the
+    * 4096-slot twin of [[dsirScoreEval]] with the same loud bounds and
+    * null checks.
+    */
+  def clfScoreEval(tokens: ArrayData, posArr: ArrayData,
+                   negArr: ArrayData): InternalRow = {
+    require(posArr.numElements() >= 4096 && negArr.numElements() >= 4096,
+      s"graft_clf_score: count arrays must have >= 4096 slots, got " +
+        s"${posArr.numElements()} and ${negArr.numElements()}")
+    var j = 0
+    while (j < 4096) {
+      if (posArr.isNullAt(j) || negArr.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"graft_clf_score: count arrays must not contain nulls (slot $j)")
+      j += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val len = tokens.numElements()
+    val m = math.max(len - 1, 1)
+    var num = 0L
+    var den = 0L
+    var i = 0
+    while (i < m) {
+      val b = gramBucket12(md, tokens, i, len)
+      num += posArr.getLong(b) + 1L
+      den += negArr.getLong(b) + 1L
       i += 1
     }
     new GenericInternalRow(Array[Any](m.toLong, num, den))
@@ -494,6 +559,72 @@ object HashExpressions {
       copy(first = f, second = s, third = t)
   }
 
+  /** 12-bit hashed-bigram bucket ids of an array<string> word column —
+    * the model-pass half of the NB classifier kernel ([[ClfScore]]'s
+    * feature space). Like [[DsirBuckets]], only the bucket id survives
+    * the explode; the gram string never materializes.
+    */
+  case class ClfBuckets(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_clf_buckets"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child)
+
+    override def nullSafeEval(input: Any): Any =
+      clfBucketsEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.clfBucketsEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): ClfBuckets =
+      copy(child = c)
+  }
+
+  /** The classifier scoring fold: word array + broadcast 4096-slot
+    * per-class gram-count arrays → `struct(n_grams, num, den)` with
+    * `num = Σ_g (pos[bucket(g)]+1)`, `den = Σ_g (neg[bucket(g)]+1)` —
+    * one tight codegen'd loop per row ([[clfScoreEval]]).
+    */
+  case class ClfScore(first: Expression, second: Expression,
+                      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("num", LongType, nullable = false),
+      StructField("den", LongType, nullable = false)))
+    override def prettyName: String = "graft_clf_score"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def longArray(name: String, e: Expression): TypeCheckResult =
+        e.dataType match {
+          case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName $name argument expects array<bigint>, got ${other.sql}")
+        }
+      requireStringArray(prettyName, first) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          longArray("pos-counts", second) match {
+            case TypeCheckResult.TypeCheckSuccess =>
+              longArray("neg-counts", third)
+            case f => f
+          }
+        case f => f
+      }
+    }
+
+    override def nullSafeEval(toks: Any, p: Any, n: Any): Any =
+      clfScoreEval(toks.asInstanceOf[ArrayData],
+        p.asInstanceOf[ArrayData], n.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (c1, c2, c3) => s"${ev.value} = $kernelClass.clfScoreEval($c1, $c2, $c3);")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ClfScore =
+      copy(first = f, second = s, third = t)
+  }
+
   /** One BPE merge step over an array<string> symbol column: adjacent
     * (l, r) pairs collapse to the concatenated symbol, greedy
     * left-to-right, non-overlapping ([[bpeMergeEval]]). l and r are
@@ -561,4 +692,11 @@ object HashExpressions {
   def dsirScore(tokens: Column, tArr: Column, sArr: Column): Column =
     Bridge.column(DsirScore(Bridge.expression(tokens),
       Bridge.expression(tArr), Bridge.expression(sArr)))
+
+  def clfBuckets(tokens: Column): Column =
+    Bridge.column(ClfBuckets(Bridge.expression(tokens)))
+
+  def clfScore(tokens: Column, posArr: Column, negArr: Column): Column =
+    Bridge.column(ClfScore(Bridge.expression(tokens),
+      Bridge.expression(posArr), Bridge.expression(negArr)))
 }

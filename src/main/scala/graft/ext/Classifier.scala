@@ -1,0 +1,266 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalyst.HashExpressions
+import graft.ops.Ingest
+
+/** Model-based corpus classification — the classifier slot modern
+  * curation pipelines (CCNet, DCLM, FineWeb-Edu) put at the front of
+  * the funnel: fit a model on "target distribution vs random crawl"
+  * labels over a BOUNDED sample, then score EVERY document and keep
+  * the target-like ones.
+  *
+  * The model is hashed-bigram multinomial Naive Bayes — the generative
+  * counterpart of the fastText classifier those pipelines train, chosen
+  * over an iterative discriminative fit because it trains in ONE
+  * aggregation pass (no driver loop at all) with EXACT-INTEGER
+  * arithmetic end to end:
+  *   - features: md5 first-3-hex bucket ids of word bigrams
+  *     (4096 buckets — 16× fewer collisions than DSIR's 256, still two
+  *     broadcastable count arrays),
+  *   - model: per-bucket BIGINT gram counts for each class,
+  *   - score: the same transcendental-free ratio-of-means deviation
+  *     [[Curation.dsirWeights]] documents — add-one-smoothed
+  *     `(Σ_g pos[b_g]+1) / (Σ_g neg[b_g]+1)`, prior-corrected by the
+  *     class totals, exact BIGINT sums then one IEEE mul/div identical
+  *     in both engines. `weight > 1` ⇔ the document's bigrams are more
+  *     likely under the positive class.
+  *
+  * Demo labels: positive = the target language slice (`posLang`) —
+  * the same target the DSIR pass selects for. The synthetic corpus
+  * carries its only class signal in per-language BIGRAM frequencies
+  * (all 31 vocabulary words appear in every language at near-equal
+  * unigram rates), which is exactly what this model reads: measured at
+  * sf0.01, 73% accuracy vs a 56% majority base rate. The trainer is
+  * label-agnostic — swap `labelOf` for human/LLM quality labels and
+  * nothing else changes.
+  *
+  * Scale shape: training reads only the hash-sampled labeled subset
+  * ([[Curation.sampleKey]] < `trainTh` — bounded, reshard-stable) and
+  * is one map-side-combined groupBy onto ≤4096 rows, which collapse
+  * into ONE broadcast row of two count arrays. Scoring is SCAN-LOCAL:
+  * each document folds its own bigram buckets against the broadcast
+  * arrays via the codegen'd [[graft.catalyst.HashExpressions.ClfScore]]
+  * kernel (one tight JVM loop per row, the gram string never
+  * materializes) — no join, no shuffle, the corpus never moves. At
+  * 100 TB: one bounded training rollup + one read-only scoring scan.
+  */
+object Classifier {
+
+  /** Bigram-hash feature space: md5 first-3-hex buckets 0..4095. */
+  val NBuckets = 4096
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    Ingest.table(spark, dir, "documents")
+
+  /** ±1 label: the target-domain slice is the positive class. */
+  private def labelOf(posLang: String): Column =
+    when(col("lang") === posLang, 1L).otherwise(-1L)
+
+  private def w: Column = split(col("text"), " ")
+
+  /** HOF twins of the kernel pieces — the bit-for-bit parity oracle
+    * (ClassifierSpec), same gram order and bucket math.
+    */
+  private def gramsOf(c: Column): Column = transform(
+    sequence(lit(1), greatest(size(c) - 1, lit(1))),
+    i => concat_ws(" ", slice(c, i, lit(2))))
+
+  private def bucketOf(g: Column): Column =
+    conv(substring(md5(g), 1, 3), 16, 10).cast("long")
+
+  /** The per-bucket model counts: one map-side-combined groupBy of the
+    * training sample's exploded bigram buckets onto ≤4096 rows —
+    * (b, pos_cnt, neg_cnt) as exact BIGINTs.
+    */
+  private def modelCounts(spark: SparkSession, dir: String,
+                          posLang: String, trainTh: String,
+                          viaKernel: Boolean): DataFrame = {
+    val buckets =
+      if (viaKernel) HashExpressions.clfBuckets(w)
+      else transform(gramsOf(w), g => bucketOf(g))
+    documents(spark, dir)
+      .filter(Curation.sampleKey < trainTh)
+      .select(labelOf(posLang).as("y"), explode(buckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_cnt"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("neg_cnt"))
+  }
+
+  /** Session-scoped memo of the cached model-count frame per (dir,
+    * config): the three registered classifier queries share ONE
+    * training pass — the same derived-state amortization as the BPE
+    * memo, keyed by session identity so cached plans never leak across
+    * sessions.
+    */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, String), DataFrame]
+
+  private def cachedModel(spark: SparkSession, dir: String,
+                          posLang: String, trainTh: String): DataFrame =
+    modelCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, posLang, trainTh),
+      modelCounts(spark, dir, posLang, trainTh, viaKernel = true).cache())
+
+  /** The model collapsed to ONE broadcastable row: dense 4096-slot
+    * per-class count arrays + smoothed class totals (as doubles, the
+    * divisor halves of the weight formula).
+    */
+  private def modelRow(model: DataFrame): DataFrame =
+    model
+      .agg(
+        map_from_arrays(collect_list(col("b")),
+          collect_list(col("pos_cnt"))).as("p_map"),
+        map_from_arrays(collect_list(col("b")),
+          collect_list(col("neg_cnt"))).as("n_map"),
+        (sum(col("pos_cnt")) + NBuckets).cast("double").as("p_tb"),
+        (sum(col("neg_cnt")) + NBuckets).cast("double").as("n_tb"))
+      .select(
+        transform(sequence(lit(0L), lit(NBuckets - 1L)),
+          i => coalesce(element_at(col("p_map"), i), lit(0L))).as("p_arr"),
+        transform(sequence(lit(0L), lit(NBuckets - 1L)),
+          i => coalesce(element_at(col("n_map"), i), lit(0L))).as("n_arr"),
+        col("p_tb"), col("n_tb"))
+
+  /** `text_clf_train`: the fitted model artifact — one row per feature
+    * bucket seen in training, with exact per-class gram counts.
+    */
+  def trainedModel(spark: SparkSession, dir: String,
+                   posLang: String = "en",
+                   trainTh: String = "8000"): DataFrame =
+    cachedModel(spark, dir, posLang, trainTh)
+      .select(col("b").cast("long").as("feature_id"),
+        col("pos_cnt"), col("neg_cnt"))
+      .orderBy(col("feature_id"))
+
+  private def scoredAll(spark: SparkSession, dir: String, posLang: String,
+                        trainTh: String, viaKernel: Boolean): DataFrame = {
+    val model =
+      if (viaKernel) cachedModel(spark, dir, posLang, trainTh)
+      else modelCounts(spark, dir, posLang, trainTh, viaKernel = false)
+    val scored =
+      if (viaKernel)
+        documents(spark, dir)
+          .select(col("doc_id"), col("lang"), w.as("toks"))
+          .crossJoin(broadcast(modelRow(model)))
+          .select(col("doc_id"), col("lang"),
+            HashExpressions.clfScore(col("toks"), col("p_arr"),
+              col("n_arr")).as("sc"),
+            col("p_tb"), col("n_tb"))
+          .select(col("doc_id"), col("lang"),
+            col("sc").getField("n_grams").as("n_grams"),
+            col("sc").getField("num").as("num"),
+            col("sc").getField("den").as("den"),
+            col("p_tb"), col("n_tb"))
+      else
+        documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            transform(gramsOf(w), g => bucketOf(g)).as("bs"))
+          .crossJoin(broadcast(modelRow(model)))
+          .select(col("doc_id"), col("lang"),
+            size(col("bs")).cast("long").as("n_grams"),
+            aggregate(col("bs"), lit(0L), (acc, b) =>
+              acc + element_at(col("p_arr"), (b + 1).cast("int")) + 1L)
+              .as("num"),
+            aggregate(col("bs"), lit(0L), (acc, b) =>
+              acc + element_at(col("n_arr"), (b + 1).cast("int")) + 1L)
+              .as("den"),
+            col("p_tb"), col("n_tb"))
+    scored
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round((col("num").cast("double") * col("n_tb")) /
+          (col("den").cast("double") * col("p_tb")), 6).as("weight"))
+      .withColumn("pred", col("weight") > 1.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** `text_clf_score`: every document scored against the trained model
+    * — the corpus-wide selection pass; `pred` is the keep decision.
+    */
+  def scoreAll(spark: SparkSession, dir: String, posLang: String = "en",
+               trainTh: String = "8000"): DataFrame =
+    scoredAll(spark, dir, posLang, trainTh, viaKernel = true)
+
+  /** The pure-HOF formulation of [[scoreAll]] — interpreted per gram,
+    * kept ONLY as the bit-for-bit parity oracle for the codegen'd
+    * kernel (ClassifierSpec). Production callers use [[scoreAll]].
+    */
+  private[graft] def scoreAllViaHof(spark: SparkSession, dir: String,
+                                    posLang: String = "en",
+                                    trainTh: String = "8000"): DataFrame =
+    scoredAll(spark, dir, posLang, trainTh, viaKernel = false)
+
+  /** `text_clf_eval`: the confusion matrix of the model over the full
+    * corpus (true label vs `pred`) — the observability face a
+    * classifier deployment watches per snapshot.
+    */
+  def confusion(spark: SparkSession, dir: String, posLang: String = "en",
+                trainTh: String = "8000"): DataFrame =
+    scoredAll(spark, dir, posLang, trainTh, viaKernel = true)
+      .select(labelOf(posLang).as("y"), col("pred"))
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("y"), col("pred"))
+
+  // ---- DuckDB oracles ----------------------------------------------
+
+  private def bucketSql(g: String): String =
+    s"""(strpos('0123456789abcdef', substr(md5($g), 1, 1)) - 1) * 256 +
+       |    (strpos('0123456789abcdef', substr(md5($g), 2, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef', substr(md5($g), 3, 1)) - 1)""".stripMargin
+
+  private def modelChain(posLang: String, trainTh: String): String =
+    s"""WITH tr AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$trainTh'),
+       |tg AS (SELECT CASE WHEN lang = '$posLang' THEN 1 ELSE 0 END AS pos,
+       |    ${bucketSql("g")} AS b
+       |  FROM tr, UNNEST(list_transform(
+       |    generate_series(1, greatest(len(w) - 1, 1)),
+       |    i -> array_to_string(w[i:i+1], ' '))) AS t(g)),
+       |model AS (SELECT b, CAST(sum(pos) AS BIGINT) AS pos_cnt,
+       |    CAST(sum(1 - pos) AS BIGINT) AS neg_cnt
+       |  FROM tg GROUP BY b)""".stripMargin
+
+  private def scoreChain(posLang: String, trainTh: String): String =
+    s"""${modelChain(posLang, trainTh)},
+       |tot AS (SELECT CAST(sum(pos_cnt) + $NBuckets AS DOUBLE) AS p_tb,
+       |    CAST(sum(neg_cnt) + $NBuckets AS DOUBLE) AS n_tb FROM model),
+       |d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents),
+       |ag AS (SELECT doc_id, lang, ${bucketSql("g")} AS b
+       |  FROM d, UNNEST(list_transform(
+       |    generate_series(1, greatest(len(w) - 1, 1)),
+       |    i -> array_to_string(w[i:i+1], ' '))) AS t(g)),
+       |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(COALESCE(m.pos_cnt, 0) + 1) AS BIGINT) AS num,
+       |    CAST(sum(COALESCE(m.neg_cnt, 0) + 1) AS BIGINT) AS den
+       |  FROM ag LEFT JOIN model m USING (b) GROUP BY doc_id, lang),
+       |sc AS (SELECT doc_id, lang, n_grams,
+       |    round((CAST(num AS DOUBLE) * n_tb) /
+       |      (CAST(den AS DOUBLE) * p_tb), 6) AS weight
+       |  FROM agg, tot)""".stripMargin
+
+  /** DuckDB oracle for `text_clf_train`. */
+  def trainOracle(posLang: String = "en", trainTh: String = "8000"): String =
+    s"""${modelChain(posLang, trainTh)}
+       |SELECT CAST(b AS BIGINT) AS feature_id, pos_cnt, neg_cnt
+       |FROM model ORDER BY feature_id""".stripMargin
+
+  /** DuckDB oracle for `text_clf_score`. */
+  def scoreOracle(posLang: String = "en", trainTh: String = "8000"): String =
+    s"""${scoreChain(posLang, trainTh)}
+       |SELECT doc_id, lang, n_grams, weight, weight > 1.0 AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for `text_clf_eval`. */
+  def confusionOracle(posLang: String = "en",
+                      trainTh: String = "8000"): String =
+    s"""${scoreChain(posLang, trainTh)}
+       |SELECT CAST(CASE WHEN lang = '$posLang' THEN 1 ELSE -1 END
+       |    AS BIGINT) AS y,
+       |  weight > 1.0 AS pred, CAST(count(*) AS BIGINT) AS n
+       |FROM sc GROUP BY 1, 2 ORDER BY y, pred""".stripMargin
+}

@@ -204,6 +204,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pq.contains("BroadcastExchange"), pq)
   }
 
+  test("classifier training is one aggregation, scoring is scan-local " +
+    "against the broadcast model row") {
+    // train: explode → map-side-combined groupBy onto <=4096 rows;
+    // never a join
+    val pt = executedPlan("text_clf_train")
+    assert(!pt.contains("Join") && !pt.contains("CartesianProduct"), pt)
+    // score: the codegen'd kernel folds each doc against the one-row
+    // broadcast model — corpus rows must NOT shuffle on doc_id, and the
+    // only join is the benign scalar-broadcast shape
+    val ps = executedPlan("text_clf_score")
+    assert(ps.contains("graft_clf_score"), ps)
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"), ps)
+    val finalPlan = ps.split("== Initial Plan ==").head
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(finalPlan).isEmpty,
+      s"corpus must not shuffle on doc_id for scoring:\n$ps")
+  }
+
   test("auto range join is a bucketed equi-join with no materialization barrier") {
     val p = executedPlan("join_range_auto")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
