@@ -74,6 +74,13 @@ object ExtEntry {
       Similarity.ivfStats(s, dir, nQueries = 10, nCentroids = 16,
         simThreshold = 0.1)),
 
+    // cluster-balanced subsampling: cap each IVF cell's membership in a
+    // deterministic hash order — over-dense embedding regions capped,
+    // sparse regions kept whole (the semantic-coverage sampling move)
+    "sample_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(s, dir, nQueries = 10,
+        nCentroids = 16, cap = 20)),
+
     // Product-Quantization ADC search (Jégou et al. 2011): candidates
     // carry 8 code bytes instead of 256 float bytes, scoring is 8
     // LUT lookup-adds per pair, exact float32 rescore on the top pool
@@ -406,6 +413,11 @@ object ExtEntry {
     // corpus; redactPii itself is generic over any text column
     "pii_redact" -> ((s, dir) => Curation.piiRedact(s, dir)),
 
+    // the complete Gopher §A1.1 document-rule family, one flag per rule
+    // + the AND gate — flags decided by exact integer cross-
+    // multiplication, one codegen'd projection over the corpus scan
+    "text_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+
     // corpus-trained unigram-LM likelihood summary per document (the
     // CCNet LM-filter shape; arithmetic-mean deviation documented)
     "text_unigram_lm" -> ((s, dir) => TextAnalysis.unigramLm(s, dir)),
@@ -565,6 +577,31 @@ object ExtEntry {
        |  FROM sims)
        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ext.Similarity.clusterBalancedSample]]: the
+    * same trained assignment as the IVF oracles, then the md5-hash
+    * in-cell order and the per-cell cap.
+    */
+  private def clusterBalancedOracleSql(nQueries: Int, nCentroids: Int,
+                                       cap: Int, iters: Int, sampleMod: Int,
+                                       sampleCap: Int): String = {
+    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
+       |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id >= $nQueries),
+       |assign AS (SELECT cid, cent_id, row_number() OVER (PARTITION BY cid
+       |    ORDER BY ${cosSql("CAST(ce[i] AS DOUBLE)", "cemb[i]")} DESC,
+       |    cent_id) AS rk
+       |  FROM cand, cents),
+       |cells AS (SELECT cent_id, cid FROM assign WHERE rk = 1),
+       |celln AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_n
+       |  FROM cells GROUP BY cent_id),
+       |rkd AS (SELECT cent_id, cid, row_number() OVER (PARTITION BY cent_id
+       |    ORDER BY substr(md5(CAST(cid AS VARCHAR)), 1, 4), cid) AS rk
+       |  FROM cells)
+       |SELECT cent_id, cid AS vec_id, CAST(rk AS BIGINT) AS rk, cell_n
+       |FROM rkd JOIN celln USING (cent_id)
+       |WHERE rk <= $cap ORDER BY cent_id, rk""".stripMargin
   }
 
   /** DuckDB twin of [[graft.ext.Similarity.ivfStats]]: rebuild the
@@ -888,6 +925,48 @@ object ExtEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS lines FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+        |      AS tot_chars,
+        |    CAST(len(text) - len(replace(text, '#', '')) +
+        |      len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+        |      AS n_ellipsis,
+        |    CAST(len(list_filter(list_distinct(w), t -> t IN ('the', 'a')))
+        |      AS BIGINT) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, lang, n_words,
+        |  round(CAST(tot_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+        |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+        |  stop_hits,
+        |  (n_words >= 30 AND n_words <= 90) AS r_words,
+        |  (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words)
+        |    AS r_meanlen,
+        |  (10 * n_symbols <= n_words) AS r_symbol,
+        |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+        |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+        |  (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
+        |  (stop_hits >= 2) AS r_stop,
+        |  ((n_words >= 30 AND n_words <= 90) AND
+        |   (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words) AND
+        |   (10 * n_symbols <= n_words) AND
+        |   (5 * n_alpha >= 4 * n_words) AND
+        |   (10 * n_bullet <= 9 * n_lines) AND
+        |   (10 * n_ellipsis <= 3 * n_lines) AND
+        |   (stop_hits >= 2)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_clf_train" -> Classifier.trainOracle(),
     "text_clf_score" -> Classifier.scoreOracle(),
     "text_clf_eval" -> Classifier.confusionOracle(),
@@ -1104,6 +1183,12 @@ object ExtEntry {
 
     "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap),
+
+    // same trained assignment as ann_ivf_topk, then the hash-ordered
+    // per-cell cap
+    "sample_cluster_balanced" -> clusterBalancedOracleSql(nQueries = 10,
+      nCentroids = 16, cap = 20, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
 
     // same contract as ann_ivf_topk — the index changes the plan, not

@@ -293,6 +293,75 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Cluster-balanced subsampling (the D4/SemDeDup-adjacent coverage
+    * move): assign every vector to its nearest trained centroid, then
+    * keep at most `cap` members per cell in a deterministic
+    * uniform-in-cell order — over-dense regions of embedding space are
+    * capped while sparse regions survive whole, which is how a
+    * semantically-balanced training subset is drawn from a crawl whose
+    * density follows popularity, not coverage.
+    *
+    * Determinism & portability: the in-cell order is the 4-hex md5 of
+    * the vector id (ties by id) — the same engine-portable hash order
+    * [[Curation.stratifiedSample]] samples by, so the kept set is
+    * reshard/retry-stable and the DuckDB oracle reproduces it exactly.
+    *
+    * Scale shape: assignment is the one broadcast centroid pass IVF
+    * already pays (nCentroids rows ride to every executor; the corpus
+    * shuffles ONCE on cent_id). The per-cell rank uses the same
+    * two-phase salted window as [[Curation.quotaCap]]: phase 1 ranks
+    * within (cent_id, salt) — rank ≤ cap there is a NECESSARY condition
+    * for the global in-cell rank ≤ cap, because each salt class's order
+    * is a subsequence of the cell's order — so the exact phase-2 window
+    * sees at most salts·cap rows per cell, never a hot cell's full
+    * membership. `cell_n` (the pre-cap cell size) rides along from a
+    * 16-row broadcast join as the balance-observability column.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            nQueries: Int, nCentroids: Int, cap: Int,
+                            iters: Int = 2, sampleMod: Int = 3,
+                            sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters,
+      sampleMod, sampleCap)
+    val cents = trained.zipWithIndex.toSeq
+      .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+      .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("en"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("acos").desc, col("cent_id").asc)
+    val cells = cand.crossJoin(broadcast(cents))
+      .select(col("cid"),
+        (dot(col("ce"), col("cemb")) / (col("en") * col("cn"))).as("acos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("cent_id"), col("cid"))
+    val hk = substring(md5(col("cid").cast("string")), 1, 4)
+    val salt = conv(substring(md5(col("cid").cast("string")), 5, 1), 16, 10)
+      .cast("int")
+    val wSalted = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cent_id"), col("salt"))
+      .orderBy(col("hk"), col("cid"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cent_id")).orderBy(col("hk"), col("cid"))
+    val celln = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("cell_n"))
+    cells
+      .withColumn("hk", hk).withColumn("salt", salt)
+      .withColumn("rks", row_number().over(wSalted))
+      .filter(col("rks") <= cap) // necessary condition — bounds phase 2
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= cap)
+      .join(broadcast(celln), Seq("cent_id"))
+      .select(col("cent_id"), col("cid").as("vec_id"),
+        col("rk").cast("long").as("rk"), col("cell_n"))
+      .orderBy(col("cent_id"), col("rk"))
+  }
+
   /** Quantized-prefilter ANN: rank candidates by the INT8 dot product
     * (the [[quantizeInt8]] representation — 4× less data per scan line),
     * keep the top `rescoreFactor`·k per query, then rescore exactly in

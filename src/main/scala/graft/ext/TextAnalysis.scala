@@ -142,6 +142,84 @@ object TextAnalysis {
         col("top_bigram_frac") <= 0.06 && col("dup_trigram_frac") <= 0.02)
   }
 
+  /** The complete Gopher document-level rule family (Rae et al. 2021
+    * §A1.1) with one boolean flag per rule plus the AND gate — the
+    * published filter set a curation run reports rule-by-rule, not just
+    * as a single keep bit:
+    *   - `r_words`:    word count within [minWords, maxWords]
+    *   - `r_meanlen`:  mean word length within [3, 10] chars
+    *   - `r_symbol`:   (hash + ellipsis) to word ratio ≤ 0.1
+    *   - `r_alpha`:    ≥ 80% of words contain an alphabetic character
+    *   - `r_bullet`:   ≤ 90% of lines start with a bullet
+    *   - `r_ellipsis`: ≤ 30% of lines end with an ellipsis
+    *   - `r_stop`:     ≥ `minStopHits` distinct stop words present
+    *
+    * Every flag is decided by EXACT INTEGER cross-multiplication
+    * (`10·symbols ≤ words` rather than `symbols/words ≤ 0.1`), so no
+    * float rounding can flip a borderline document in either engine;
+    * the ratio columns are display-rounded doubles derived from the
+    * same integers. Thresholds follow the paper; `minWords`/`maxWords`
+    * and the stop list are parameters (the demo values suit the
+    * synthetic corpus — Gopher's 50..100k word bounds and 8-word stop
+    * list would degenerate on 10-99-word single-line documents).
+    *
+    * Scale shape: one codegen'd projection over the documents scan —
+    * per-document array arithmetic only, ZERO shuffles before the
+    * output sort. The full rule family costs one corpus read.
+    */
+  def gopherRules(spark: SparkSession, dir: String,
+                  minWords: Int = 30, maxWords: Int = 90,
+                  stopWords: Seq[String] = Seq("the", "a"),
+                  minStopHits: Int = 2): DataFrame = {
+    val stopList = array(stopWords.map(lit): _*)
+    val base = documents(spark, dir)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("lines", split(col("text"), "\n"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+          .as("tot_chars"),
+        ((length(col("text")) -
+          length(translate(col("text"), "#", ""))) +
+          size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+          .cast("long").as("n_symbols"),
+        size(filter(col("w"), t => t.rlike("[a-zA-Z]")))
+          .cast("long").as("n_alpha"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l =>
+          substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* "))
+          .cast("long").as("n_bullet"),
+        size(filter(col("lines"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis"),
+        size(filter(array_distinct(col("w")),
+          t => array_contains(stopList, t))).cast("long").as("stop_hits"))
+    base.select(
+      col("doc_id"), col("lang"), col("n_words"),
+      round(col("tot_chars").cast("double") / col("n_words"), 6)
+        .as("mean_word_len"),
+      round(col("n_symbols").cast("double") / col("n_words"), 6)
+        .as("symbol_ratio"),
+      round(col("n_alpha").cast("double") / col("n_words"), 6)
+        .as("alpha_frac"),
+      col("stop_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .as("r_words"),
+      (col("tot_chars") >= lit(3L) * col("n_words") &&
+        col("tot_chars") <= lit(10L) * col("n_words")).as("r_meanlen"),
+      (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol"),
+      (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+      (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+        .as("r_bullet"),
+      (lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines"))
+        .as("r_ellipsis"),
+      (col("stop_hits") >= minStopHits).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_meanlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_bullet") && col("r_ellipsis") &&
+          col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language corpus report: document/token counts and the exact
     * interpolated token-count percentiles — the summary a curation run
     * emits per snapshot. One map-side-combined groupBy over 5 language

@@ -243,6 +243,59 @@ class ExtSpec extends SparkTestBase {
     assert(r2 > 0.2, s"recall@3 with nProbe=2 collapsed: $r2")
   }
 
+  test("gopher rules: keep is the AND of the seven flags, flags agree " +
+    "with the integer ratios they summarize") {
+    val rows = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+        "r_bullet", "r_ellipsis", "r_stop").map(f => r.getBoolean(r.fieldIndex(f)))
+      assert(r.getBoolean(r.fieldIndex("keep")) == flags.forall(identity))
+      val nWords = r.getLong(r.fieldIndex("n_words"))
+      // flag vs displayed ratio consistency (integer decision, rounded display)
+      val sym = r.getDouble(r.fieldIndex("symbol_ratio"))
+      if (sym > 0.100001) assert(!r.getBoolean(r.fieldIndex("r_symbol")))
+      if (sym < 0.099999) assert(r.getBoolean(r.fieldIndex("r_symbol")))
+      assert(r.getBoolean(r.fieldIndex("r_words")) ==
+        (nWords >= 30 && nWords <= 90))
+      // the pure a-z corpus: every word alphabetic, no symbols
+      assert(r.getDouble(r.fieldIndex("alpha_frac")) == 1.0)
+      assert(sym == 0.0)
+    }
+    // the gate must actually split the corpus (not all-pass/all-fail)
+    val keeps = rows.count(_.getBoolean(rows.head.fieldIndex("keep")))
+    assert(keeps > 0 && keeps < rows.length)
+  }
+
+  test("cluster-balanced sample: per-cell cap respected, small cells " +
+    "kept whole, kept count is sum of min(cell_n, cap)") {
+    val dir = "/root/testdata/sf0.001"
+    val cap = 3
+    val kept = Similarity.clusterBalancedSample(spark, dir, nQueries = 10,
+      nCentroids = 16, cap = cap).collect()
+    assert(kept.nonEmpty)
+    val byCell = kept.groupBy(_.getLong(0))
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= cap, s"cell $cell exceeds cap")
+      // ranks are 1..k dense within the cell
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+      // cell_n is constant per cell and >= kept count
+      val ns = rows.map(_.getLong(3)).distinct
+      assert(ns.length == 1 && ns.head >= rows.length)
+      // a cell smaller than the cap is kept WHOLE
+      if (ns.head < cap) assert(rows.length == ns.head)
+      else assert(rows.length == cap)
+    }
+    // total = sum of min(cell_n, cap) over populated cells
+    val expected = byCell.values.map(r => math.min(r.head.getLong(3), cap)).sum
+    assert(kept.length == expected)
+    // deterministic across invocations
+    val again = Similarity.clusterBalancedSample(spark, dir, nQueries = 10,
+      nCentroids = 16, cap = cap).collect()
+    assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("IVF k-means training is deterministic across invocations") {
     val dir = "/root/testdata/sf0.001"
     val emb = Similarity.embeddings(spark, dir)
