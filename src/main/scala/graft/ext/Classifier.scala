@@ -135,6 +135,34 @@ object Classifier {
         col("pos_cnt"), col("neg_cnt"))
       .orderBy(col("feature_id"))
 
+  /** The model as a broadcastable one-row frame, trained (once per
+    * session — memoized) on `dir`'s hash-sampled labeled set. The
+    * streaming twin binds this to a stream the same way the batch
+    * scorer consumes it.
+    */
+  def modelFor(spark: SparkSession, dir: String, posLang: String = "en",
+               trainTh: String = "8000"): DataFrame =
+    modelRow(cachedModel(spark, dir, posLang, trainTh))
+
+  /** Score any frame carrying a `text` column against a trained model
+    * row — the ONE scoring definition batch and stream share, so the
+    * ingest-time admit decision can never diverge from the backfill
+    * (`n_grams`, `weight`, `pred` appended; scan-local: the kernel
+    * folds each row's bigram buckets against the broadcast arrays, no
+    * stream shuffle).
+    */
+  def scoreAgainstModel(docs: DataFrame, model: DataFrame): DataFrame =
+    docs
+      .crossJoin(broadcast(model))
+      .withColumn("_sc", HashExpressions.clfScore(
+        split(col("text"), " "), col("p_arr"), col("n_arr")))
+      .withColumn("n_grams", col("_sc").getField("n_grams"))
+      .withColumn("weight",
+        round((col("_sc").getField("num").cast("double") * col("n_tb")) /
+          (col("_sc").getField("den").cast("double") * col("p_tb")), 6))
+      .withColumn("pred", col("weight") > 1.0)
+      .drop("_sc", "p_arr", "n_arr", "p_tb", "n_tb")
+
   private def scoredAll(spark: SparkSession, dir: String, posLang: String,
                         trainTh: String, viaKernel: Boolean): DataFrame = {
     val model =
@@ -142,18 +170,12 @@ object Classifier {
       else modelCounts(spark, dir, posLang, trainTh, viaKernel = false)
     val scored =
       if (viaKernel)
-        documents(spark, dir)
-          .select(col("doc_id"), col("lang"), w.as("toks"))
-          .crossJoin(broadcast(modelRow(model)))
-          .select(col("doc_id"), col("lang"),
-            HashExpressions.clfScore(col("toks"), col("p_arr"),
-              col("n_arr")).as("sc"),
-            col("p_tb"), col("n_tb"))
-          .select(col("doc_id"), col("lang"),
-            col("sc").getField("n_grams").as("n_grams"),
-            col("sc").getField("num").as("num"),
-            col("sc").getField("den").as("den"),
-            col("p_tb"), col("n_tb"))
+        scoreAgainstModel(
+          documents(spark, dir).select(col("doc_id"), col("lang"),
+            col("text")),
+          modelRow(model))
+          .select(col("doc_id"), col("lang"), col("n_grams"),
+            col("weight"))
       else
         documents(spark, dir)
           .select(col("doc_id"), col("lang"),
@@ -168,10 +190,10 @@ object Classifier {
               acc + element_at(col("n_arr"), (b + 1).cast("int")) + 1L)
               .as("den"),
             col("p_tb"), col("n_tb"))
+          .select(col("doc_id"), col("lang"), col("n_grams"),
+            round((col("num").cast("double") * col("n_tb")) /
+              (col("den").cast("double") * col("p_tb")), 6).as("weight"))
     scored
-      .select(col("doc_id"), col("lang"), col("n_grams"),
-        round((col("num").cast("double") * col("n_tb")) /
-          (col("den").cast("double") * col("p_tb")), 6).as("weight"))
       .withColumn("pred", col("weight") > 1.0)
       .orderBy(col("doc_id"))
   }

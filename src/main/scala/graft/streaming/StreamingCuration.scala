@@ -111,6 +111,21 @@ object StreamingCuration {
     * and each arriving doc is checked map-side with `arrays_overlap` —
     * the stream never shuffles for the check.
     */
+  /** Ingest-time model-based filtering — the streaming twin of
+    * `text_clf_score`: each arriving document is scored against the
+    * broadcast trained-model row by the SAME
+    * [[graft.ext.Classifier.scoreAgainstModel]] definition the batch
+    * pass runs (the codegen'd kernel fold — map-side, no stream
+    * shuffle), and only target-like documents (`pred`) are admitted.
+    * Because scoring is a pure row function of (text, model row), the
+    * admit decision is identical in backfill and stream — pinned in
+    * StreamingCurationSpec.
+    */
+  def classifyStream(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.ext.Classifier.scoreAgainstModel(docs, model)
+      .filter(col("pred"))
+      .drop("n_grams", "weight", "pred")
+
   def decontamStream(docs: DataFrame, evalGrams: DataFrame,
                      n: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.broadcast

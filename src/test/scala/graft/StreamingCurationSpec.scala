@@ -73,6 +73,33 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming classifier scoring admits exactly the batch keep set") {
+    val sf = "/root/testdata/sf0.001"
+    // batch truth: docs the trained model scores target-like
+    val batchKeep = graft.ext.Classifier.scoreAll(spark, sf)
+      .filter(col("pred"))
+      .select("doc_id").as[Long].collect().toSet
+    val model = graft.ext.Classifier.modelFor(spark, sf)
+    val input = MemoryStream[(Long, String)](28, spark, None)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingCuration.classifyStream(stream, model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_classify").start()
+    try {
+      val docs = Ingest.table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(docs.take(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_classify")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKeep)
+      assert(streamKept.nonEmpty && streamKept.size < docs.length)
+    } finally q.stop()
+  }
+
   test("streaming sample admits exactly the batch predicate's selection") {
     val sf = "/root/testdata/sf0.001"
     val rates = Seq("en" -> "4000", "zh" -> "2000")
