@@ -74,6 +74,18 @@ object ExtEntry {
       Similarity.ivfStats(s, dir, nQueries = 10, nCentroids = 16,
         simThreshold = 0.1)),
 
+    // two-stage hybrid retrieval (the RAG serving shape): BM25 pool of
+    // 20 bounds the embedding fetch, exact-cosine rerank emits top-5
+    "hybrid_rerank" -> ((s, dir) =>
+      Similarity.hybridRerank(s, dir,
+        terms = Seq("spark", "table", "stream"), rf = 20, k = 5)),
+
+    // recall@k of the IVF search vs exact brute force — the tuning
+    // metric behind every (nCentroids, nProbe) decision
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(s, dir, nQueries = 10, nCentroids = 16,
+        nProbe = 2, k = 3)),
+
     // cluster-balanced subsampling: cap each IVF cell's membership in a
     // deterministic hash order — over-dense embedding regions capped,
     // sparse regions kept whole (the semantic-coverage sampling move)
@@ -440,7 +452,12 @@ object ExtEntry {
     // kernel — train / score / confusion share one memoized model pass
     "text_clf_train" -> ((s, dir) => Classifier.trainedModel(s, dir)),
     "text_clf_score" -> ((s, dir) => Classifier.scoreAll(s, dir)),
-    "text_clf_eval" -> ((s, dir) => Classifier.confusion(s, dir))
+    "text_clf_eval" -> ((s, dir) => Classifier.confusion(s, dir)),
+
+    // the three quality gates' 2x2x2 contingency cube — how much do
+    // Gopher rules, the trained classifier, and the LM tertile filter
+    // agree on what to remove?
+    "filter_agreement" -> ((s, dir) => Curation.filterAgreement(s, dir))
   )
 
   // DuckDB equivalents. Shared fragments:
@@ -549,11 +566,13 @@ object ExtEntry {
        |  FROM c$iters)""".stripMargin
   }
 
-  private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
-                           k: Int, iters: Int, sampleMod: Int,
-                           sampleCap: Int): String = {
-    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
-       |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  /** The IVF search chain (assign → probe → pool → rank) as composable
+    * CTEs following [[ivfTrainCtes]]; ends in `rk` carrying
+    * (qid, cid, sim, rank) — shared by the `ann_ivf_topk` oracle and
+    * the recall evaluation.
+    */
+  private def ivfSearchCtes(nQueries: Int, nProbe: Int): String =
+    s"""cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id >= $nQueries),
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  WHERE vec_id < $nQueries),
@@ -574,10 +593,112 @@ object ExtEntry {
        |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid),
        |rk AS (SELECT qid, cid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+
+  private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
+                           k: Int, iters: Int, sampleMod: Int,
+                           sampleCap: Int): String = {
+    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
+       |${ivfSearchCtes(nQueries, nProbe)}
        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.ext.Similarity.annRecall]]: the IVF chain's
+    * top-k left-joined against the brute-force top-k, rolled up per
+    * query.
+    */
+  private def annRecallOracleSql(nQueries: Int, nCentroids: Int,
+                                 nProbe: Int, k: Int, iters: Int,
+                                 sampleMod: Int, sampleCap: Int): String = {
+    s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
+       |${ivfSearchCtes(nQueries, nProbe)},
+       |iv AS (SELECT qid, cid FROM rk WHERE rank <= $k),
+       |bf AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, cd.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("CAST(q.qe[i] AS DOUBLE)",
+    "CAST(cd.ce[i] AS DOUBLE)")} DESC, cd.cid) AS brank
+       |    FROM q, cand cd) t
+       |  WHERE brank <= $k),
+       |j AS (SELECT bf.qid, bf.cid,
+       |    CASE WHEN iv.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.cid = iv.cid)
+       |SELECT qid, CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+       |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
+  /** The Gopher rule chain as composable CTEs (no WITH): `${p}gk` ends
+    * with one row per document carrying the integer metrics, the seven
+    * flags, and `keep` — shared by the `text_gopher_rules` oracle and
+    * the filter-agreement cube.
+    */
+  private def gopherChainCtes(p: String): String =
+    s"""${p}gd AS (SELECT doc_id, lang, text,
+       |    string_split(text, ' ') AS w,
+       |    string_split(text, chr(10)) AS lines FROM documents),
+       |${p}gm AS (SELECT doc_id, lang,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+       |      AS tot_chars,
+       |    CAST(len(text) - len(replace(text, '#', '')) +
+       |      len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines,
+       |      l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+       |      AS n_ellipsis,
+       |    CAST(len(list_filter(list_distinct(w), t -> t IN ('the', 'a')))
+       |      AS BIGINT) AS stop_hits
+       |  FROM ${p}gd),
+       |${p}gk AS (SELECT *,
+       |    (n_words >= 30 AND n_words <= 90) AS r_words,
+       |    (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words)
+       |      AS r_meanlen,
+       |    (10 * n_symbols <= n_words) AS r_symbol,
+       |    (5 * n_alpha >= 4 * n_words) AS r_alpha,
+       |    (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+       |    (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
+       |    (stop_hits >= 2) AS r_stop,
+       |    ((n_words >= 30 AND n_words <= 90) AND
+       |     (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words) AND
+       |     (10 * n_symbols <= n_words) AND
+       |     (5 * n_alpha >= 4 * n_words) AND
+       |     (10 * n_bullet <= 9 * n_lines) AND
+       |     (10 * n_ellipsis <= 3 * n_lines) AND
+       |     (stop_hits >= 2)) AS keep
+       |  FROM ${p}gm)""".stripMargin
+
+  /** The CCNet LM-bucket chain as composable CTEs (no WITH): `${p}rk`
+    * ends with one row per document carrying (doc_id, lang, n_tokens,
+    * score, lm_rank, n_docs) — shared by `text_lm_buckets` and the
+    * filter-agreement cube.
+    */
+  private def lmChainCtes(p: String): String =
+    s"""${p}tok AS (SELECT doc_id, lang, t AS token FROM
+       |    (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |    UNNEST(w) AS u(t)),
+       |${p}model AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ${p}tok GROUP BY lang, token),
+       |${p}tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM ${p}model GROUP BY lang),
+       |${p}agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cnt) AS BIGINT) AS sum_cnt
+       |  FROM ${p}tok JOIN ${p}model USING (lang, token)
+       |  GROUP BY doc_id, lang),
+       |${p}sc AS (SELECT doc_id, ${p}agg.lang, n_tokens,
+       |    CAST(sum_cnt AS DOUBLE) /
+       |      (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS score
+       |  FROM ${p}agg JOIN ${p}tot ON ${p}agg.lang = ${p}tot.lang),
+       |${p}rk AS (SELECT doc_id, lang, n_tokens, score,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS lm_rank,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+       |  FROM ${p}sc)""".stripMargin
 
   /** DuckDB twin of [[graft.ext.Similarity.clusterBalancedSample]]: the
     * same trained assignment as the IVF oracles, then the md5-hash
@@ -926,47 +1047,14 @@ object ExtEntry {
 
   def oracleSql: Map[String, String] = Map(
     "text_gopher_rules" ->
-      """WITH d AS (SELECT doc_id, lang, text,
-        |    string_split(text, ' ') AS w,
-        |    string_split(text, chr(10)) AS lines FROM documents),
-        |m AS (SELECT doc_id, lang,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
-        |      AS tot_chars,
-        |    CAST(len(text) - len(replace(text, '#', '')) +
-        |      len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
-        |      AS n_symbols,
-        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
-        |      AS BIGINT) AS n_alpha,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(lines,
-        |      l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
-        |      AS n_ellipsis,
-        |    CAST(len(list_filter(list_distinct(w), t -> t IN ('the', 'a')))
-        |      AS BIGINT) AS stop_hits
-        |  FROM d)
+      s"""WITH ${gopherChainCtes("")}
         |SELECT doc_id, lang, n_words,
         |  round(CAST(tot_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
         |  round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
         |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
-        |  stop_hits,
-        |  (n_words >= 30 AND n_words <= 90) AS r_words,
-        |  (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words)
-        |    AS r_meanlen,
-        |  (10 * n_symbols <= n_words) AS r_symbol,
-        |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
-        |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
-        |  (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
-        |  (stop_hits >= 2) AS r_stop,
-        |  ((n_words >= 30 AND n_words <= 90) AND
-        |   (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words) AND
-        |   (10 * n_symbols <= n_words) AND
-        |   (5 * n_alpha >= 4 * n_words) AND
-        |   (10 * n_bullet <= 9 * n_lines) AND
-        |   (10 * n_ellipsis <= 3 * n_lines) AND
-        |   (stop_hits >= 2)) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  stop_hits, r_words, r_meanlen, r_symbol, r_alpha, r_bullet,
+        |  r_ellipsis, r_stop, keep
+        |FROM gk ORDER BY doc_id""".stripMargin,
     "text_clf_train" -> Classifier.trainOracle(),
     "text_clf_score" -> Classifier.scoreOracle(),
     "text_clf_eval" -> Classifier.confusionOracle(),
@@ -1182,6 +1270,29 @@ object ExtEntry {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
+      nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap),
+
+    // BM25 pool (the text_relevance oracle, nested) -> cosine rerank
+    "hybrid_rerank" -> {
+      val cos = cosSql("CAST(qv.qe[i] AS DOUBLE)", "CAST(e.embedding[i] AS DOUBLE)")
+      s"""WITH pool AS (
+         |${TextAnalysis.relevanceOracleSql(Seq("spark", "table", "stream"), 20)}
+         |),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT p.doc_id, p.rank AS bm25_rank, $cos AS sim
+         |  FROM pool p JOIN e ON p.doc_id = e.vec_id, qv),
+         |r AS (SELECT doc_id, bm25_rank, sim,
+         |    row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT doc_id, bm25_rank, CAST(rank AS BIGINT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+    },
+
+    // the IVF chain's top-k vs the brute-force top-k, per query
+    "ann_recall" -> annRecallOracleSql(nQueries = 10, nCentroids = 16,
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
 
@@ -2177,31 +2288,29 @@ object ExtEntry {
     // rank — rank order is bit-identical, ties break by doc_id; the
     // tertile compare is integer arithmetic
     "text_lm_buckets" ->
-      """WITH tok AS (SELECT doc_id, lang, t AS token FROM
-        |    (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-        |    UNNEST(w) AS u(t)),
-        |model AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM tok GROUP BY lang, token),
-        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
-        |  FROM model GROUP BY lang),
-        |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(cnt) AS BIGINT) AS sum_cnt
-        |  FROM tok JOIN model USING (lang, token)
-        |  GROUP BY doc_id, lang),
-        |sc AS (SELECT doc_id, agg.lang, n_tokens,
-        |    CAST(sum_cnt AS DOUBLE) /
-        |      (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS score
-        |  FROM agg JOIN tot ON agg.lang = tot.lang),
-        |rk AS (SELECT doc_id, lang, n_tokens, score,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lm_rank,
-        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
-        |  FROM sc)
+      s"""WITH ${lmChainCtes("")}
         |SELECT doc_id, lang, n_tokens, round(score, 9) AS mean_p, lm_rank,
         |  CASE WHEN lm_rank * 3 <= n_docs THEN 'head'
         |       WHEN lm_rank * 3 <= 2 * n_docs THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // the three quality gates' 2x2x2 contingency cube: classifier chain
+    // (c_), gopher chain (g_), LM-tertile chain (l_) joined on the doc
+    // key — each keep bit recomputed by its own oracle chain
+    "filter_agreement" ->
+      s"""WITH ${graft.ext.Classifier.scoreChain(p = "c_")},
+        |${gopherChainCtes("g_")},
+        |${lmChainCtes("l_")},
+        |j AS (SELECT g.doc_id, g.keep AS gopher_keep,
+        |    c.weight > 1.0 AS clf_keep,
+        |    (l.lm_rank * 3 <= 2 * l.n_docs) AS lm_keep
+        |  FROM g_gk g JOIN c_sc c ON g.doc_id = c.doc_id
+        |  JOIN l_rk l ON g.doc_id = l.doc_id)
+        |SELECT gopher_keep, clf_keep, lm_keep,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY gopher_keep, clf_keep, lm_keep""".stripMargin,
 
     // hashed-bigram buckets via the first two md5 hex chars (the strpos
     // arithmetic equals the engine's conv(hex, 16, 10)); target_like

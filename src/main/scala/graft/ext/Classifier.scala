@@ -233,54 +233,62 @@ object Classifier {
        |    (strpos('0123456789abcdef', substr(md5($g), 2, 1)) - 1) * 16 +
        |    (strpos('0123456789abcdef', substr(md5($g), 3, 1)) - 1)""".stripMargin
 
-  private def modelChain(posLang: String, trainTh: String): String =
-    s"""WITH tr AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+  private def modelChain(posLang: String, trainTh: String,
+                         p: String): String =
+    s"""${p}tr AS (SELECT doc_id, lang, string_split(text, ' ') AS w
        |  FROM documents
        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$trainTh'),
-       |tg AS (SELECT CASE WHEN lang = '$posLang' THEN 1 ELSE 0 END AS pos,
+       |${p}tg AS (SELECT CASE WHEN lang = '$posLang' THEN 1 ELSE 0 END AS pos,
        |    ${bucketSql("g")} AS b
-       |  FROM tr, UNNEST(list_transform(
+       |  FROM ${p}tr, UNNEST(list_transform(
        |    generate_series(1, greatest(len(w) - 1, 1)),
        |    i -> array_to_string(w[i:i+1], ' '))) AS t(g)),
-       |model AS (SELECT b, CAST(sum(pos) AS BIGINT) AS pos_cnt,
+       |${p}model AS (SELECT b, CAST(sum(pos) AS BIGINT) AS pos_cnt,
        |    CAST(sum(1 - pos) AS BIGINT) AS neg_cnt
-       |  FROM tg GROUP BY b)""".stripMargin
+       |  FROM ${p}tg GROUP BY b)""".stripMargin
 
-  private def scoreChain(posLang: String, trainTh: String): String =
-    s"""${modelChain(posLang, trainTh)},
-       |tot AS (SELECT CAST(sum(pos_cnt) + $NBuckets AS DOUBLE) AS p_tb,
-       |    CAST(sum(neg_cnt) + $NBuckets AS DOUBLE) AS n_tb FROM model),
-       |d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+  /** The classifier score chain as composable CTEs (no leading WITH):
+    * ends in `<p>sc` carrying (doc_id, lang, n_grams, weight). `p`
+    * prefixes every CTE name so the chain can be spliced into a larger
+    * oracle (the filter-agreement cube) without name collisions.
+    */
+  private[graft] def scoreChain(posLang: String = "en",
+                                trainTh: String = "8000",
+                                p: String = ""): String =
+    s"""${modelChain(posLang, trainTh, p)},
+       |${p}tot AS (SELECT CAST(sum(pos_cnt) + $NBuckets AS DOUBLE) AS p_tb,
+       |    CAST(sum(neg_cnt) + $NBuckets AS DOUBLE) AS n_tb FROM ${p}model),
+       |${p}d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
        |  FROM documents),
-       |ag AS (SELECT doc_id, lang, ${bucketSql("g")} AS b
-       |  FROM d, UNNEST(list_transform(
+       |${p}ag AS (SELECT doc_id, lang, ${bucketSql("g")} AS b
+       |  FROM ${p}d, UNNEST(list_transform(
        |    generate_series(1, greatest(len(w) - 1, 1)),
        |    i -> array_to_string(w[i:i+1], ' '))) AS t(g)),
-       |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+       |${p}agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
        |    CAST(sum(COALESCE(m.pos_cnt, 0) + 1) AS BIGINT) AS num,
        |    CAST(sum(COALESCE(m.neg_cnt, 0) + 1) AS BIGINT) AS den
-       |  FROM ag LEFT JOIN model m USING (b) GROUP BY doc_id, lang),
-       |sc AS (SELECT doc_id, lang, n_grams,
+       |  FROM ${p}ag LEFT JOIN ${p}model m USING (b) GROUP BY doc_id, lang),
+       |${p}sc AS (SELECT doc_id, lang, n_grams,
        |    round((CAST(num AS DOUBLE) * n_tb) /
        |      (CAST(den AS DOUBLE) * p_tb), 6) AS weight
-       |  FROM agg, tot)""".stripMargin
+       |  FROM ${p}agg, ${p}tot)""".stripMargin
 
   /** DuckDB oracle for `text_clf_train`. */
   def trainOracle(posLang: String = "en", trainTh: String = "8000"): String =
-    s"""${modelChain(posLang, trainTh)}
+    s"""WITH ${modelChain(posLang, trainTh, "")}
        |SELECT CAST(b AS BIGINT) AS feature_id, pos_cnt, neg_cnt
        |FROM model ORDER BY feature_id""".stripMargin
 
   /** DuckDB oracle for `text_clf_score`. */
   def scoreOracle(posLang: String = "en", trainTh: String = "8000"): String =
-    s"""${scoreChain(posLang, trainTh)}
+    s"""WITH ${scoreChain(posLang, trainTh)}
        |SELECT doc_id, lang, n_grams, weight, weight > 1.0 AS pred
        |FROM sc ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for `text_clf_eval`. */
   def confusionOracle(posLang: String = "en",
                       trainTh: String = "8000"): String =
-    s"""${scoreChain(posLang, trainTh)}
+    s"""WITH ${scoreChain(posLang, trainTh)}
        |SELECT CAST(CASE WHEN lang = '$posLang' THEN 1 ELSE -1 END
        |    AS BIGINT) AS y,
        |  weight > 1.0 AS pred, CAST(count(*) AS BIGINT) AS n

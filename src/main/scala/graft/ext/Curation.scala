@@ -568,6 +568,33 @@ object Curation {
     * re-extracts `doc_id % 11 = 0` with normalized whitespace-case
     * (upper), modelling re-crawled pages whose content shifted.
     */
+  /** The filter-agreement cube: before composing quality gates, a
+    * curation run quantifies how much the gates OVERLAP — do the Gopher
+    * rules, the trained classifier, and the LM-tertile filter remove
+    * the same mass or disjoint mass? (The DCLM-style filter-comparison
+    * table.) One row per (gopher_keep, clf_keep, lm_keep) cell with its
+    * document count; marginals and pairwise agreement are row sums of
+    * the 8-cell cube.
+    *
+    * Scale shape: each gate is its own registered pass (scan-local
+    * projection / broadcast-model fold / constant-keys LM rollup); the
+    * cube adds two doc-key equi-joins and a groupBy onto ≤8 rows. The
+    * intermediate per-gate frames carry (doc_id, bool) only — the text
+    * never enters the join.
+    */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val g = TextAnalysis.gopherRules(spark, dir)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val c = Classifier.scoreAll(spark, dir)
+      .select(col("doc_id"), col("pred").as("clf_keep"))
+    val l = TextAnalysis.lmBuckets(spark, dir)
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("lm_keep"))
+    g.join(c, Seq("doc_id")).join(l, Seq("doc_id"))
+      .groupBy(col("gopher_keep"), col("clf_keep"), col("lm_keep"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("gopher_keep"), col("clf_keep"), col("lm_keep"))
+  }
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ext.TextDedup.documents(spark, dir)
     val v1 = docs.filter(col("doc_id") % 7 =!= 0)

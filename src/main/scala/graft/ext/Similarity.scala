@@ -579,6 +579,77 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Recall@k of the IVF search against exact brute force — the tuning
+    * metric an ANN deployment watches per (nCentroids, nProbe) setting:
+    * how much of the TRUE top-k does the cell-bounded search return?
+    * One row per query with its hit count and recall; the corpus-wide
+    * mean is a row average of the output.
+    *
+    * Scale shape: at evaluation scale the exact side runs over a FIXED
+    * query panel (nQueries rows, broadcast) — the brute-force pass is
+    * one scan of the candidates per panel, not per production query;
+    * the approximate side is the IVF search under test. The comparison
+    * itself is a (qid, cid)-keyed left join of two k·nQueries-row
+    * frames — negligible.
+    */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int,
+                nCentroids: Int, nProbe: Int, k: Int,
+                iters: Int = 2, sampleMod: Int = 3,
+                sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("cid"))
+    val approx = ivfTopK(spark, dir, nQueries, nCentroids, nProbe, k,
+      iters, sampleMod, sampleCap)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("k_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_exact"), 6)
+          .as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  /** Two-stage hybrid retrieval — the standard RAG serving shape:
+    * stage 1 is LEXICAL (BM25-shaped [[TextAnalysis.relevanceTopK]],
+    * `rf` candidates — cheap, inverted-index-able, bounds everything
+    * downstream), stage 2 is VECTOR (exact cosine of each candidate's
+    * embedding against the query vector, final top-`k`). Neither stage
+    * ever scores the full corpus against the query embedding: the
+    * lexical pool caps the embedding fetch at `rf` rows.
+    *
+    * Scale shape: stage 1 is the already-audited scan + one-row stats
+    * broadcast + TakeOrderedAndProject; stage 2 joins the rf-row pool
+    * to the embedding table on the doc key (a semi-join-sized probe —
+    * with the embeddings bucketed or z-ordered by id, a few row
+    * groups) and reranks rf rows. `bm25_rank` rides along so the
+    * output exposes how the two stages DISAGREE — the reranker's
+    * value is visible per row.
+    */
+  def hybridRerank(spark: SparkSession, dir: String, terms: Seq[String],
+                   rf: Int, k: Int, queryVecId: Long = 0L): DataFrame = {
+    val pool = TextAnalysis.relevanceTopK(spark, dir, terms, rf)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val emb = embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    pool
+      .join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("ce"), norm(col("embedding")).as("cn")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("bm25_rank"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("rank"))
+  }
+
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
     * with ±1 Achlioptas planes): each output component j is the dot of
     * the embedding with the deterministic hyperplane [[planeVectors]](j)

@@ -16,6 +16,25 @@ class CurationSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("filter agreement cube sums to the corpus and matches each " +
+    "gate's own marginal") {
+    val cube = graft.ext.Curation.filterAgreement(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        r.getLong(3)).toMap
+    val nDocs = Ingest.table(spark, sf, "documents").count()
+    assert(cube.values.sum == nDocs)
+    // marginals must equal each gate computed standalone
+    val gopherKeep = graft.ext.TextAnalysis.gopherRules(spark, sf)
+      .filter(col("keep")).count()
+    assert(cube.collect { case ((g, _, _), n) if g => n }.sum == gopherKeep)
+    val clfKeep = graft.ext.Classifier.scoreAll(spark, sf)
+      .filter(col("pred")).count()
+    assert(cube.collect { case ((_, c, _), n) if c => n }.sum == clfKeep)
+    val lmKeep = graft.ext.TextAnalysis.lmBuckets(spark, sf)
+      .filter(col("bucket") =!= "tail").count()
+    assert(cube.collect { case ((_, _, l), n) if l => n }.sum == lmKeep)
+  }
+
   test("quotaCap two-phase salted ranking equals the direct window") {
     val direct = Ingest.table(spark, sf, "documents")
       .withColumn("rk", row_number().over(

@@ -296,6 +296,46 @@ class ExtSpec extends SparkTestBase {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("ann recall: probing every cell gives recall 1.0; recall stays " +
+    "in [0,1] and counts its own hits") {
+    val dir = "/root/testdata/sf0.001"
+    val all = Similarity.annRecall(spark, dir, nQueries = 10,
+      nCentroids = 16, nProbe = 16, k = 3).collect()
+    assert(all.nonEmpty)
+    // nProbe = nCentroids => the IVF search IS brute force => recall 1
+    all.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("recall")) == 1.0, r.toString)
+      assert(r.getLong(r.fieldIndex("n_hits")) ==
+        r.getLong(r.fieldIndex("k_exact")))
+    }
+    val narrow = Similarity.annRecall(spark, dir, nQueries = 10,
+      nCentroids = 16, nProbe = 2, k = 3).collect()
+    narrow.foreach { r =>
+      val rec = r.getDouble(r.fieldIndex("recall"))
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_hits")) <=
+        r.getLong(r.fieldIndex("k_exact")))
+    }
+  }
+
+  test("hybrid rerank: output is a cosine-ordered subset of the BM25 pool") {
+    val dir = "/root/testdata/sf0.001"
+    val terms = Seq("spark", "table", "stream")
+    val out = Similarity.hybridRerank(spark, dir, terms, rf = 20, k = 5)
+      .collect()
+    assert(out.length == 5)
+    val pool = graft.ext.TextAnalysis.relevanceTopK(spark, dir, terms, 20)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    out.foreach(r => assert(pool.contains(r.getLong(r.fieldIndex("doc_id")))))
+    // ranks dense 1..5, sims non-increasing with rank
+    assert(out.map(_.getLong(out.head.fieldIndex("rank"))).sorted.toSeq ==
+      (1L to 5L))
+    val sims = out.sortBy(_.getLong(out.head.fieldIndex("rank")))
+      .map(_.getDouble(out.head.fieldIndex("sim")))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("IVF k-means training is deterministic across invocations") {
     val dir = "/root/testdata/sf0.001"
     val emb = Similarity.embeddings(spark, dir)
