@@ -170,12 +170,30 @@ object TextAnalysis {
   def gopherRules(spark: SparkSession, dir: String,
                   minWords: Int = 30, maxWords: Int = 90,
                   stopWords: Seq[String] = Seq("the", "a"),
+                  minStopHits: Int = 2): DataFrame =
+    gopherFlags(documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")),
+      minWords, maxWords, stopWords, minStopHits)
+      .drop("text")
+      .orderBy(col("doc_id"))
+
+  /** The rule computation as a frame transformer over any frame with a
+    * `text` column — a PURE ROW FUNCTION, so the streaming twin
+    * ([[graft.streaming.StreamingCuration.gopherStream]]) applies the
+    * SAME definition to arriving documents and the ingest-time gate can
+    * never diverge from the backfill. Appends the metric, flag, and
+    * `keep` columns.
+    */
+  def gopherFlags(docs: DataFrame,
+                  minWords: Int = 30, maxWords: Int = 90,
+                  stopWords: Seq[String] = Seq("the", "a"),
                   minStopHits: Int = 2): DataFrame = {
     val stopList = array(stopWords.map(lit): _*)
-    val base = documents(spark, dir)
+    val passthrough = docs.columns.map(col).toSeq
+    val base = docs
       .withColumn("w", tokens(col("text")))
       .withColumn("lines", split(col("text"), "\n"))
-      .select(col("doc_id"), col("lang"),
+      .select(passthrough ++ Seq(
         size(col("w")).cast("long").as("n_words"),
         aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
           .as("tot_chars"),
@@ -192,32 +210,32 @@ object TextAnalysis {
         size(filter(col("lines"), l => l.endsWith("...")))
           .cast("long").as("n_ellipsis"),
         size(filter(array_distinct(col("w")),
-          t => array_contains(stopList, t))).cast("long").as("stop_hits"))
+          t => array_contains(stopList, t))).cast("long").as("stop_hits")): _*)
     base.select(
-      col("doc_id"), col("lang"), col("n_words"),
-      round(col("tot_chars").cast("double") / col("n_words"), 6)
-        .as("mean_word_len"),
-      round(col("n_symbols").cast("double") / col("n_words"), 6)
-        .as("symbol_ratio"),
-      round(col("n_alpha").cast("double") / col("n_words"), 6)
-        .as("alpha_frac"),
-      col("stop_hits"),
-      (col("n_words") >= minWords && col("n_words") <= maxWords)
-        .as("r_words"),
-      (col("tot_chars") >= lit(3L) * col("n_words") &&
-        col("tot_chars") <= lit(10L) * col("n_words")).as("r_meanlen"),
-      (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol"),
-      (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
-      (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
-        .as("r_bullet"),
-      (lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines"))
-        .as("r_ellipsis"),
-      (col("stop_hits") >= minStopHits).as("r_stop"))
+      passthrough ++ Seq(
+        col("n_words"),
+        round(col("tot_chars").cast("double") / col("n_words"), 6)
+          .as("mean_word_len"),
+        round(col("n_symbols").cast("double") / col("n_words"), 6)
+          .as("symbol_ratio"),
+        round(col("n_alpha").cast("double") / col("n_words"), 6)
+          .as("alpha_frac"),
+        col("stop_hits"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_words"),
+        (col("tot_chars") >= lit(3L) * col("n_words") &&
+          col("tot_chars") <= lit(10L) * col("n_words")).as("r_meanlen"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+          .as("r_bullet"),
+        (lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines"))
+          .as("r_ellipsis"),
+        (col("stop_hits") >= minStopHits).as("r_stop")): _*)
       .withColumn("keep",
         col("r_words") && col("r_meanlen") && col("r_symbol") &&
           col("r_alpha") && col("r_bullet") && col("r_ellipsis") &&
           col("r_stop"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-language corpus report: document/token counts and the exact

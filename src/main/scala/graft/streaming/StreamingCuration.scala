@@ -111,6 +111,20 @@ object StreamingCuration {
     * and each arriving doc is checked map-side with `arrays_overlap` —
     * the stream never shuffles for the check.
     */
+  /** Ingest-time Gopher gating — the streaming twin of
+    * `text_gopher_rules`: the rule computation is a pure row function
+    * ([[graft.ext.TextAnalysis.gopherFlags]], shared verbatim), so the
+    * same integer-exact flag decisions gate arriving documents
+    * map-side; only `keep` documents are admitted, original columns
+    * preserved.
+    */
+  def gopherStream(docs: DataFrame): DataFrame = {
+    val original = docs.columns
+    graft.ext.TextAnalysis.gopherFlags(docs)
+      .filter(col("keep"))
+      .select(original.head, original.tail: _*)
+  }
+
   /** Ingest-time model-based filtering — the streaming twin of
     * `text_clf_score`: each arriving document is scored against the
     * broadcast trained-model row by the SAME

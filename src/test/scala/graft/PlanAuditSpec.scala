@@ -221,6 +221,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus must not shuffle on doc_id for scoring:\n$ps")
   }
 
+  test("hybrid rerank: lexical stage is top-k, no corpus-wide sort or " +
+    "cartesian; agreement cube joins stay hash/broadcast") {
+    val p = executedPlan("hybrid_rerank")
+    // both the BM25 pool and the final rerank are rf/k-bounded top-k
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    val pa = executedPlan("filter_agreement")
+    assert(!pa.contains("CartesianProduct") && !pa.contains("SortMergeJoin"),
+      pa)
+  }
+
   test("auto range join is a bucketed equi-join with no materialization barrier") {
     val p = executedPlan("join_range_auto")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -73,6 +73,33 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming gopher gate admits exactly the batch keep set") {
+    val sf = "/root/testdata/sf0.001"
+    val batchKeep = graft.ext.TextAnalysis.gopherRules(spark, sf)
+      .filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String, String)](29, spark, None)
+    val stream = input.toDF().toDF("doc_id", "lang", "text")
+    val q = StreamingCuration.gopherStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_gopher").start()
+    try {
+      val docs = Ingest.table(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      input.addData(docs.take(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_gopher")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKeep)
+      // admitted rows keep their original shape
+      assert(spark.table("graft_stream_gopher").columns.toSeq ==
+        Seq("doc_id", "lang", "text"))
+    } finally q.stop()
+  }
+
   test("streaming classifier scoring admits exactly the batch keep set") {
     val sf = "/root/testdata/sf0.001"
     // batch truth: docs the trained model scores target-like
