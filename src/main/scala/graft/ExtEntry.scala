@@ -28,6 +28,12 @@ object ExtEntry {
     "dedup_jaccard" -> ((s, dir) =>
       TextDedup.nearDupPairs(s, dir, 0.5).orderBy(col("d1"), col("d2"))),
 
+    // banding recall audit: true near-dup pairs (exact panel-bounded
+    // Jaccard) vs the pairs the band/bucket stage surfaces — the
+    // measured miss rate behind the (bands, rows) setting
+    "dedup_recall" -> ((s, dir) =>
+      TextDedup.bandingRecall(s, dir, nPanel = 50, threshold = 0.5)),
+
     // reads the corpus side from the persisted band/shingle index
     // (built on first use in the session, reused after — the amortized
     // daily-crawl shape); the oracle recomputes the same thing in SQL
@@ -131,6 +137,14 @@ object ExtEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(s, dir, 0.4)
         .orderBy(col("v1"), col("v2"))),
+
+    // the langid heuristic's per-language quality report: guess vs
+    // true-label confusion counts
+    "langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(s, dir)
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))),
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, dir).orderBy(col("doc_id"))),
@@ -494,6 +508,28 @@ object ExtEntry {
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  // The language-ID chain (stopword-ratio argmax with the fixed
+  // en > de > es > fr tie order) ending in `guess` — shared by
+  // text_langid and langid_confusion.
+  private val langidCtes =
+    """dicts AS (SELECT
+      |  ['the','a','of','and','to','in','is','it','you','that'] AS en,
+      |  ['der','die','das','und','ist','nicht','mit','ein','ich','zu'] AS de,
+      |  ['el','la','que','y','en','un','por','con','los','se'] AS es,
+      |  ['le','la','et','les','des','en','un','une','que','dans'] AS fr),
+      |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(w, x -> list_contains(en, x))) AS DOUBLE) / len(w) AS s_en,
+      |    CAST(len(list_filter(w, x -> list_contains(de, x))) AS DOUBLE) / len(w) AS s_de,
+      |    CAST(len(list_filter(w, x -> list_contains(es, x))) AS DOUBLE) / len(w) AS s_es,
+      |    CAST(len(list_filter(w, x -> list_contains(fr, x))) AS DOUBLE) / len(w) AS s_fr
+      |  FROM t, dicts),
+      |guess AS (SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess
+      |  FROM sc)""".stripMargin
 
   private val simhashCte =
     """tok AS (SELECT doc_id, substr(md5(t), 1, 16) AS h
@@ -1082,6 +1118,25 @@ object ExtEntry {
          |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
 
+    // panel-bounded ground-truth pairs LEFT JOIN the banding candidates
+    "dedup_recall" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |panel AS (SELECT doc_id AS p, shingles AS ps FROM sh
+         |  WHERE doc_id < 50),
+         |truth AS (SELECT DISTINCT least(p, s.doc_id) AS d1,
+         |    greatest(p, s.doc_id) AS d2,
+         |    CAST(len(list_intersect(ps, s.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(ps, s.shingles))) AS j
+         |  FROM sh s, panel
+         |  WHERE s.doc_id <> p
+         |    AND CAST(len(list_intersect(ps, s.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(ps, s.shingles))) >= 0.5)
+         |SELECT t.d1, t.d2, round(t.j, 6) AS jaccard,
+         |  (c.d1 IS NOT NULL) AS found
+         |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+         |ORDER BY t.d1, t.d2""".stripMargin,
+
     // mirrors TextDedup.incrementalDedup: corpus-side buckets rank-capped,
     // new-side uncapped, candidates strictly new×corpus, Jaccard verify,
     // then one admission verdict per new doc (best match by jaccard desc /
@@ -1378,24 +1433,18 @@ object ExtEntry {
          |ORDER BY v1, v2""".stripMargin,
 
     "text_langid" ->
-      """WITH dicts AS (SELECT
-        |  ['the','a','of','and','to','in','is','it','you','that'] AS en,
-        |  ['der','die','das','und','ist','nicht','mit','ein','ich','zu'] AS de,
-        |  ['el','la','que','y','en','un','por','con','los','se'] AS es,
-        |  ['le','la','et','les','des','en','un','une','que','dans'] AS fr),
-        |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
-        |sc AS (SELECT doc_id, lang,
-        |    CAST(len(list_filter(w, x -> list_contains(en, x))) AS DOUBLE) / len(w) AS s_en,
-        |    CAST(len(list_filter(w, x -> list_contains(de, x))) AS DOUBLE) / len(w) AS s_de,
-        |    CAST(len(list_filter(w, x -> list_contains(es, x))) AS DOUBLE) / len(w) AS s_es,
-        |    CAST(len(list_filter(w, x -> list_contains(fr, x))) AS DOUBLE) / len(w) AS s_fr
-        |  FROM t, dicts)
-        |SELECT doc_id, lang,
-        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess,
+      s"""WITH $langidCtes
+        |SELECT doc_id, lang, lang_guess,
         |  round(greatest(s_en, s_de, s_es, s_fr), 6) AS lang_score
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |FROM guess ORDER BY doc_id""".stripMargin,
+
+    // argmax-guess vs true label confusion — the langid heuristic's
+    // per-language quality report
+    "langid_confusion" ->
+      s"""WITH $langidCtes
+        |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+        |FROM guess GROUP BY lang, lang_guess
+        |ORDER BY lang, lang_guess""".stripMargin,
 
     "text_quality" ->
       """WITH en AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d)

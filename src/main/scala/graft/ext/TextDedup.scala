@@ -180,6 +180,44 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Banding recall audit — the dedup-tuning twin of `ann_recall`: what
+    * fraction of TRUE near-dup pairs (exact shingle-Jaccard ≥
+    * `threshold`) does the MinHash band/bucket stage actually surface
+    * as candidates? The banding S-curve guarantees high recall above
+    * the threshold only probabilistically; this measures the realized
+    * miss rate, per pair, so the (bands, rows-per-band) setting is a
+    * measured decision — exactly how the nProbe knob is audited on the
+    * ANN side.
+    *
+    * Ground truth is PANEL-BOUNDED (pairs with at least one endpoint in
+    * the first `nPanel` docs): the exact side is panel × corpus with
+    * the panel's shingle sets broadcast — one corpus scan per audit,
+    * never all-pairs. The LSH side is the same capped candidate
+    * function the production dedup runs. Output: one row per true pair
+    * with its exact Jaccard and whether banding found it.
+    */
+  def bandingRecall(spark: SparkSession, dir: String, nPanel: Int,
+                    threshold: Double): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val panel = sh.filter(col("doc_id") < nPanel)
+      .select(col("doc_id").as("p"), col("shingles").as("ps"))
+    val truth = sh
+      .crossJoin(broadcast(panel))
+      .filter(col("doc_id") =!= col("p"))
+      .select(least(col("p"), col("doc_id")).as("d1"),
+        greatest(col("p"), col("doc_id")).as("d2"),
+        (size(array_intersect(col("ps"), col("shingles"))).cast("double") /
+          size(array_union(col("ps"), col("shingles")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+    val cand = candidatePairsFromBands(bands(signaturesOf(sh)), maxBucket)
+      .withColumn("found", lit(true))
+    truth.join(cand, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
+        coalesce(col("found"), lit(false)).as("found"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Containment-verified near-dup pairs: candidates from the same
     * MinHash-LSH bands, verified by ASYMMETRIC shingle containment
     * `max(|∩|/|s1|, |∩|/|s2|)` instead of symmetric Jaccard. Containment

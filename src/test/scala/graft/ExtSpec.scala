@@ -296,6 +296,35 @@ class ExtSpec extends SparkTestBase {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("banding recall: truth pairs meet the threshold, found flags " +
+    "agree with the candidate function") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextDedup.bandingRecall(spark, dir, nPanel = 50,
+      threshold = 0.5).collect()
+    val cands = TextDedup.candidatePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      assert(d1 < d2)
+      assert(r.getDouble(r.fieldIndex("jaccard")) >= 0.5)
+      assert(r.getBoolean(r.fieldIndex("found")) == cands.contains((d1, d2)))
+    }
+    // every truth pair involves a panel doc
+    rows.foreach(r => assert(r.getLong(0) < 50))
+  }
+
+  test("langid confusion sums to the corpus and matches the langId frame") {
+    val dir = "/root/testdata/sf0.001"
+    val cm = ExtEntry.queries("langid_confusion")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = graft.ops.Ingest.table(spark, dir, "documents")
+    assert(cm.values.sum == docs.count())
+    val direct = graft.ext.TextAnalysis.langId(spark, dir)
+      .groupBy("lang", "lang_guess").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cm == direct)
+  }
+
   test("ann recall: probing every cell gives recall 1.0; recall stays " +
     "in [0,1] and counts its own hits") {
     val dir = "/root/testdata/sf0.001"
