@@ -316,6 +316,11 @@ object ExtEntry {
       Curation.mixtureWeights(s, dir, Seq("en" -> 0.125, "de" -> 0.25,
         "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.125))),
 
+    // sqrt-temperature (tau = 1/2) multilingual rebalancing: closed-form
+    // rate sqrt(n_min/n_l), emitted as sample_stratified thresholds
+    "mixture_temperature" -> ((s, dir) =>
+      Curation.mixtureTemperature(s, dir)),
+
     // BM25-shaped retrieval (ratio idf — see relevanceTopK scaladoc)
     "text_relevance" -> ((s, dir) =>
       TextAnalysis.relevanceTopK(s, dir,
@@ -1913,6 +1918,25 @@ object ExtEntry {
         |SELECT lang, lang_tokens,
         |  CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
         |  target_share, round(rate, 6) AS sample_rate,
+        |  CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |    ELSE lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))), 4, '0')
+        |  END AS sample_threshold
+        |FROM m ORDER BY lang""".stripMargin,
+
+    // sqrt is correctly rounded per IEEE in both engines, so the
+    // closed-form tau=1/2 rate needs no ordered summation anywhere
+    "mixture_temperature" ->
+      """WITH p AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(min(lang_tokens) AS BIGINT) AS min_tokens,
+        |    CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM p),
+        |m AS (SELECT lang, lang_tokens, total_tokens,
+        |    sqrt(CAST(min_tokens AS DOUBLE) / lang_tokens) AS rate
+        |  FROM p, t)
+        |SELECT lang, lang_tokens,
+        |  CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
+        |  round(rate, 6) AS sample_rate,
         |  CASE WHEN rate >= 1.0 THEN 'zzzz'
         |    ELSE lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))), 4, '0')
         |  END AS sample_threshold

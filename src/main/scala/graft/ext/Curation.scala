@@ -187,6 +187,41 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-based mixture rebalancing at τ = 1/2 — the classic
+    * square-root sampling heuristic for multilingual training (target
+    * share ∝ share^τ flattens the head without inverting the order).
+    * With τ = 1/2 the per-language rate normalizes to the closed form
+    * `rate_l = sqrt(n_min / n_l)` (the rarest language samples at 1.0,
+    * a language with 4× its mass at 0.5), which keeps the arithmetic
+    * ENGINE-EXACT: one exact-BIGINT count ratio, one IEEE sqrt —
+    * correctly rounded by spec in both engines — with no ordered
+    * summation anywhere, unlike a general τ whose `pow` carries no
+    * cross-engine rounding guarantee. Rates are emitted as the same
+    * 4-hex thresholds [[stratifiedSample]] consumes, closing the
+    * measure → thresholds → sample loop like [[mixtureWeights]].
+    *
+    * Scale shape: one map-side-combined groupBy onto languages-many
+    * rows, a one-row total broadcast — the corpus is read once.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+    val mins = perLang.agg(min(col("lang_tokens")).as("min_tokens"),
+      sum(col("lang_tokens")).as("total_tokens"))
+    val rate = sqrt(col("min_tokens").cast("double") / col("lang_tokens"))
+    perLang.crossJoin(broadcast(mins))
+      .select(col("lang"), col("lang_tokens"),
+        (col("lang_tokens").cast("double") / col("total_tokens"))
+          .as("actual_share"),
+        round(rate, 6).as("sample_rate"),
+        when(rate >= 1.0, lit("zzzz"))
+          .otherwise(lpad(lower(hex(floor(rate * 65536.0))), 4, "0"))
+          .as("sample_threshold"))
+      .orderBy(col("lang"))
+  }
+
   /** Context-window packing: concatenate the corpus in doc_id order and
     * cut at every `ctx` tokens — the standard pretraining "pack then
     * chunk" layout. Emits each document's global token offset and the

@@ -16,6 +16,28 @@ class CurationSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("sqrt-temperature mixture: rarest language at rate 1, rates " +
+    "decrease with mass by the closed form") {
+    val rows = graft.ext.Curation.mixtureTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("sample_rate")),
+        r.getString(r.fieldIndex("sample_threshold"))))
+    assert(rows.nonEmpty)
+    val minTokens = rows.map(_._2).min
+    rows.foreach { case (_, n, rate, th) =>
+      // sample_rate is round(sqrt(n_min/n), 6) — compare within the
+      // rounding grain
+      assert(math.abs(rate - math.sqrt(minTokens.toDouble / n)) < 1e-6)
+      if (n == minTokens) { assert(rate == 1.0 && th == "zzzz") }
+      else assert(th < "zzzz" && th.length == 4)
+    }
+    // monotone: more mass, lower rate
+    val sorted = rows.sortBy(_._2)
+    sorted.map(_._3).zip(sorted.tail.map(_._3)).foreach { case (a, b) =>
+      assert(a >= b)
+    }
+  }
+
   test("filter agreement cube sums to the corpus and matches each " +
     "gate's own marginal") {
     val cube = graft.ext.Curation.filterAgreement(spark, sf).collect()
