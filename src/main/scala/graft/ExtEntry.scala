@@ -275,6 +275,10 @@ object ExtEntry {
     // held-out src0 split
     "decontam_ngram" -> ((s, dir) => Curation.decontaminate(s, dir)),
 
+    // the benchmark-side face of decontamination: per eval doc, how
+    // many training docs leak into it and through how many grams
+    "decontam_eval_report" -> ((s, dir) => Curation.evalLeakReport(s, dir)),
+
     // Gopher-style repetition filter signals — scan-local array HOFs
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
@@ -1717,6 +1721,28 @@ object ExtEntry {
         |  COALESCE(h.n_hit, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin,
+
+    // the same gram world as decontam_ngram, rolled up per EVAL doc
+    "decontam_eval_report" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh5 AS (SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 4, 1)),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS sh FROM docs),
+        |ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS g
+        |  FROM sh5 WHERE source = 'src0'),
+        |tr AS (SELECT doc_id AS train_doc, unnest(sh) AS g
+        |  FROM sh5 WHERE source <> 'src0'),
+        |leaks AS (SELECT eval_doc,
+        |    CAST(count(DISTINCT train_doc) AS BIGINT) AS n_leaking_docs,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams
+        |  FROM tr JOIN ev USING (g) GROUP BY eval_doc)
+        |SELECT d.doc_id AS eval_doc,
+        |  COALESCE(l.n_leaking_docs, 0) AS n_leaking_docs,
+        |  COALESCE(l.n_shared_grams, 0) AS n_shared_grams,
+        |  COALESCE(l.n_leaking_docs, 0) > 0 AS compromised
+        |FROM documents d LEFT JOIN leaks l ON d.doc_id = l.eval_doc
+        |WHERE d.source = 'src0' ORDER BY eval_doc""".stripMargin,
 
     // token-level Gopher repetition twin: bigram = w[i:i+1] (inclusive
     // DuckDB slice = 2 tokens), trigram = w[i:i+2]; the mode count folds

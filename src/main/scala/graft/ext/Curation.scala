@@ -187,6 +187,45 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** The INVERSE contamination report — [[decontaminate]] tells the
+    * training side which docs to drop; this tells the BENCHMARK side
+    * which eval items are compromised and how badly: per held-out eval
+    * document, the number of distinct training documents sharing at
+    * least one `n`-gram with it and the number of distinct shared
+    * grams. Zero-leak eval docs report explicitly (the "clean
+    * benchmark" attestation a dataset card cites); heavily-leaked items
+    * are the ones whose scores a contaminated model inflates.
+    *
+    * Scale shape: the eval side is small by construction (a benchmark)
+    * — its distinct grams broadcast; the training corpus streams once
+    * through the map-side gram join, and only matched (eval_doc,
+    * train_doc, gram) rows — bounded by real leakage — reach the
+    * eval-keyed rollup.
+    */
+  def evalLeakReport(spark: SparkSession, dir: String, n: Int = 5,
+                     evalSource: String = "src0"): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextDedup.shingles(split(col("text"), " "), n).as("sh"))
+    val ev = sh.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("g"))
+    val tr = sh.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("g"))
+    val leaks = tr.join(broadcast(ev), Seq("g"))
+      .groupBy(col("eval_doc"))
+      .agg(countDistinct(col("train_doc")).as("n_leaking_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+    documents(spark, dir)
+      .filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_doc"))
+      .join(leaks, Seq("eval_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("compromised", col("n_leaking_docs") > 0L)
+      .orderBy(col("eval_doc"))
+  }
+
   /** Temperature-based mixture rebalancing at τ = 1/2 — the classic
     * square-root sampling heuristic for multilingual training (target
     * share ∝ share^τ flattens the head without inverting the order).

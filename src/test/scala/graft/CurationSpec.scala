@@ -16,6 +16,35 @@ class CurationSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("eval leak report matches a brute-force driver reference and " +
+    "agrees with the training-side decontamination flags") {
+    val docs = Ingest.table(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      val m = math.max(w.length - 4, 1)
+      (0 until m).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val ev = docs.filter(_._2 == "src0").map(d => d._1 -> grams(d._3))
+    val tr = docs.filter(_._2 != "src0").map(d => d._1 -> grams(d._3))
+    val expected = ev.map { case (eid, eg) =>
+      val leaking = tr.filter { case (_, tg) => (eg & tg).nonEmpty }
+      val sharedGrams = tr.map(_._2 & eg).foldLeft(Set.empty[String])(_ ++ _)
+      (eid, leaking.length.toLong, sharedGrams.size.toLong)
+    }.sortBy(_._1)
+    val got = graft.ext.Curation.evalLeakReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // cross-face consistency: training docs are flagged contaminated
+    // exactly when they leak into some eval doc
+    val contaminated = graft.ext.Curation.decontaminate(spark, sf)
+      .filter(col("contaminated")).count()
+    val leakingTrain = tr.count { case (_, tg) =>
+      ev.exists { case (_, eg) => (eg & tg).nonEmpty } }
+    assert(contaminated == leakingTrain)
+  }
+
   test("sqrt-temperature mixture: rarest language at rate 1, rates " +
     "decrease with mass by the closed form") {
     val rows = graft.ext.Curation.mixtureTemperature(spark, sf).collect()
