@@ -34,6 +34,11 @@ object ExtEntry {
     "dedup_recall" -> ((s, dir) =>
       TextDedup.bandingRecall(s, dir, nPanel = 50, threshold = 0.5)),
 
+    // per candidate pair: signature-estimated vs exact Jaccard and the
+    // absolute error — the evidence behind the 8-slot signature width
+    "dedup_minhash_err" -> ((s, dir) =>
+      TextDedup.minhashEstimateError(s, dir)),
+
     // reads the corpus side from the persisted band/shingle index
     // (built on first use in the session, reused after — the amortized
     // daily-crawl shape); the oracle recomputes the same thing in SQL
@@ -1126,6 +1131,29 @@ object ExtEntry {
          |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
          |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // signature-slot agreement vs exact Jaccard per candidate pair
+    "dedup_minhash_err" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |mm AS (SELECT c.d1, c.d2,
+         |    CAST(sum(CASE WHEN s1.sig[j+1] = s2.sig[j+1]
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM cand c JOIN sig s1 ON s1.doc_id = c.d1
+         |    JOIN sig s2 ON s2.doc_id = c.d2,
+         |    UNNEST([0,1,2,3,4,5,6,7]) AS u(j)
+         |  GROUP BY c.d1, c.d2),
+         |ex AS (SELECT d1, d2,
+         |    CAST(len(list_intersect(sh1.shingles, sh2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sh1.shingles, sh2.shingles))) AS j0
+         |  FROM cand JOIN sh sh1 ON sh1.doc_id = d1
+         |    JOIN sh sh2 ON sh2.doc_id = d2)
+         |SELECT m.d1, m.d2, m.n_match,
+         |  round(CAST(m.n_match AS DOUBLE) / 8, 6) AS est,
+         |  round(e.j0, 6) AS jaccard,
+         |  round(abs(CAST(m.n_match AS DOUBLE) / 8 - e.j0), 6) AS abs_err
+         |FROM mm m JOIN ex e ON m.d1 = e.d1 AND m.d2 = e.d2
+         |ORDER BY m.d1, m.d2""".stripMargin,
 
     // panel-bounded ground-truth pairs LEFT JOIN the banding candidates
     "dedup_recall" ->

@@ -218,6 +218,48 @@ object TextDedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** MinHash estimator audit — the third face of the dedup evaluation
+    * family (with [[bandingRecall]] and the verified-pair queries): per
+    * banding candidate pair, the SIGNATURE-estimated Jaccard (matching
+    * slots / 8) against the exact shingle Jaccard and the absolute
+    * error. With only 8 permutations the estimator is coarse by design
+    * (granularity 1/8 ≈ 0.125); this measures the realized error on
+    * real candidates, which is what justifies — or resizes — the
+    * signature width.
+    *
+    * Scale shape: candidates come from the same capped band/bucket
+    * function production runs; signatures and shingle sets join back by
+    * doc key (two hash joins on candidate-sized frames, never a
+    * corpus-wide pass beyond the one signature pipeline).
+    */
+  def minhashEstimateError(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val sigs = signaturesOf(sh)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => col(s"sig$j")): _*)
+    val s1 = sigs.toDF("d1" +: (0 until numHashes).map(j => s"a$j"): _*)
+    val s2 = sigs.toDF("d2" +: (0 until numHashes).map(j => s"b$j"): _*)
+    val nMatch = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    candidatePairsFromBands(bands(signaturesOf(sh)), maxBucket)
+      .join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("n_match", nMatch)
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("x1")),
+        Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("x2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_match"),
+        round(col("n_match").cast("double") / numHashes, 6).as("est"),
+        (size(array_intersect(col("x1"), col("x2"))).cast("double") /
+          size(array_union(col("x1"), col("x2")))).as("j0"))
+      .select(col("d1"), col("d2"), col("n_match"), col("est"),
+        round(col("j0"), 6).as("jaccard"),
+        round(abs(col("n_match").cast("double") / numHashes - col("j0")), 6)
+          .as("abs_err"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Containment-verified near-dup pairs: candidates from the same
     * MinHash-LSH bands, verified by ASYMMETRIC shingle containment
     * `max(|∩|/|s1|, |∩|/|s2|)` instead of symmetric Jaccard. Containment

@@ -21,6 +21,23 @@ class DedupSpec extends SparkTestBase {
       Seq(("a", 1L), ("b", 5L)))
   }
 
+  test("minhash estimator audit: every candidate matches >= 2 slots (a " +
+    "band collision IS two matching slots), error on the 1/8 grid") {
+    val rows = graft.ext.TextDedup
+      .minhashEstimateError(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nMatch = r.getLong(r.fieldIndex("n_match"))
+      // candidates exist because some band's 2 consecutive slots agreed
+      assert(nMatch >= 2L && nMatch <= 8L)
+      val est = r.getDouble(r.fieldIndex("est"))
+      assert(est == nMatch / 8.0)
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      val err = r.getDouble(r.fieldIndex("abs_err"))
+      assert(math.abs(err - math.abs(est - j)) < 2e-6)
+    }
+  }
+
   test("winnowing guarantee: every planted shared run of >= w+k-1 tokens " +
     "forces a shared fingerprint (seeded random docs)") {
     val k = 4; val w = 4
