@@ -276,6 +276,12 @@ object ExtEntry {
     // at most 10 docs per source, skew-safe two-phase ranking
     "quota_cap" -> ((s, dir) => Curation.quotaCap(s, dir, n = 10)),
 
+    // token-budget quota per source: keep each source's doc_id-ordered
+    // prefix while cumulative tokens fit the budget — exact distributed
+    // prefix sum (packGreedy pattern per group), never one reducer
+    "quota_tokens" -> ((s, dir) =>
+      Curation.quotaTokens(s, dir, budget = 600L)),
+
     // benchmark-leakage guard: train docs sharing a 5-gram with the
     // held-out src0 split
     "decontam_ngram" -> ((s, dir) => Curation.decontaminate(s, dir)),
@@ -1732,6 +1738,18 @@ object ExtEntry {
         |FROM documents
         |QUALIFY rk <= 10
         |ORDER BY source, doc_id""".stripMargin,
+
+    // single-window cumulative-sum reference for the block prefix form
+    "quota_tokens" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 600 ORDER BY source, doc_id""".stripMargin,
 
     "decontam_ngram" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w

@@ -152,6 +152,46 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Token-budget quota — [[quotaCap]]'s mass-aware sibling: each source
+    * keeps its documents in doc_id order only while the source's
+    * CUMULATIVE token count stays within `budget` (a document that
+    * crosses the line is dropped, along with everything after it in
+    * that source). Budgeting by tokens rather than docs is what a
+    * mixture plan actually allocates.
+    *
+    * NOTE the salted-rank trick quotaCap uses is UNSOUND for prefix
+    * sums — a salt class's running sum omits the other classes' mass,
+    * so a row past the real cutoff can look under-budget after phase-1
+    * drops. The skew-safe form is [[packGreedy]]'s distributed prefix
+    * sum applied per source: block-local running sums in parallel,
+    * one-row-per-block totals rolled through a tiny window, block
+    * offsets joined back — exact cumulative, and a hot source's full
+    * history never passes one reducer.
+    */
+  def quotaTokens(spark: SparkSession, dir: String, budget: Long,
+                  blockSize: Long = 100L): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk"))
+    val wLocal = Window.partitionBy(col("source"), col("blk"))
+      .orderBy(col("doc_id"))
+    val local = docs.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+    val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+    val offsets = local
+      .groupBy(col("source"), col("blk"))
+      .agg(max(col("lcum")).as("btot"))
+      .withColumn("off",
+        coalesce(sum(col("btot")).over(wBlk) - col("btot"), lit(0L)))
+      .select(col("source"), col("blk"), col("off"))
+    local.join(offsets, Seq("source", "blk"))
+      .withColumn("cum_tokens", col("lcum") + col("off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Data-mixture rebalancing: given target language shares, compute the
     * per-language sampling RATE that moves the corpus toward the target
     * (`rate = min(1, target·total/actual)` — down-sample the

@@ -201,9 +201,22 @@ object TextDedup {
     val sh = docShingles(spark, dir).localCheckpoint(true)
     val panel = sh.filter(col("doc_id") < nPanel)
       .select(col("doc_id").as("p"), col("shingles").as("ps"))
+    // the classic LENGTH filter (provably lossless at J >= t): since
+    // |A∩B| <= min and |A∪B| >= max, J >= t forces t·|A| <= |B| <= |A|/t
+    // — an integer comparison that discards most of the panel×corpus
+    // pairs before any array intersection is computed
+    // floor: the integer bound is RELAXED (never tighter than t), so no
+    // borderline valid pair can be discarded — the exact filter below
+    // still decides
+    val tNum = math.floor(threshold * 1e6).toLong
     val truth = sh
       .crossJoin(broadcast(panel))
       .filter(col("doc_id") =!= col("p"))
+      .filter(
+        size(col("ps")).cast("long") * tNum <=
+          size(col("shingles")).cast("long") * 1000000L &&
+        size(col("shingles")).cast("long") * tNum <=
+          size(col("ps")).cast("long") * 1000000L)
       .select(least(col("p"), col("doc_id")).as("d1"),
         greatest(col("p"), col("doc_id")).as("d2"),
         (size(array_intersect(col("ps"), col("shingles"))).cast("double") /

@@ -16,6 +16,35 @@ class CurationSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("quotaTokens block prefix form equals the direct per-source " +
+    "window across block sizes; kept set is a budget-bounded prefix") {
+    val direct = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("cum_tokens") <= 600L)
+      .orderBy(col("source"), col("doc_id"))
+      .collect().map(_.toSeq)
+    Seq(1L, 7L, 100L, 100000L).foreach { bs =>
+      val got = graft.ext.Curation.quotaTokens(spark, sf, 600L, bs)
+        .collect().map(_.toSeq)
+      assert(got.toSeq == direct.toSeq, s"blockSize=$bs")
+    }
+    // prefix property: within a source, kept doc_ids are a prefix of the
+    // source's docs (cum is monotone, so nothing after a dropped doc)
+    val keptBySource = direct.groupBy(_(1)).view.mapValues(
+      _.map(_(0).asInstanceOf[Long]).toSet).toMap
+    val allBySource = Ingest.table(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    keptBySource.foreach { case (src, kept) =>
+      val all = allBySource(src.asInstanceOf[String])
+      assert(all.takeWhile(kept.contains).toSet == kept)
+    }
+  }
+
   test("eval leak report matches a brute-force driver reference and " +
     "agrees with the training-side decontamination flags") {
     val docs = Ingest.table(spark, sf, "documents")
