@@ -61,6 +61,49 @@ object StreamingCuration {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class DocTok(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Per-source token-budget admission — the streaming twin of
+    * `quota_tokens`: state carries the cumulative tokens SEEN per
+    * source (admitted or not, matching the batch prefix-sum over ALL
+    * docs), a row is admitted only while the running total fits the
+    * budget. Rows are ordered by doc_id within each micro-batch group
+    * so an unordered batch cannot flip the admit set (cross-batch
+    * parity still assumes in-order arrival, as with [[QuotaProcessor]]).
+    */
+  class TokenBudgetProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DocTok, DocTok] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen_tokens",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocTok],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DocTok] = {
+      var cum = if (seen.exists()) seen.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer[DocTok]()
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        cum += r.n_tokens
+        if (cum <= budget) out += r
+      }
+      seen.update(cum)
+      out.iterator
+    }
+  }
+
+  /** Document stream → the per-source token-budget admit stream. */
+  def quotaTokensStream(docs: Dataset[DocTok], budget: Long): Dataset[DocTok] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.groupByKey(_.source)
+      .transformWithState(new TokenBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Document stream → deterministic stratified-sample admit stream: the
     * batch predicate, stateless.
     */

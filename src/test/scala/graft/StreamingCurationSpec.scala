@@ -41,6 +41,56 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("token-budget stream admits the batch prefix, counts dropped " +
+    "mass, and orders within a batch") {
+    import StreamingCuration.DocTok
+    val input = MemoryStream[DocTok](30, spark, None)
+    val q = StreamingCuration.quotaTokensStream(input.toDS(), budget = 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_toks").start()
+    try {
+      // out-of-order within the batch: sorted by doc_id before admitting
+      input.addData(DocTok(2, "a", 40L), DocTok(1, "a", 30L))
+      q.processAllAvailable()
+      // doc 3 (60) crosses 100 -> dropped, but its mass STILL counts:
+      // doc 4 (10) would fit the leftover 30 but the batch semantics
+      // (cumulative over all seen) must refuse it too
+      input.addData(DocTok(3, "a", 60L), DocTok(4, "a", 10L))
+      q.processAllAvailable()
+      input.addData(DocTok(5, "b", 99L), DocTok(6, "b", 2L))
+      q.processAllAvailable()
+      val admitted = spark.table("graft_stream_toks")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 2L, 5L), s"got $admitted")
+    } finally q.stop()
+  }
+
+  test("streaming token budget equals the batch quota_tokens keep set " +
+    "on in-order arrival") {
+    import StreamingCuration.DocTok
+    val sf = "/root/testdata/sf0.001"
+    val batchKeep = graft.ext.Curation.quotaTokens(spark, sf, 600L)
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[DocTok](31, spark, None)
+    val q = StreamingCuration.quotaTokensStream(input.toDS(), budget = 600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_toks_batch").start()
+    try {
+      val docs = Ingest.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id").collect()
+        .map(r => DocTok(r.getLong(0), r.getString(1), r.getLong(2)))
+      input.addData(docs.take(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_toks_batch")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKeep)
+    } finally q.stop()
+  }
+
   test("streaming decontamination admits exactly the batch clean set") {
     val sf = "/root/testdata/sf0.001"
     // batch truth: train docs with zero 5-gram hits vs the src0 eval split
