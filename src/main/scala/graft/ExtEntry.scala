@@ -487,6 +487,7 @@ object ExtEntry {
     "text_clf_train" -> ((s, dir) => Classifier.trainedModel(s, dir)),
     "text_clf_score" -> ((s, dir) => Classifier.scoreAll(s, dir)),
     "text_clf_eval" -> ((s, dir) => Classifier.confusion(s, dir)),
+    "text_clf_pr_sweep" -> ((s, dir) => Classifier.prSweep(s, dir)),
 
     // the three quality gates' 2x2x2 contingency cube — how much do
     // Gopher rules, the trained classifier, and the LM tertile filter
@@ -1114,6 +1115,7 @@ object ExtEntry {
     "text_clf_train" -> Classifier.trainOracle(),
     "text_clf_score" -> Classifier.scoreOracle(),
     "text_clf_eval" -> Classifier.confusionOracle(),
+    "text_clf_pr_sweep" -> Classifier.prSweepOracle(),
     "tokenizer_bpe_merges" -> bpeMergesOracle(10),
     "tokenizer_bpe_encode" -> bpeEncodeOracle(10),
     "tokenizer_bpe_vocab" -> bpeVocabOracle(10),

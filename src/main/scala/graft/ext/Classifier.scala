@@ -226,6 +226,41 @@ object Classifier {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("y"), col("pred"))
 
+  /** `text_clf_pr_sweep`: precision/recall at a ladder of decision
+    * thresholds — the table a deployment reads to pick its operating
+    * point (keep-more-recall vs keep-cleaner-precision). One scoring
+    * pass; the threshold ladder explodes per row and collapses in a
+    * map-side-combined groupBy onto |thresholds| rows. Undefined
+    * precision (no predicted positives) reports null rather than a
+    * fabricated value.
+    */
+  def prSweep(spark: SparkSession, dir: String,
+              thresholds: Seq[Double] = Seq(0.5, 0.8, 1.0, 1.25, 2.0),
+              posLang: String = "en",
+              trainTh: String = "8000"): DataFrame = {
+    val scored = scoredAll(spark, dir, posLang, trainTh, viaKernel = true)
+      .select(labelOf(posLang).as("y"), col("weight"))
+    scored
+      .select(col("y"), col("weight"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("y") === 1L && col("weight") > col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1L && col("weight") > col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("weight") <= col("threshold"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0L,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"))
+      .orderBy(col("threshold"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------
 
   private def bucketSql(g: String): String =
@@ -284,6 +319,31 @@ object Classifier {
     s"""WITH ${scoreChain(posLang, trainTh)}
        |SELECT doc_id, lang, n_grams, weight, weight > 1.0 AS pred
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for `text_clf_pr_sweep`. */
+  def prSweepOracle(thresholds: Seq[Double] = Seq(0.5, 0.8, 1.0, 1.25, 2.0),
+                    posLang: String = "en",
+                    trainTh: String = "8000"): String = {
+    val ladder = thresholds.mkString("[", ", ", "]")
+    s"""WITH ${scoreChain(posLang, trainTh)},
+       |lab AS (SELECT CASE WHEN lang = '$posLang' THEN 1 ELSE -1 END AS y,
+       |    weight, threshold
+       |  FROM sc, UNNEST($ladder) AS t(threshold)),
+       |pr AS (SELECT threshold,
+       |    CAST(sum(CASE WHEN y = 1 AND weight > threshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN y = -1 AND weight > threshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN y = 1 AND weight <= threshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM lab GROUP BY threshold)
+       |SELECT threshold, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       |  CASE WHEN tp + fn > 0
+       |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+       |FROM pr ORDER BY threshold""".stripMargin
+  }
 
   /** DuckDB oracle for `text_clf_eval`. */
   def confusionOracle(posLang: String = "en",

@@ -114,6 +114,28 @@ class ClassifierSpec extends SparkTestBase {
     assert(cm == recomputed)
   }
 
+  test("PR sweep: recall non-increasing in threshold, positives " +
+    "conserved, threshold-1.0 row equals the confusion matrix") {
+    val rows = Classifier.prSweep(spark, sf01).collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.length == 5)
+    val posTotals = rows.map(r =>
+      r.getLong(r.fieldIndex("tp")) + r.getLong(r.fieldIndex("fn")))
+    assert(posTotals.distinct.length == 1) // tp+fn = all positives, always
+    val recalls = rows.map { r =>
+      if (r.isNullAt(r.fieldIndex("recall"))) 0.0
+      else r.getDouble(r.fieldIndex("recall"))
+    }
+    recalls.zip(recalls.tail).foreach { case (a, b) => assert(a >= b) }
+    val at1 = rows.find(_.getDouble(0) == 1.0).get
+    val cm = Classifier.confusion(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    assert(at1.getLong(at1.fieldIndex("tp")) == cm((1L, true)))
+    assert(at1.getLong(at1.fieldIndex("fp")) == cm((-1L, true)))
+    assert(at1.getLong(at1.fieldIndex("fn")) == cm((1L, false)))
+  }
+
   test("the model learns: accuracy beats the majority base rate on sf0.01") {
     val cm = Classifier.confusion(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
