@@ -131,6 +131,9 @@ object ExtEntry {
     // max reconstruction error
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
 
+    // embedding-table health: dims, zero vectors, exact norm quantiles
+    "emb_norm_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
+
     // Johnson–Lindenstrauss random projection 64→8 dims — scan-local,
     // zero-shuffle; narrows every downstream embedding exchange 8×
     "emb_project" -> ((s, dir) => Similarity.projectRandom(s, dir, 8)),
@@ -1390,6 +1393,34 @@ object ExtEntry {
          |  round(sim, 6) AS sim
          |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
     },
+
+    // norm folds left-to-right like the engine's dot kernel; quantiles
+    // are exact order statistics on round(norm, 6)
+    "emb_norm_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |    round(sqrt(list_sum(list_transform(
+        |      generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) *
+        |           CAST(embedding[i] AS DOUBLE)))), 6) AS rnorm
+        |  FROM embeddings),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |    CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+        |    CAST(min(dim) AS BIGINT) AS dim_min,
+        |    CAST(max(dim) AS BIGINT) AS dim_max,
+        |    CAST(sum(CASE WHEN rnorm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero
+        |  FROM e),
+        |bv AS (SELECT rnorm, count(*) AS c FROM e GROUP BY rnorm),
+        |cm AS (SELECT rnorm, sum(c) OVER (ORDER BY rnorm) AS cum FROM bv),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM e),
+        |q AS (SELECT
+        |    min(CASE WHEN cum >= ceil(0.1 * nv) THEN rnorm END) AS p10_norm,
+        |    min(CASE WHEN cum >= ceil(0.5 * nv) THEN rnorm END) AS p50_norm,
+        |    min(CASE WHEN cum >= ceil(0.9 * nv) THEN rnorm END) AS p90_norm
+        |  FROM cm, tot)
+        |SELECT n_vectors, n_dims, dim_min, dim_max, n_zero,
+        |  p10_norm, p50_norm, p90_norm
+        |FROM base, q""".stripMargin,
 
     // the IVF chain's top-k vs the brute-force top-k, per query
     "ann_recall" -> annRecallOracleSql(nQueries = 10, nCentroids = 16,

@@ -579,6 +579,41 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Embedding-table health report — the one-row audit an embedding
+    * pipeline runs per snapshot before anything consumes the vectors:
+    * row/dimension integrity (count, distinct dims — a mixed-dim table
+    * breaks every dot product downstream), degenerate vectors (zero
+    * norm — undefined cosine), and the norm distribution (exact
+    * order-statistic p10/p50/p90 on round(norm, 6), the same
+    * cumulative-count formulation as [[ivfStats]] — never a
+    * corpus-wide sort). A collapsed or drifting norm distribution is
+    * the standard early symptom of an upstream encoder bug.
+    */
+  def embStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        round(norm(col("embedding")), 6).as("rnorm"))
+    val base = emb.agg(
+      count(lit(1)).as("n_vectors"),
+      countDistinct(col("dim")).as("n_dims"),
+      min(col("dim")).as("dim_min"),
+      max(col("dim")).as("dim_max"),
+      sum(when(col("rnorm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    val byVal = emb.groupBy(col("rnorm")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("rnorm"))))
+    val quant = byVal.crossJoin(broadcast(
+      emb.agg(count(lit(1)).as("nv"))))
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.1) * col("nv")), col("rnorm")))
+          .as("p10_norm"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("nv")), col("rnorm")))
+          .as("p50_norm"),
+        min(when(col("cum") >= ceil(lit(0.9) * col("nv")), col("rnorm")))
+          .as("p90_norm"))
+    base.crossJoin(quant)
+  }
+
   /** Recall@k of the IVF search against exact brute force — the tuning
     * metric an ANN deployment watches per (nCentroids, nProbe) setting:
     * how much of the TRUE top-k does the cell-bounded search return?

@@ -296,6 +296,21 @@ class ExtSpec extends SparkTestBase {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("embedding health report: one row, ordered quantiles, clean " +
+    "table attested") {
+    val r = Similarity.embStats(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_dims")) == 1L)
+    assert(row.getLong(row.fieldIndex("dim_min")) ==
+      row.getLong(row.fieldIndex("dim_max")))
+    assert(row.getLong(row.fieldIndex("n_zero")) == 0L)
+    val (p10, p50, p90) = (row.getDouble(row.fieldIndex("p10_norm")),
+      row.getDouble(row.fieldIndex("p50_norm")),
+      row.getDouble(row.fieldIndex("p90_norm")))
+    assert(p10 <= p50 && p50 <= p90)
+  }
+
   test("banding recall: truth pairs meet the threshold, found flags " +
     "agree with the candidate function") {
     val dir = "/root/testdata/sf0.001"
