@@ -258,7 +258,9 @@ object Curation {
     documents(spark, dir)
       .filter(col("source") === evalSource)
       .select(col("doc_id").as("eval_doc"))
-      .join(leaks, Seq("eval_doc"), "left")
+      // leaks is eval-sized (≤ one row per benchmark item) — broadcast,
+      // so the report never sorts
+      .join(broadcast(leaks), Seq("eval_doc"), "left")
       .select(col("eval_doc"),
         coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
