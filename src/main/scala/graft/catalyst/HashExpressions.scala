@@ -268,13 +268,6 @@ object HashExpressions {
     require(posArr.numElements() >= 4096 && negArr.numElements() >= 4096,
       s"graft_clf_score: count arrays must have >= 4096 slots, got " +
         s"${posArr.numElements()} and ${negArr.numElements()}")
-    var j = 0
-    while (j < 4096) {
-      if (posArr.isNullAt(j) || negArr.isNullAt(j))
-        throw new IllegalArgumentException(
-          s"graft_clf_score: count arrays must not contain nulls (slot $j)")
-      j += 1
-    }
     val md = MessageDigest.getInstance("MD5")
     val len = tokens.numElements()
     val m = math.max(len - 1, 1)
@@ -283,6 +276,12 @@ object HashExpressions {
     var i = 0
     while (i < m) {
       val b = gramBucket12(md, tokens, i, len)
+      // null slots fail loudly, checked only for the buckets actually
+      // read — a full 4096-slot pre-scan would cost ~80x the fold
+      // itself on typical documents
+      if (posArr.isNullAt(b) || negArr.isNullAt(b))
+        throw new IllegalArgumentException(
+          s"graft_clf_score: count arrays must not contain nulls (slot $b)")
       num += posArr.getLong(b) + 1L
       den += negArr.getLong(b) + 1L
       i += 1

@@ -670,20 +670,6 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  /** Corpus snapshot diff — the between-crawls CDC rollup a curation
-    * pipeline runs before promoting a new snapshot: per language, how
-    * many documents were added / removed / changed / unchanged, plus the
-    * token-mass delta. One full-outer join on the (bucketable) doc key
-    * comparing content hashes — never the texts themselves across the
-    * shuffle — then a languages-sized rollup; the batch analog of the
-    * gold change feed's insert/preimage/postimage classification.
-    *
-    * Snapshots are derived deterministically from the one `documents`
-    * table so the DuckDB oracle reproduces them: v1 (the prior crawl)
-    * drops `doc_id % 7 = 0`; v2 (today's) drops `doc_id % 5 = 0` and
-    * re-extracts `doc_id % 11 = 0` with normalized whitespace-case
-    * (upper), modelling re-crawled pages whose content shifted.
-    */
   /** The filter-agreement cube: before composing quality gates, a
     * curation run quantifies how much the gates OVERLAP — do the Gopher
     * rules, the trained classifier, and the LM-tertile filter remove
@@ -711,6 +697,20 @@ object Curation {
       .orderBy(col("gopher_keep"), col("clf_keep"), col("lm_keep"))
   }
 
+  /** Corpus snapshot diff — the between-crawls CDC rollup a curation
+    * pipeline runs before promoting a new snapshot: per language, how
+    * many documents were added / removed / changed / unchanged, plus the
+    * token-mass delta. One full-outer join on the (bucketable) doc key
+    * comparing content hashes — never the texts themselves across the
+    * shuffle — then a languages-sized rollup; the batch analog of the
+    * gold change feed's insert/preimage/postimage classification.
+    *
+    * Snapshots are derived deterministically from the one `documents`
+    * table so the DuckDB oracle reproduces them: v1 (the prior crawl)
+    * drops `doc_id % 7 = 0`; v2 (today's) drops `doc_id % 5 = 0` and
+    * re-extracts `doc_id % 11 = 0` with normalized whitespace-case
+    * (upper), modelling re-crawled pages whose content shifted.
+    */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ext.TextDedup.documents(spark, dir)
     val v1 = docs.filter(col("doc_id") % 7 =!= 0)

@@ -247,7 +247,12 @@ object TextDedup {
     */
   def minhashEstimateError(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir).localCheckpoint(true)
-    val sigs = signaturesOf(sh)
+    // one signature pass feeds BOTH the band/candidate path and the
+    // per-pair slot comparison — materialized because ReuseExchange does
+    // not unify the two differently-projected consumers (the round-4
+    // lesson); the frame is narrow (doc_id + 8 hex slots per doc)
+    val sigFrame = signaturesOf(sh).localCheckpoint(true)
+    val sigs = sigFrame
       .select(col("doc_id") +:
         (0 until numHashes).map(j => col(s"sig$j")): _*)
     val s1 = sigs.toDF("d1" +: (0 until numHashes).map(j => s"a$j"): _*)
@@ -255,7 +260,7 @@ object TextDedup {
     val nMatch = (0 until numHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduceLeft(_ + _)
-    candidatePairsFromBands(bands(signaturesOf(sh)), maxBucket)
+    candidatePairsFromBands(bands(sigFrame), maxBucket)
       .join(s1, Seq("d1")).join(s2, Seq("d2"))
       .withColumn("n_match", nMatch)
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("x1")),

@@ -146,14 +146,6 @@ object StreamingCuration {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
-  /** Ingest-time decontamination: drop any arriving document that shares
-    * an `n`-word shingle with the (static, small) eval split — the
-    * stream-static twin of [[graft.ext.Curation.decontaminate]]. The eval
-    * shingle set rides along as ONE broadcast row (a single-row
-    * cross-join is the stream-safe shape: no stream self-join, no state),
-    * and each arriving doc is checked map-side with `arrays_overlap` —
-    * the stream never shuffles for the check.
-    */
   /** Ingest-time Gopher gating — the streaming twin of
     * `text_gopher_rules`: the rule computation is a pure row function
     * ([[graft.ext.TextAnalysis.gopherFlags]], shared verbatim), so the
@@ -183,6 +175,14 @@ object StreamingCuration {
       .filter(col("pred"))
       .drop("n_grams", "weight", "pred")
 
+  /** Ingest-time decontamination: drop any arriving document that shares
+    * an `n`-word shingle with the (static, small) eval split — the
+    * stream-static twin of [[graft.ext.Curation.decontaminate]]. The eval
+    * shingle set rides along as ONE broadcast row (a single-row
+    * cross-join is the stream-safe shape: no stream self-join, no state),
+    * and each arriving doc is checked map-side with `arrays_overlap` —
+    * the stream never shuffles for the check.
+    */
   def decontamStream(docs: DataFrame, evalGrams: DataFrame,
                      n: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
