@@ -373,6 +373,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // as-of with staleness tolerance (pandas merge_asof tolerance): a
+    // match older than tol counts as no match — payload nulls together
+    "join_asof_tol" -> ((s, dir) => {
+      val e = silverBase(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_timestamp").as("ems"), col("value"))
+      val o = Ingest.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+      val oDedup = graft.ops.Dedup.latestPerKeyAgg(o,
+        Seq("o_custkey", "o_ms"), struct(col("o_orderkey")), latest = true)
+      val joined = graft.ops.AsOf.asOfJoin(e, oDedup, "user_id", "o_custkey",
+        "ems", "o_ms", Seq("o_orderkey", "o_totalprice", "o_ms"))
+      graft.ops.AsOf.withTolerance(joined, "ems", "o_ms",
+          Seq("o_orderkey", "o_totalprice", "o_ms"), tol = 730000000000L)
+        .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+          col("o_orderkey"), col("o_totalprice"), col("o_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // forward as-of: each event enriched with the user's NEXT order at or
     // after the event time (the look-ahead twin of join_asof; DuckDB
     // native `ASOF LEFT JOIN ... ON ems <= o_ms` as the oracle)
@@ -1450,6 +1471,26 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ems >= o.o_ms
         |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_tol" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms,
+        |    max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)),
+        |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ems, value FROM events),
+        |j AS (SELECT e.event_id, e.user_id, e.ems, e.value,
+        |    o.o_orderkey, o.o_totalprice, o.o_ms
+        |  FROM e ASOF LEFT JOIN o
+        |    ON e.user_id = o.o_custkey AND e.ems >= o.o_ms)
+        |SELECT event_id, user_id, ems, value,
+        |  CASE WHEN o_ms IS NULL OR ems - o_ms > 730000000000
+        |    THEN NULL ELSE o_orderkey END AS o_orderkey,
+        |  CASE WHEN o_ms IS NULL OR ems - o_ms > 730000000000
+        |    THEN NULL ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_ms IS NULL OR ems - o_ms > 730000000000
+        |    THEN NULL ELSE o_ms END AS o_ms
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "join_asof_fwd" ->
       """WITH o AS (

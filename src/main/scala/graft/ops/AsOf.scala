@@ -92,4 +92,23 @@ object AsOf {
       }
     filled.filter(col("__side") === 0).drop("__k", "__t", "__side")
   }
+
+  /** Staleness tolerance (pandas `merge_asof(tolerance=...)`): applied
+    * AFTER the join, a match older than `tol` time units counts as NO
+    * match — every payload column (which must include the matched right
+    * time `timeR`) nulls out together. A pure projection over the
+    * joined frame: the single-shuffle join plan is untouched, and the
+    * one gap test is computed before any payload is overwritten so the
+    * columns cannot null out inconsistently.
+    */
+  def withTolerance(joined: DataFrame, timeL: String, timeR: String,
+                    payload: Seq[String], tol: Long): DataFrame = {
+    require(payload.contains(timeR),
+      s"withTolerance: payload must include the matched right time $timeR")
+    val stale = col(timeR).isNull || (col(timeL) - col(timeR) > tol)
+    payload.foldLeft(joined.withColumn("__stale", stale)) { (df, p) =>
+      df.withColumn(p, when(col("__stale"),
+        lit(null).cast(joined.schema(p).dataType)).otherwise(col(p)))
+    }.drop("__stale")
+  }
 }

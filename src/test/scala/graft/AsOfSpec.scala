@@ -41,6 +41,42 @@ class AsOfSpec extends SparkTestBase {
     }
   }
 
+  test("withTolerance: stale matches null all payload columns together; " +
+    "infinite tolerance is the identity") {
+    val rnd = new Random(11)
+    val lefts = Seq.tabulate(40)(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
+    val rights = Seq.fill(15)((rnd.nextInt(4).toLong, rnd.nextInt(100).toLong,
+      rnd.nextInt(1000)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .zipWithIndex.map { case ((k, t, p), i) => (1000L + i, k, t, p) }
+    val l = lefts.toDF("lid", "k", "lt")
+    val r = rights.toDF("rid", "rk", "rt", "rp")
+    val joined = AsOf.asOfJoin(l, r, "k", "rk", "lt", "rt",
+      Seq("rid", "rp", "rt"))
+    val tol = 20L
+    val got = AsOf.withTolerance(joined, "lt", "rt",
+      Seq("rid", "rp", "rt"), tol).collect()
+    got.foreach { row =>
+      val nulls = Seq("rid", "rp", "rt").map(c => row.isNullAt(row.fieldIndex(c)))
+      assert(nulls.distinct.length == 1, s"payload must null together: $row")
+      if (!row.isNullAt(row.fieldIndex("rt")))
+        assert(row.getLong(row.fieldIndex("lt")) -
+          row.getLong(row.fieldIndex("rt")) <= tol)
+    }
+    // naive cross-check of which rows survive
+    val survivors = got.filter(!_.isNullAt(got.head.fieldIndex("rid")))
+      .map(r => r.getLong(r.fieldIndex("lid"))).toSet
+    val expected = lefts.filter { case (_, k, lt) =>
+      rights.exists(r => r._2 == k && r._3 <= lt && lt - r._3 <= tol)
+    }.map(_._1).toSet
+    assert(survivors == expected)
+    // tol = MaxValue: identical to the plain join
+    val ident = AsOf.withTolerance(joined, "lt", "rt",
+      Seq("rid", "rp", "rt"), Long.MaxValue).collect().map(_.toSeq).toSet
+    assert(ident == joined.collect().map(_.toSeq).toSet)
+  }
+
   test("asOfJoinForward equals the naive earliest-at-or-after scan") {
     val rnd = new Random(13)
     for (_ <- 1 to 5) {
