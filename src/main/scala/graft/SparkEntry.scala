@@ -645,6 +645,12 @@ object SparkEntry {
       graft.ops.Analytics.anomalyOf(daily)
     }),
 
+    // per-type winsorized values: clip at the exact order-statistic
+    // [p05, p95] — the outlier-clean pass before value aggregation
+    "clean_winsorize" -> ((s, dir) =>
+      graft.ops.Analytics.winsorize(
+        Ingest.events(s, dir), "event_type", "event_id")),
+
     // Daily retention cohorts — the funnel's sibling analytics shape:
     // cohort = a user's first active day; each (cohort, day-offset) cell
     // counts users still active that many days later, with the fraction
@@ -1576,6 +1582,26 @@ object SparkEntry {
         |  round(mn + b90 * bw, 6) AS hist_p90
         |FROM picks p JOIN exact ON p.event_type = exact.event_type, mm
         |ORDER BY p.event_type""".stripMargin,
+
+    "clean_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, round(value, 6) AS rv
+        |  FROM events),
+        |bv AS (SELECT event_type, rv, count(*) AS c
+        |  FROM e GROUP BY event_type, rv),
+        |cm AS (SELECT event_type, rv,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY rv) AS cum
+        |  FROM bv),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY event_type),
+        |b AS (SELECT cm.event_type,
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN rv END) AS lo_v,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN rv END) AS hi_v
+        |  FROM cm JOIN tot USING (event_type) GROUP BY cm.event_type)
+        |SELECT e.event_id, e.event_type, e.rv AS value,
+        |  CASE WHEN e.rv < lo_v THEN lo_v
+        |       WHEN e.rv > hi_v THEN hi_v ELSE e.rv END AS value_w,
+        |  (e.rv < lo_v OR e.rv > hi_v) AS clipped
+        |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
 
     "anomaly_daily" ->
       """WITH daily AS (SELECT event_type,

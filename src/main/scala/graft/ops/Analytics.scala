@@ -16,6 +16,47 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Per-group winsorization — the outlier-clipping cleaning pass run
+    * before value aggregation (a fat-fingered or corrupt `value` row
+    * otherwise owns every mean/sum downstream): each row's value is
+    * clipped to its group's [p05, p95], with the clipped flag kept for
+    * audit. Quantiles are EXACT ORDER STATISTICS on round(value, 6) —
+    * the position-ceil(q·n) value over cumulative counts of the
+    * DISTINCT rounded values per group (the [[graft.ext.Similarity]]
+    * ivfStats formulation), chosen over interpolated `percentile`
+    * because interpolation arithmetic on arbitrary doubles carries no
+    * cross-engine rounding guarantee and an exact percentile buffers
+    * each group whole.
+    *
+    * Scale shape: the bounds pass shuffles the (group, rounded-value)
+    * DISTINCT grid, not the events; the clip pass is a groups-sized
+    * broadcast join + projection over one events scan.
+    */
+  def winsorize(events: DataFrame, group: String, idCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val e = events.select(col(idCol), col(group),
+      round(col("value"), 6).as("rv"))
+    val byVal = e.groupBy(col(group), col("rv")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(group)).orderBy(col("rv"))))
+    val tot = e.groupBy(col(group)).agg(count(lit(1)).as("n"))
+    val bounds = byVal.join(tot, Seq(group))
+      .groupBy(col(group))
+      .agg(
+        min(when(col("cum") >= ceil(lit(lo) * col("n")), col("rv")))
+          .as("lo_v"),
+        min(when(col("cum") >= ceil(lit(hi) * col("n")), col("rv")))
+          .as("hi_v"))
+    e.join(broadcast(bounds), Seq(group))
+      .select(col(idCol), col(group), col("rv").as("value"),
+        when(col("rv") < col("lo_v"), col("lo_v"))
+          .when(col("rv") > col("hi_v"), col("hi_v"))
+          .otherwise(col("rv")).as("value_w"),
+        (col("rv") < col("lo_v") || col("rv") > col("hi_v")).as("clipped"))
+      .orderBy(col(idCol))
+  }
+
   /** Cohort retention over the distinct (user_id, day) activity grid:
     * cohort = first active day; each (cohort, day-offset) cell counts
     * users still active that many days later.

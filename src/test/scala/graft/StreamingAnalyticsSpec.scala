@@ -33,6 +33,36 @@ class StreamingAnalyticsSpec extends SparkTestBase {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
     df.collect().toSeq
 
+  test("winsorize clips to the group's own order-statistic bounds and " +
+    "matches a naive driver reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        math.floor(rnd.nextDouble() * 1e6) / 1e6 * 100))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Analytics.winsorize(df, "event_type", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    def boundsOf(vs: Seq[Double], q: Double): Double = {
+      val sorted = vs.map(v => BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
+      sorted(math.ceil(q * sorted.length).toInt - 1)
+    }
+    rows.groupBy(_._2).foreach { case (ty, grp) =>
+      val vs = grp.map(_._3)
+      val (lo, hi) = (boundsOf(vs, 0.05), boundsOf(vs, 0.95))
+      got.filter(_._2 == ty).foreach { case (_, _, v, w, clipped) =>
+        assert(w >= lo && w <= hi)
+        assert(clipped == (v < lo || v > hi))
+        if (!clipped) assert(w == v)
+        else assert(w == lo || w == hi)
+      }
+    }
+    // unclipped mass dominates at 5/95
+    assert(got.count(!_._5) > got.length * 8 / 10)
+  }
+
   test("incrementally maintained retention equals the batch query after " +
     "N batches") {
     val input = MemoryStream[Ev](41, spark, None)
