@@ -36,25 +36,36 @@ object Analytics {
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val e = events.select(col(idCol), col(group),
       round(col("value"), 6).as("rv"))
-    val byVal = e.groupBy(col(group), col("rv")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(group)).orderBy(col("rv"))))
-    val tot = e.groupBy(col(group)).agg(count(lit(1)).as("n"))
-    val bounds = byVal.join(tot, Seq(group))
-      .groupBy(col(group))
-      .agg(
-        min(when(col("cum") >= ceil(lit(lo) * col("n")), col("rv")))
-          .as("lo_v"),
-        min(when(col("cum") >= ceil(lit(hi) * col("n")), col("rv")))
-          .as("hi_v"))
-    e.join(broadcast(bounds), Seq(group))
+    e.join(broadcast(winsorizeBounds(events, group, lo, hi)), Seq(group))
       .select(col(idCol), col(group), col("rv").as("value"),
         when(col("rv") < col("lo_v"), col("lo_v"))
           .when(col("rv") > col("hi_v"), col("hi_v"))
           .otherwise(col("rv")).as("value_w"),
         (col("rv") < col("lo_v") || col("rv") > col("hi_v")).as("clipped"))
       .orderBy(col(idCol))
+  }
+
+  /** The per-group [p05, p95] bounds table (group, lo_v, hi_v) the clip
+    * pass consumes — exposed separately so the streaming twin
+    * ([[graft.streaming.StreamingCuration.winsorizeStream]]) can freeze
+    * batch-history bounds and broadcast them against the live stream,
+    * the same frozen-statistics deployment as the classifier model.
+    */
+  def winsorizeBounds(events: DataFrame, group: String,
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val e = events.select(col(group), round(col("value"), 6).as("rv"))
+    val byVal = e.groupBy(col(group), col("rv")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(group)).orderBy(col("rv"))))
+    val tot = e.groupBy(col(group)).agg(count(lit(1)).as("n"))
+    byVal.join(tot, Seq(group))
+      .groupBy(col(group))
+      .agg(
+        min(when(col("cum") >= ceil(lit(lo) * col("n")), col("rv")))
+          .as("lo_v"),
+        min(when(col("cum") >= ceil(lit(hi) * col("n")), col("rv")))
+          .as("hi_v"))
   }
 
   /** Cohort retention over the distinct (user_id, day) activity grid:

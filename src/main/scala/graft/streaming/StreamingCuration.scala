@@ -160,6 +160,32 @@ object StreamingCuration {
       .select(original.head, original.tail: _*)
   }
 
+  /** Ingest-time winsorization — the streaming twin of
+    * `clean_winsorize` under the frozen-bounds deployment (the same
+    * shape as the frozen classifier model and IVF centroids): exact
+    * per-group quantile BOUNDS come from the batch pass over history
+    * and ride along broadcast; each arriving event clips map-side.
+    * `bounds` must carry (group, lo_v, hi_v); rows in groups absent
+    * from the bounds table pass through unclipped (inner-join-then-
+    * union would drop them — new groups appear mid-stream).
+    */
+  def winsorizeStream(events: DataFrame, group: String,
+                      bounds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events
+      .withColumn("__rv", round(col("value"), 6))
+      .join(broadcast(bounds), Seq(group), "left")
+      .withColumn("value_w",
+        when(col("lo_v").isNull, col("__rv"))
+          .when(col("__rv") < col("lo_v"), col("lo_v"))
+          .when(col("__rv") > col("hi_v"), col("hi_v"))
+          .otherwise(col("__rv")))
+      .withColumn("clipped",
+        col("lo_v").isNotNull &&
+          (col("__rv") < col("lo_v") || col("__rv") > col("hi_v")))
+      .drop("__rv", "lo_v", "hi_v")
+  }
+
   /** Ingest-time model-based filtering — the streaming twin of
     * `text_clf_score`: each arriving document is scored against the
     * broadcast trained-model row by the SAME

@@ -91,6 +91,41 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming winsorize under frozen batch bounds equals the batch " +
+    "clip; unknown groups pass through unclipped") {
+    val sf = "/root/testdata/sf0.001"
+    val events = Ingest.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = graft.ops.Analytics
+      .winsorizeBounds(events, "event_type")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val batch = graft.ops.Analytics
+      .winsorize(events, "event_type", "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    val boundsDf = bounds.toSeq.toDF("event_type", "lo_v", "hi_v")
+    val input = MemoryStream[(Long, String, Double)](32, spark, None)
+    val stream = input.toDF().toDF("event_id", "event_type", "value")
+    val q = StreamingCuration.winsorizeStream(stream, "event_type", boundsDf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_winsor").start()
+    try {
+      val evRows = events.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      input.addData(evRows.take(evRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      // a group the bounds never saw: must pass through unclipped
+      input.addData((999999L, "brand_new_type", 1e9))
+      input.addData(evRows.drop(evRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_winsor")
+        .select("event_id", "value_w", "clipped").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(got(999999L) == (1e9, false))
+      assert((got - 999999L) == batch)
+    } finally q.stop()
+  }
+
   test("streaming decontamination admits exactly the batch clean set") {
     val sf = "/root/testdata/sf0.001"
     // batch truth: train docs with zero 5-gram hits vs the src0 eval split
