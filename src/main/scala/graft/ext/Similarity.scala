@@ -586,8 +586,12 @@ object Similarity {
     * norm — undefined cosine), and the norm distribution (exact
     * order-statistic p10/p50/p90 on round(norm, 6), the same
     * cumulative-count formulation as [[ivfStats]] — never a
-    * corpus-wide sort). A collapsed or drifting norm distribution is
-    * the standard early symptom of an upstream encoder bug.
+    * corpus-wide sort: the cumulative count over the distinct-norm grid
+    * rides [[graft.ops.Analytics.blockedCumCount]]'s distributed block
+    * prefix sum, so a near-vector-sized grid of continuous norms never
+    * serializes through one task). A collapsed or drifting norm
+    * distribution is the standard early symptom of an upstream encoder
+    * bug.
     */
   def embStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -599,9 +603,9 @@ object Similarity {
       min(col("dim")).as("dim_min"),
       max(col("dim")).as("dim_max"),
       sum(when(col("rnorm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
-    val byVal = emb.groupBy(col("rnorm")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("rnorm"))))
+    val byVal = graft.ops.Analytics.blockedCumCount(
+      emb.groupBy(col("rnorm")).agg(count(lit(1)).as("c")),
+      Seq.empty, "rnorm", "c")
     val quant = byVal.crossJoin(broadcast(
       emb.agg(count(lit(1)).as("nv"))))
       .agg(

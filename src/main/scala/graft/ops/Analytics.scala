@@ -50,22 +50,83 @@ object Analytics {
     * ([[graft.streaming.StreamingCuration.winsorizeStream]]) can freeze
     * batch-history bounds and broadcast them against the live stream,
     * the same frozen-statistics deployment as the classifier model.
+    *
+    * Scale shape: the cumulative count over the per-group DISTINCT
+    * rounded-value grid rides [[blockedCumCount]] — a distributed block
+    * prefix sum, never a per-group single-reducer window. A continuous
+    * `value` column makes the grid near event-sized, so a hot group's
+    * grid must NOT serialize through one task.
     */
   def winsorizeBounds(events: DataFrame, group: String,
                       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val e = events.select(col(group), round(col("value"), 6).as("rv"))
     val byVal = e.groupBy(col(group), col("rv")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(group)).orderBy(col("rv"))))
+    val cum = blockedCumCount(byVal, Seq(group), "rv", "c")
     val tot = e.groupBy(col(group)).agg(count(lit(1)).as("n"))
-    byVal.join(tot, Seq(group))
+    cum.join(tot, Seq(group))
       .groupBy(col(group))
       .agg(
         min(when(col("cum") >= ceil(lit(lo) * col("n")), col("rv")))
           .as("lo_v"),
         min(when(col("cum") >= ceil(lit(hi) * col("n")), col("rv")))
           .as("hi_v"))
+  }
+
+  /** Distributed prefix-sum cumulative counts over a
+    * (groupCols…, valCol, cntCol) DISTINCT grid — the
+    * [[graft.ext.Curation.packGreedy]] block pattern generalized to
+    * value-ordered grids with no dense id. Returns the grid plus a `cum`
+    * column equal to `sum(cntCol) OVER (PARTITION BY groupCols ORDER BY
+    * valCol)` — bit-identical to the single-reducer window, but no
+    * group's grid ever passes through one task:
+    *
+    *  1. per-group approximate splitters (`percentile_approx` over the
+    *     grid — the splitters only BALANCE the blocking; the exact
+    *     integer sums below are independent of where the cuts land, so
+    *     sketch approximation never touches the result);
+    *  2. block id = number of splitters ≤ value (monotone in value ⇒
+    *     blocks are value-contiguous — the prefix-sum prerequisite);
+    *  3. block-local running sums in parallel (window keyed by
+    *     (group, block));
+    *  4. block TOTALS — ≤ nBlocks rows per group — through a tiny
+    *     per-group rollup, offsets broadcast-joined back.
+    *
+    * groupCols may be empty (global cumulative count — the
+    * [[graft.ext.Similarity.embStats]] norm-quantile grid); a constant
+    * group key is synthesized internally.
+    */
+  private[graft] def blockedCumCount(grid0: DataFrame,
+                                     groupCols0: Seq[String],
+                                     valCol: String, cntCol: String,
+                                     nBlocks: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBlocks >= 2, s"nBlocks must be >= 2, got $nBlocks")
+    val synthetic = groupCols0.isEmpty
+    val grid = if (synthetic) grid0.withColumn("_g", lit(0)) else grid0
+    val groupCols = if (synthetic) Seq("_g") else groupCols0
+    val gc = groupCols.map(col)
+    val pcts = array((1 until nBlocks).map(i => lit(i.toDouble / nBlocks)): _*)
+    val splits = grid.groupBy(gc: _*)
+      .agg(percentile_approx(col(valCol), pcts, lit(1000)).as("_splits"))
+    val blocked = grid.join(broadcast(splits), groupCols)
+      .withColumn("_blk",
+        size(filter(col("_splits"), s => s <= col(valCol))))
+      .drop("_splits")
+    val wLocal = Window.partitionBy((gc :+ col("_blk")): _*)
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = blocked.withColumn("_local_cum", sum(col(cntCol)).over(wLocal))
+    // one row per (group, block) — the only data through the rollup
+    val wBlk = Window.partitionBy(gc: _*).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val blkOff = blocked.groupBy((gc :+ col("_blk")): _*)
+      .agg(sum(col(cntCol)).as("_blk_c"))
+      .withColumn("_blk_off", coalesce(sum(col("_blk_c")).over(wBlk), lit(0L)))
+      .select((gc :+ col("_blk") :+ col("_blk_off")): _*)
+    val out = local.join(broadcast(blkOff), groupCols :+ "_blk")
+      .withColumn("cum", col("_blk_off") + col("_local_cum"))
+      .drop("_blk", "_local_cum", "_blk_off")
+    if (synthetic) out.drop("_g") else out
   }
 
   /** Cohort retention over the distinct (user_id, day) activity grid:

@@ -165,6 +165,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning\\(blk".r.findFirstIn(finalPlan).isDefined, p)
   }
 
+  test("winsorize bounds pass plans no single-reducer window — the value " +
+    "grid prefix-sums in (group, block) parallel") {
+    // VERDICT r10 #1: the cumulative count over the per-group distinct
+    // rounded-value grid must ride the distributed block prefix sum —
+    // zero SinglePartition exchanges anywhere in the plan, and the
+    // grid's running-sum window keyed by (group, block)
+    val p = executedPlan("clean_winsorize")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange SinglePartition"),
+      s"winsorize bounds grid must never pass through one task\n$p")
+    assert("hashpartitioning\\(event_type[^)]*_blk".r
+      .findFirstIn(finalPlan).isDefined,
+      s"expected the (group, _blk)-keyed local prefix-sum window\n$p")
+  }
+
   test("semantic dedup joins stay hash/broadcast except the centroid crossjoin") {
     val p = executedPlan("dedup_semantic")
     assert(!p.contains("CartesianProduct"), p)

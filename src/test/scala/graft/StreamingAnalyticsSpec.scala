@@ -63,6 +63,38 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(got.count(!_._5) > got.length * 8 / 10)
   }
 
+  test("blockedCumCount equals the single-reducer window formulation, " +
+    "grouped and global") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // skewed grid: group "a" owns most of the distinct values, plus ties
+    // in counts and a null value row — every branch the blocking touches
+    val rows = Seq.tabulate(500)(i =>
+      (if (i % 5 == 0) "b" else "a",
+        math.floor(rnd.nextDouble() * 1e4) / 1e4,
+        (i % 3 + 1).toLong)) :+ (("a", Double.NaN, 2L))
+    val grid = rows.toDF("g", "v", "c")
+      .select(col("g"), when(isnan(col("v")), lit(null)).otherwise(col("v")).as("v"), col("c"))
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    val windowed = grid.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(3)))
+      .toSet
+    val blocked = Analytics.blockedCumCount(grid, Seq("g"), "v", "c")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(3)))
+      .toSet
+    assert(blocked == windowed)
+    // global (empty groupCols) — the embStats shape
+    val gGrid = grid.filter(col("v").isNotNull).groupBy("v")
+      .agg(sum("c").as("c"))
+    val gWindowed = gGrid.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))))
+      .collect().map(r => (r.getDouble(0), r.getLong(2))).toSet
+    val gBlocked = Analytics.blockedCumCount(gGrid, Seq.empty, "v", "c")
+      .collect().map(r => (r.getDouble(0), r.getLong(2))).toSet
+    assert(gBlocked == gWindowed)
+  }
+
   test("incrementally maintained retention equals the batch query after " +
     "N batches") {
     val input = MemoryStream[Ev](41, spark, None)
