@@ -188,14 +188,20 @@ object Pq {
     */
   private def lutFrame(spark: SparkSession, dir: String,
                        books: Array[Array[Array[Double]]],
-                       nQueries: Int): DataFrame = {
+                       nQueries: Int): DataFrame =
+    lutFrameOf(embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")), books)
+
+  /** [[lutFrame]] over a caller-supplied (qid, qe) query frame. */
+  private def lutFrameOf(queries: DataFrame,
+                         books: Array[Array[Array[Double]]]): DataFrame = {
     val nSub = books.length
     val kSub = books.head.length
     val subDim = dim / nSub
-    embeddings(spark, dir).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"),
+    queries
+      .select(col("qid"),
         array((for (s <- 0 until nSub; c <- 0 until kSub) yield
-          dot(slice(col("embedding"), s * subDim + 1, subDim),
+          dot(slice(col("qe"), s * subDim + 1, subDim),
             array(books(s)(c).map(m => lit(m / 1e6)): _*))): _*).as("lut"))
   }
 
@@ -227,8 +233,16 @@ object Pq {
                              codes: DataFrame,
                              books: Array[Array[Array[Double]]],
                              nQueries: Int, poolK: Int): DataFrame =
+    adcPoolOf(codes, lutFrame(spark, dir, books, nQueries), books, poolK)
+
+  /** The ADC stage-1 pool against a prebuilt LUT frame — shared by the
+    * head-rows and caller-query forms.
+    */
+  private def adcPoolOf(codes: DataFrame, lut: DataFrame,
+                        books: Array[Array[Array[Double]]],
+                        poolK: Int): DataFrame =
     topPoolOf(
-      codes.crossJoin(broadcast(lutFrame(spark, dir, books, nQueries)))
+      codes.crossJoin(broadcast(lut))
         .select(col("qid"), col("cid"),
           adcExpr(books.length, books.head.length).as("adc")),
       poolK)
@@ -239,12 +253,21 @@ object Pq {
     */
   private def exactRescore(spark: SparkSession, dir: String,
                            pool: DataFrame, nQueries: Int,
-                           k: Int): DataFrame = {
-    val emb = embeddings(spark, dir)
-    val qf = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm(col("embedding")).as("qn"))
-    val cf = emb.filter(col("vec_id") >= nQueries)
+                           k: Int): DataFrame =
+    exactRescoreOf(spark, dir, pool,
+      embeddings(spark, dir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          norm(col("embedding")).as("qn")),
+      nQueries, k)
+
+  /** [[exactRescore]] against a caller-supplied (qid, qe, qn) query
+    * frame; candidates stay the indexed corpus partition
+    * (vec_id >= nQueries — the rows the code/cell tables cover).
+    */
+  private def exactRescoreOf(spark: SparkSession, dir: String,
+                             pool: DataFrame, qf: DataFrame, nQueries: Int,
+                             k: Int): DataFrame = {
+    val cf = embeddings(spark, dir).filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding")).as("cn"))
     val wExact = Window.partitionBy(col("qid"))
@@ -457,6 +480,30 @@ object Pq {
     val pool = adcPool(spark, dir, spark.table(pqCodesTable(dir, key)),
       books, nQueries, rescoreFactor * k)
     exactRescore(spark, dir, pool, nQueries, k)
+  }
+
+  /** [[pqIndexedTopK]] for a CALLER-SUPPLIED query frame (qid, qe) —
+    * out-of-corpus vectors against the SAME standing codes index
+    * (VERDICT r10 missing #3): the query side builds its LUT from the
+    * persisted codebooks, the ADC stage still reads ONLY the 8-byte code
+    * rows. `nQueries`/shape params identify WHICH index. With
+    * `rescoreFactor · k >= corpus` the ADC pool covers every candidate
+    * and the result equals the exact scan — PqSpec pins that identity
+    * for external vectors.
+    */
+  def pqIndexedTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                    nQueries: Int, k: Int, nSub: Int, kSub: Int,
+                    iters: Int, sampleMod: Int, sampleCap: Int,
+                    rescoreFactor: Int): DataFrame = {
+    ensurePqIndex(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+      sampleCap)
+    val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    val books = readBooks(spark, pqBooksTable(dir, key), nSub, kSub)
+    val qf = Similarity.normQueries(queries)
+    val pool = adcPoolOf(spark.table(pqCodesTable(dir, key)),
+      lutFrameOf(qf.select(col("qid"), col("qe")), books), books,
+      rescoreFactor * k)
+    exactRescoreOf(spark, dir, pool, qf, nQueries, k)
   }
 
   /** Admit newly arrived vectors into the STANDING PQ index: encode
