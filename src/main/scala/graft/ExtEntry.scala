@@ -78,6 +78,23 @@ object ExtEntry {
       Similarity.ivfIndexedTopK(s, dir, nQueries = 10, nCentroids = 16,
         nProbe = 2, k = 3)),
 
+    // the EXTERNAL-VECTOR retrieval surface (VERDICT r11 #1): the query
+    // side is a caller-supplied frame of OUT-OF-CORPUS vectors (the
+    // deterministic adjacent-sum panel), not head rows of the table —
+    // the shape a RAG/eval caller actually brings
+    "ann_external_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5), k = 5)),
+
+    // external vectors probing the STANDING IVF index: query-side LUT
+    // against the persisted centroid table, corpus side untouched
+    "ann_external_ivf" -> ((s, dir) =>
+      Similarity.ivfIndexedTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, nCentroids = 16, nProbe = 2, k = 3,
+        iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -631,11 +648,13 @@ object ExtEntry {
     * (qid, cid, sim, rank) — shared by the `ann_ivf_topk` oracle and
     * the recall evaluation.
     */
-  private def ivfSearchCtes(nQueries: Int, nProbe: Int): String =
+  private def ivfSearchCtes(nQueries: Int, nProbe: Int,
+                            qCte: Option[String] = None): String =
     s"""cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id >= $nQueries),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nQueries),
+       |${qCte.getOrElse(
+      s"""q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $nQueries)""".stripMargin)},
        |assign AS (SELECT cid, cent_id, row_number() OVER (PARTITION BY cid
        |    ORDER BY ${cosSql("CAST(ce[i] AS DOUBLE)", "cemb[i]")} DESC,
        |    cent_id) AS rk
@@ -657,12 +676,26 @@ object ExtEntry {
 
   private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
                            k: Int, iters: Int, sampleMod: Int,
-                           sampleCap: Int): String = {
+                           sampleCap: Int,
+                           qCte: Option[String] = None): String = {
     s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
-       |${ivfSearchCtes(nQueries, nProbe)}
+       |${ivfSearchCtes(nQueries, nProbe, qCte)}
        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.ext.Similarity.externalQueryPanel]] as a
+    * `q`-named CTE (qid, qe double-list): element-wise double sums of
+    * adjacent corpus embeddings — the deterministic out-of-corpus query
+    * frame behind the external-vector ANN oracles.
+    */
+  private def externalPanelCte(nPanel: Int): String =
+    s"""q AS (SELECT CAST(a.vec_id // 2 AS BIGINT) AS qid,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(a.embedding[i] AS DOUBLE) + CAST(b.embedding[i] AS DOUBLE))
+       |      AS qe
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 2 = 0 AND a.vec_id < ${2 * nPanel})""".stripMargin
 
   /** DuckDB twin of [[graft.ext.Similarity.annRecall]]: the IVF chain's
     * top-k left-joined against the brute-force top-k, rolled up per
@@ -1375,6 +1408,27 @@ object ExtEntry {
     "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
+
+    // out-of-corpus query panel (adjacent-sum vectors), exact scan of
+    // the WHOLE table — the external brute-force retrieval surface
+    "ann_external_topk" ->
+      s"""WITH ${externalPanelCte(5)},
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         |sims AS (SELECT qid, cid,
+         |    ${cosSql("qe[i]", "CAST(ce[i] AS DOUBLE)")} AS sim
+         |  FROM q, c),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM sims)
+         |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the same panel probing the standing IVF index: identical train /
+    // assign / probe chain as ann_ivf_topk, only the query CTE differs
+    "ann_external_ivf" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
+      nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap,
+      qCte = Some(externalPanelCte(5))),
 
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank
     "hybrid_rerank" -> {

@@ -573,16 +573,46 @@ object Similarity {
   /** [[bruteForceTopK]] for a CALLER-SUPPLIED query frame — the real
     * retrieval surface (VERDICT r10 missing #3): a user brings vectors
     * from OUTSIDE the corpus (`queries`: qid bigint, qe array<float or
-    * double>) and searches the WHOLE embeddings table. The head-rows
-    * form above stays as the oracle harness; this overload is the API a
+    * double>) and searches the embeddings table. The head-rows form
+    * above stays as the oracle harness; this overload is the API a
     * RAG/eval caller uses. Same plan shape: broadcast query panel, one
     * corpus scan, per-query top-k.
+    *
+    * `minCid` restricts the searched side to `vec_id >= minCid`; the
+    * default searches the whole table. A recall comparison against the
+    * INDEXED external forms ([[ivfIndexedTopK]]/[[Pq.pqIndexedTopK]])
+    * must pass `minCid = nQueries` — those indexes cover only the
+    * `vec_id >= nQueries` corpus partition, so the unfiltered scan
+    * would skew the "exact" side with head rows the index never held
+    * (ADVICE r11). IvfIndexSpec pins both forms.
     */
   def bruteForceTopK(spark: SparkSession, dir: String, queries: DataFrame,
-                     k: Int): DataFrame =
+                     k: Int, minCid: Long = Long.MinValue): DataFrame =
     bruteForceOf(normQueries(queries),
-      embeddings(spark, dir).select(col("vec_id").as("cid"),
-        col("embedding").as("ce"), norm(col("embedding")).as("cn")), k)
+      embeddings(spark, dir).filter(col("vec_id") >= minCid)
+        .select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), norm(col("embedding")).as("cn")), k)
+
+  /** Deterministic OUT-OF-CORPUS query panel for the external-vector ANN
+    * queries and specs: query `q`'s vector is the element-wise DOUBLE sum
+    * of corpus embeddings `2q` and `2q+1` — by construction not a row of
+    * the table (the corpus is unit-ish float vectors), yet reproducible
+    * digit-for-digit by the DuckDB oracle (each float upcasts exactly;
+    * one IEEE double add per element).
+    */
+  def externalQueryPanel(spark: SparkSession, dir: String,
+                         nPanel: Int): DataFrame = {
+    val e = embeddings(spark, dir)
+    val a = e.filter(col("vec_id") < 2L * nPanel && col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("ea"))
+    val b = e.filter(col("vec_id") < 2L * nPanel && col("vec_id") % 2 === 1)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("qid"),
+        col("embedding").as("eb"))
+    a.join(b, Seq("qid"))
+      .select(col("qid"), zip_with(col("ea"), col("eb"),
+        (x, y) => x.cast("double") + y.cast("double")).as("qe"))
+  }
 
   /** A caller query frame (qid, qe) normalized to the internal
     * (qid, qe, qn) shape all search tails consume.

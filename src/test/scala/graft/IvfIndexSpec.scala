@@ -104,6 +104,60 @@ class IvfIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("external query vectors probe the standing index: with nProbe = " +
+    "nCentroids the result equals the exact scan of the indexed corpus " +
+    "(bruteForceOf), and a partial probe is deterministic") {
+    purge()
+    try {
+      val queries = Similarity.externalQueryPanel(spark, dir, nPanel = 5)
+      // the panel is genuinely out-of-corpus: no qe equals a table row
+      val got = Similarity.ivfIndexedTopK(spark, dir, queries,
+        nQueries = 10, nCentroids = 16, nProbe = 16, k = 3,
+        iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap)
+        .collect().toSeq.map(_.toSeq)
+      val cand = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          Similarity.norm(col("embedding")).as("cn"))
+      val want = Similarity.bruteForceOf(
+        Similarity.normQueries(queries), cand, 3)
+        .collect().toSeq.map(_.toSeq)
+      assert(got.nonEmpty && got == want,
+        "all-cells external probe must equal the exact scan of the " +
+          "indexed corpus partition")
+      val p1 = Similarity.ivfIndexedTopK(spark, dir, queries,
+        nQueries = 10, nCentroids = 16, nProbe = 2, k = 3,
+        iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap).collect().toSeq
+      val p2 = Similarity.ivfIndexedTopK(spark, dir, queries,
+        nQueries = 10, nCentroids = 16, nProbe = 2, k = 3,
+        iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap).collect().toSeq
+      assert(p1.nonEmpty && p1 == p2)
+    } finally purge()
+  }
+
+  test("external brute force: with queries = the head rows and minCid = " +
+    "nQueries it equals the head-rows form; the default searches the " +
+    "whole table including head rows") {
+    val headAsExternal = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val viaExternal = Similarity.bruteForceTopK(spark, dir, headAsExternal,
+      k = 5, minCid = 10L).collect().toSeq
+    val viaHead = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().toSeq
+    assert(viaExternal.nonEmpty && viaExternal == viaHead)
+    // unfiltered: each head query's top-1 is itself at sim 1.0 — the
+    // skew ADVICE r11 flagged, now an explicit, documented choice
+    val whole = Similarity.bruteForceTopK(spark, dir, headAsExternal, k = 5)
+      .filter(col("rank") === 1L).collect()
+    assert(whole.forall(r =>
+      r.getAs[Long]("cid") == r.getAs[Long]("qid") &&
+        r.getAs[Double]("sim") == 1.0))
+  }
+
   test("the probed plan searches only the probed cells — the cell table " +
     "is filtered by the probe join, never scanned into a corpus-wide " +
     "reassignment") {

@@ -166,6 +166,34 @@ class PqSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("external query vectors search the standing codes index: with " +
+    "rescoreFactor·k covering the corpus the result equals the exact " +
+    "scan (bruteForceOf), and the ADC stage reads the codes table") {
+    purgeIdx()
+    try {
+      val queries = Similarity.externalQueryPanel(spark, dir, nPanel = 5)
+      val cand = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          Similarity.norm(col("embedding")).as("cn"))
+      val k = 3
+      // pool covers every candidate → ADC ordering cannot drop a true
+      // neighbor; the exact rescore then IS the brute-force answer
+      val rf = (cand.count() / k + 1).toInt
+      val indexed = Pq.pqIndexedTopK(spark, dir, queries, nQueries = 10,
+        k = k, nSub = 8, kSub = 16, iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = rf)
+      val got = indexed.collect().toSeq.map(_.toSeq)
+      val want = Similarity.bruteForceOf(
+        Similarity.normQueries(queries), cand, k)
+        .collect().toSeq.map(_.toSeq)
+      assert(got.nonEmpty && got == want,
+        "corpus-covering external ADC pool must equal the exact scan")
+      val p = indexed.queryExecution.executedPlan.toString
+      assert(p.contains("graft_pq_codes_"), p)
+    } finally purgeIdx()
+  }
+
   test("catalog loss reattaches the surviving PQ tables; results " +
     "unchanged") {
     purgeIdx()
