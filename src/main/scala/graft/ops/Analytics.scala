@@ -108,9 +108,16 @@ object Analytics {
     val pcts = array((1 until nBlocks).map(i => lit(i.toDouble / nBlocks)): _*)
     val splits = grid.groupBy(gc: _*)
       .agg(percentile_approx(col(valCol), pcts, lit(1000)).as("_splits"))
+    // coalesce (ADVICE r11): a group whose grid values are ALL null has
+    // a null _splits row (percentile_approx ignores nulls), so the raw
+    // size(filter(...)) is null and the equi-join below would silently
+    // DROP the whole group — the window form emits it. Null-splitter
+    // groups collapse into block 0 instead (their null values also sort
+    // first there, matching the window's nulls-first order).
     val blocked = grid.join(broadcast(splits), groupCols)
       .withColumn("_blk",
-        size(filter(col("_splits"), s => s <= col(valCol))))
+        coalesce(size(filter(col("_splits"), s => s <= col(valCol))),
+          lit(0)))
       .drop("_splits")
     val wLocal = Window.partitionBy((gc :+ col("_blk")): _*)
       .orderBy(col(valCol))

@@ -93,6 +93,24 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     val gBlocked = Analytics.blockedCumCount(gGrid, Seq.empty, "v", "c")
       .collect().map(r => (r.getDouble(0), r.getLong(2))).toSet
     assert(gBlocked == gWindowed)
+    // a group whose grid is ALL null (percentile_approx yields a null
+    // splitter array) must still be EMITTED, matching the window form —
+    // ADVICE r11: the raw size(filter(null,...)) block id was null and
+    // the offsets equi-join silently dropped the whole group
+    val withNullGroup = grid.unionByName(
+      Seq(("z", 3L), ("z", 4L)).toDF("g", "c")
+        .select(col("g"), lit(null).cast("double").as("v"), col("c"))
+        .groupBy("g", "v").agg(sum("c").as("c")))
+    val nWindowed = withNullGroup.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(3)))
+      .toSet
+    val nBlocked = Analytics.blockedCumCount(withNullGroup, Seq("g"), "v", "c")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(3)))
+      .toSet
+    assert(nBlocked.exists(_._1 == "z"),
+      "all-null group dropped by the blocked formulation")
+    assert(nBlocked == nWindowed)
   }
 
   test("incrementally maintained retention equals the batch query after " +
