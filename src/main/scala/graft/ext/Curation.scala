@@ -748,23 +748,27 @@ object Curation {
     *
     * Scale shape: every deletion is a semi/anti join (never a collect),
     * the eval shingle set broadcasts, the split is a pure row function,
-    * and the output is a 3·languages-row artifact — the corpus shuffles
-    * only inside the dedup machinery it already pays for.
+    * and the output is a 3·languages-row artifact. The near-dup pass
+    * rides the STANDING dedup index ([[TextDedup.nearDupPairsIndexed]] —
+    * VERDICT r11 #3): the standing 80%'s minhash work is READ from the
+    * persisted band/shingle tables, only the increment recomputes. The
+    * decontam 5-gram explode is scan-local on both sides (the eval side
+    * is a source-pruned scan; no full-corpus text repartition — the
+    * explode output rebalances itself through the downstream joins).
     */
   def pretrainManifest(spark: SparkSession, dir: String): DataFrame = {
     val keepExact = TextDedup.exactGroups(spark, dir)
       .select(col("keep_doc_id").as("doc_id"))
     val nearDrops = TextDedup.clusters(
-      TextDedup.nearDupPairs(spark, dir, 0.5).select(col("d1"), col("d2")))
+      TextDedup.nearDupPairsIndexed(spark, dir, 0.5)
+        .select(col("d1"), col("d2")))
       .filter(col("node") =!= col("lbl"))
       .select(col("node").as("doc_id"))
-    val sh = documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("source"),
-        explode(TextDedup.shingles(split(col("text"), " "), 5)).as("g"))
-    val evalGrams = sh.filter(col("source") === "src0")
+    def sh(docs: DataFrame) = docs.select(col("doc_id"), col("source"),
+      explode(TextDedup.shingles(split(col("text"), " "), 5)).as("g"))
+    val evalGrams = sh(documents(spark, dir).filter(col("source") === "src0"))
       .select(col("g")).distinct()
-    val contam = sh.filter(col("source") =!= "src0")
+    val contam = sh(documents(spark, dir).filter(col("source") =!= "src0"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
     val toksLower = split(lower(col("text")), " ")

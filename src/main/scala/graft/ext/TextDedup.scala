@@ -180,6 +180,45 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[nearDupPairs]] riding the STANDING dedup index (VERDICT r11 #3):
+    * the 80% standing corpus contributes its band rows and shingle sets
+    * from the persisted bucketed tables ([[ensureDedupIndex]] — built
+    * once, reused by every consumer in the session), so only the 20%
+    * increment pays tokenize + shingle + minhash; the full-corpus pair
+    * set then comes from the UNION of persisted and increment band rows.
+    * A doc's signature depends on nothing but its own text, so the
+    * unioned band rows equal the from-scratch pass row-for-row and the
+    * result is IDENTICAL to [[nearDupPairs]] (DedupIndexSpec pins it)
+    * whenever no band bucket exceeded [[maxBucket]] at index build — the
+    * same documented cap-divergence bound as [[appendToDedupIndex]].
+    *
+    * This is the plan shape the SHIPPING manifest
+    * ([[Curation.pretrainManifest]]) needs at 100 TB: the corpus-side
+    * minhash work the standing index already holds is read, not
+    * recomputed.
+    */
+  def nearDupPairsIndexed(spark: SparkSession, dir: String,
+                          threshold: Double): DataFrame = {
+    ensureDedupIndex(spark, dir)
+    val inc = documents(spark, dir).filter(col("doc_id") % 10 >= 8)
+    // increment-sized; read by the band union and both verify sides
+    val incSh = shinglesFor(inc).localCheckpoint(true)
+    val allBands = spark.table(bandsTable(dir))
+      .select(col("band"), col("band_hash"), col("doc_id"))
+      .unionByName(bands(signaturesOf(incSh))
+        .select(col("band"), col("band_hash"), col("doc_id")))
+    val shStore = spark.table(shinglesTable(dir)).unionByName(incSh)
+    candidatePairsFromBands(allBands, maxBucket)
+      .join(shStore.select(col("doc_id").as("d1"), col("shingles").as("s1")),
+        Seq("d1"))
+      .join(shStore.select(col("doc_id").as("d2"), col("shingles").as("s2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Banding recall audit — the dedup-tuning twin of `ann_recall`: what
     * fraction of TRUE near-dup pairs (exact shingle-Jaccard ≥
     * `threshold`) does the MinHash band/bucket stage actually surface

@@ -27,6 +27,24 @@ class DedupIndexSpec extends SparkTestBase {
     } finally dropIndex()
   }
 
+  test("indexed full-corpus near-dup pairs equal the recompute form, and " +
+    "the plan reads the persisted band and shingle tables") {
+    dropIndex()
+    try {
+      val recomputed = rows(TextDedup.nearDupPairs(spark, dir, 0.5)
+        .orderBy(col("d1"), col("d2")))
+      val indexedDf = TextDedup.nearDupPairsIndexed(spark, dir, 0.5)
+        .orderBy(col("d1"), col("d2"))
+      val indexed = rows(indexedDf)
+      assert(indexed.nonEmpty && indexed == recomputed)
+      val p = indexedDf.queryExecution.executedPlan.toString
+      assert(p.contains("graft_dedup_bands_"),
+        s"indexed pairs must read the persisted band table:\n$p")
+      assert(p.contains("graft_dedup_shingles_"),
+        s"indexed pairs must read the persisted shingle store:\n$p")
+    } finally dropIndex()
+  }
+
   test("append path: wave-2 admission against the appended index equals " +
     "recompute over the enlarged corpus") {
     dropIndex()

@@ -198,6 +198,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("graft_dedup_shingles"), p)
   }
 
+  test("pretrain manifest never repartitions full-corpus text for the " +
+    "decontam explode") {
+    // the near-dup pass rides the standing index — asserted on the
+    // nearDupPairsIndexed plan in DedupIndexSpec (here the label-prop
+    // checkpoints cut those scans out of the FINAL plan); what this
+    // final plan CAN regress on is the old full-corpus text
+    // RoundRobin ahead of the 5-gram decontam explode (r11 #3)
+    val p = executedPlan("pipeline_pretrain")
+    assert(!p.contains("RoundRobinPartitioning"),
+      s"decontam explode must stay scan-local\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("funnel stages fold map-side: partial min aggregation, no event arrays") {
     val p = executedPlan("funnel_steps")
     // decomposable min => partial_min in the aggregate nodes; a
