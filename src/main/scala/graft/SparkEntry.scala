@@ -651,6 +651,18 @@ object SparkEntry {
       graft.ops.Analytics.winsorize(
         Ingest.events(s, dir), "event_type", "event_id")),
 
+    // realized clip rate under FROZEN bounds — the drift metric behind
+    // the streaming re-freeze rule (StreamingCuration.refreezeBounds
+    // IfNeeded): bounds frozen on the even-id half of history, measured
+    // against the whole table
+    "clean_clip_drift" -> ((s, dir) => {
+      val ev = Ingest.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.ops.Analytics.clipDrift(ev, "event_type",
+        graft.ops.Analytics.winsorizeBounds(
+          ev.filter(col("event_id") % 2 === 0), "event_type"))
+    }),
+
     // Daily retention cohorts — the funnel's sibling analytics shape:
     // cohort = a user's first active day; each (cohort, day-offset) cell
     // counts users still active that many days later, with the fraction
@@ -1602,6 +1614,35 @@ object SparkEntry {
         |       WHEN e.rv > hi_v THEN hi_v ELSE e.rv END AS value_w,
         |  (e.rv < lo_v OR e.rv > hi_v) AS clipped
         |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // bounds frozen on the even-id half (the same exact order-statistic
+    // chain as clean_winsorize), realized clip rate over the whole table
+    "clean_clip_drift" ->
+      """WITH e AS (SELECT event_id, event_type, round(value, 6) AS rv
+        |  FROM events),
+        |h AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |bv AS (SELECT event_type, rv, count(*) AS c
+        |  FROM h GROUP BY event_type, rv),
+        |cm AS (SELECT event_type, rv,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY rv) AS cum
+        |  FROM bv),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM h GROUP BY event_type),
+        |b AS (SELECT cm.event_type,
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN rv END) AS lo_v,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN rv END) AS hi_v
+        |  FROM cm JOIN tot USING (event_type) GROUP BY cm.event_type),
+        |d AS (SELECT e.event_type, e.rv, lo_v, hi_v
+        |  FROM e LEFT JOIN b USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lo_v IS NOT NULL AND (rv < lo_v OR rv > hi_v)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round(CAST(sum(CASE WHEN lo_v IS NOT NULL AND
+        |      (rv < lo_v OR rv > hi_v) THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    count(*), 6) AS clip_frac,
+        |  0.05 + (1.0 - 0.95) AS expected_frac,
+        |  bool_or(lo_v IS NULL) AS uncovered
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "anomaly_daily" ->
       """WITH daily AS (SELECT event_type,

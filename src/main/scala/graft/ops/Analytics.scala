@@ -72,6 +72,43 @@ object Analytics {
           .as("hi_v"))
   }
 
+  /** Realized clip rate of `events` under a FROZEN bounds table — the
+    * health metric behind the bounds re-freeze rule
+    * ([[graft.streaming.StreamingCuration.refreezeBoundsIfNeeded]]):
+    * bounds frozen from batch history clip EXACTLY `lo + (1 − hi)` of
+    * that history by construction, so the realized clip fraction of the
+    * CURRENT data drifting away from that expectation is the signal
+    * that the value distribution moved and the frozen clip is silently
+    * degrading (the winsorize twin of `frac_drifted` in
+    * [[graft.ext.Similarity.ivfStats]]). One row per group: row count,
+    * clipped count/fraction under the frozen bounds, and whether the
+    * group is UNCOVERED (absent from the bounds table — a new group
+    * passes through the stream unclipped, drift by definition).
+    *
+    * Scale shape: one events scan against the broadcast bounds table,
+    * folded map-side onto groups-sized rows.
+    */
+  def clipDrift(events: DataFrame, group: String, bounds: DataFrame,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame =
+    events.select(col(group), round(col("value"), 6).as("__rv"))
+      .join(broadcast(bounds), Seq(group), "left")
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lo_v").isNotNull &&
+          (col("__rv") < col("lo_v") || col("__rv") > col("hi_v")), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        max(col("lo_v").isNull).as("uncovered"))
+      .select(col(group), col("n"), col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n"), 6)
+          .as("clip_frac"),
+        // rounded like every displayed double: DuckDB folds the quantile
+        // literals in DECIMAL (exactly 0.10), IEEE double addition gives
+        // 0.10000000000000005 — the 6-digit display grid unifies them
+        round(lit(lo + (1.0 - hi)), 6).as("expected_frac"),
+        col("uncovered"))
+      .orderBy(col(group))
+
   /** Distributed prefix-sum cumulative counts over a
     * (groupCols…, valCol, cntCol) DISTINCT grid — the
     * [[graft.ext.Curation.packGreedy]] block pattern generalized to

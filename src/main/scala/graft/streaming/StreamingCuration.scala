@@ -186,6 +186,54 @@ object StreamingCuration {
       .drop("__rv", "lo_v", "hi_v")
   }
 
+  /** The RE-FREEZE DECISION RULE for the frozen-bounds winsorize
+    * deployment (VERDICT r10 #4, the [[graft.streaming.StreamingSimilarity.shouldRetrain]]
+    * sibling): [[winsorizeStream]] clips against bounds frozen from
+    * batch history, and nothing in that path ever fails as the value
+    * distribution shifts — the clip just silently stops doing its job
+    * (clipping far too much after an upward shift, or nothing at all
+    * after the tails move inside the frozen window). Fire when any
+    * group's realized clip fraction over `history` deviates from the
+    * frozen quantile mass `lo + (1 − hi)` by more than `tol`, or when a
+    * group in the data is absent from the bounds table entirely.
+    *
+    * Evaluate it between batches over the batch history table (one
+    * scan, groups-sized rollup — a maintenance trigger, not a per-row
+    * guard), like the IVF drift rule.
+    */
+  def shouldRefreezeBounds(history: DataFrame, group: String,
+                           bounds: DataFrame, lo: Double = 0.05,
+                           hi: Double = 0.95,
+                           tol: Double = 0.05): Boolean = {
+    import org.apache.spark.sql.functions.{abs => sqlAbs}
+    val d = graft.ops.Analytics.clipDrift(history, group, bounds, lo, hi)
+      .agg(
+        max(when(col("uncovered"), lit(1.0)).otherwise(lit(0.0)))
+          .as("any_uncovered"),
+        max(sqlAbs(col("clip_frac") - col("expected_frac"))).as("max_dev"))
+      .collect().head
+    d.getDouble(0) > 0.0 || d.getDouble(1) > tol
+  }
+
+  /** The maintenance-loop face of [[shouldRefreezeBounds]]: when the
+    * rule fires, recompute the bounds from the current history
+    * ([[graft.ops.Analytics.winsorizeBounds]] — the same exact
+    * order-statistic pass the original freeze ran) and return them;
+    * otherwise return the frozen table unchanged. The caller restarts
+    * [[winsorizeStream]] with the returned frame — same quiesced
+    * single-maintainer contract as the IVF retrain.
+    */
+  def refreezeBoundsIfNeeded(history: DataFrame, group: String,
+                             bounds: DataFrame, lo: Double = 0.05,
+                             hi: Double = 0.95, tol: Double = 0.05)
+      : (DataFrame, Boolean) = {
+    val fire = shouldRefreezeBounds(history, group, bounds, lo, hi, tol)
+    if (fire)
+      (graft.ops.Analytics.winsorizeBounds(history, group, lo, hi)
+        .localCheckpoint(true), true)
+    else (bounds, false)
+  }
+
   /** Ingest-time model-based filtering — the streaming twin of
     * `text_clf_score`: each arriving document is scored against the
     * broadcast trained-model row by the SAME

@@ -126,6 +126,41 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bounds re-freeze rule: calm on the freezing history, fires on a " +
+    "shifted distribution and on an uncovered group, and the refreshed " +
+    "bounds read calm again") {
+    val sf = "/root/testdata/sf0.001"
+    val events = Ingest.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = graft.ops.Analytics.winsorizeBounds(events, "event_type")
+      .localCheckpoint(true)
+    // frozen on this exact history: realized clip == the quantile mass
+    assert(!StreamingCuration.shouldRefreezeBounds(events, "event_type",
+      bounds), "rule fired on the distribution the bounds were frozen on")
+    // a wholesale upward shift puts ~everything above hi_v
+    val shifted = events.withColumn("value", col("value") + lit(1e6))
+    assert(StreamingCuration.shouldRefreezeBounds(shifted, "event_type",
+      bounds), "shifted distribution must fire the drift half")
+    // a group the bounds never saw fires the coverage half even when the
+    // covered groups are calm
+    val withNew = events.unionByName(
+      Seq((888888L, "brand_new_type", 1.0))
+        .toDF("event_id", "event_type", "value"))
+    assert(StreamingCuration.shouldRefreezeBounds(withNew, "event_type",
+      bounds), "uncovered group must fire the coverage half")
+    // the maintenance face: re-freeze on the shifted history, then the
+    // rule reads calm under the refreshed bounds and a calm history
+    // returns the frozen table untouched
+    val (fresh, fired) = StreamingCuration.refreezeBoundsIfNeeded(
+      shifted, "event_type", bounds)
+    assert(fired)
+    assert(!StreamingCuration.shouldRefreezeBounds(shifted, "event_type",
+      fresh), "post-refreeze bounds must read calm on the new history")
+    val (same, fired2) = StreamingCuration.refreezeBoundsIfNeeded(
+      events, "event_type", bounds)
+    assert(!fired2 && (same eq bounds))
+  }
+
   test("streaming decontamination admits exactly the batch clean set") {
     val sf = "/root/testdata/sf0.001"
     // batch truth: train docs with zero 5-gram hits vs the src0 eval split
