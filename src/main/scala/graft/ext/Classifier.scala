@@ -92,17 +92,53 @@ object Classifier {
   /** Session-scoped memo of the cached model-count frame per (dir,
     * config): the three registered classifier queries share ONE
     * training pass — the same derived-state amortization as the BPE
-    * memo, keyed by session identity so cached plans never leak across
-    * sessions.
+    * memo. Keyed by `sessionUUID` (ADVICE r10/VERDICT r11: an identity
+    * hash can be REUSED after a session is GC'd, handing a new session
+    * a frame bound to a dead one; the UUID never recurs) and BOUNDED:
+    * past [[modelCacheMax]] entries the least-recently-used frame is
+    * evicted and unpersisted, so long-lived processes cycling sessions
+    * or corpora cannot pin executor storage without limit.
     */
-  private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, String), DataFrame]
+  private val modelCacheMax = 8
+  private val modelCache = new java.util.LinkedHashMap[
+    (String, String, String, String), DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, String, String), DataFrame])
+        : Boolean = {
+      val evict = size() > modelCacheMax
+      // best-effort: the evicted frame's session may already be stopped
+      if (evict) scala.util.Try(e.getValue.unpersist(false))
+      evict
+    }
+  }
+
+  /** A never-recurring per-session token, minted on first use and
+    * stored in the session-scoped runtime conf (Spark's own
+    * `sessionUUID` is `private[sql]`). Unlike `identityHashCode`, a
+    * UUID cannot be handed to a NEW session after the old one is GC'd,
+    * so a cache hit always belongs to the calling session. Callers hold
+    * [[modelCache]]'s lock, serializing the mint.
+    */
+  private def sessionKey(spark: SparkSession): String = {
+    val k = "spark.graft.session.uuid"
+    spark.conf.getOption(k).getOrElse {
+      val u = java.util.UUID.randomUUID().toString
+      spark.conf.set(k, u)
+      u
+    }
+  }
 
   private def cachedModel(spark: SparkSession, dir: String,
                           posLang: String, trainTh: String): DataFrame =
-    modelCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, posLang, trainTh),
-      modelCounts(spark, dir, posLang, trainTh, viaKernel = true).cache())
+    modelCache.synchronized {
+      val key = (sessionKey(spark), dir, posLang, trainTh)
+      Option(modelCache.get(key)).getOrElse {
+        val m = modelCounts(spark, dir, posLang, trainTh, viaKernel = true)
+          .cache()
+        modelCache.put(key, m)
+        m
+      }
+    }
 
   /** The model collapsed to ONE broadcastable row: dense 4096-slot
     * per-class count arrays + smoothed class totals (as doubles, the
@@ -151,7 +187,20 @@ object Classifier {
     * folds each row's bigram buckets against the broadcast arrays, no
     * stream shuffle).
     */
-  def scoreAgainstModel(docs: DataFrame, model: DataFrame): DataFrame =
+  /** Columns the scorer appends or the model row carries internally —
+    * an input frame already holding one of these would be SILENTLY
+    * overwritten (VERDICT r11 #2), so the scorer refuses it instead.
+    */
+  private val scorerReserved =
+    Seq("n_grams", "weight", "pred", "_sc", "p_arr", "n_arr", "p_tb", "n_tb")
+
+  def scoreAgainstModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    val clash = docs.columns.toSeq.intersect(scorerReserved)
+    require(clash.isEmpty,
+      s"scoreAgainstModel appends n_grams/weight/pred and rides the " +
+        s"model row's p_arr/n_arr/p_tb/n_tb internally; the input frame " +
+        s"already carries ${clash.mkString(", ")} — rename or drop " +
+        "those columns before scoring (they would be silently clobbered)")
     docs
       .crossJoin(broadcast(model))
       .withColumn("_sc", HashExpressions.clfScore(
@@ -162,6 +211,7 @@ object Classifier {
           (col("_sc").getField("den").cast("double") * col("p_tb")), 6))
       .withColumn("pred", col("weight") > 1.0)
       .drop("_sc", "p_arr", "n_arr", "p_tb", "n_tb")
+  }
 
   private def scoredAll(spark: SparkSession, dir: String, posLang: String,
                         trainTh: String, viaKernel: Boolean): DataFrame = {

@@ -67,9 +67,19 @@ object StreamingCuration {
     * `quota_tokens`: state carries the cumulative tokens SEEN per
     * source (admitted or not, matching the batch prefix-sum over ALL
     * docs), a row is admitted only while the running total fits the
-    * budget. Rows are ordered by doc_id within each micro-batch group
-    * so an unordered batch cannot flip the admit set (cross-batch
-    * parity still assumes in-order arrival, as with [[QuotaProcessor]]).
+    * budget. The in-batch admit set is doc_id-ordered — identical to
+    * sorting the batch — but computed with a heap BOUNDED by the
+    * remaining budget, not the batch (VERDICT r11 #2: the old
+    * whole-batch sort buffered a hot source's entire micro-batch per
+    * key): the admit set is the maximal doc_id-prefix whose token total
+    * fits, so a max-heap of current candidates plus a reject cutoff
+    * reproduces it in one pass — a row is pushed only below the cutoff,
+    * the largest doc_id is popped while over budget (its batch-prefix
+    * is already over, and later arrivals only grow prefixes, so a pop
+    * is never wrong), and once the budget is exhausted nothing buffers
+    * at all. Cross-batch parity still assumes in-order arrival across
+    * batches, as with [[QuotaProcessor]]; batch backfill remains the
+    * oracle-checked selection.
     */
   class TokenBudgetProcessor(budget: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -84,14 +94,26 @@ object StreamingCuration {
     override def handleInputRows(key: String, rows: Iterator[DocTok],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[DocTok] = {
-      var cum = if (seen.exists()) seen.get() else 0L
-      val out = scala.collection.mutable.ArrayBuffer[DocTok]()
-      rows.toSeq.sortBy(_.doc_id).foreach { r =>
-        cum += r.n_tokens
-        if (cum <= budget) out += r
+      val cum0 = if (seen.exists()) seen.get() else 0L
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[DocTok](Ordering.by(_.doc_id))
+      var heapTokens = 0L
+      var allTokens = 0L
+      var rejectCutoff = Long.MaxValue
+      rows.foreach { r =>
+        allTokens += r.n_tokens
+        if (r.doc_id < rejectCutoff) {
+          heap.enqueue(r)
+          heapTokens += r.n_tokens
+          while (cum0 + heapTokens > budget && heap.nonEmpty) {
+            val m = heap.dequeue()
+            heapTokens -= m.n_tokens
+            rejectCutoff = m.doc_id
+          }
+        }
       }
-      seen.update(cum)
-      out.iterator
+      seen.update(cum0 + allTokens)
+      heap.toSeq.sortBy(_.doc_id).iterator
     }
   }
 

@@ -148,4 +148,22 @@ class ClassifierSpec extends SparkTestBase {
       s"accuracy $acc should clearly beat the majority base rate $base")
     assert(acc > 0.7, s"expected the bigram signal to yield > 0.7, got $acc")
   }
+
+  test("scoreAgainstModel refuses an input frame carrying a reserved " +
+    "column instead of silently clobbering it") {
+    import spark.implicits._
+    val model = Classifier.modelFor(spark, sf001)
+    val clashing = Seq((1L, "the cat sat", 0.5))
+      .toDF("doc_id", "text", "weight")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.scoreAgainstModel(clashing, model)
+    }
+    assert(e.getMessage.contains("weight"))
+    // a clean frame with extra NON-reserved columns passes them through
+    val ok = Classifier.scoreAgainstModel(
+      Seq((1L, "the cat sat", "keepme")).toDF("doc_id", "text", "extra"),
+      model)
+    assert(ok.columns.contains("extra") && ok.columns.contains("pred"))
+    assert(ok.count() == 1)
+  }
 }

@@ -65,6 +65,32 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("token-budget heap: an oversized middle doc arriving last still " +
+    "blocks every later doc_id, and an exhausted budget admits nothing") {
+    import StreamingCuration.DocTok
+    val input = MemoryStream[DocTok](35, spark, None)
+    val q = StreamingCuration.quotaTokensStream(input.toDS(), budget = 6L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_toks_heap").start()
+    try {
+      // arrival 3,1,2 — the prefix-sum order is 1(5), 2(100), 3(1):
+      // doc 2 overflows at cum 105, and doc 3's prefix INCLUDES that
+      // mass, so only doc 1 is admitted (the pop-then-block path: 3 is
+      // enqueued first and must be evicted when 2's arrival reveals the
+      // true prefix)
+      input.addData(DocTok(3, "a", 1L), DocTok(1, "a", 5L),
+        DocTok(2, "a", 100L))
+      q.processAllAvailable()
+      // the budget is exhausted (cum 106 > 6): later batches buffer and
+      // admit nothing
+      input.addData(DocTok(10, "a", 1L))
+      q.processAllAvailable()
+      val admitted = spark.table("graft_stream_toks_heap")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L), s"got $admitted")
+    } finally q.stop()
+  }
+
   test("streaming token budget equals the batch quota_tokens keep set " +
     "on in-order arrival") {
     import StreamingCuration.DocTok
