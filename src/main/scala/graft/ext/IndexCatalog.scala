@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * catalog entry and the next session REATTACHES instead of rebuilding
   * (the derby-free harness's stand-in for a persistent metastore).
   */
-private[ext] object IndexCatalog {
+private[graft] object IndexCatalog {
 
   def indexKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
@@ -17,6 +17,29 @@ private[ext] object IndexCatalog {
   /** Fixed data location for `table` under the warehouse dir. */
   def tableLocation(spark: SparkSession, table: String): Path =
     new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+
+  /** Inventory of standing-index data directories present under the
+    * warehouse: (family, directory name), family decided by the
+    * table-name prefix each index builder uses. An unknown `graft_`
+    * prefix reports as `unknown` rather than being dropped, so a new
+    * index family cannot silently escape the maintenance manifest
+    * ([[graft.tools.Maintenance]]).
+    */
+  def listIndexDirs(spark: SparkSession): Seq[(String, String)] = {
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return Seq.empty
+    // order matters: ivfpq_ must match before ivf_
+    val fams = Seq(
+      "graft_dedup_" -> "dedup", "graft_substr_grams_" -> "grams",
+      "graft_ivfpq_" -> "ivfpq", "graft_ivf_" -> "ivf", "graft_pq_" -> "pq")
+    fs.listStatus(wh).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("graft_"))
+      .map { n =>
+        (fams.collectFirst { case (p, f) if n.startsWith(p) => f }
+          .getOrElse("unknown"), n)
+      }.toSeq.sortBy(_._2)
+  }
 
   /** Re-register a prior session's surviving table data:
     * `CREATE TABLE … CLUSTERED BY … LOCATION` reattaches the bucketed

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.{IndexCatalog, Pq, TextDedup}
+import graft.tools.Maintenance
+
+/** The maintenance loop's whole-set manifest validation (VERDICT r10
+  * #6): a configured-but-absent index must throw BEFORE any pass runs,
+  * and a standing index on disk that the configured env set does not
+  * cover must surface as a warning — the failure the per-pass guards
+  * cannot see.
+  */
+class MaintenanceManifestSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("configured-but-absent indexes throw up front; a built index " +
+    "with the configured shape passes clean") {
+    Pq.purgePqIndex(spark, dir, nQueries = 10)
+    try {
+      // configured PQ dir, nothing built: fail fast before any pass
+      val e = intercept[IllegalArgumentException] {
+        Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+          Some(dir), 10)
+      }
+      assert(e.getMessage.contains("SPARK_GRAFT_PQ_DIR"))
+      Pq.ensurePqIndex(spark, dir, nQueries = 10)
+      // right shape: no throw, and the pq tables are covered (no pq
+      // warnings about this dir's tables)
+      val warns = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        Some(dir), 10)
+      assert(!warns.exists(_.contains("graft_pq_")), warns.mkString("\n"))
+      // wrong shape (nQueries mismatch): the guard catches it up front
+      val e2 = intercept[IllegalArgumentException] {
+        Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+          Some(dir), 99)
+      }
+      assert(e2.getMessage.contains("nQueries=99"))
+    } finally Pq.purgePqIndex(spark, dir, nQueries = 10)
+  }
+
+  test("an on-disk maintainable index absent from the configured set " +
+    "warns; covering it or purging it clears the warning") {
+    Pq.purgePqIndex(spark, dir, nQueries = 10)
+    Pq.ensurePqIndex(spark, dir, nQueries = 10)
+    try {
+      val key = Pq.pqKey(10, 8, 16, 2, 3,
+        graft.ext.Similarity.defaultIvfSampleCap)
+      val codes = Pq.pqCodesTable(dir, key)
+      // not configured at all: both pq tables warn
+      val warns = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10)
+      assert(warns.exists(_.contains(codes)), warns.mkString("\n"))
+      // configured: covered, silent for this index
+      val covered = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        Some(dir), 10)
+      assert(!covered.exists(_.contains(codes)), covered.mkString("\n"))
+      // the inventory itself reports the family
+      val inv = IndexCatalog.listIndexDirs(spark)
+      assert(inv.contains(("pq", codes)), inv.mkString(", "))
+    } finally Pq.purgePqIndex(spark, dir, nQueries = 10)
+  }
+
+  test("dedup band/shingle indexes are listed for visibility but never " +
+    "warned — no scheduled pass exists for them") {
+    TextDedup.purgeDedupIndex(spark, dir)
+    TextDedup.ensureDedupIndex(spark, dir)
+    try {
+      val inv = IndexCatalog.listIndexDirs(spark)
+      assert(inv.exists { case (f, n) =>
+        f == "dedup" && n.startsWith("graft_dedup_bands_") },
+        inv.mkString(", "))
+      val warns = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10)
+      assert(!warns.exists(_.contains("graft_dedup_")),
+        warns.mkString("\n"))
+    } finally TextDedup.purgeDedupIndex(spark, dir)
+  }
+}
