@@ -95,6 +95,16 @@ object ExtEntry {
         iters = 2, sampleMod = 3,
         sampleCap = Similarity.defaultIvfSampleCap)),
 
+    // external vectors against the STANDING PQ codes: the query-side
+    // LUT comes from the persisted codebooks, ADC still reads only the
+    // 8-byte code rows
+    "ann_external_pq" -> ((s, dir) =>
+      Pq.pqIndexedTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, k = 3, nSub = 8, kSub = 16, iters = 2,
+        sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap,
+        rescoreFactor = 4)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -483,6 +493,12 @@ object ExtEntry {
     // + the AND gate — flags decided by exact integer cross-
     // multiplication, one codegen'd projection over the corpus scan
     "text_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+
+    // the Gopher repetition rules by CHARACTER MASS (dup spans / top
+    // 2-gram char coverage / duplicated 5-gram char coverage,
+    // integer-exact thresholds) — one codegen'd kernel pass per
+    // document, zero shuffles before the output sort
+    "text_repetition_mass" -> ((s, dir) => TextAnalysis.repetitionMass(s, dir)),
 
     // corpus-trained unigram-LM likelihood summary per document (the
     // CCNet LM-filter shape; arithmetic-mean deviation documented)
@@ -956,12 +972,14 @@ object ExtEntry {
     */
   private def pqOracleSql(nQueries: Int, k: Int, nSub: Int, kSub: Int,
                           iters: Int, sampleMod: Int, sampleCap: Int,
-                          rescoreFactor: Int): String = {
+                          rescoreFactor: Int,
+                          qCte: Option[String] = None): String = {
     val subDim = 64 / nSub
     s"""WITH ${pqTrainCtes(nQueries, nSub, kSub, iters, sampleMod, sampleCap)},
        |${pqEncodeCtes(nQueries, nSub, subDim)},
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nQueries),
+       |${qCte.getOrElse(
+      s"""q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $nQueries)""".stripMargin)},
        |lutp AS (SELECT qid, sub, code,
        |    list_sum(list_transform(generate_series(1, $subDim), i ->
        |      CAST(qe[(sub-1)*$subDim+i] AS DOUBLE) * (cq[i] / 1000000.0)))
@@ -1148,6 +1166,52 @@ object ExtEntry {
         |  stop_hits, r_words, r_meanlen, r_symbol, r_alpha, r_bullet,
         |  r_ellipsis, r_stop, keep
         |FROM gk ORDER BY doc_id""".stripMargin,
+    // spans are non-overlapping 8-token windows; top/dup gram views are
+    // overlapping 2-/5-grams; ties on the top gram break to the
+    // lexicographically smallest (ORDER BY c DESC, g — the kernel's
+    // tie rule); flags are exact-integer threshold comparisons
+    "text_repetition_mass" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |    CAST(len(text) AS BIGINT) AS n_chars FROM documents),
+        |sp AS (SELECT doc_id, array_to_string(w[(s-1)*8+1:(s-1)*8+8], ' ') AS g
+        |  FROM d, UNNEST(generate_series(1,
+        |    greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1))) AS t(s)),
+        |spc AS (SELECT doc_id, g, count(*) AS c FROM sp GROUP BY doc_id, g),
+        |spm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_spans
+        |  FROM spc GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, g AS top_gram, CAST(c AS BIGINT) AS top_cnt,
+        |    CAST(len(g) AS BIGINT) AS top_chars
+        |  FROM (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, g) AS rk FROM g2c) t WHERE rk = 1),
+        |g5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+        |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        |d5 AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS BIGINT)
+        |      AS dup_chars
+        |  FROM g5c GROUP BY doc_id)
+        |SELECT d.doc_id, n_chars, n_spans, n_dup_spans,
+        |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_span_frac,
+        |  top_gram, top_cnt,
+        |  round(CAST(top_cnt AS DOUBLE) * top_chars / n_chars, 6)
+        |    AS top_gram_char_frac,
+        |  round(CAST(dup_chars AS DOUBLE) / n_chars, 6)
+        |    AS dup_gram_char_frac,
+        |  (10 * n_dup_spans <= 3 * n_spans) AS r_dupspan,
+        |  (5 * top_cnt * top_chars <= n_chars) AS r_topgram,
+        |  (20 * dup_chars <= 3 * n_chars) AS r_dupgram,
+        |  ((10 * n_dup_spans <= 3 * n_spans) AND
+        |   (5 * top_cnt * top_chars <= n_chars) AND
+        |   (20 * dup_chars <= 3 * n_chars)) AS keep
+        |FROM d JOIN spm USING (doc_id) JOIN top2 USING (doc_id)
+        |  JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_clf_train" -> Classifier.trainOracle(),
     "text_clf_score" -> Classifier.scoreOracle(),
     "text_clf_eval" -> Classifier.confusionOracle(),
@@ -1428,6 +1492,14 @@ object ExtEntry {
     "ann_external_ivf" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap,
+      qCte = Some(externalPanelCte(5))),
+
+    // the same panel through the full PQ ADC chain (train / encode /
+    // LUT / pool / rescore) — only the query CTE differs from
+    // ann_pq_topk, so the oracle stays faithful at every rescoreFactor
+    "ann_external_pq" -> pqOracleSql(nQueries = 10, k = 3, nSub = 8,
+      kSub = 16, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4,
       qCte = Some(externalPanelCte(5))),
 
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank

@@ -315,6 +315,87 @@ object HashExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Row kernel for [[RepetitionStats]] — the Gopher repetition family
+    * (Rae et al. 2021 Table A1), span-based because this corpus has no
+    * line structure (the [[graft.ext.Curation]] boilerplate precedent):
+    * ONE pass per view over the token array, hash-counted —
+    *
+    *   - non-overlapping `spanLen`-token spans (the duplicate-line
+    *     analog): how many span INSTANCES belong to a span text seen
+    *     ≥ 2 times;
+    *   - overlapping `topN`-grams: the most frequent gram, ties broken
+    *     to the LEXICOGRAPHICALLY SMALLEST gram (the deterministic
+    *     order the oracle's `ORDER BY c DESC, g` replays);
+    *   - overlapping `dupN`-grams: characters covered by grams
+    *     occurring ≥ 2 times, occurrences counted naively (overlaps
+    *     included) — the documented approximation every public Gopher
+    *     reimplementation makes.
+    *
+    * Gram char counts are Unicode code points (DuckDB's `len()`).
+    * Returns struct(n_spans, n_dup_spans, top_gram, top_cnt,
+    * top_chars, dup_chars) as exact longs.
+    */
+  def repetitionEval(arr: ArrayData, spanLen: Int, topN: Int,
+                     dupN: Int): InternalRow = {
+    val len = arr.numElements()
+    def gram(from: Int, n: Int): String = {
+      val end = math.min(from + n, len)
+      val sb = new java.lang.StringBuilder()
+      var k = from
+      while (k < end) {
+        if (k > from) sb.append(' ')
+        sb.append(arr.getUTF8String(k).toString)
+        k += 1
+      }
+      sb.toString
+    }
+    def countInto(m: java.util.HashMap[String, Int], count: Int,
+                  stride: Int, n: Int): Unit = {
+      var i = 0
+      while (i < count) {
+        val g = gram(i * stride, n)
+        m.put(g, m.getOrDefault(g, 0) + 1)
+        i += 1
+      }
+    }
+    def chars(s: String): Long = s.codePointCount(0, s.length).toLong
+
+    val nSpans = math.max((len + spanLen - 1) / spanLen, 1)
+    val spanCnt = new java.util.HashMap[String, Int](nSpans * 2)
+    countInto(spanCnt, nSpans, spanLen, spanLen)
+    var nDup = 0L
+    val sIt = spanCnt.values().iterator()
+    while (sIt.hasNext) { val c = sIt.next(); if (c >= 2) nDup += c }
+
+    val mTop = math.max(len - topN + 1, 1)
+    val topCnt = new java.util.HashMap[String, Int](mTop * 2)
+    countInto(topCnt, mTop, 1, topN)
+    var topG: String = null
+    var topC = 0
+    val tIt = topCnt.entrySet().iterator()
+    while (tIt.hasNext) {
+      val e = tIt.next()
+      if (e.getValue > topC ||
+        (e.getValue == topC && (topG == null || e.getKey < topG))) {
+        topG = e.getKey
+        topC = e.getValue
+      }
+    }
+
+    val mDup = math.max(len - dupN + 1, 1)
+    val dupCnt = new java.util.HashMap[String, Int](mDup * 2)
+    countInto(dupCnt, mDup, 1, dupN)
+    var dupChars = 0L
+    val dIt = dupCnt.entrySet().iterator()
+    while (dIt.hasNext) {
+      val e = dIt.next()
+      if (e.getValue >= 2) dupChars += e.getValue.toLong * chars(e.getKey)
+    }
+
+    new GenericInternalRow(Array[Any](nSpans.toLong, nDup,
+      UTF8String.fromString(topG), topC.toLong, chars(topG), dupChars))
+  }
+
   private val kernelClass = "graft.catalyst.HashExpressions"
 
   /** Analysis-time input check shared by the token/shingle expressions:
@@ -665,6 +746,42 @@ object HashExpressions {
         f: Expression, s: Expression, t: Expression): BpeMergePair =
       copy(first = f, second = s, third = t)
   }
+
+  /** The Gopher repetition statistics of an array<string> token column
+    * in one codegen'd pass ([[repetitionEval]]): span duplication,
+    * most-frequent `topN`-gram, duplicated-`dupN`-gram char mass.
+    */
+  case class RepetitionStats(child: Expression, spanLen: Int, topN: Int,
+                             dupN: Int) extends UnaryExpression {
+    require(spanLen >= 1 && topN >= 1 && dupN >= 1,
+      s"graft_repetition: window sizes must be >= 1, got " +
+        s"($spanLen, $topN, $dupN)")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_spans", LongType, nullable = false),
+      StructField("n_dup_spans", LongType, nullable = false),
+      StructField("top_gram", StringType, nullable = false),
+      StructField("top_cnt", LongType, nullable = false),
+      StructField("top_chars", LongType, nullable = false),
+      StructField("dup_chars", LongType, nullable = false)))
+    override def prettyName: String = "graft_repetition"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child)
+
+    override def nullSafeEval(input: Any): Any =
+      repetitionEval(input.asInstanceOf[ArrayData], spanLen, topN, dupN)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.repetitionEval($c, $spanLen, $topN, $dupN);")
+
+    override protected def withNewChildInternal(c: Expression): RepetitionStats =
+      copy(child = c)
+  }
+
+  def repetitionStats(tokens: Column, spanLen: Int, topN: Int,
+                      dupN: Int): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(tokens), spanLen, topN,
+      dupN))
 
   def bpeMergePair(syms: Column, l: Column, r: Column): Column =
     Bridge.column(BpeMergePair(Bridge.expression(syms),

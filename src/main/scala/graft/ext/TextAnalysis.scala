@@ -177,6 +177,70 @@ object TextAnalysis {
       .drop("text")
       .orderBy(col("doc_id"))
 
+  /** The Gopher repetition rules by CHARACTER MASS (Rae et al. 2021
+    * Table A1's actual accounting) — the heavyweight sibling of
+    * [[repetition]]'s occurrence-fraction signals: text whose content REPEATS (template
+    * chrome, keyword stuffing, generation loops) is low-value however
+    * well-shaped each line is. The corpus has no line structure, so the
+    * duplicate-line metric runs over non-overlapping `spanLen`-token
+    * spans (the [[Curation.cleanBoilerplate]] precedent); the n-gram
+    * metrics are the paper's: characters covered by the single most
+    * frequent `topN`-gram, and by all duplicated `dupN`-grams
+    * (occurrences counted naively, the standard public approximation).
+    * Thresholds are the paper's 0.30 / 0.20 / 0.15, compared in
+    * EXACT INTEGERS (`5·topchars ≤ n_chars`, never a float ratio).
+    *
+    * Scale shape: one codegen'd kernel pass per document
+    * ([[graft.catalyst.HashExpressions.RepetitionStats]] — hash-counted
+    * views built in one tight JVM loop, no interpreted HOF, no
+    * explode), ZERO shuffles before the output sort.
+    */
+  def repetitionMass(spark: SparkSession, dir: String, spanLen: Int = 8,
+                     topN: Int = 2, dupN: Int = 5): DataFrame =
+    repetitionMassFlags(documents(spark, dir)
+      .select(col("doc_id"), col("text")), spanLen, topN, dupN)
+      .drop("text")
+      .orderBy(col("doc_id"))
+
+  /** [[repetitionMass]] as a frame transformer over any frame with a
+    * `text` column — a pure row function like [[gopherFlags]], shared
+    * verbatim by the streaming twin
+    * ([[graft.streaming.StreamingCuration.repetitionMassStream]]).
+    * Appends the metric, flag, and `keep` columns.
+    */
+  def repetitionMassFlags(docs: DataFrame, spanLen: Int = 8, topN: Int = 2,
+                          dupN: Int = 5): DataFrame = {
+    val passthrough = docs.columns.map(col).toSeq
+    docs
+      .withColumn("_rs", graft.catalyst.HashExpressions.repetitionStats(
+        tokens(col("text")), spanLen, topN, dupN))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(passthrough ++ Seq(
+        col("n_chars"),
+        col("_rs.n_spans").as("n_spans"),
+        col("_rs.n_dup_spans").as("n_dup_spans"),
+        round(col("_rs.n_dup_spans").cast("double") / col("_rs.n_spans"), 6)
+          .as("dup_span_frac"),
+        col("_rs.top_gram").as("top_gram"),
+        col("_rs.top_cnt").as("top_cnt"),
+        round(col("_rs.top_cnt").cast("double") * col("_rs.top_chars") /
+          col("n_chars"), 6).as("top_gram_char_frac"),
+        round(col("_rs.dup_chars").cast("double") / col("n_chars"), 6)
+          .as("dup_gram_char_frac"),
+        (lit(10L) * col("_rs.n_dup_spans") <= lit(3L) * col("_rs.n_spans"))
+          .as("r_dupspan"),
+        (lit(5L) * col("_rs.top_cnt") * col("_rs.top_chars") <=
+          col("n_chars")).as("r_topgram"),
+        (lit(20L) * col("_rs.dup_chars") <= lit(3L) * col("n_chars"))
+          .as("r_dupgram"),
+        ((lit(10L) * col("_rs.n_dup_spans") <=
+          lit(3L) * col("_rs.n_spans")) &&
+          (lit(5L) * col("_rs.top_cnt") * col("_rs.top_chars") <=
+            col("n_chars")) &&
+          (lit(20L) * col("_rs.dup_chars") <= lit(3L) * col("n_chars")))
+          .as("keep")): _*)
+  }
+
   /** The rule computation as a frame transformer over any frame with a
     * `text` column — a PURE ROW FUNCTION, so the streaming twin
     * ([[graft.streaming.StreamingCuration.gopherStream]]) applies the

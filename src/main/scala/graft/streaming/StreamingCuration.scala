@@ -182,6 +182,21 @@ object StreamingCuration {
       .select(original.head, original.tail: _*)
   }
 
+  /** Ingest-time repetition gating — the streaming twin of
+    * `text_repetition_mass`: the char-mass Gopher repetition rules are a pure row
+    * function (one codegen'd kernel pass —
+    * [[graft.ext.TextAnalysis.repetitionMassFlags]], shared verbatim), so
+    * the same integer-exact keep decisions gate arriving documents
+    * map-side; only `keep` documents are admitted, original columns
+    * preserved.
+    */
+  def repetitionMassStream(docs: DataFrame): DataFrame = {
+    val original = docs.columns
+    graft.ext.TextAnalysis.repetitionMassFlags(docs)
+      .filter(col("keep"))
+      .select(original.head, original.tail: _*)
+  }
+
   /** Ingest-time winsorization — the streaming twin of
     * `clean_winsorize` under the frozen-bounds deployment (the same
     * shape as the frozen classifier model and IVF centroids): exact

@@ -145,8 +145,9 @@ class PlanAuditSpec extends SparkTestBase {
     // projection, and the unk-mask rewrite pass all claim zero data
     // shuffles — one exchange = the final ORDER BY (unk_mask's vocab
     // pre-pass is a separate bounded job, not part of this plan)
-    Seq("text_repetition", "split_assign", "chunk_windows",
-      "pipeline_quality", "emb_project", "text_unk_mask").foreach { q =>
+    Seq("text_repetition", "text_repetition_mass", "split_assign",
+      "chunk_windows", "pipeline_quality", "emb_project",
+      "text_unk_mask").foreach { q =>
       val p = executedPlan(q)
       val finalPlan = p.split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(finalPlan).size

@@ -154,4 +154,56 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(a.length == b.length && a.nonEmpty)
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
+
+  test("RepetitionStats kernel equals a naive driver-side reference over " +
+    "seeded random token arrays (repetitive and diverse, incl. " +
+    "multi-byte tokens and short docs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import scala.util.Random
+    val rnd = new Random(53)
+    // a small alphabet forces real gram/span repetition; a larger one
+    // gives diverse docs — both regimes covered
+    val alphabets = Seq(Seq("a", "b"), Seq("a", "bb", "λ", "Ωx", "c", "d",
+      "e", "f", "gg", "hh", "ij", "kl"))
+    val cases = (0 until 120).map { i =>
+      val ab = alphabets(i % 2)
+      (i.toLong,
+        Seq.fill(1 + rnd.nextInt(40))(ab(rnd.nextInt(ab.length))))
+    }
+    val spanLen = 3; val topN = 2; val dupN = 5
+    def grams(toks: Seq[String], from: Int, n: Int): String =
+      toks.slice(from, math.min(from + n, toks.length)).mkString(" ")
+    def naive(toks: Seq[String]): (Long, Long, String, Long, Long, Long) = {
+      val nSpans = math.max((toks.length + spanLen - 1) / spanLen, 1)
+      val spans = (0 until nSpans).map(i => grams(toks, i * spanLen, spanLen))
+      val spanC = spans.groupBy(identity).map { case (_, v) => v.size }
+      val nDup = spanC.filter(_ >= 2).map(_.toLong).sum
+      val m2 = math.max(toks.length - topN + 1, 1)
+      val g2 = (0 until m2).map(i => grams(toks, i, topN))
+      val c2 = g2.groupBy(identity).view.mapValues(_.size).toMap
+      val (tg, tc) = c2.toSeq.minBy { case (g, c) => (-c, g) }
+      val m5 = math.max(toks.length - dupN + 1, 1)
+      val g5 = (0 until m5).map(i => grams(toks, i, dupN))
+      val dupChars = g5.groupBy(identity).collect {
+        case (g, v) if v.size >= 2 =>
+          v.size.toLong * g.codePointCount(0, g.length)
+      }.sum
+      (nSpans.toLong, nDup, tg, tc.toLong,
+        tg.codePointCount(0, tg.length).toLong, dupChars)
+    }
+    val got = cases.toDF("id", "toks")
+      .select(col("id"), graft.catalyst.HashExpressions
+        .repetitionStats(col("toks"), spanLen, topN, dupN).as("rs"))
+      .select(col("id"), col("rs.n_spans"), col("rs.n_dup_spans"),
+        col("rs.top_gram"), col("rs.top_cnt"), col("rs.top_chars"),
+        col("rs.dup_chars"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    cases.foreach { case (id, toks) =>
+      assert(got(id) == naive(toks),
+        s"case $id: stats($toks) = ${got(id)}, expected ${naive(toks)}")
+    }
+  }
 }

@@ -246,6 +246,32 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming char-mass repetition gate admits exactly the batch keep set") {
+    val sf = "/root/testdata/sf0.001"
+    val batchKeep = graft.ext.TextAnalysis.repetitionMass(spark, sf)
+      .filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)](36, spark, None)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingCuration.repetitionMassStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_repetition").start()
+    try {
+      val docs = Ingest.table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(docs.take(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_repetition")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKeep)
+      assert(spark.table("graft_stream_repetition").columns.toSeq ==
+        Seq("doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("streaming classifier scoring admits exactly the batch keep set") {
     val sf = "/root/testdata/sf0.001"
     // batch truth: docs the trained model scores target-like
