@@ -105,6 +105,14 @@ object ExtEntry {
         sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap,
         rescoreFactor = 4)),
 
+    // recall@k of the external probe vs the exact scan of the SAME
+    // indexed corpus partition (minCid = nQueries — the like-for-like
+    // comparison the candidate filter exists for)
+    "ann_external_recall" -> ((s, dir) =>
+      Similarity.annRecallExternal(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, nCentroids = 16, nProbe = 2, k = 3)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -767,9 +775,10 @@ object ExtEntry {
     */
   private def annRecallOracleSql(nQueries: Int, nCentroids: Int,
                                  nProbe: Int, k: Int, iters: Int,
-                                 sampleMod: Int, sampleCap: Int): String = {
+                                 sampleMod: Int, sampleCap: Int,
+                                 qCte: Option[String] = None): String = {
     s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
-       |${ivfSearchCtes(nQueries, nProbe)},
+       |${ivfSearchCtes(nQueries, nProbe, qCte)},
        |iv AS (SELECT qid, cid FROM rk WHERE rank <= $k),
        |bf AS (SELECT qid, cid FROM (
        |    SELECT q.qid, cd.cid, row_number() OVER (PARTITION BY q.qid
@@ -1548,6 +1557,14 @@ object ExtEntry {
     "ann_external_pq" -> pqOracleSql(nQueries = 10, k = 3, nSub = 8,
       kSub = 16, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4,
+      qCte = Some(externalPanelCte(5))),
+
+    // the recall chain with the external panel: both the IVF side and
+    // the brute-force side run over the q CTE; cand is already the
+    // vec_id >= nQueries partition, so the comparison is like-for-like
+    "ann_external_recall" -> annRecallOracleSql(nQueries = 10,
+      nCentroids = 16, nProbe = 2, k = 3, iters = 2, sampleMod = 3,
+      sampleCap = Similarity.defaultIvfSampleCap,
       qCte = Some(externalPanelCte(5))),
 
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank

@@ -693,11 +693,36 @@ object Similarity {
   def annRecall(spark: SparkSession, dir: String, nQueries: Int,
                 nCentroids: Int, nProbe: Int, k: Int,
                 iters: Int = 2, sampleMod: Int = 3,
-                sampleCap: Int = defaultIvfSampleCap): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, nQueries, k)
-      .select(col("qid"), col("cid"))
-    val approx = ivfTopK(spark, dir, nQueries, nCentroids, nProbe, k,
-      iters, sampleMod, sampleCap)
+                sampleCap: Int = defaultIvfSampleCap): DataFrame =
+    recallOf(
+      bruteForceTopK(spark, dir, nQueries, k),
+      ivfTopK(spark, dir, nQueries, nCentroids, nProbe, k,
+        iters, sampleMod, sampleCap))
+
+  /** [[annRecall]] for a CALLER-SUPPLIED query frame against the
+    * STANDING IVF index — the like-for-like audit the `minCid`
+    * parameter exists for (ADVICE r11): the exact side searches ONLY
+    * the `vec_id >= nQueries` corpus partition the index covers, so
+    * recall measures the probe's misses, never the head rows the index
+    * was built without.
+    */
+  def annRecallExternal(spark: SparkSession, dir: String,
+                        queries: DataFrame, nQueries: Int, nCentroids: Int,
+                        nProbe: Int, k: Int, iters: Int = 2,
+                        sampleMod: Int = 3,
+                        sampleCap: Int = defaultIvfSampleCap): DataFrame =
+    recallOf(
+      bruteForceTopK(spark, dir, queries, k, minCid = nQueries.toLong),
+      ivfIndexedTopK(spark, dir, queries, nQueries, nCentroids, nProbe, k,
+        iters, sampleMod, sampleCap))
+
+  /** The recall rollup tail both audit forms share: per query, how much
+    * of the exact top-k the approximate search returned.
+    */
+  private def recallOf(exactTopK: DataFrame,
+                       approxTopK: DataFrame): DataFrame = {
+    val exact = exactTopK.select(col("qid"), col("cid"))
+    val approx = approxTopK
       .select(col("qid"), col("cid"), lit(1L).as("hit"))
     exact.join(approx, Seq("qid", "cid"), "left")
       .groupBy(col("qid"))
