@@ -105,6 +105,15 @@ object ExtEntry {
         sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap,
         rescoreFactor = 4)),
 
+    // external vectors against the STANDING IVF-PQ index: coarse probe
+    // + codebook LUT are query-side work; cells/codes tables untouched
+    "ann_external_ivfpq" -> ((s, dir) =>
+      Pq.ivfpqTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, nProbe = 2, k = 3, nCentroids = 16, nSub = 8,
+        kSub = 16, iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4)),
+
     // recall@k of the external probe vs the exact scan of the SAME
     // indexed corpus partition (minCid = nQueries — the like-for-like
     // comparison the candidate filter exists for)
@@ -1088,7 +1097,8 @@ object ExtEntry {
   private def ivfpqOracleSql(nQueries: Int, nProbe: Int, k: Int,
                              nCentroids: Int, nSub: Int, kSub: Int,
                              iters: Int, sampleMod: Int, sampleCap: Int,
-                             rescoreFactor: Int): String = {
+                             rescoreFactor: Int,
+                             qCte: Option[String] = None): String = {
     val subDim = 64 / nSub
     s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
        |${pqTrainCtes(nQueries, nSub, kSub, iters, sampleMod, sampleCap,
@@ -1099,8 +1109,9 @@ object ExtEntry {
        |    cent_id) AS rk
        |  FROM cand, cents),
        |cells AS (SELECT cid, cent_id FROM assign WHERE rk = 1),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nQueries),
+       |${qCte.getOrElse(
+        s"""q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           |  WHERE vec_id < $nQueries)""".stripMargin)},
        |probe AS (SELECT qid, cent_id, row_number() OVER (PARTITION BY qid
        |    ORDER BY ${cosSql("CAST(qe[i] AS DOUBLE)", "cemb[i]")} DESC,
        |    cent_id) AS rk
@@ -1558,6 +1569,13 @@ object ExtEntry {
       kSub = 16, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4,
       qCte = Some(externalPanelCte(5))),
+
+    // the external panel through the composed IVF-PQ chain — only the
+    // query CTE differs from ann_ivfpq_topk
+    "ann_external_ivfpq" -> ivfpqOracleSql(nQueries = 10, nProbe = 2,
+      k = 3, nCentroids = 16, nSub = 8, kSub = 16, iters = 2,
+      sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap,
+      rescoreFactor = 4, qCte = Some(externalPanelCte(5))),
 
     // the recall chain with the external panel: both the IVF side and
     // the brute-force side run over the q CTE; cand is already the

@@ -681,19 +681,49 @@ object Pq {
                 nProbe: Int, k: Int, nCentroids: Int = 16, nSub: Int = 8,
                 kSub: Int = 16, iters: Int = 2, sampleMod: Int = 3,
                 sampleCap: Int = defaultIvfSampleCap,
-                rescoreFactor: Int = 4): DataFrame = {
+                rescoreFactor: Int = 4): DataFrame =
+    ivfpqSearch(spark, dir,
+      embeddings(spark, dir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          norm(col("embedding")).as("qn")),
+      nQueries, nProbe, k, nCentroids, nSub, kSub, iters, sampleMod,
+      sampleCap, rescoreFactor)
+
+  /** [[ivfpqTopK]] for a CALLER-SUPPLIED query frame (qid, qe) —
+    * out-of-corpus vectors against the SAME standing coarse-cell +
+    * codes index, completing the external surface across all four
+    * search families (brute force / IVF / PQ / IVF-PQ). Query-side
+    * work only: probe scores against the broadcast centroid table, LUT
+    * from the persisted codebooks; the cells/codes tables are
+    * untouched. With nProbe = nCentroids the ADC pool covers every
+    * code row and the result equals the external [[pqIndexedTopK]]
+    * with the same rescoreFactor — PqSpec pins that identity.
+    */
+  def ivfpqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                nQueries: Int, nProbe: Int, k: Int, nCentroids: Int,
+                nSub: Int, kSub: Int, iters: Int, sampleMod: Int,
+                sampleCap: Int, rescoreFactor: Int): DataFrame =
+    ivfpqSearch(spark, dir, Similarity.normQueries(queries), nQueries,
+      nProbe, k, nCentroids, nSub, kSub, iters, sampleMod, sampleCap,
+      rescoreFactor)
+
+  /** The probe → co-located ADC → exact-rescore tail both query forms
+    * share; `qf` is the normalized (qid, qe, qn) query frame.
+    */
+  private def ivfpqSearch(spark: SparkSession, dir: String, qf: DataFrame,
+                          nQueries: Int, nProbe: Int, k: Int,
+                          nCentroids: Int, nSub: Int, kSub: Int,
+                          iters: Int, sampleMod: Int, sampleCap: Int,
+                          rescoreFactor: Int): DataFrame = {
     ensureIvfPqIndex(spark, dir, nQueries, nCentroids, nSub, kSub, iters,
       sampleMod, sampleCap)
     val key = ivfpqKey(nQueries, nCentroids, nSub, kSub, iters, sampleMod,
       sampleCap)
     val cents = spark.table(ivfpqCentsTable(dir, key))
     val books = readBooks(spark, ivfpqBooksTable(dir, key), nSub, kSub)
-    val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm(col("embedding")).as("qn"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cent_id").asc)
-    val probed = q.crossJoin(broadcast(cents))
+    val probed = qf.crossJoin(broadcast(cents))
       .select(col("qid"),
         (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
         col("cent_id"))
@@ -704,10 +734,11 @@ object Pq {
       .join(spark.table(ivfpqCellsTable(dir, key)), Seq("cent_id"))
       .select(col("qid"), col("cid"), col("codes"))
     val pool = topPoolOf(
-      members.join(broadcast(lutFrame(spark, dir, books, nQueries)),
+      members.join(
+        broadcast(lutFrameOf(qf.select(col("qid"), col("qe")), books)),
         Seq("qid"))
         .select(col("qid"), col("cid"), adcExpr(nSub, kSub).as("adc")),
       rescoreFactor * k)
-    exactRescore(spark, dir, pool, nQueries, k)
+    exactRescoreOf(spark, dir, pool, qf, nQueries, k)
   }
 }

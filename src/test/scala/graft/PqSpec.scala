@@ -264,6 +264,28 @@ class PqSpec extends SparkTestBase {
     } finally Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
   }
 
+  test("external IVF-PQ with all cells probed equals the external " +
+    "standing-codes PQ search — the probe only restricts the code rows") {
+    Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+    purgeIdx()
+    try {
+      val queries = Similarity.externalQueryPanel(spark, dir, nPanel = 5)
+      val viaIvfpq = Pq.ivfpqTopK(spark, dir, queries, nQueries = 10,
+        nProbe = 16, k = 3, nCentroids = 16, nSub = 8, kSub = 16,
+        iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4)
+        .collect().toSeq
+      val viaPq = Pq.pqIndexedTopK(spark, dir, queries, nQueries = 10,
+        k = 3, nSub = 8, kSub = 16, iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4)
+        .collect().toSeq
+      assert(viaIvfpq.nonEmpty && viaIvfpq == viaPq)
+    } finally {
+      Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+      purgeIdx()
+    }
+  }
+
   test("IVF-PQ with all cells probed equals plain PQ ADC search — the " +
     "probe only restricts, never rescores differently") {
     Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
