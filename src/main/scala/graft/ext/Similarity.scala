@@ -609,7 +609,10 @@ object Similarity {
     val b = e.filter(col("vec_id") < 2L * nPanel && col("vec_id") % 2 === 1)
       .select(((col("vec_id") - 1) / 2).cast("long").as("qid"),
         col("embedding").as("eb"))
-    a.join(b, Seq("qid"))
+    // both sides are nPanel-row slices, but the JOINED frame has no
+    // scan-level stats — without the hint every downstream join of the
+    // panel falls back to sort-merge (r12 Explain audit)
+    a.join(broadcast(b), Seq("qid"))
       .select(col("qid"), zip_with(col("ea"), col("eb"),
         (x, y) => x.cast("double") + y.cast("double")).as("qe"))
   }
@@ -922,9 +925,13 @@ object Similarity {
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cent_id"))
+    // the query frame is broadcast by CONTRACT (a bounded panel): a
+    // caller-supplied frame is often a join result with no stats, and
+    // without the hint this join plans sort-merge, shuffling the
+    // cell-side rows (r12 Explain audit)
     val sims = probed.join(spark.table(ivfCellsTable(dir, key)),
         Seq("cent_id"))
-      .join(q, Seq("qid"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
     val wRank = org.apache.spark.sql.expressions.Window
