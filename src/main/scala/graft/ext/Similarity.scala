@@ -727,7 +727,9 @@ object Similarity {
     val exact = exactTopK.select(col("qid"), col("cid"))
     val approx = approxTopK
       .select(col("qid"), col("cid"), lit(1L).as("hit"))
-    exact.join(approx, Seq("qid", "cid"), "left")
+    // both sides are k·nQueries rows but window-derived (no stats) —
+    // without the hint the comparison join plans sort-merge
+    exact.join(broadcast(approx), Seq("qid", "cid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("k_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
