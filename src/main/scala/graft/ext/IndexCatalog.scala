@@ -32,7 +32,8 @@ private[graft] object IndexCatalog {
     // order matters: ivfpq_ must match before ivf_
     val fams = Seq(
       "graft_dedup_" -> "dedup", "graft_substr_grams_" -> "grams",
-      "graft_ivfpq_" -> "ivfpq", "graft_ivf_" -> "ivf", "graft_pq_" -> "pq")
+      "graft_ivfpq_" -> "ivfpq", "graft_ivf_" -> "ivf", "graft_pq_" -> "pq",
+      "graft_winsor_bounds_" -> "winsor")
     fs.listStatus(wh).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("graft_"))
       .map { n =>

@@ -109,6 +109,107 @@ object Analytics {
         col("uncovered"))
       .orderBy(col(group))
 
+  // ——————————— standing frozen-bounds table (the deployed freeze) ———————————
+
+  /** Table key for the persisted bounds: every knob that determines the
+    * frozen quantiles is part of the name — the
+    * [[graft.ext.Similarity]] ivfKey staleness rule.
+    */
+  private[graft] def boundsTable(dir: String, group: String, lo: Double,
+                                 hi: Double): String =
+    s"graft_winsor_bounds_${graft.ext.IndexCatalog.indexKey(dir)}_" +
+      s"${group}_l${(lo * 1000).round}_h${(hi * 1000).round}"
+
+  /** Build (or reattach) the STANDING frozen-bounds table for `dir`'s
+    * events — the persisted form of the freeze
+    * [[graft.streaming.StreamingCuration.winsorizeStream]] consumes: a
+    * restarted stream reads the SAME bounds it was clipping with
+    * instead of silently re-freezing on whatever history exists at
+    * restart, and the maintenance loop re-freezes out-of-band via
+    * [[refreezeBoundsIndexIfNeeded]]. Same [[graft.ext.IndexCatalog]]
+    * lifecycle as every standing index (external bucketed parquet,
+    * catalog-loss reattach, purge+ensure rebuild).
+    */
+  def ensureBoundsIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, group: String = "event_type",
+                        lo: Double = 0.05, hi: Double = 0.95): Unit = {
+    val t = boundsTable(dir, group, lo, hi)
+    if (!spark.catalog.tableExists(t)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      if (!graft.ext.IndexCatalog.reattachIfPresent(spark, t, Seq(group))) {
+        graft.ext.IndexCatalog.purge(spark, t)
+        winsorizeBounds(graft.ops.Ingest.events(spark, dir), group, lo, hi)
+          .write.mode("overwrite")
+          .bucketBy(8, group).sortBy(group)
+          .option("path",
+            graft.ext.IndexCatalog.tableLocation(spark, t).toString)
+          .saveAsTable(t)
+      }
+    }
+  }
+
+  /** The persisted frozen bounds (built on first use, reattached across
+    * sessions) — the frame [[graft.streaming.StreamingCuration.winsorizeStream]]
+    * binds against.
+    */
+  def frozenBounds(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   group: String = "event_type", lo: Double = 0.05,
+                   hi: Double = 0.95): DataFrame = {
+    ensureBoundsIndex(spark, dir, group, lo, hi)
+    spark.table(boundsTable(dir, group, lo, hi))
+  }
+
+  /** True when the standing bounds table EXISTS (catalog entry or
+    * committed data) — the fail-fast guard the maintenance hook checks
+    * before monitoring, like every other standing index.
+    */
+  private[graft] def boundsIndexExists(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, group: String,
+                                       lo: Double = 0.05,
+                                       hi: Double = 0.95): Boolean = {
+    val t = boundsTable(dir, group, lo, hi)
+    spark.catalog.tableExists(t) || {
+      val loc = graft.ext.IndexCatalog.tableLocation(spark, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+    }
+  }
+
+  /** Drop the standing bounds table and its data. */
+  def purgeBoundsIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, group: String = "event_type",
+                       lo: Double = 0.05, hi: Double = 0.95): Unit =
+    graft.ext.IndexCatalog.purge(spark, boundsTable(dir, group, lo, hi))
+
+  /** The maintenance-loop face of the PERSISTED freeze: evaluate the
+    * drift rule ([[graft.streaming.StreamingCuration.shouldRefreezeBounds]])
+    * over the current events history against the standing bounds table
+    * and, when it fires, rebuild the table from history (purge +
+    * ensure — the [[graft.streaming.StreamingSimilarity.retrainIfNeeded]]
+    * contract: run quiesced, the consuming stream restarts against the
+    * refreshed table). Fails fast when no standing table exists for the
+    * configured shape — monitoring would otherwise silently BUILD a
+    * fresh table and forever read it as calm.
+    */
+  def refreezeBoundsIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, group: String = "event_type",
+                                  lo: Double = 0.05, hi: Double = 0.95,
+                                  tol: Double = 0.05): Boolean = {
+    require(boundsIndexExists(spark, dir, group, lo, hi),
+      s"refreezeBoundsIndexIfNeeded: no standing bounds table for " +
+        s"dir=$dir, group=$group, lo=$lo, hi=$hi (check " +
+        "SPARK_GRAFT_WINSOR_DIR/_GROUP against the built table's shape) " +
+        "— the rule monitors an existing freeze, it does not build one")
+    val fire = graft.streaming.StreamingCuration.shouldRefreezeBounds(
+      graft.ops.Ingest.events(spark, dir), group,
+      frozenBounds(spark, dir, group, lo, hi), lo, hi, tol)
+    if (fire) {
+      purgeBoundsIndex(spark, dir, group, lo, hi)
+      ensureBoundsIndex(spark, dir, group, lo, hi)
+    }
+    fire
+  }
+
   /** Distributed prefix-sum cumulative counts over a
     * (groupCols…, valCol, cntCol) DISTINCT grid — the
     * [[graft.ext.Curation.packGreedy]] block pattern generalized to

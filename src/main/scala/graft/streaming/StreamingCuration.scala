@@ -204,7 +204,11 @@ object StreamingCuration {
     * and ride along broadcast; each arriving event clips map-side.
     * `bounds` must carry (group, lo_v, hi_v); rows in groups absent
     * from the bounds table pass through unclipped (inner-join-then-
-    * union would drop them — new groups appear mid-stream).
+    * union would drop them — new groups appear mid-stream). The
+    * PERSISTED freeze is [[graft.ops.Analytics.frozenBounds]] — a
+    * restarted stream rebinds the same standing table, and the
+    * maintenance loop re-freezes it via
+    * [[graft.ops.Analytics.refreezeBoundsIndexIfNeeded]].
     */
   def winsorizeStream(events: DataFrame, group: String,
                       bounds: DataFrame): DataFrame = {

@@ -50,8 +50,11 @@ object Maintenance {
   private[graft] def manifestReport(spark: SparkSession,
       gramDir: Option[String], gramN: Int,
       ivfDir: Option[String], ivfNq: Int, ivfNc: Int,
-      pqDir: Option[String], pqNq: Int): Seq[String] = {
+      pqDir: Option[String], pqNq: Int,
+      winsorDir: Option[String] = None,
+      winsorGroup: String = "event_type"): Seq[String] = {
     import graft.ext.{IndexCatalog, Pq, Similarity, TextDedup}
+    import graft.ops.Analytics
     gramDir.foreach { d =>
       require(TextDedup.substringIndexExists(spark, d, gramN),
         s"maintenance manifest: SPARK_GRAFT_GRAM_INDEX_DIR=$d but no " +
@@ -70,6 +73,12 @@ object Maintenance {
           s"PQ index for nQueries=$pqNq exists — check SPARK_GRAFT_PQ_NQ " +
           "against the built index's shape")
     }
+    winsorDir.foreach { d =>
+      require(Analytics.boundsIndexExists(spark, d, winsorGroup),
+        s"maintenance manifest: SPARK_GRAFT_WINSOR_DIR=$d but no " +
+          s"standing bounds table for group=$winsorGroup exists — check " +
+          "SPARK_GRAFT_WINSOR_GROUP against the built table's shape")
+    }
     val covered: Set[String] =
       gramDir.map(d => TextDedup.gramsTable(d, gramN)).toSet ++
         ivfDir.toSeq.flatMap { d =>
@@ -82,8 +91,9 @@ object Maintenance {
           val key = Pq.pqKey(pqNq, 8, 16, 2, 3,
             Similarity.defaultIvfSampleCap)
           Seq(Pq.pqBooksTable(d, key), Pq.pqCodesTable(d, key))
-        }
-    val maintainable = Set("grams", "ivf", "pq")
+        } ++
+        winsorDir.map(d => Analytics.boundsTable(d, winsorGroup, 0.05, 0.95))
+    val maintainable = Set("grams", "ivf", "pq", "winsor")
     IndexCatalog.listIndexDirs(spark)
       .filter { case (fam, name) =>
         maintainable(fam) && !covered.exists(name.startsWith)
@@ -140,11 +150,20 @@ object Maintenance {
     val pqDir = sys.env.get("SPARK_GRAFT_PQ_DIR")
     val pqNq = sys.env.getOrElse("SPARK_GRAFT_PQ_NQ", "10").toInt
     val pqMaxFiles = sys.env.getOrElse("SPARK_GRAFT_PQ_MAX_FILES", "64").toInt
+    // Optional: frozen winsorize-bounds drift check + conditional
+    // re-freeze (round 12) — pass the events dir as
+    // SPARK_GRAFT_WINSOR_DIR (+ _GROUP for a non-default group column).
+    // Runs Analytics.refreezeBoundsIndexIfNeeded: the realized-clip
+    // drift rule decides, the rebuild re-freezes from the events table.
+    // Quiesce the consuming winsorize stream around the tick.
+    val winsorDir = sys.env.get("SPARK_GRAFT_WINSOR_DIR")
+    val winsorGroup = sys.env.getOrElse("SPARK_GRAFT_WINSOR_GROUP",
+      "event_type")
     // both-ways manifest validation BEFORE the first pass mutates
     // anything: a configured-but-absent index throws here; an on-disk
     // index the manifest doesn't cover warns on every pass
     val uncovered = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
-      ivfNc, pqDir, pqNq)
+      ivfNc, pqDir, pqNq, winsorDir, winsorGroup)
     do {
       uncovered.foreach(println)
       val t0 = System.nanoTime()
@@ -156,6 +175,8 @@ object Maintenance {
         .retrainIfNeeded(spark, d, ivfNq, ivfNc))
       val pqCompacted = pqDir.exists(d => graft.ext.Pq
         .compactPqIndexIfNeeded(spark, d, pqNq, pqMaxFiles))
+      val refroze = winsorDir.exists(d => graft.ops.Analytics
+        .refreezeBoundsIndexIfNeeded(spark, d, winsorGroup))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -163,6 +184,8 @@ object Maintenance {
           s" + ivf health for $d (retrained=$retrained)") +
         pqDir.fold("")(d =>
           s" + pq file growth for $d (compacted=$pqCompacted)") +
+        winsorDir.fold("")(d =>
+          s" + winsor bounds drift for $d (refroze=$refroze)") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

@@ -60,6 +60,47 @@ class MaintenanceManifestSpec extends SparkTestBase {
     } finally Pq.purgePqIndex(spark, dir, nQueries = 10)
   }
 
+  test("winsor bounds freeze: configured-but-absent fails fast, a fresh " +
+    "freeze reads calm, a doctored freeze fires the re-freeze and " +
+    "rebuilds calm") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Analytics
+    Analytics.purgeBoundsIndex(spark, dir)
+    try {
+      intercept[IllegalArgumentException] {
+        Maintenance.manifestReport(spark, None, 5, None, 10, 16, None, 10,
+          Some(dir))
+      }
+      intercept[IllegalArgumentException] {
+        Analytics.refreezeBoundsIndexIfNeeded(spark, dir)
+      }
+      Analytics.ensureBoundsIndex(spark, dir)
+      // covered: silent; unconfigured: the on-disk freeze warns
+      assert(!Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10, Some(dir)).exists(_.contains("graft_winsor_bounds_")))
+      assert(Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10, None).exists(_.contains("graft_winsor_bounds_")))
+      // frozen on the current history: calm
+      assert(!Analytics.refreezeBoundsIndexIfNeeded(spark, dir))
+      // doctor the standing freeze with bounds from a shifted history —
+      // the realized clip rate on the REAL events now reads ~0
+      Analytics.purgeBoundsIndex(spark, dir)
+      val t = Analytics.boundsTable(dir, "event_type", 0.05, 0.95)
+      Analytics.winsorizeBounds(
+        graft.ops.Ingest.events(spark, dir)
+          .withColumn("value", col("value") + lit(1e6)), "event_type")
+        .write.mode("overwrite")
+        .bucketBy(8, "event_type").sortBy("event_type")
+        .option("path",
+          graft.ext.IndexCatalog.tableLocation(spark, t).toString)
+        .saveAsTable(t)
+      assert(Analytics.refreezeBoundsIndexIfNeeded(spark, dir),
+        "doctored freeze must fire the drift rule")
+      assert(!Analytics.refreezeBoundsIndexIfNeeded(spark, dir),
+        "rebuilt freeze must read calm on the real history")
+    } finally Analytics.purgeBoundsIndex(spark, dir)
+  }
+
   test("dedup band/shingle indexes are listed for visibility but never " +
     "warned — no scheduled pass exists for them") {
     TextDedup.purgeDedupIndex(spark, dir)
