@@ -113,6 +113,37 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(nBlocked == nWindowed)
   }
 
+  test("property (seeded): blockedCumCount equals the window form over " +
+    "random grid shapes — varied nBlocks, group counts, duplicate-heavy " +
+    "values, all-null and singleton groups") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    (1 to 8).foreach { iter =>
+      val nGroups = 1 + rnd.nextInt(4)
+      val nBlocks = 2 + rnd.nextInt(100)
+      val valuePool = 1 + rnd.nextInt(30) // small pool → heavy ties
+      val rows = (0 until 200).map { _ =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        val v: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null
+          else rnd.nextInt(valuePool).toDouble / 7.0
+        (g, v, (1 + rnd.nextInt(3)).toLong)
+      } ++ Seq(("only_null", null: java.lang.Double, 5L),
+        ("single", 1.25: java.lang.Double, 1L))
+      val grid = rows.toDF("g", "v", "c").groupBy("g", "v")
+        .agg(sum("c").as("c"))
+      val windowed = grid.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(3))).toSet
+      val blocked = Analytics.blockedCumCount(grid, Seq("g"), "v", "c",
+        nBlocks)
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(3))).toSet
+      assert(blocked == windowed, s"iter $iter (nBlocks=$nBlocks)")
+    }
+  }
+
   test("incrementally maintained retention equals the batch query after " +
     "N batches") {
     val input = MemoryStream[Ev](41, spark, None)
