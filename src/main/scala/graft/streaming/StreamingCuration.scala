@@ -95,26 +95,40 @@ object StreamingCuration {
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[DocTok] = {
       val cum0 = if (seen.exists()) seen.get() else 0L
-      val heap = scala.collection.mutable.PriorityQueue
-        .empty[DocTok](Ordering.by(_.doc_id))
-      var heapTokens = 0L
-      var allTokens = 0L
-      var rejectCutoff = Long.MaxValue
-      rows.foreach { r =>
-        allTokens += r.n_tokens
-        if (r.doc_id < rejectCutoff) {
-          heap.enqueue(r)
-          heapTokens += r.n_tokens
-          while (cum0 + heapTokens > budget && heap.nonEmpty) {
-            val m = heap.dequeue()
-            heapTokens -= m.n_tokens
-            rejectCutoff = m.doc_id
-          }
+      val (admitted, allTokens) =
+        StreamingCuration.admitTokenPrefix(rows, cum0, budget)
+      seen.update(cum0 + allTokens)
+      admitted.iterator
+    }
+  }
+
+  /** The one-pass bounded-heap prefix admission
+    * ([[TokenBudgetProcessor]]'s core, factored pure so the seeded
+    * property spec drives it directly against the sort-based
+    * reference): returns (admitted rows in doc_id order, total tokens
+    * seen). Semantics: exactly the rows whose doc_id-ordered prefix sum
+    * over the WHOLE batch fits `budget - cum0`.
+    */
+  private[graft] def admitTokenPrefix(rows: Iterator[DocTok], cum0: Long,
+                                      budget: Long): (Seq[DocTok], Long) = {
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[DocTok](Ordering.by(_.doc_id))
+    var heapTokens = 0L
+    var allTokens = 0L
+    var rejectCutoff = Long.MaxValue
+    rows.foreach { r =>
+      allTokens += r.n_tokens
+      if (r.doc_id < rejectCutoff) {
+        heap.enqueue(r)
+        heapTokens += r.n_tokens
+        while (cum0 + heapTokens > budget && heap.nonEmpty) {
+          val m = heap.dequeue()
+          heapTokens -= m.n_tokens
+          rejectCutoff = m.doc_id
         }
       }
-      seen.update(cum0 + allTokens)
-      heap.toSeq.sortBy(_.doc_id).iterator
     }
+    (heap.toSeq.sortBy(_.doc_id), allTokens)
   }
 
   /** Document stream → the per-source token-budget admit stream. */

@@ -91,6 +91,32 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("property (seeded): the bounded-heap prefix admission equals the " +
+    "sort-based reference over random batches, arrival orders, token " +
+    "masses, and carried-over state") {
+    import StreamingCuration.DocTok
+    val rnd = new scala.util.Random(61)
+    (1 to 300).foreach { iter =>
+      val n = rnd.nextInt(30)
+      val ids = rnd.shuffle((0 until 200).toList).take(n).map(_.toLong)
+      val rows = ids.map(id =>
+        DocTok(id, "s", 1L + rnd.nextInt(50).toLong))
+      val cum0 = rnd.nextInt(120).toLong
+      val budget = rnd.nextInt(200).toLong
+      // reference: sort the whole batch, admit while the running total
+      // (over ALL rows, admitted or not) fits — the pre-r12 semantics
+      var cum = cum0
+      val want = rows.sortBy(_.doc_id).flatMap { r =>
+        cum += r.n_tokens
+        if (cum <= budget) Some(r) else None
+      }
+      val (got, allTokens) = StreamingCuration.admitTokenPrefix(
+        rows.iterator, cum0, budget)
+      assert(got == want, s"iter $iter: rows=$rows cum0=$cum0 budget=$budget")
+      assert(allTokens == rows.map(_.n_tokens).sum, s"iter $iter")
+    }
+  }
+
   test("streaming token budget equals the batch quota_tokens keep set " +
     "on in-order arrival") {
     import StreamingCuration.DocTok
