@@ -760,9 +760,9 @@ object ExtEntry {
       |mmpj AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS s,
       |    CAST(count(*) AS BIGINT) AS c
       |  FROM mmb GROUP BY doc_id, j),
-      |mmtot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS ts,
-      |    CAST(count(*) AS BIGINT) AS tc
-      |  FROM mmb GROUP BY doc_id),
+      |mmtot AS (SELECT d.doc_id, CAST(coalesce(sum(v), 0) AS BIGINT) AS ts,
+      |    CAST(count(v) AS BIGINT) AS tc
+      |  FROM mmd d LEFT JOIN mmb USING (doc_id) GROUP BY d.doc_id),
       |mmbit AS (SELECT d.doc_id, g.j,
       |    CASE WHEN coalesce(p.s, 0) * t.tc > t.ts * coalesce(p.c, 0)
       |      THEN 1 ELSE 0 END AS bit

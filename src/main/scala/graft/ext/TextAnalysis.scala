@@ -210,6 +210,17 @@ object TextAnalysis {
     */
   def repetitionMassFlags(docs: DataFrame, spanLen: Int = 8, topN: Int = 2,
                           dupN: Int = 5): DataFrame = {
+    // refuse inputs already carrying an output column — the silent-
+    // clobber class Classifier.scoreAgainstModel guards against
+    val reserved = Seq("_rs", "n_chars", "n_spans", "n_dup_spans",
+      "dup_span_frac", "top_gram", "top_cnt", "top_gram_char_frac",
+      "dup_gram_char_frac", "r_dupspan", "r_topgram", "r_dupgram", "keep")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"repetitionMassFlags appends ${reserved.drop(1).mkString(", ")}; " +
+        s"the input frame already carries ${clash.mkString(", ")} — " +
+        "rename or drop those columns first (they would be silently " +
+        "overwritten)")
     val passthrough = docs.columns.map(col).toSeq
     docs
       .withColumn("_rs", graft.catalyst.HashExpressions.repetitionStats(

@@ -89,25 +89,41 @@ object Analytics {
     * folded map-side onto groups-sized rows.
     */
   def clipDrift(events: DataFrame, group: String, bounds: DataFrame,
-                lo: Double = 0.05, hi: Double = 0.95): DataFrame =
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    // the theoretical quantile mass, rounded like every displayed
+    // double: DuckDB folds the literals in DECIMAL (exactly 0.10), IEEE
+    // double addition gives 0.10000000000000005 — the 6-digit display
+    // grid unifies them
+    val theoretical = round(lit(lo + (1.0 - hi)), 6)
+    // a bounds frame carrying a freeze-time `expected_frac` column (the
+    // standing-table form, [[ensureBoundsIndex]]) pins each group's
+    // calm point to the REALIZED clip rate at freeze — exact for
+    // discrete/tied/small groups where the theoretical mass never
+    // realizes (a frozen [v, v] window clips 0%, not 10%, and the
+    // deviation rule would otherwise fire forever on an unchanged
+    // distribution); a plain bounds frame falls back to the theory
+    val b = if (bounds.columns.contains("expected_frac"))
+      bounds.select(col(group), col("lo_v"), col("hi_v"),
+        col("expected_frac").as("__exp"))
+    else bounds.select(col(group), col("lo_v"), col("hi_v"),
+      theoretical.as("__exp"))
     events.select(col(group), round(col("value"), 6).as("__rv"))
-      .join(broadcast(bounds), Seq(group), "left")
+      .join(broadcast(b), Seq(group), "left")
       .groupBy(col(group))
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("lo_v").isNotNull &&
           (col("__rv") < col("lo_v") || col("__rv") > col("hi_v")), 1L)
           .otherwise(0L)).as("n_clipped"),
-        max(col("lo_v").isNull).as("uncovered"))
+        max(col("lo_v").isNull).as("uncovered"),
+        max(col("__exp")).as("__exp")) // constant within a group
       .select(col(group), col("n"), col("n_clipped"),
         round(col("n_clipped").cast("double") / col("n"), 6)
           .as("clip_frac"),
-        // rounded like every displayed double: DuckDB folds the quantile
-        // literals in DECIMAL (exactly 0.10), IEEE double addition gives
-        // 0.10000000000000005 — the 6-digit display grid unifies them
-        round(lit(lo + (1.0 - hi)), 6).as("expected_frac"),
+        coalesce(col("__exp"), theoretical).as("expected_frac"),
         col("uncovered"))
       .orderBy(col(group))
+  }
 
   // ——————————— standing frozen-bounds table (the deployed freeze) ———————————
 
@@ -138,7 +154,18 @@ object Analytics {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       if (!graft.ext.IndexCatalog.reattachIfPresent(spark, t, Seq(group))) {
         graft.ext.IndexCatalog.purge(spark, t)
-        winsorizeBounds(graft.ops.Ingest.events(spark, dir), group, lo, hi)
+        val ev = graft.ops.Ingest.events(spark, dir)
+        val b = winsorizeBounds(ev, group, lo, hi).localCheckpoint(true)
+        // store the freeze-time REALIZED clip fraction with the bounds:
+        // the drift rule's calm point. For discrete/tied/small groups
+        // the theoretical quantile mass lo + (1 − hi) never realizes
+        // (a [v, v] window clips nothing), and a rule anchored to the
+        // theory would re-freeze such groups on every maintenance tick
+        // without ever converging.
+        b.join(
+          clipDrift(ev, group, b, lo, hi)
+            .select(col(group), col("clip_frac").as("expected_frac")),
+          Seq(group))
           .write.mode("overwrite")
           .bucketBy(8, group).sortBy(group)
           .option("path",

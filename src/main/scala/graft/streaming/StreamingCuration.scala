@@ -106,29 +106,43 @@ object StreamingCuration {
     * ([[TokenBudgetProcessor]]'s core, factored pure so the seeded
     * property spec drives it directly against the sort-based
     * reference): returns (admitted rows in doc_id order, total tokens
-    * seen). Semantics: exactly the rows whose doc_id-ordered prefix sum
-    * over the WHOLE batch fits `budget - cum0`.
+    * seen). Semantics: exactly the rows whose (doc_id, arrival)-ordered
+    * prefix sum over the WHOLE batch fits `budget - cum0` — identical
+    * to the STABLE sort by doc_id the reference runs, including
+    * duplicate doc_ids in one batch (at-least-once redelivery): equal
+    * ids tie-break by arrival order in heap evictions AND in the
+    * cutoff, so the kept set can never depend on heap internals.
     */
   private[graft] def admitTokenPrefix(rows: Iterator[DocTok], cum0: Long,
                                       budget: Long): (Seq[DocTok], Long) = {
+    // rows ride with their arrival index: evictions pop the LAST row in
+    // stable-sort order — Ordering.by(doc_id) alone pops an arbitrary
+    // member of a duplicate-id tie, which both diverges from the stable
+    // reference and makes the kept set depend on heap internals
     val heap = scala.collection.mutable.PriorityQueue
-      .empty[DocTok](Ordering.by(_.doc_id))
+      .empty[(DocTok, Long)](Ordering.by { case (r, i) => (r.doc_id, i) })
     var heapTokens = 0L
     var allTokens = 0L
-    var rejectCutoff = Long.MaxValue
+    var idx = 0L
+    var cutId = Long.MaxValue
     rows.foreach { r =>
       allTokens += r.n_tokens
-      if (r.doc_id < rejectCutoff) {
-        heap.enqueue(r)
+      // strict <: a later arrival with the cutoff's own doc_id
+      // stable-sorts AFTER the evicted row (arrival index is monotone),
+      // so its prefix is over budget too
+      if (r.doc_id < cutId) {
+        heap.enqueue((r, idx))
         heapTokens += r.n_tokens
         while (cum0 + heapTokens > budget && heap.nonEmpty) {
-          val m = heap.dequeue()
+          val (m, _) = heap.dequeue()
           heapTokens -= m.n_tokens
-          rejectCutoff = m.doc_id
+          cutId = m.doc_id
         }
       }
+      idx += 1
     }
-    (heap.toSeq.sortBy(_.doc_id), allTokens)
+    (heap.toSeq.sortBy { case (r, i) => (r.doc_id, i) }.map(_._1),
+      allTokens)
   }
 
   /** Document stream → the per-source token-budget admit stream. */
@@ -227,9 +241,13 @@ object StreamingCuration {
   def winsorizeStream(events: DataFrame, group: String,
                       bounds: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // take only the clip columns: the standing-table form also carries
+    // the freeze-time expected_frac, which must not leak into the
+    // admitted rows
+    val b = bounds.select(col(group), col("lo_v"), col("hi_v"))
     events
       .withColumn("__rv", round(col("value"), 6))
-      .join(broadcast(bounds), Seq(group), "left")
+      .join(broadcast(b), Seq(group), "left")
       .withColumn("value_w",
         when(col("lo_v").isNull, col("__rv"))
           .when(col("__rv") < col("lo_v"), col("lo_v"))
@@ -267,7 +285,11 @@ object StreamingCuration {
           .as("any_uncovered"),
         max(sqlAbs(col("clip_frac") - col("expected_frac"))).as("max_dev"))
       .collect().head
-    d.getDouble(0) > 0.0 || d.getDouble(1) > tol
+    // empty history → both aggregates null: nothing observed, nothing
+    // drifted — read calm instead of NPE-crashing the maintenance tick
+    val anyUncovered = !d.isNullAt(0) && d.getDouble(0) > 0.0
+    val maxDev = if (d.isNullAt(1)) 0.0 else d.getDouble(1)
+    anyUncovered || maxDev > tol
   }
 
   /** The maintenance-loop face of [[shouldRefreezeBounds]]: when the

@@ -96,7 +96,11 @@ object Maintenance {
     val maintainable = Set("grams", "ivf", "pq", "winsor")
     IndexCatalog.listIndexDirs(spark)
       .filter { case (fam, name) =>
-        maintainable(fam) && !covered.exists(name.startsWith)
+        // exact name or a "_"-separated suffix of it (the gram log's
+        // `_tags` sibling) — a bare prefix test would let `..._n42`
+        // hide behind a covered `..._n4` (r12 review)
+        maintainable(fam) &&
+          !covered.exists(c => name == c || name.startsWith(c + "_"))
       }
       .map { case (fam, name) =>
         s"[maintenance] WARNING: standing $fam index '$name' is not " +
@@ -160,12 +164,15 @@ object Maintenance {
     val winsorGroup = sys.env.getOrElse("SPARK_GRAFT_WINSOR_GROUP",
       "event_type")
     // both-ways manifest validation BEFORE the first pass mutates
-    // anything: a configured-but-absent index throws here; an on-disk
-    // index the manifest doesn't cover warns on every pass
-    val uncovered = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
+    // anything: a configured-but-absent index throws here. The coverage
+    // half re-runs EVERY pass (one cheap listStatus) — an index another
+    // session builds mid-run must start warning on the next tick, not
+    // after a restart
+    def uncovered() = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
       ivfNc, pqDir, pqNq, winsorDir, winsorGroup)
+    uncovered()
     do {
-      uncovered.foreach(println)
+      uncovered().foreach(println)
       val t0 = System.nanoTime()
       format.optimize(spark, cfg)
       format.optimizeServe(spark, cfg)

@@ -98,7 +98,12 @@ class StreamingCurationSpec extends SparkTestBase {
     val rnd = new scala.util.Random(61)
     (1 to 300).foreach { iter =>
       val n = rnd.nextInt(30)
-      val ids = rnd.shuffle((0 until 200).toList).take(n).map(_.toLong)
+      // half the iterations draw ids WITH replacement from a small pool:
+      // duplicate doc_ids in one batch (at-least-once redelivery) must
+      // tie-break by arrival order exactly like the stable sort
+      val ids =
+        if (iter % 2 == 0) List.fill(n)(rnd.nextInt(10).toLong)
+        else rnd.shuffle((0 until 200).toList).take(n).map(_.toLong)
       val rows = ids.map(id =>
         DocTok(id, "s", 1L + rnd.nextInt(50).toLong))
       val cum0 = rnd.nextInt(120).toLong
@@ -211,6 +216,32 @@ class StreamingCurationSpec extends SparkTestBase {
     val (same, fired2) = StreamingCuration.refreezeBoundsIfNeeded(
       events, "event_type", bounds)
     assert(!fired2 && (same eq bounds))
+  }
+
+  test("a tied/constant group reads calm under a freeze carrying its " +
+    "realized clip rate — the theoretical quantile mass alone would " +
+    "re-freeze such a group forever (r12 review)") {
+    import graft.ops.Analytics
+    // constant distribution: bounds collapse to [v, v], nothing clips —
+    // the theoretical 10% mass NEVER realizes
+    val ev = Seq.tabulate(50)(i => (i.toLong, "t", 1.0))
+      .toDF("event_id", "event_type", "value")
+    val plain = Analytics.winsorizeBounds(ev, "event_type")
+      .localCheckpoint(true)
+    assert(StreamingCuration.shouldRefreezeBounds(ev, "event_type", plain),
+      "plain bounds anchored to the theoretical mass must fire (the " +
+        "documented fallback behavior)")
+    // the standing-table form stores the freeze-time REALIZED rate: calm
+    val withExp = plain.join(
+      Analytics.clipDrift(ev, "event_type", plain)
+        .select(col("event_type"), col("clip_frac").as("expected_frac")),
+      Seq("event_type"))
+    assert(!StreamingCuration.shouldRefreezeBounds(ev, "event_type",
+      withExp),
+      "stored-expected bounds must read calm on the freezing history")
+    // and empty history decides calm instead of NPE-crashing the tick
+    assert(!StreamingCuration.shouldRefreezeBounds(
+      ev.filter(col("event_id") < 0), "event_type", withExp))
   }
 
   test("streaming decontamination admits exactly the batch clean set") {
