@@ -122,6 +122,11 @@ object ExtEntry {
         Similarity.externalQueryPanel(s, dir, nPanel = 5),
         nQueries = 10, nCentroids = 16, nProbe = 2, k = 3)),
 
+    // contrastive hard-negative mining: per anchor, the top-3 most
+    // similar DIFFERENT-label vectors — broadcast panel, one corpus scan
+    "mine_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(s, dir, nAnchors = 10, k = 3)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -348,6 +353,12 @@ object ExtEntry {
     // many training docs leak into it and through how many grams
     "decontam_eval_report" -> ((s, dir) => Curation.evalLeakReport(s, dir)),
 
+    // embedding-space decontamination: max cosine of each training doc
+    // against the BROADCAST src0 eval panel — the paraphrase-leakage
+    // class the 5-gram probe misses; zero corpus shuffle
+    "decontam_semantic" -> ((s, dir) =>
+      Curation.semanticDecontaminate(s, dir)),
+
     // Gopher-style repetition filter signals — scan-local array HOFs
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
@@ -418,6 +429,10 @@ object ExtEntry {
     // Z-order layout: per-file min/max extent manifests under range vs
     // Morton layouts — the file-skipping evidence (see Layout scaladoc)
     "layout_zorder" -> ((s, dir) => Layout.zOrderManifest(s, dir)),
+
+    // reproducible pretraining shuffle: hash-keyed shard + within-shard
+    // rank via the distributed block prefix sum (never one task/shard)
+    "layout_shuffle" -> ((s, dir) => Layout.shuffleLayout(s, dir)),
 
     // cross-document repeated-span removal (C4 §2.2 / RefinedWeb)
     "clean_boilerplate" -> ((s, dir) => Curation.cleanBoilerplate(s, dir)),
@@ -1585,6 +1600,24 @@ object ExtEntry {
       sampleCap = Similarity.defaultIvfSampleCap,
       qCte = Some(externalPanelCte(5))),
 
+    // hardest different-label neighbors per anchor: label filter inside
+    // the sim scan, then the same (sim desc, cid) top-k window as ANN
+    "mine_hard_negatives" -> {
+      val cos = cosSql("CAST(qe[i] AS DOUBLE)", "CAST(ce[i] AS DOUBLE)")
+      s"""WITH q AS (SELECT vec_id AS qid, label AS q_label,
+         |    embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, label AS c_label, embedding AS ce
+         |  FROM embeddings WHERE vec_id >= 10),
+         |s AS (SELECT qid, q_label, cid, c_label, $cos AS sim
+         |  FROM q, c WHERE c_label <> q_label),
+         |r AS (SELECT qid, q_label, cid, c_label, sim, row_number()
+         |    OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM s)
+         |SELECT qid, q_label, cid, c_label, CAST(rank AS BIGINT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank
     "hybrid_rerank" -> {
       val cos = cosSql("CAST(qv.qe[i] AS DOUBLE)", "CAST(e.embedding[i] AS DOUBLE)")
@@ -2051,6 +2084,30 @@ object ExtEntry {
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin,
 
+    // the embedding twin of decontam_ngram: max cosine vs the src0
+    // panel, nearest eval doc by (sim desc, eid asc) window tie-break
+    "decontam_semantic" -> {
+      val cos = cosSql("CAST(ce[i] AS DOUBLE)", "CAST(ee[i] AS DOUBLE)")
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |ev AS (SELECT e.vec_id AS eid, e.embedding AS ee
+         |  FROM e JOIN d ON d.doc_id = e.vec_id WHERE d.source = 'src0'),
+         |tr AS (SELECT e.vec_id AS cid, d.source, e.embedding AS ce
+         |  FROM e JOIN d ON d.doc_id = e.vec_id WHERE d.source <> 'src0'),
+         |s AS (SELECT cid, source, eid, round($cos, 6) AS rsim
+         |  FROM tr, ev),
+         |r AS (SELECT cid, eid, row_number() OVER (
+         |    PARTITION BY cid ORDER BY rsim DESC, eid ASC) AS rk FROM s),
+         |a AS (SELECT cid, source, max(rsim) AS mx,
+         |    CAST(sum(CASE WHEN rsim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n FROM s GROUP BY cid, source)
+         |SELECT a.cid AS doc_id, a.source, a.mx AS max_eval_sim,
+         |  r.eid AS nearest_eval, a.n AS n_eval_hits,
+         |  a.mx >= 0.35 AS contaminated
+         |FROM a JOIN r ON r.cid = a.cid AND r.rk = 1
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // the same gram world as decontam_ngram, rolled up per EVAL doc
     "decontam_eval_report" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w
@@ -2342,6 +2399,22 @@ object ExtEntry {
     // the Morton interleave is the identical bit expression in both
     // engines (Layout.zValueSql generates the SQL spelling); file ids
     // are top-of-key bit shifts, manifests plain min/max aggregates
+    // hash-keyed reproducible shuffle; pos via cumulative count (RANGE
+    // frame = the engine's grid-cum semantics, identical under ties)
+    "layout_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5(concat('s42:', doc_id)) AS h FROM documents),
+        |p AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(h, 1, 13)) AS BIGINT) AS hkey,
+        |    CAST(concat('0x', substr(h, 14, 2)) AS BIGINT) % 4 AS shard
+        |  FROM k),
+        |c AS (SELECT doc_id, shard,
+        |    count(*) OVER (PARTITION BY shard ORDER BY hkey) AS pos
+        |  FROM p)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pos AS BIGINT) AS pos
+        |FROM c ORDER BY shard, pos, doc_id""".stripMargin,
+
     "layout_zorder" ->
       s"""WITH ev AS (SELECT user_id % 1024 AS u,
          |    CAST(floor(epoch_ms(ts) / 1000.0 / 180.0) AS BIGINT) % 1024 AS tslot

@@ -506,6 +506,60 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic train/eval decontamination — the embedding-space
+    * complement of [[decontaminate]]: an eval item PARAPHRASED into the
+    * corpus shares no 5-gram but still sits next to its source in
+    * embedding space, the leakage class the n-gram probe provably
+    * misses (the rephrased-contamination result of Yang et al. 2023,
+    * "Rethinking Benchmark and Contamination for Language Models").
+    * Every training document (source ≠ `evalSource`) is scored by its
+    * max cosine against the eval split's embeddings; rows at or above
+    * `threshold` are flagged, and the nearest eval doc rides along so
+    * an auditor can eyeball each hit.
+    *
+    * Scale shape: the eval split is benchmark-sized (thousands of
+    * rows), the corpus is the 100 TB side — so the eval panel
+    * BROADCASTS and the corpus scans ONCE: per-row codegen'd
+    * [[Similarity.dot]] kernels against the in-memory panel, folded
+    * map-side onto one row per training doc (the max/argmax/count
+    * aggregate combines partially before the only, doc-sized,
+    * shuffle). Same plan class as [[Classifier.scoreAgainstModel]] —
+    * never the all-pairs [[Similarity.semanticDedup]] shape, because
+    * one side is constant-bounded by construction.
+    *
+    * Ties on the 6-digit rounded similarity resolve to the SMALLEST
+    * eval id (max over (rsim, -eid) structs), the repo's standard
+    * deterministic tie-break, so the argmax is engine-independent.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+                            threshold: Double = 0.35,
+                            evalSource: String = "src0"): DataFrame = {
+    val ids = documents(spark, dir).select(col("doc_id"), col("source"))
+    val emb = Similarity.embeddings(spark, dir)
+      .join(ids, col("vec_id") === col("doc_id"))
+    val ev = emb.filter(col("source") === evalSource)
+      .select(col("vec_id").as("eid"), col("embedding").as("ee"),
+        Similarity.norm(col("embedding")).as("en"))
+    val tr = emb.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"))
+    tr.crossJoin(broadcast(ev))
+      .select(col("doc_id"), col("source"), col("eid"),
+        round(Similarity.dot(col("ce"), col("ee")) /
+          (col("cn") * col("en")), 6).as("rsim"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        max(col("rsim")).as("max_eval_sim"),
+        max_by(col("eid"), struct(col("rsim"), -col("eid")))
+          .as("nearest_eval"),
+        sum(when(col("rsim") >= threshold, 1L).otherwise(0L))
+          .as("n_eval_hits"))
+      .select(col("doc_id"), col("source"), col("max_eval_sim"),
+        col("nearest_eval"), col("n_eval_hits"),
+        (col("max_eval_sim") >= threshold).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing (the privacy pass every released corpus runs; same
     * family as C4's blocklist filtering, Raffel et al. 2020 §2.2, and
     * the BigScience ROOTS redaction pipeline): match email addresses,

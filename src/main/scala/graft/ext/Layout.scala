@@ -92,4 +92,48 @@ object Layout {
         (max(col("tslot")) - min(col("tslot"))).as("tslot_span"))
       .orderBy(col("layout"), col("file_id"))
   }
+
+  /** Deterministic global training-order shuffle — the reproducible
+    * permutation every pretraining run needs before sharding (the
+    * "document-level shuffle" of the C4/Pile/Dolma builds): each doc's
+    * order key is a pure hash of (`salt`, doc_id), so the permutation
+    * is a function of the corpus and the salt alone — identical across
+    * engines, retries, partitionings, and re-runs, which
+    * `df.orderBy(rand())` is not. Emits (doc_id, shard, pos): `shard`
+    * from two independent hash hex digits, `pos` = the doc's 1-based
+    * rank within its shard in hash order — together the exact byte
+    * layout a sharded writer produces.
+    *
+    * Scale shape: the order key and shard are scan-local codegen'd
+    * projections (md5 + substring + base-16 parse). The within-shard
+    * rank NEVER serializes a shard through one task — a naive
+    * `row_number over (partition by shard)` would put 1/nShards of the
+    * corpus in a single reducer at 100 TB — it rides
+    * [[graft.ops.Analytics.blockedCumCount]]'s distributed block
+    * prefix sum (approximate splitters balance hash-contiguous blocks;
+    * block-local sums; ≤64 block totals per shard through the rollup).
+    * Hash keys are unique per doc with overwhelming probability (52-bit
+    * space), and the cumulative-count RANGE semantics make the
+    * vanishing tie case identical in the DuckDB oracle.
+    *
+    * The physical write this frame prescribes (not run here) is
+    * `repartitionByRange(col("shard"), col("hkey"))` +
+    * `sortWithinPartitions` — one range shuffle, same cost class as
+    * any sorted write.
+    */
+  def shuffleLayout(spark: SparkSession, dir: String, nShards: Int = 4,
+                    salt: String = "s42"): DataFrame = {
+    val h = md5(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
+    val keyed = Ingest.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(h, 1, 13), 16, 10).cast("long").as("hkey"),
+        pmod(conv(substring(h, 14, 2), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard"))
+    val grid = keyed.groupBy(col("shard"), col("hkey"))
+      .agg(count(lit(1)).as("c"))
+    graft.ops.Analytics.blockedCumCount(grid, Seq("shard"), "hkey", "c")
+      .join(keyed, Seq("shard", "hkey"))
+      .select(col("doc_id"), col("shard"), col("cum").as("pos"))
+      .orderBy(col("shard"), col("pos"), col("doc_id"))
+  }
 }

@@ -641,6 +641,47 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op
+    * (triplet/InfoNCE fine-tuning of embedding models; the BEIR/DPR
+    * "hard negative" recipe, Karpukhin et al. 2020 §3.2): for each
+    * anchor vector (vec_id < `nAnchors`), the top-`k` most
+    * cosine-similar corpus vectors carrying a DIFFERENT `label` — the
+    * near-misses that actually move a contrastive loss, as opposed to
+    * random negatives which are trivially separable. Labels ride along
+    * on both sides so the emitted pair is audit-ready.
+    *
+    * Scale shape: identical to [[bruteForceOf]] — the anchor panel is
+    * bounded and BROADCASTS, the corpus scans once, and the label
+    * disagreement filter runs inside the scan before anything
+    * shuffles; the only exchange is the per-anchor top-k window over
+    * anchors × candidates rows. This exact form is the correctness
+    * baseline; a deployment mining negatives for the full corpus as
+    * anchors rides the standing IVF index ([[ivfIndexedTopK]] with a
+    * post-probe label join) exactly as [[annRecall]] documents for
+    * retrieval.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, nAnchors: Int,
+                    k: Int): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val c = emb.filter(col("vec_id") >= nAnchors)
+      .select(col("vec_id").as("cid"), col("label").as("c_label"),
+        col("embedding").as("ce"), norm(col("embedding")).as("cn"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("c_label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding-table health report — the one-row audit an embedding
     * pipeline runs per snapshot before anything consumes the vectors:
     * row/dimension integrity (count, distinct dims — a mixed-dim table

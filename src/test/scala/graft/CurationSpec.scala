@@ -183,6 +183,50 @@ class CurationSpec extends SparkTestBase {
     assert(flagged > 0 && flagged < got.length)
   }
 
+  test("semanticDecontaminate matches a driver-side exact max-cosine " +
+    "recompute; flags are internally consistent") {
+    val got = Curation.semanticDecontaminate(spark, sf, threshold = 0.35)
+      .collect()
+    // one row per non-eval embedded doc, flag ⟺ max over threshold,
+    // and hits ⟺ flag (max ≥ t exactly when some rsim ≥ t)
+    got.foreach { r =>
+      val mx = r.getAs[Double]("max_eval_sim")
+      val contaminated = r.getAs[Boolean]("contaminated")
+      assert(contaminated == (mx >= 0.35))
+      assert((r.getAs[Long]("n_eval_hits") > 0L) == contaminated)
+    }
+    // exact recompute in the driver over the same join
+    val srcs = Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = graft.ext.Similarity.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter { case (id, _) => srcs.contains(id) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ev = embs.filter { case (id, _) => srcs(id) == "src0" }
+    val expected = embs.filter { case (id, _) => srcs(id) != "src0" }
+      .map { case (id, e) =>
+        val sims = ev.map { case (eid, ee) =>
+          (eid, BigDecimal(cos(e, ee)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val best = sims.maxBy { case (eid, s) => (s, -eid) }
+        id -> (best._2, best._1)
+      }.toMap
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("max_eval_sim") == expected(id)._1, s"doc $id")
+      assert(r.getAs[Long]("nearest_eval") == expected(id)._2, s"doc $id")
+    }
+    // non-degenerate fixture: some flagged, most clean
+    val flagged = got.count(_.getAs[Boolean]("contaminated"))
+    assert(flagged > 0 && flagged < got.length)
+  }
+
   test("splitAssign is disjoint, exhaustive, and reshard-stable") {
     val total = Ingest.table(spark, sf, "documents").count()
     val s = Curation.splitAssign(spark, sf)

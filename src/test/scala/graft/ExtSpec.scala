@@ -284,6 +284,43 @@ class ExtSpec extends SparkTestBase {
     assert(r2 > 0.2, s"recall@3 with nProbe=2 collapsed: $r2")
   }
 
+  test("hard negatives: label-disjoint, rank-consistent, and equal to a " +
+    "driver-side exact recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.hardNegatives(spark, dir, nAnchors = 10, k = 3)
+      .collect()
+    // every emitted pair crosses labels; sides respect the panel split
+    got.foreach { r =>
+      assert(r.getInt(r.fieldIndex("q_label")) != r.getInt(r.fieldIndex("c_label")))
+      assert(r.getLong(r.fieldIndex("qid")) < 10L)
+      assert(r.getLong(r.fieldIndex("cid")) >= 10L)
+    }
+    // ranks are 1..k per anchor with non-increasing sims
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(rows.head.fieldIndex("rank")))
+      assert(byRank.map(_.getLong(byRank.head.fieldIndex("rank"))).toSeq ==
+        (1L to byRank.length.toLong))
+      val sims = byRank.map(_.getDouble(byRank.head.fieldIndex("sim")))
+      assert(sims.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // independent exact recompute in the driver
+    val all = Similarity.embeddings(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = all.filter(_._1 < 10).flatMap { case (qid, qe, ql) =>
+      all.filter(c => c._1 >= 10 && c._3 != ql)
+        .map { case (cid, ce, _) => (qid, cid, cos(qe, ce)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(3)
+        .zipWithIndex.map { case ((_, cid, _), i) => (qid, cid, i + 1L) }
+    }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+      == expected)
+  }
+
   test("gopher rules: keep is the AND of the seven flags, flags agree " +
     "with the integer ratios they summarize") {
     val rows = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.001")

@@ -34,6 +34,35 @@ class LayoutJoinsSpec extends SparkTestBase {
     assert(alongB.sliding(2).forall(w => w(0) < w(1)))
   }
 
+  test("shuffleLayout emits a 1..n permutation per shard, is " +
+    "deterministic, and never plans a single-partition exchange") {
+    val df = Layout.shuffleLayout(spark, sf, nShards = 4)
+    val rows = df.collect()
+    // exhaustive: every doc placed exactly once
+    val total = Ingest.table(spark, sf, "documents").count()
+    assert(rows.length.toLong == total)
+    assert(rows.map(_.getLong(0)).distinct.length.toLong == total)
+    // per shard: positions are exactly 1..n_shard (hash keys unique)
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(2)).sorted.toSeq
+      assert(pos == (1L to rs.length.toLong), s"shard $shard")
+    }
+    // pure hash permutation: a re-run reproduces every placement
+    val again = Layout.shuffleLayout(spark, sf, nShards = 4).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // a different salt yields a different permutation (not a re-label)
+    val other = Layout.shuffleLayout(spark, sf, nShards = 4, salt = "s43")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val moved = rows.count(r => other(r.getLong(0)) !=
+      ((r.getLong(1), r.getLong(2))))
+    assert(moved > rows.length / 2)
+    // scale guard: the within-shard rank rides the block prefix sum —
+    // no stage may collapse a shard (or the corpus) into one task
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+  }
+
   test("zorder manifest files have narrower time extents than range files") {
     val m = Layout.zOrderManifest(spark, sf).collect()
     val zSpans = m.filter(_.getString(0) == "zorder").map(_.getLong(7))

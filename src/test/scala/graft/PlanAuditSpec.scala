@@ -186,6 +186,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("semantic decontam broadcasts the eval panel; the corpus side " +
+    "never shuffles before its per-doc fold") {
+    val p = executedPlan("decontam_semantic")
+    // eval panel is the broadcast side of the only corpus-touching join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one doc-keyed aggregate, partially folded map-side
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p)
+  }
+
+  test("layout_shuffle ranks within shards through the block prefix " +
+    "sum — no shard ever collapses into one task") {
+    val p = executedPlan("layout_shuffle")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange SinglePartition"),
+      s"shuffle layout must never serialize a shard through one task\n$p")
+    assert("hashpartitioning\\(shard[^)]*_blk".r
+      .findFirstIn(finalPlan).isDefined,
+      s"expected the (shard, _blk)-keyed local prefix-sum window\n$p")
+  }
+
   test("incremental dedup joins new bands against corpus buckets, no self-pair") {
     val p = executedPlan("dedup_incremental")
     assert(!p.contains("CartesianProduct") &&
