@@ -127,6 +127,12 @@ object ExtEntry {
     "mine_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(s, dir, nAnchors = 10, k = 3)),
 
+    // the same mining against the standing IVF index: candidates from
+    // 2 probed cells per anchor, label filter before the top-k window
+    "mine_hard_negatives_ivf" -> ((s, dir) =>
+      Similarity.hardNegativesIndexed(s, dir, nAnchors = 10,
+        nCentroids = 16, nProbe = 2, k = 3)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -708,7 +714,29 @@ object ExtEntry {
     * the recall evaluation.
     */
   private def ivfSearchCtes(nQueries: Int, nProbe: Int,
-                            qCte: Option[String] = None): String =
+                            qCte: Option[String] = None,
+                            crossLabel: Boolean = false): String = {
+    // crossLabel: thread both sides' labels through the pool and drop
+    // same-label pairs BEFORE ranking — the mine_hard_negatives_ivf
+    // variant; the plain ANN chain keeps its original shape
+    val labelSims = if (crossLabel)
+      s"""sims AS (SELECT pool.qid, eq.label AS q_label, pool.cid,
+         |    ec.label AS c_label,
+         |    ${cosSql("CAST(q.qe[i] AS DOUBLE)", "CAST(cd.ce[i] AS DOUBLE)")} AS sim
+         |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid
+         |  JOIN embeddings eq ON eq.vec_id = pool.qid
+         |  JOIN embeddings ec ON ec.vec_id = pool.cid
+         |  WHERE eq.label <> ec.label),
+         |rk AS (SELECT qid, q_label, cid, c_label, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM sims)""".stripMargin
+    else
+      s"""sims AS (SELECT pool.qid, pool.cid,
+         |    ${cosSql("CAST(q.qe[i] AS DOUBLE)", "CAST(cd.ce[i] AS DOUBLE)")} AS sim
+         |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM sims)""".stripMargin
     s"""cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id >= $nQueries),
        |${qCte.getOrElse(
@@ -726,12 +754,8 @@ object ExtEntry {
        |probed AS (SELECT qid, cent_id FROM probe WHERE rk <= $nProbe),
        |pool AS (SELECT DISTINCT p.qid, c.cid
        |  FROM probed p JOIN cells c ON p.cent_id = c.cent_id),
-       |sims AS (SELECT pool.qid, pool.cid,
-       |    ${cosSql("CAST(q.qe[i] AS DOUBLE)", "CAST(cd.ce[i] AS DOUBLE)")} AS sim
-       |  FROM pool JOIN q ON pool.qid = q.qid JOIN cand cd ON pool.cid = cd.cid),
-       |rk AS (SELECT qid, cid, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-       |  FROM sims)""".stripMargin
+       |$labelSims""".stripMargin
+  }
 
   private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
                            k: Int, iters: Int, sampleMod: Int,
@@ -1617,6 +1641,16 @@ object ExtEntry {
          |  round(sim, 6) AS sim
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
+
+    // the IVF-indexed mining twin: full train/assign/probe chain, then
+    // the cross-label sims variant of the search tail
+    "mine_hard_negatives_ivf" ->
+      s"""WITH ${ivfTrainCtes(nQueries = 10, nCentroids = 16, iters = 2,
+        sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
+         |${ivfSearchCtes(nQueries = 10, nProbe = 2, crossLabel = true)}
+         |SELECT qid, q_label, cid, c_label, CAST(rank AS BIGINT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank
     "hybrid_rerank" -> {

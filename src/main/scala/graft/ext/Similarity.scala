@@ -682,6 +682,61 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** [[hardNegatives]] against the STANDING IVF index — the deployment
+    * path when the anchor panel grows: candidates come from the probed
+    * cells' co-located bucket rows (probe-cells × cell-members per
+    * anchor, never the corpus), labels join in per candidate, and the
+    * DIFFERENT-label filter runs before the top-k window. With
+    * `nProbe = nCentroids` every cell is searched and the output equals
+    * [[hardNegatives]] exactly (IvfIndexSpec pins the identity); lower
+    * nProbe trades recall for probe cost, the same knob as
+    * [[ivfIndexedTopK]].
+    *
+    * Scale note: the label lookup is a narrow (vec_id, label) hash
+    * join against the candidate rows. A deployment mining negatives
+    * continuously would materialize `label` into the cell table at
+    * build time (one more 4-byte column in the posting list) and skip
+    * the join entirely; the standing tables keep the r9 schema here so
+    * every existing index stays reattachable.
+    */
+  def hardNegativesIndexed(spark: SparkSession, dir: String, nAnchors: Int,
+                           nCentroids: Int, nProbe: Int, k: Int,
+                           iters: Int = 2, sampleMod: Int = 3,
+                           sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    ensureIvfIndex(spark, dir, nAnchors, nCentroids, iters, sampleMod,
+      sampleCap)
+    val key = ivfKey(nAnchors, nCentroids, iters, sampleMod, sampleCap)
+    val emb = embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val cents = spark.table(ivfCentsTable(dir, key))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+    val sims = probed.join(spark.table(ivfCellsTable(dir, key)),
+        Seq("cent_id"))
+      .join(emb.select(col("vec_id").as("cid"), col("label").as("c_label")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("c_label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding-table health report — the one-row audit an embedding
     * pipeline runs per snapshot before anything consumes the vectors:
     * row/dimension integrity (count, distinct dims — a mixed-dim table

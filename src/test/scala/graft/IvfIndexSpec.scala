@@ -104,6 +104,27 @@ class IvfIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("indexed hard-negative mining at nProbe = nCentroids equals the " +
+    "brute-force form; partial probes stay label-disjoint") {
+    purge()
+    try {
+      val got = Similarity.hardNegativesIndexed(spark, dir, nAnchors = 10,
+        nCentroids = 16, nProbe = 16, k = 3).collect().toSeq.map(_.toSeq)
+      val want = Similarity.hardNegatives(spark, dir, nAnchors = 10, k = 3)
+        .collect().toSeq.map(_.toSeq)
+      assert(got.nonEmpty && got == want,
+        "searching every cell must reproduce the exact cross-label scan")
+      // a partial probe returns a subset of candidates but must never
+      // leak a same-label pair past the filter
+      val partial = Similarity.hardNegativesIndexed(spark, dir,
+        nAnchors = 10, nCentroids = 16, nProbe = 2, k = 3).collect()
+      assert(partial.nonEmpty)
+      partial.foreach { r =>
+        assert(r.getAs[Int]("q_label") != r.getAs[Int]("c_label"), r)
+      }
+    } finally purge()
+  }
+
   test("external query vectors probe the standing index: with nProbe = " +
     "nCentroids the result equals the exact scan of the indexed corpus " +
     "(bruteForceOf), and a partial probe is deterministic") {
