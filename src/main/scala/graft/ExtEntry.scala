@@ -2132,13 +2132,14 @@ object ExtEntry {
          |  FROM tr, ev),
          |r AS (SELECT cid, eid, row_number() OVER (
          |    PARTITION BY cid ORDER BY rsim DESC, eid ASC) AS rk FROM s),
-         |a AS (SELECT cid, source, max(rsim) AS mx,
+         |a AS (SELECT cid, max(rsim) AS mx,
          |    CAST(sum(CASE WHEN rsim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n FROM s GROUP BY cid, source)
-         |SELECT a.cid AS doc_id, a.source, a.mx AS max_eval_sim,
-         |  r.eid AS nearest_eval, a.n AS n_eval_hits,
-         |  a.mx >= 0.35 AS contaminated
-         |FROM a JOIN r ON r.cid = a.cid AND r.rk = 1
+         |      AS n FROM s GROUP BY cid)
+         |SELECT t.cid AS doc_id, t.source, a.mx AS max_eval_sim,
+         |  r.eid AS nearest_eval, COALESCE(a.n, 0) AS n_eval_hits,
+         |  COALESCE(a.mx >= 0.35, false) AS contaminated
+         |FROM tr t LEFT JOIN a ON a.cid = t.cid
+         |LEFT JOIN r ON r.cid = t.cid AND r.rk = 1
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -225,6 +225,17 @@ class CurationSpec extends SparkTestBase {
     // non-degenerate fixture: some flagged, most clean
     val flagged = got.count(_.getAs[Boolean]("contaminated"))
     assert(flagged > 0 && flagged < got.length)
+    // an eval source with no docs = empty panel: every training doc
+    // must still appear, unflagged with a null max — the decontaminate
+    // missing-evidence convention, never an empty frame
+    val none = Curation.semanticDecontaminate(spark, sf,
+      evalSource = "no_such_source").collect()
+    assert(none.length == srcs.size)
+    none.foreach { r =>
+      assert(!r.getAs[Boolean]("contaminated"))
+      assert(r.getAs[Long]("n_eval_hits") == 0L)
+      assert(r.isNullAt(r.fieldIndex("max_eval_sim")))
+    }
   }
 
   test("splitAssign is disjoint, exhaustive, and reshard-stable") {
