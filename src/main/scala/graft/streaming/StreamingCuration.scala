@@ -345,4 +345,30 @@ object StreamingCuration {
         col("_evg")))
       .drop("_evg")
   }
+
+  /** The SEMANTIC decontamination gate on a stream — the ingest-time
+    * twin of [[graft.ext.Curation.semanticDecontaminate]]'s clean set:
+    * an arriving doc (with its `embedding` column) is admitted only if
+    * its max cosine against the eval panel stays below `threshold`.
+    * Same stream-safe shape as [[decontamStream]]: the panel
+    * (`evalVecs`: ee embedding + en norm, benchmark-sized by
+    * construction) folds to ONE broadcast row of structs, and the
+    * contamination check is a map-side `exists` over it with the
+    * codegen'd dot kernel — no stream shuffle, no state. The 6-digit
+    * similarity rounding matches the batch report, so the admit
+    * decision is identical in backfill and stream (the spec pins the
+    * set equality).
+    */
+  def semanticDecontamStream(docs: DataFrame, evalVecs: DataFrame,
+                             threshold: Double = 0.35): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val panelRow = evalVecs
+      .agg(collect_list(struct(col("ee"), col("en"))).as("_evp"))
+    docs.crossJoin(broadcast(panelRow))
+      .filter(!exists(col("_evp"), p =>
+        round(graft.ext.Similarity.dot(col("embedding"), p.getField("ee")) /
+          (graft.ext.Similarity.norm(col("embedding")) * p.getField("en")),
+          6) >= threshold))
+      .drop("_evp")
+  }
 }

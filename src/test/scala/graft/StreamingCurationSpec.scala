@@ -276,6 +276,39 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming semantic decontam admits exactly the batch clean set") {
+    val sf = "/root/testdata/sf0.001"
+    val batchClean = graft.ext.Curation.semanticDecontaminate(spark, sf)
+      .filter(!col("contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+    val srcs = Ingest.table(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalVecs = graft.ext.Similarity.embeddings(spark, sf)
+      .filter(col("vec_id").isin(
+        srcs.filter(_._2 == "src0").keys.toSeq: _*))
+      .select(col("embedding").as("ee"),
+        graft.ext.Similarity.norm(col("embedding")).as("en"))
+    val input = MemoryStream[(Long, Seq[Float])](31, spark, None)
+    val stream = input.toDF().toDF("doc_id", "embedding")
+    val q = StreamingCuration.semanticDecontamStream(stream, evalVecs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_semdecon").start()
+    try {
+      val train = graft.ext.Similarity.embeddings(spark, sf)
+        .filter(col("vec_id").isin(
+          srcs.filter(_._2 != "src0").keys.toSeq: _*))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      input.addData(train.take(train.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(train.drop(train.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_stream_semdecon")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept.nonEmpty && streamKept == batchClean)
+    } finally q.stop()
+  }
+
   test("streaming gopher gate admits exactly the batch keep set") {
     val sf = "/root/testdata/sf0.001"
     val batchKeep = graft.ext.TextAnalysis.gopherRules(spark, sf)
