@@ -152,6 +152,12 @@ object ExtEntry {
       Similarity.annRecall(s, dir, nQueries = 10, nCentroids = 16,
         nProbe = 2, k = 3)),
 
+    // first-hit MRR of the IVF search: where does the TRUE top-1 land
+    // in the approximate list (0 = missed) — the RAG-serving metric
+    "ann_mrr" -> ((s, dir) =>
+      Similarity.annMrr(s, dir, nQueries = 10, nCentroids = 16,
+        nProbe = 2, k = 3)),
+
     // cluster-balanced subsampling: cap each IVF cell's membership in a
     // deterministic hash order — over-dense embedding regions capped,
     // sparse regions kept whole (the semantic-coverage sampling move)
@@ -410,6 +416,12 @@ object ExtEntry {
     // rate sqrt(n_min/n_l), emitted as sample_stratified thresholds
     "mixture_temperature" -> ((s, dir) =>
       Curation.mixtureTemperature(s, dir)),
+
+    // data-constrained epoch planning: per-source repetition counts
+    // under a uniform token budget, capped at 4 epochs (Muennighoff
+    // et al. 2022), with the unmet deficit a planner re-allocates
+    "mixture_epochs" -> ((s, dir) =>
+      Curation.mixtureEpochs(s, dir, budget = 100000L)),
 
     // BM25-shaped retrieval (ratio idf — see relevanceTopK scaladoc)
     "text_relevance" -> ((s, dir) =>
@@ -1703,6 +1715,24 @@ object ExtEntry {
       nProbe = 2, k = 3, iters = 2, sampleMod = 3,
       sampleCap = Similarity.defaultIvfSampleCap),
 
+    // the true top-1's position in the IVF list; rr is exact IEEE
+    // division (no log discounts), 0 on a miss
+    "ann_mrr" ->
+      s"""WITH ${ivfTrainCtes(nQueries = 10, nCentroids = 16, iters = 2,
+        sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
+         |${ivfSearchCtes(nQueries = 10, nProbe = 2)},
+         |truth AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, cd.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("CAST(q.qe[i] AS DOUBLE)",
+        "CAST(cd.ce[i] AS DOUBLE)")} DESC, cd.cid) AS brank
+         |    FROM q, cand cd) t
+         |  WHERE brank = 1),
+         |iv AS (SELECT qid, cid, rank FROM rk WHERE rank <= 3)
+         |SELECT t.qid, CAST(COALESCE(iv.rank, 0) AS BIGINT) AS hit_rank,
+         |  round(COALESCE(CAST(1.0 AS DOUBLE) / iv.rank, 0.0), 6) AS rr
+         |FROM truth t LEFT JOIN iv ON t.qid = iv.qid AND t.cid = iv.cid
+         |ORDER BY t.qid""".stripMargin,
+
     // same trained assignment as ann_ivf_topk, then the hash-ordered
     // per-cell cap
     "sample_cluster_balanced" -> clusterBalancedOracleSql(nQueries = 10,
@@ -2388,6 +2418,27 @@ object ExtEntry {
         |    ELSE lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))), 4, '0')
         |  END AS sample_threshold
         |FROM m ORDER BY lang""".stripMargin,
+
+    // same token convention as quota_tokens; epoch arithmetic mirrors
+    // the engine expression-for-expression (IEEE-exact divisions)
+    "mixture_epochs" ->
+      """WITH p AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM p),
+        |m AS (SELECT source, n_tokens,
+        |    CAST(100000 AS DOUBLE) / n_src AS target,
+        |    least((CAST(100000 AS DOUBLE) / n_src) / n_tokens,
+        |      CAST(4.0 AS DOUBLE)) AS epochs
+        |  FROM p, n)
+        |SELECT source, n_tokens,
+        |  round(target, 6) AS target_tokens,
+        |  round(epochs, 6) AS epochs,
+        |  epochs >= CAST(4.0 AS DOUBLE) AS capped,
+        |  round(epochs * n_tokens, 6) AS effective_tokens,
+        |  round(greatest(target - epochs * n_tokens, CAST(0.0 AS DOUBLE)), 6)
+        |    AS deficit_tokens
+        |FROM m ORDER BY source""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $shinglesCte,

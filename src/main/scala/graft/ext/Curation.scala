@@ -192,6 +192,51 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Data-constrained mixture planning — the epoch/repetition budget
+    * table (the question Muennighoff et al. 2022, "Scaling
+    * Data-Constrained Language Models", answers empirically: repeating
+    * data up to ~4 epochs is nearly as good as fresh data, beyond that
+    * returns decay fast): given a total token `budget` split uniformly
+    * across sources, how many EPOCHS of each source fill its share, and
+    * how much of the budget goes unmet once repetition is capped at
+    * `maxEpochs`? One row per source: its token mass, uniform target,
+    * capped epoch count, the tokens actually served, and the deficit a
+    * planner must re-allocate or accept.
+    *
+    * Scale shape: one corpus scan folding token counts map-side onto
+    * sources-sized rows; everything after is arithmetic on that tiny
+    * frame against one broadcast scalar. The per-source epoch decision
+    * feeds [[sampleStratified]]-style rate emission exactly like
+    * [[mixtureWeights]] — measure → plan → sample, closed inside the
+    * engine.
+    *
+    * All doubles derive from the same expression chain the oracle runs
+    * (IEEE division and multiplication are correctly rounded, so the
+    * digits agree cross-engine); display-rounded to the repo's 6-digit
+    * grid in the final select only.
+    */
+  def mixtureEpochs(spark: SparkSession, dir: String, budget: Long,
+                    maxEpochs: Double = 4.0): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val nSrc = toks.agg(count(lit(1)).as("n_src"))
+    toks.crossJoin(broadcast(nSrc))
+      .withColumn("target", lit(budget.toDouble) / col("n_src"))
+      .withColumn("epochs",
+        least(col("target") / col("n_tokens"), lit(maxEpochs)))
+      .withColumn("effective", col("epochs") * col("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        round(col("target"), 6).as("target_tokens"),
+        round(col("epochs"), 6).as("epochs"),
+        (col("epochs") >= lit(maxEpochs)).as("capped"),
+        round(col("effective"), 6).as("effective_tokens"),
+        round(greatest(col("target") - col("effective"), lit(0.0)), 6)
+          .as("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Data-mixture rebalancing: given target language shares, compute the
     * per-language sampling RATE that moves the corpus toward the target
     * (`rate = min(1, target·total/actual)` — down-sample the

@@ -798,6 +798,35 @@ object Similarity {
       ivfTopK(spark, dir, nQueries, nCentroids, nProbe, k,
         iters, sampleMod, sampleCap))
 
+  /** Mean-reciprocal-rank audit of the IVF search — [[annRecall]]'s
+    * first-hit-focused sibling, the metric a RAG deployment quotes when
+    * only the top answer matters: per query, WHERE does the TRUE
+    * nearest neighbor land in the approximate list (`hit_rank`, 0 =
+    * missed entirely) and its reciprocal rank (exact IEEE division —
+    * no transcendental discounts, so the digits agree cross-engine,
+    * unlike an NDCG's log2 weights). The corpus-wide MRR is the row
+    * mean of `rr`.
+    *
+    * Scale shape: identical to [[annRecall]] — the exact side runs
+    * once over the fixed broadcast query panel, the comparison is a
+    * (qid, cid)-keyed join of two tiny ranked frames.
+    */
+  def annMrr(spark: SparkSession, dir: String, nQueries: Int,
+             nCentroids: Int, nProbe: Int, k: Int,
+             iters: Int = 2, sampleMod: Int = 3,
+             sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    val truth = bruteForceTopK(spark, dir, nQueries, 1)
+      .select(col("qid"), col("cid"))
+    val approx = ivfTopK(spark, dir, nQueries, nCentroids, nProbe, k,
+      iters, sampleMod, sampleCap)
+      .select(col("qid"), col("cid"), col("rank"))
+    truth.join(broadcast(approx), Seq("qid", "cid"), "left")
+      .select(col("qid"),
+        coalesce(col("rank"), lit(0L)).as("hit_rank"),
+        round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 6).as("rr"))
+      .orderBy(col("qid"))
+  }
+
   /** [[annRecall]] for a CALLER-SUPPLIED query frame against the
     * STANDING IVF index — the like-for-like audit the `minCid`
     * parameter exists for (ADVICE r11): the exact side searches ONLY

@@ -238,6 +238,32 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("mixtureEpochs conserves the budget and caps consistently") {
+    val budget = 100000L
+    val rows = Curation.mixtureEpochs(spark, sf, budget).collect()
+    assert(rows.nonEmpty)
+    // per source: served + unmet = uniform target; capped ⟺ at the
+    // 4-epoch ceiling ⟺ a positive deficit (strict except the exact
+    // boundary, absent from this fixture)
+    rows.foreach { r =>
+      val target = r.getAs[Double]("target_tokens")
+      val eff = r.getAs[Double]("effective_tokens")
+      val deficit = r.getAs[Double]("deficit_tokens")
+      assert(math.abs(eff + deficit - target) < 1e-6, r)
+      assert(r.getAs[Boolean]("capped") ==
+        (r.getAs[Double]("epochs") >= 4.0), r)
+      assert(r.getAs[Boolean]("capped") == (deficit > 0.0), r)
+      assert(r.getAs[Double]("epochs") > 0.0 &&
+        r.getAs[Double]("epochs") <= 4.0, r)
+    }
+    // the fixture exercises BOTH regimes (budget chosen for it)
+    assert(rows.exists(_.getAs[Boolean]("capped")) &&
+      rows.exists(r => !r.getAs[Boolean]("capped")))
+    // whole-plan conservation: targets sum to the budget
+    assert(math.abs(rows.map(_.getAs[Double]("target_tokens")).sum
+      - budget.toDouble) < 1e-3)
+  }
+
   test("splitAssign is disjoint, exhaustive, and reshard-stable") {
     val total = Ingest.table(spark, sf, "documents").count()
     val s = Curation.splitAssign(spark, sf)

@@ -284,6 +284,26 @@ class ExtSpec extends SparkTestBase {
     assert(r2 > 0.2, s"recall@3 with nProbe=2 collapsed: $r2")
   }
 
+  test("annMrr: rr is the reciprocal of the hit rank, 0 on a miss, and " +
+    "a full probe scores a perfect 1.0 everywhere") {
+    val dir = "/root/testdata/sf0.001"
+    val partial = Similarity.annMrr(spark, dir, nQueries = 10,
+      nCentroids = 16, nProbe = 2, k = 3).collect()
+    assert(partial.length == 10)
+    partial.foreach { r =>
+      val hr = r.getAs[Long]("hit_rank")
+      val rr = r.getAs[Double]("rr")
+      if (hr == 0L) assert(rr == 0.0, r)
+      else assert(rr == BigDecimal(1.0 / hr).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+    }
+    // searching every cell is exact: the true top-1 is always rank 1
+    val full = Similarity.annMrr(spark, dir, nQueries = 10,
+      nCentroids = 16, nProbe = 16, k = 3).collect()
+    assert(full.length == 10 && full.forall(r =>
+      r.getAs[Long]("hit_rank") == 1L && r.getAs[Double]("rr") == 1.0))
+  }
+
   test("hard negatives: label-disjoint, rank-consistent, and equal to a " +
     "driver-side exact recompute") {
     val dir = "/root/testdata/sf0.001"
