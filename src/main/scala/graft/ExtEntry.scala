@@ -452,6 +452,10 @@ object ExtEntry {
     // rank via the distributed block prefix sum (never one task/shard)
     "layout_shuffle" -> ((s, dir) => Layout.shuffleLayout(s, dir)),
 
+    // annealing order: quality tertiles phase the shuffle so each
+    // shard reads its highest-quality docs LAST (mid-training recipe)
+    "layout_curriculum" -> ((s, dir) => Layout.curriculumLayout(s, dir)),
+
     // cross-document repeated-span removal (C4 §2.2 / RefinedWeb)
     "clean_boilerplate" -> ((s, dir) => Curation.cleanBoilerplate(s, dir)),
 
@@ -2500,6 +2504,34 @@ object ExtEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |  CAST(pos AS BIGINT) AS pos
         |FROM c ORDER BY shard, pos, doc_id""".stripMargin,
+
+    // quality-banded shuffle: the text_quality score expression, exact
+    // cumulative-count bands via cross-multiplied integer comparisons,
+    // then the layout_shuffle hash machinery over (phase·2^53 + hkey)
+    "layout_curriculum" ->
+      """WITH en AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d),
+        |q AS (SELECT doc_id,
+        |    round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |        / length(text)) * 0.5 +
+        |      least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        x -> list_contains(d, x))) AS DOUBLE)
+        |        / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5, 6) AS qs
+        |  FROM documents, en),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q),
+        |c AS (SELECT doc_id, count(*) OVER (ORDER BY qs) AS cnt FROM q),
+        |p AS (SELECT doc_id,
+        |    CAST((cnt - 1) * 3 >= n_total AS BIGINT) +
+        |      CAST((cnt - 1) * 3 >= 2 * n_total AS BIGINT) AS phase,
+        |    CAST(concat('0x', substr(md5(concat('s42:', doc_id)), 1, 13)) AS BIGINT) AS hkey,
+        |    CAST(concat('0x', substr(md5(concat('s42:', doc_id)), 14, 2)) AS BIGINT) % 4 AS shard
+        |  FROM c, n),
+        |s AS (SELECT doc_id, phase, shard,
+        |    count(*) OVER (PARTITION BY shard
+        |      ORDER BY phase * 9007199254740992 + hkey) AS pos
+        |  FROM p)
+        |SELECT doc_id, phase, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pos AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos, doc_id""".stripMargin,
 
     "layout_zorder" ->
       s"""WITH ev AS (SELECT user_id % 1024 AS u,

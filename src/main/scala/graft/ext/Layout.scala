@@ -136,4 +136,60 @@ object Layout {
       .select(col("doc_id"), col("shard"), col("cum").as("pos"))
       .orderBy(col("shard"), col("pos"), col("doc_id"))
   }
+
+  /** Curriculum (annealing) training order — [[shuffleLayout]] with a
+    * quality phase in front of the hash key: docs rank into `nPhases`
+    * quality bands (exact cumulative-count tertiles by default) and
+    * each shard reads its phases in ascending order, shuffled WITHIN a
+    * phase — so the last tokens a training run sees are its highest
+    * quality, the mid-training annealing recipe (the "high-quality
+    * last" data schedule of the OLMo 2 / Llama 3 reports), while each
+    * phase stays an unbiased hash shuffle. Emits (doc_id, phase,
+    * shard, pos) with `pos` the 1-based within-shard read position.
+    *
+    * Scale shape: the quality score is a scan-local projection
+    * ([[TextAnalysis.quality]]); its 6-digit-rounded grid has ≤ 1e6+1
+    * distinct values BY CONSTRUCTION, so the phase boundary pass rides
+    * [[graft.ops.Analytics.blockedCumCount]] over a bounded grid that
+    * then BROADCASTS back onto the corpus — integer band arithmetic,
+    * never a corpus-wide rank window. The within-shard position is the
+    * [[shuffleLayout]] block prefix sum over the composite
+    * (phase · 2^53 + hkey) key — exact BIGINT arithmetic in both
+    * engines, no shard ever collapsing into one task. Ties on a
+    * shared score land in the same band in both engines (cumulative
+    * RANGE semantics), keeping the phase assignment deterministic.
+    */
+  def curriculumLayout(spark: SparkSession, dir: String, nShards: Int = 4,
+                       nPhases: Int = 3, salt: String = "s42"): DataFrame = {
+    val scored = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score").as("qs"))
+    val qGrid = scored.groupBy(col("qs")).agg(count(lit(1)).as("c"))
+    val qCum = graft.ops.Analytics.blockedCumCount(qGrid, Seq.empty,
+      "qs", "c")
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    val h = md5(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
+    val keyed = scored
+      .join(broadcast(qCum.select(col("qs"), col("cum"))), Seq("qs"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        // band index as exact cross-multiplied comparisons — Spark's
+        // `/` on longs is DOUBLE division, and a floor() of a near-
+        // integer ratio can misround at scale; boolean sums cannot
+        (1 until nPhases).map(b =>
+          ((col("cum") - 1L) * nPhases.toLong >=
+            lit(b.toLong) * col("n_total")).cast("long"))
+          .reduce(_ + _).as("phase"),
+        conv(substring(h, 1, 13), 16, 10).cast("long").as("hkey"),
+        pmod(conv(substring(h, 14, 2), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard"))
+      .withColumn("skey",
+        col("phase") * lit(1L << 53) + col("hkey"))
+    val grid = keyed.groupBy(col("shard"), col("skey"))
+      .agg(count(lit(1)).as("c"))
+    graft.ops.Analytics.blockedCumCount(grid, Seq("shard"), "skey", "c")
+      .join(keyed, Seq("shard", "skey"))
+      .select(col("doc_id"), col("phase"), col("shard"),
+        col("cum").as("pos"))
+      .orderBy(col("shard"), col("pos"), col("doc_id"))
+  }
 }

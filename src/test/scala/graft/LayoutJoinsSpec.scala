@@ -63,6 +63,39 @@ class LayoutJoinsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
   }
 
+  test("curriculumLayout phases each shard ascending by quality band " +
+    "and shuffles within a band") {
+    val rows = Layout.curriculumLayout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Ingest.table(spark, sf, "documents").count()
+    assert(rows.length.toLong == total)
+    // per shard: pos is a 1..n permutation and phases read in
+    // ascending order — the annealing property
+    rows.groupBy(_._3).foreach { case (shard, rs) =>
+      val byPos = rs.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (1L to rs.length.toLong), s"shard $shard")
+      val phases = byPos.map(_._2)
+      assert(phases.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"shard $shard reads a lower band after a higher one")
+    }
+    // bands are quality-ordered globally: every phase-p score is <= every
+    // phase-(p+1) score (ties may straddle only equal scores)
+    val qs = TextAnalysis.quality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byPhase = rows.groupBy(_._2).view
+      .mapValues(_.map(r => qs(r._1))).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L))
+    // strict: tied scores share one cumulative count, hence one band —
+    // a score can never straddle two phases
+    assert(byPhase(0L).max < byPhase(1L).min)
+    assert(byPhase(1L).max < byPhase(2L).min)
+    // within a band, order is the hash shuffle: not doc_id order
+    val p0 = rows.filter(r => r._2 == 0L && r._3 == 0L).sortBy(_._4)
+      .map(_._1)
+    assert(p0.length > 2 && p0.toSeq != p0.sorted.toSeq)
+  }
+
   test("zorder manifest files have narrower time extents than range files") {
     val m = Layout.zOrderManifest(spark, sf).collect()
     val zSpans = m.filter(_.getString(0) == "zorder").map(_.getLong(7))
