@@ -588,27 +588,28 @@ object Curation {
     val tr = emb.filter(col("source") =!= evalSource)
       .select(col("doc_id"), col("source"), col("embedding").as("ce"),
         Similarity.norm(col("embedding")).as("cn"))
-    val scored = tr.crossJoin(broadcast(ev))
-      .select(col("doc_id"), col("eid"),
+    // LEFT broadcast join on TRUE, not a crossJoin: an EMPTY eval panel
+    // (or one with no embeddings) must mean "no contamination observed"
+    // — every training doc still appears, unflagged with a null max
+    // ([[decontaminate]]'s missing-evidence convention) — and the left
+    // form keeps that total in the SAME single corpus pass (a crossJoin
+    // drops every row against an empty side, and a separate id-spine
+    // join back would pay a second corpus-sized shuffle). Null panel
+    // rows fall out of every aggregate below: null sims are skipped by
+    // max/max_by, and the hit counter's otherwise(0) absorbs them.
+    tr.join(broadcast(ev), lit(true), "left")
+      .select(col("doc_id"), col("source"), col("eid"),
         round(Similarity.dot(col("ce"), col("ee")) /
           (col("cn") * col("en")), 6).as("rsim"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(
         max(col("rsim")).as("max_eval_sim"),
         max_by(col("eid"), struct(col("rsim"), -col("eid")))
           .as("nearest_eval"),
         sum(when(col("rsim") >= threshold, 1L).otherwise(0L))
           .as("n_eval_hits"))
-    // left join back onto the training side, [[decontaminate]]'s
-    // missing-evidence convention: an EMPTY eval panel (or one with no
-    // embeddings) means "no contamination observed" — every training
-    // doc still appears, unflagged with a null max — never an empty
-    // frame that reads as "no training docs"
-    tr.select(col("doc_id"), col("source"))
-      .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("max_eval_sim"),
-        col("nearest_eval"),
-        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("nearest_eval"), col("n_eval_hits"),
         coalesce(col("max_eval_sim") >= threshold, lit(false))
           .as("contaminated"))
       .orderBy(col("doc_id"))

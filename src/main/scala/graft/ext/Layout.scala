@@ -164,9 +164,16 @@ object Layout {
     val scored = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score").as("qs"))
     val qGrid = scored.groupBy(col("qs")).agg(count(lit(1)).as("c"))
+    // checkpointed: BOUNDED by construction (≤ 1e6+1 distinct rounded
+    // scores) and read three times below (band join, corpus size, and
+    // through the position pass's reuse of `keyed`) — materializing
+    // collapses the repeated lineage the way [[graft.ext.Similarity]]
+    // checkpoints its bounded assignment frames
     val qCum = graft.ops.Analytics.blockedCumCount(qGrid, Seq.empty,
-      "qs", "c")
-    val total = scored.agg(count(lit(1)).as("n_total"))
+      "qs", "c").localCheckpoint(true)
+    // the corpus size is the grid's last cumulative count — one row off
+    // the bounded frame, never a third corpus scan
+    val total = qCum.agg(max(col("cum")).as("n_total"))
     val h = md5(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
     val keyed = scored
       .join(broadcast(qCum.select(col("qs"), col("cum"))), Seq("qs"))
