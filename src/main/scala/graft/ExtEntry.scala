@@ -524,6 +524,11 @@ object ExtEntry {
     "tokenizer_bpe_vocab" -> ((s, dir) =>
       TextAnalysis.bpeVocab(s, dir, nMerges = 10)),
 
+    // tokenizer-efficiency curve at 0/5/10 merges: chars-per-token and
+    // tokens-per-word — the vocab-size decision artifact
+    "tokenizer_merge_curve" -> ((s, dir) =>
+      TextAnalysis.bpeMergeCurve(s, dir)),
+
     // between-crawls snapshot diff: per-language added/removed/changed/
     // unchanged counts + token-mass delta, one full-outer join on the
     // doc key comparing content hashes (texts never cross the shuffle)
@@ -1341,6 +1346,32 @@ object ExtEntry {
     "text_clf_pr_sweep" -> Classifier.prSweepOracle(),
     "tokenizer_bpe_merges" -> bpeMergesOracle(10),
     "tokenizer_bpe_encode" -> bpeEncodeOracle(10),
+
+    // all three curve points replay off ONE training chain: d0/d5/d10
+    // are intermediate dicts of the same 10-merge CTE cascade
+    "tokenizer_merge_curve" -> {
+      val points = Seq(0, 5, 10).map { m =>
+        s"""r$m AS (SELECT CAST($m AS BIGINT) AS n_merges,
+           |    CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens,
+           |    CAST(sum(length(dw.w)) AS BIGINT) AS n_chars
+           |  FROM dw JOIN (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub
+           |    FROM d$m) e ON dw.w = e.w)""".stripMargin
+      }.mkString(",\n")
+      s"""${bpeChainCtes(10)},
+         |dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |$points
+         |SELECT n_merges, n_words, n_bpe_tokens, n_chars,
+         |  round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6)
+         |    AS chars_per_token,
+         |  round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6)
+         |    AS tokens_per_word
+         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r5
+         |  UNION ALL SELECT * FROM r10)
+         |ORDER BY n_merges""".stripMargin
+    },
     "tokenizer_bpe_vocab" -> bpeVocabOracle(10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

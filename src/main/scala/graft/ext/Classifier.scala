@@ -119,7 +119,7 @@ object Classifier {
     * so a cache hit always belongs to the calling session. Callers hold
     * [[modelCache]]'s lock, serializing the mint.
     */
-  private def sessionKey(spark: SparkSession): String = {
+  private[graft] def sessionKey(spark: SparkSession): String = {
     val k = "spark.graft.session.uuid"
     spark.conf.getOption(k).getOrElse {
       val u = java.util.UUID.randomUUID().toString

@@ -129,6 +129,30 @@ class BpeMergeSpec extends SparkTestBase {
       ("e", 1L, 1L), ("low", 1L, 1L), ("r", 1L, 1L)), vocab.toString)
   }
 
+  test("merge curve: zero-merge identity, monotone compression, and " +
+    "agreement with the encode rollup") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = TextAnalysis.bpeMergeCurve(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(curve.keySet == Set(0L, 5L, 10L))
+    // at zero merges every word is chars + the </w> marker — exactly
+    curve.values.foreach { r =>
+      if (r.getLong(0) == 0L)
+        assert(r.getLong(2) == r.getLong(3) + r.getLong(1),
+          "n_bpe_tokens(0) must be n_chars + n_words")
+    }
+    // merging can only shrink the token stream; words/chars are fixed
+    val ts = Seq(0L, 5L, 10L).map(m => curve(m).getLong(2))
+    assert(ts.sliding(2).forall(w => w(0) >= w(1)), ts)
+    assert(ts.head > ts.last, "ten merges must actually compress")
+    assert(Seq(0L, 5L, 10L).map(m => curve(m).getLong(1)).distinct.size == 1)
+    assert(Seq(0L, 5L, 10L).map(m => curve(m).getLong(3)).distinct.size == 1)
+    // the 10-merge point is the per-doc encode rollup, summed
+    val enc = TextAnalysis.bpeEncode(spark, dir, nMerges = 10)
+      .agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+    assert(curve(10L).getLong(2) == enc)
+  }
+
   test("iteration 1 agrees with tokenizer_pair_counts' top pair") {
     val dir = "/root/testdata/sf0.001"
     val top = TextAnalysis.bpePairCounts(spark, dir, k = 1).collect().head

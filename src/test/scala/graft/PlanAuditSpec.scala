@@ -208,6 +208,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the (shard, _blk)-keyed local prefix-sum window\n$p")
   }
 
+  test("layout_curriculum keeps the position pass sharded and blocked " +
+    "like layout_shuffle") {
+    // the corpus-sized POSITION pass must ride the (shard, _blk)-keyed
+    // prefix-sum window. Unlike layout_shuffle, the plan legitimately
+    // carries SinglePartition exchanges — they are the ONE-ROW corpus
+    // size rollup (a global agg over the checkpointed <= 1e6-row score
+    // grid), not a corpus-sized stage — so the assertion here is the
+    // window's partitioning and that no corpus row_number window over
+    // bare (shard) exists
+    val p = executedPlan("layout_curriculum")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("hashpartitioning\\(shard[^)]*_blk".r
+      .findFirstIn(finalPlan).isDefined,
+      s"expected the (shard, _blk)-keyed local prefix-sum window\n$p")
+    assert(!finalPlan.contains("CartesianProduct"), p)
+    assert(!finalPlan.contains("row_number"),
+      s"positions must come from the prefix sum, never a per-shard " +
+        s"row_number window\n$p")
+  }
+
   test("incremental dedup joins new bands against corpus buckets, no self-pair") {
     val p = executedPlan("dedup_incremental")
     assert(!p.contains("CartesianProduct") &&
