@@ -116,17 +116,23 @@ object Classifier {
     * stored in the session-scoped runtime conf (Spark's own
     * `sessionUUID` is `private[sql]`). Unlike `identityHashCode`, a
     * UUID cannot be handed to a NEW session after the old one is GC'd,
-    * so a cache hit always belongs to the calling session. Callers hold
-    * [[modelCache]]'s lock, serializing the mint.
+    * so a cache hit always belongs to the calling session. The mint is
+    * serialized by ITS OWN lock — several caches key off this token
+    * ([[modelCache]], the BPE train memo), and a check-then-set under
+    * only the caller's cache lock would let two caches mint different
+    * UUIDs for one session, orphaning whichever entry loses the
+    * `conf.set` race.
     */
-  private[graft] def sessionKey(spark: SparkSession): String = {
-    val k = "spark.graft.session.uuid"
-    spark.conf.getOption(k).getOrElse {
-      val u = java.util.UUID.randomUUID().toString
-      spark.conf.set(k, u)
-      u
+  private val sessionKeyLock = new Object
+  private[graft] def sessionKey(spark: SparkSession): String =
+    sessionKeyLock.synchronized {
+      val k = "spark.graft.session.uuid"
+      spark.conf.getOption(k).getOrElse {
+        val u = java.util.UUID.randomUUID().toString
+        spark.conf.set(k, u)
+        u
+      }
     }
-  }
 
   private def cachedModel(spark: SparkSession, dir: String,
                           posLang: String, trainTh: String): DataFrame =

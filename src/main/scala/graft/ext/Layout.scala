@@ -185,7 +185,9 @@ object Layout {
         (1 until nPhases).map(b =>
           ((col("cum") - 1L) * nPhases.toLong >=
             lit(b.toLong) * col("n_total")).cast("long"))
-          .reduce(_ + _).as("phase"),
+          // foldLeft, not reduce: nPhases = 1 (plain shuffle, no
+          // curriculum) has zero boundaries and must read phase 0
+          .foldLeft(lit(0L))(_ + _).as("phase"),
         conv(substring(h, 1, 13), 16, 10).cast("long").as("hkey"),
         pmod(conv(substring(h, 14, 2), 16, 10).cast("long"),
           lit(nShards.toLong)).as("shard"))

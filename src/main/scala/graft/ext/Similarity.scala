@@ -628,17 +628,44 @@ object Similarity {
     * per-query top-k by (sim desc, cid asc).
     */
   private[graft] def bruteForceOf(q: DataFrame, c: DataFrame,
-                                  k: Int): DataFrame = {
-    val sims = c.crossJoin(broadcast(q))
+                                  k: Int): DataFrame =
+    rankTopK(c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim")),
+      k, Seq("qid", "cid"))
+
+  /** The ONE per-query ranking tail every search form ends in — top-k
+    * of a (qid, cid, sim, …) frame by (sim desc, cid asc), rank cast
+    * long, sim display-rounded, (qid, rank)-ordered. `leading` names
+    * the output columns ahead of (rank, sim), so label-carrying forms
+    * reuse the tail instead of copying it (review r12).
+    */
+  private def rankTopK(sims: DataFrame, k: Int,
+                       leading: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
-        round(col("sim"), 6).as("sim"))
+      .select(leading.map(col) :+ col("rank").cast("long").as("rank") :+
+        round(col("sim"), 6).as("sim"): _*)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-query `nProbe` nearest cells of the (broadcast) centroid
+    * table — the probe block [[ivfIndexedSearch]] and
+    * [[hardNegativesIndexed]] share.
+    */
+  private def probeCells(q: DataFrame, cents: DataFrame,
+                         nProbe: Int): DataFrame = {
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id").asc)
+    q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cent_id"))
   }
 
   /** Hard-negative mining — the contrastive-training data op
@@ -669,17 +696,11 @@ object Similarity {
     val c = emb.filter(col("vec_id") >= nAnchors)
       .select(col("vec_id").as("cid"), col("label").as("c_label"),
         col("embedding").as("ce"), norm(col("embedding")).as("cn"))
-    val sims = c.crossJoin(broadcast(q))
+    rankTopK(c.crossJoin(broadcast(q))
       .filter(col("c_label") =!= col("q_label"))
       .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
-        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim")),
+      k, Seq("qid", "q_label", "cid", "c_label"))
   }
 
   /** [[hardNegatives]] against the STANDING IVF index — the deployment
@@ -710,31 +731,16 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nAnchors)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
         col("embedding").as("qe"), norm(col("embedding")).as("qn"))
-    val cents = spark.table(ivfCentsTable(dir, key))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id").asc)
-    val probed = q.crossJoin(broadcast(cents))
-      .select(col("qid"),
-        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
-        col("cent_id"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select(col("qid"), col("cent_id"))
-    val sims = probed.join(spark.table(ivfCellsTable(dir, key)),
+    val probed = probeCells(q, spark.table(ivfCentsTable(dir, key)), nProbe)
+    rankTopK(probed.join(spark.table(ivfCellsTable(dir, key)),
         Seq("cent_id"))
       .join(emb.select(col("vec_id").as("cid"), col("label").as("c_label")),
         Seq("cid"))
       .join(broadcast(q), Seq("qid"))
       .filter(col("c_label") =!= col("q_label"))
       .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
-        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim")),
+      k, Seq("qid", "q_label", "cid", "c_label"))
   }
 
   /** Embedding-table health report — the one-row audit an embedding
@@ -1041,33 +1047,17 @@ object Similarity {
     ensureIvfIndex(spark, dir, nQueries, nCentroids, iters, sampleMod,
       sampleCap)
     val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
-    val cents = spark.table(ivfCentsTable(dir, key))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("pcos").desc, col("cent_id").asc)
-    val probed = q.crossJoin(broadcast(cents))
-      .select(col("qid"),
-        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
-        col("cent_id"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select(col("qid"), col("cent_id"))
+    val probed = probeCells(q, spark.table(ivfCentsTable(dir, key)), nProbe)
     // the query frame is broadcast by CONTRACT (a bounded panel): a
     // caller-supplied frame is often a join result with no stats, and
     // without the hint this join plans sort-merge, shuffling the
     // cell-side rows (r12 Explain audit)
-    val sims = probed.join(spark.table(ivfCellsTable(dir, key)),
+    rankTopK(probed.join(spark.table(ivfCellsTable(dir, key)),
         Seq("cent_id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim")),
+      k, Seq("qid", "cid"))
   }
 
   /** Admit newly arrived vectors into the STANDING IVF index: assign

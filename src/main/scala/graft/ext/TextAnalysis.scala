@@ -867,7 +867,14 @@ object TextAnalysis {
     override def removeEldestEntry(
         e: java.util.Map.Entry[(String, String, Int),
           (Seq[(Long, String, String, String, Long)], DataFrame)])
-        : Boolean = size() > bpeTrainCacheMax
+        : Boolean = {
+      val evict = size() > bpeTrainCacheMax
+      // best-effort block release, the modelCache pattern: the evicted
+      // dict is localCheckpoint state whose executor blocks would
+      // otherwise wait on GC + ContextCleaner
+      if (evict) scala.util.Try(e.getValue._2.unpersist(false))
+      evict
+    }
   }
 
   private def bpeTrainForDir(spark: SparkSession, dir: String, nMerges: Int)
@@ -975,40 +982,6 @@ object TextAnalysis {
   /** The encode join against an already-trained dict — shared by the
     * memoized dir path and the arbitrary-frame test path.
     */
-  /** Tokenizer-efficiency curve — the vocab-size decision artifact: at
-    * each merge count, the corpus-wide chars-per-token (the compression
-    * a bigger vocab buys) and tokens-per-word. Every token of training
-    * compute is spent per TOKEN, so this curve is how a pipeline picks
-    * its merge budget: the knee is where additional merges stop paying
-    * (Sennrich et al. 2016 tune exactly this).
-    *
-    * Scale shape: one corpus explode per curve point joined against
-    * that point's word→symbol dict (distinct-word-sized — the
-    * [[bpeEncode]] apply shape), folded map-side to ONE row; the
-    * training runs share the session memo, and lower merge counts are
-    * prefixes of the highest one's chain, which is how the oracle
-    * replays all three points from a single CTE chain.
-    */
-  def bpeMergeCurve(spark: SparkSession, dir: String,
-                    merges: Seq[Int] = Seq(0, 5, 10)): DataFrame =
-    merges.map { m =>
-      val sub = bpeTrainForDir(spark, dir, m)._2
-        .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
-      documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .join(sub, Seq("w"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_sub")).as("n_bpe_tokens"),
-          sum(length(col("w")).cast("long")).as("n_chars"))
-        .select(lit(m.toLong).as("n_merges"), col("n_words"),
-          col("n_bpe_tokens"), col("n_chars"),
-          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
-            .as("chars_per_token"),
-          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
-            .as("tokens_per_word"))
-    }.reduce(_ unionByName _).orderBy(col("n_merges"))
-
   private def bpeEncodeWith(spark: SparkSession, docs: DataFrame,
                             dict: DataFrame): DataFrame = {
     val sub = dict.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
@@ -1025,4 +998,35 @@ object TextAnalysis {
           .as("compression"))
       .orderBy(col("doc_id"))
   }
+
+  /** Tokenizer-efficiency curve — the vocab-size decision artifact: at
+    * each merge count, the corpus-wide chars-per-token (the compression
+    * a bigger vocab buys) and tokens-per-word. Every token of training
+    * compute is spent per TOKEN, so this curve is how a pipeline picks
+    * its merge budget: the knee is where additional merges stop paying
+    * (Sennrich et al. 2016 tune exactly this).
+    *
+    * Scale shape: ZERO corpus scans beyond the memoized training pass —
+    * the trained dict already carries each distinct word's corpus
+    * frequency, so every curve point is a three-sum aggregation of the
+    * distinct-word-sized dict (occurrences = Σfreq, tokens =
+    * Σfreq·|syms|, chars = Σfreq·|w|). The oracle replays all points
+    * off a single CTE cascade, since lower merge counts are prefixes
+    * of the highest one's chain.
+    */
+  def bpeMergeCurve(spark: SparkSession, dir: String,
+                    merges: Seq[Int] = Seq(0, 5, 10)): DataFrame =
+    merges.map { m =>
+      bpeTrainForDir(spark, dir, m)._2
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("freq") * size(col("syms")).cast("long"))
+            .as("n_bpe_tokens"),
+          sum(col("freq") * length(col("w")).cast("long")).as("n_chars"))
+        .select(lit(m.toLong).as("n_merges"), col("n_words"),
+          col("n_bpe_tokens"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"))
+    }.reduce(_ unionByName _).orderBy(col("n_merges"))
 }

@@ -94,6 +94,14 @@ class LayoutJoinsSpec extends SparkTestBase {
     val p0 = rows.filter(r => r._2 == 0L && r._3 == 0L).sortBy(_._4)
       .map(_._1)
     assert(p0.length > 2 && p0.toSeq != p0.sorted.toSeq)
+    // one band = no curriculum: the degenerate form must be EXACTLY the
+    // plain shuffle (phase 0 everywhere, identical placements)
+    val flat = Layout.curriculumLayout(spark, sf, nPhases = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(flat.forall(_._2 == 0L))
+    val plain = Layout.shuffleLayout(spark, sf).collect()
+      .map(r => (r.getLong(0), 0L, r.getLong(1), r.getLong(2)))
+    assert(flat.toSeq == plain.toSeq)
   }
 
   test("zorder manifest files have narrower time extents than range files") {
