@@ -348,6 +348,20 @@ object ExtEntry {
       Curation.stratifiedSample(s, dir,
         Seq("en" -> "4000", "zh" -> "2000"), defaultTh = "8000")),
 
+    // Duffield–Lund–Thorup priority sampling: fixed-size weighted
+    // without-replacement draw (long docs proportionally likelier) with
+    // unbiased subset-sum estimator weights; selection is a BIGINT
+    // quantized-priority top-k — scan + TakeOrderedAndProject, no libm
+    "sample_priority" -> ((s, dir) =>
+      Curation.samplePriority(s, dir, k = 20)),
+
+    // Zipf octave audit of the vocabulary head: flat mass_ratio = the
+    // law holding; integer bit-length octaves, no log-log regression
+    "corpus_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(s, dir)),
+
+    // Heaps vocabulary-growth audit over deterministic hash-quartiles
+    "corpus_heaps" -> ((s, dir) => TextAnalysis.heapsProfile(s, dir)),
+
     // at most 10 docs per source, skew-safe two-phase ranking
     "quota_cap" -> ((s, dir) => Curation.quotaCap(s, dir, n = 10)),
 
@@ -2144,6 +2158,102 @@ object ExtEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '2000' ELSE '8000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // the priority key (draw·2^20 div w) is exact BIGINT floor division
+    // in both engines (positive operands, so DuckDB // ≡ Spark div);
+    // the displayed priority is one exactly-rounded IEEE division of
+    // exact-below-2^53 integers
+    "sample_priority" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) AS BIGINT) + 1 AS draw
+        |  FROM documents),
+        |kd AS (SELECT doc_id, n_tokens, draw,
+        |    CAST((draw * 1048576) // n_tokens AS BIGINT) AS pkey,
+        |    CAST(n_tokens AS DOUBLE) * 4294967296.0 / CAST(draw AS DOUBLE)
+        |      AS p
+        |  FROM d),
+        |top AS (SELECT doc_id, n_tokens, draw, pkey, p,
+        |    CAST(row_number() OVER (ORDER BY pkey, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM kd ORDER BY pkey, doc_id LIMIT 21),
+        |tau AS (SELECT max(CASE WHEN rank = 21 THEN p END) AS tau_raw
+        |  FROM top)
+        |SELECT doc_id, n_tokens, draw, pkey, rank,
+        |  round(p, 6) AS priority,
+        |  round(coalesce(tau_raw, 0.0), 6) AS tau,
+        |  round(greatest(CAST(n_tokens AS DOUBLE), coalesce(tau_raw, 0.0)),
+        |    6) AS est_weight
+        |FROM top, tau WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // octave = integer bit-length of rank (see zipfProfile scaladoc:
+    // Spark's log2 is ln/ln and floors wrong at exact powers of two)
+    "corpus_zipf" ->
+      """WITH v AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(w) AS u(t)
+        |  GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |    CAST(sum(freq) AS BIGINT) AS total_mass FROM v),
+        |r AS (SELECT token, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS rank
+        |  FROM v ORDER BY freq DESC, token LIMIT 4096),
+        |o AS (SELECT token, freq, rank,
+        |    CAST(length(bin(rank)) - 1 AS BIGINT) AS octave FROM r),
+        |oa AS (SELECT octave, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(min(rank) AS BIGINT) AS rank_lo,
+        |    CAST(max(rank) AS BIGINT) AS rank_hi,
+        |    CAST(sum(freq) AS BIGINT) AS mass,
+        |    CAST(max(freq) AS BIGINT) AS max_freq,
+        |    CAST(min(freq) AS BIGINT) AS min_freq,
+        |    min_by(token, rank) AS head_token
+        |  FROM o GROUP BY octave),
+        |c AS (SELECT oa.*, lead(mass) OVER (ORDER BY octave) AS next_mass,
+        |    CAST(sum(mass) OVER (ORDER BY octave) AS BIGINT) AS cum_mass
+        |  FROM oa)
+        |SELECT octave, rank_lo, rank_hi, n_tokens, mass, max_freq,
+        |  min_freq, head_token,
+        |  round(CAST(mass AS DOUBLE) / CAST(next_mass AS DOUBLE), 6)
+        |    AS mass_ratio,
+        |  round(CAST(cum_mass AS DOUBLE) / CAST(total_mass AS DOUBLE), 6)
+        |    AS coverage,
+        |  vocab_size, total_mass
+        |FROM c, tot ORDER BY octave""".stripMargin,
+
+    // quartile = hex-digit of md5 div 4, the sample_stratified hash
+    // mechanism; all counts BIGINT, ratios single divisions
+    "corpus_heaps" ->
+      """WITH tok AS (SELECT
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5('hp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) // 4
+        |      AS BIGINT) AS quarter,
+        |    t AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(w) AS u(t)),
+        |occ AS (SELECT quarter, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY quarter),
+        |ft AS (SELECT token, min(quarter) AS first_q FROM tok
+        |  GROUP BY token),
+        |nt AS (SELECT first_q AS quarter,
+        |    CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM ft GROUP BY first_q),
+        |j AS (SELECT o.quarter, o.n_tokens,
+        |    CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types
+        |  FROM occ o LEFT JOIN nt n ON o.quarter = n.quarter),
+        |c AS (SELECT quarter, n_tokens, n_new_types,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quarter) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(n_new_types) OVER (ORDER BY quarter) AS BIGINT)
+        |      AS cum_types
+        |  FROM j)
+        |SELECT quarter, n_tokens, n_new_types, cum_tokens, cum_types,
+        |  round(CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 6)
+        |    AS type_token_ratio,
+        |  round(CAST(n_new_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS new_type_rate
+        |FROM c ORDER BY quarter""".stripMargin,
 
     // the two-phase salted cap is value-identical to the direct window:
     // phase 1 keeps a superset of the global first-n per source

@@ -779,6 +779,66 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    * weighted sample WITHOUT replacement of `k` documents carrying
+    * unbiased subset-sum estimators — the survey/telemetry op a corpus
+    * audit runs when it wants "k docs, long docs proportionally more
+    * likely, and Σ est_weight over the sample estimating Σ weight over
+    * the corpus". Complements [[sampleImportance]] (Bernoulli, random
+    * SIZE) with a fixed-size draw: each doc draws a deterministic
+    * uniform u from md5(doc_id), its priority is q = w/u (w = token
+    * count), the sample is the k highest priorities, and each admitted
+    * doc's estimator is max(w, τ) with τ the (k+1)-th priority.
+    *
+    * Oracle-parity arithmetic, per the registry's no-`pow`/no-`ln` bar
+    * ([[TextAnalysis.unigramLm]]'s documented policy): the SELECTION
+    * never touches a libm call — ordering by q descending is ordering
+    * by u/w ascending, realized as the BIGINT key `(v+1)·2^20 div w`
+    * (v = 32-bit hash draw; `div` is floor division in both engines;
+    * ties from the 20-bit quantization break by doc_id, making the
+    * draw total and reproducible). The DISPLAYED priority and τ are
+    * one exactly-rounded IEEE division of exact-below-2^53 integers
+    * (w·2^32 / (v+1)) — bit-identical cross-engine.
+    *
+    * Scale shape: one scan-local projection (doc_id, token count, hash
+    * draw, key) with NO shuffle, then a global top-(k+1) — Spark plans
+    * `TakeOrderedAndProject`, i.e. per-partition partial top-k and a
+    * driver-side merge of k+1 rows per partition, never a full sort;
+    * the rank/τ tail runs on k+1 rows. At 100 TB this reads the corpus
+    * once and moves k+1 rows per partition.
+    */
+  def samplePriority(spark: SparkSession, dir: String,
+                     k: Int = 20): DataFrame = {
+    // 32-bit draw in [1, 2^32]: zero excluded so w/u and the key are
+    // always defined
+    val v1 = conv(substring(md5(concat(lit("pri:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+    val topK1 = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        v1.as("draw"))
+      .withColumn("pkey", expr("(draw * 1048576L) div n_tokens"))
+      .withColumn("priority_raw",
+        col("n_tokens").cast("double") * lit(4294967296.0) /
+          col("draw").cast("double"))
+      .orderBy(col("pkey").asc, col("doc_id").asc)
+      .limit(k + 1)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("pkey").asc, col("doc_id").asc)).cast("long"))
+      .localCheckpoint(true) // feeds the sample AND τ; k+1 rows
+    val tau = topK1.filter(col("rank") === (k + 1).toLong)
+      .agg(max(col("priority_raw")).as("tau_raw"))
+    topK1.filter(col("rank") <= k.toLong)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("n_tokens"), col("draw"), col("pkey"),
+        col("rank"), round(col("priority_raw"), 6).as("priority"),
+        round(coalesce(col("tau_raw"), lit(0.0)), 6).as("tau"),
+        round(greatest(col("n_tokens").cast("double"),
+          coalesce(col("tau_raw"), lit(0.0))), 6).as("est_weight"))
+      .orderBy(col("rank"))
+  }
+
   /** The filter-agreement cube: before composing quality gates, a
     * curation run quantifies how much the gates OVERLAP — do the Gopher
     * rules, the trained classifier, and the LM-tertile filter remove

@@ -352,6 +352,112 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Zipf profile of the vocabulary head — the corpus-law audit a
+    * tokenizer/curation run reads before fixing a vocab budget: tokens
+    * ranked by frequency, grouped into rank OCTAVES (ranks [2^o, 2^o+1)),
+    * one row per octave with its exact token count, frequency mass,
+    * frequency extrema, head token, and the successive-octave mass
+    * ratio. Under Zipf's law freq ∝ rank^-s the octave-mass ratio is the
+    * constant 2^(s-1) — a flat `mass_ratio` column IS the law holding,
+    * with no log-log regression (which would sum `ln` values — the
+    * registry's no-libm bar, see [[unigramLm]]).
+    *
+    * Cross-engine exactness: the octave is `length(bin(rank)) - 1` — an
+    * integer bit-length, NOT `floor(log2(rank))`: Spark's `log2` lowers
+    * to `ln(x)/ln(2)`, which lands below the integer at exact powers of
+    * two (log2(8) → 2.9999…96) and would floor into the wrong octave,
+    * while DuckDB's is a true log2. Masses and counts are BIGINT sums;
+    * `mass_ratio` and `coverage` are single IEEE divisions, rounded.
+    *
+    * Scale shape: one wordcount shuffle (map-side combined, vocabulary
+    * key space), then a global top-`maxRank` — `TakeOrderedAndProject`,
+    * partial per-partition top-k, never a full sort — so the ranked
+    * window runs on a BOUNDED frame (maxRank rows) regardless of corpus
+    * size; totals for `coverage` come from a separate full-vocab
+    * aggregate (one tiny row, broadcast back).
+    */
+  def zipfProfile(spark: SparkSession, dir: String,
+                  maxRank: Int = 4096): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val totals = vocab.agg(count(lit(1)).as("vocab_size"),
+      sum(col("freq")).as("total_mass"))
+    val ranked = vocab
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(maxRank)
+      .withColumn("rank", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("freq").desc, col("token").asc))
+        .cast("long"))
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("long"))
+    val oct = ranked.groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("rank")).as("rank_lo"), max(col("rank")).as("rank_hi"),
+        sum(col("freq")).as("mass"),
+        max(col("freq")).as("max_freq"), min(col("freq")).as("min_freq"),
+        min_by(col("token"), col("rank")).as("head_token"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("octave"))
+    oct
+      .withColumn("next_mass", lead(col("mass"), 1).over(w))
+      .withColumn("cum_mass",
+        sum(col("mass")).over(w.rowsBetween(Long.MinValue, 0)))
+      .crossJoin(broadcast(totals))
+      .select(col("octave"), col("rank_lo"), col("rank_hi"),
+        col("n_tokens"), col("mass"), col("max_freq"), col("min_freq"),
+        col("head_token"),
+        round(col("mass").cast("double") / col("next_mass").cast("double"),
+          6).as("mass_ratio"),
+        round(col("cum_mass").cast("double") /
+          col("total_mass").cast("double"), 6).as("coverage"),
+        col("vocab_size"), col("total_mass"))
+      .orderBy(col("octave"))
+  }
+
+  /** Heaps-law audit — vocabulary growth as the corpus grows: the corpus
+    * is carved into four deterministic hash-quartiles (first hex char of
+    * md5("hp:"+doc_id) div 4 — hash-ordered prefixes are exchangeable
+    * subsets, so the growth curve is reshard- and order-invariant), and
+    * each quartile reports its token occurrences, NEW vocabulary types
+    * (tokens whose first quartile it is), cumulative totals, and the
+    * type–token ratios. Heaps' law V ∝ N^β (β < 1) shows up as a
+    * falling `new_type_rate` across quartiles — the signal that decides
+    * "will more data keep buying vocabulary" without any `ln` (the
+    * registry's no-libm bar).
+    *
+    * Scale shape: the quartile is a scan-local pure function of doc_id;
+    * `occ` is a 4-key map-side-combined count; `first quartile per
+    * token` is the wordcount shuffle (vocabulary key space) folded to 4
+    * rows; the join and windows run on 4 rows. All counts BIGINT-exact;
+    * ratios are single IEEE divisions, rounded.
+    */
+  def heapsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val quart = floor(conv(substring(md5(concat(lit("hp:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 1), 16, 10)
+      .cast("long") / 4).cast("long")
+    val tok = documents(spark, dir)
+      .select(quart.as("quarter"), explode(tokens(col("text"))).as("token"))
+    val occ = tok.groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("token"))
+      .agg(min(col("quarter")).as("first_q"))
+      .groupBy(col("first_q")).agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("quarter"))
+      .rowsBetween(Long.MinValue, 0)
+    occ.join(newTypes.withColumnRenamed("first_q", "quarter"),
+        Seq("quarter"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .select(col("quarter"), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"),
+        round(col("cum_types").cast("double") /
+          col("cum_tokens").cast("double"), 6).as("type_token_ratio"),
+        round(col("n_new_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("new_type_rate"))
+      .orderBy(col("quarter"))
+  }
+
   /** The all-scan-local quality gate: repetition keep × composite
     * quality score × language-ID agreement, computed in ONE projection
     * over one documents scan — no joins, no shuffle before the output

@@ -597,4 +597,67 @@ class CurationSpec extends SparkTestBase {
     assert(enAvg > restAvg,
       s"en avg $enAvg should exceed non-en avg $restAvg")
   }
+
+  /** Driver-side reference for the priority-sampling draw: the same
+    * md5("pri:"+doc_id) 32-bit draw, quantized key, and raw priority
+    * the operator computes, but in plain JVM arithmetic — independent
+    * of Spark's sort/limit machinery.
+    */
+  private def priorityRef(): Seq[(Long, Long, Long, Long, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Ingest.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().toIndexedSeq
+      .map { r =>
+        val id = r.getLong(0)
+        // Spark's split keeps trailing empties (limit -1), unlike
+        // Java's default split
+        val w = r.getString(1).split(" ", -1).length.toLong
+        val hex = md.digest(s"pri:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val v1 = java.lang.Long.parseLong(hex, 16) + 1L
+        (id, w, v1, (v1 * 1048576L) / w, w.toDouble * 4294967296.0 / v1)
+      }
+  }
+
+  test("priority sampling: the admitted set, ranks, tau, and estimator " +
+    "weights all match a driver-side DLT reference") {
+    val k = 20
+    val ref = priorityRef().sortBy(t => (t._4, t._1))
+    val tauRaw = ref(k)._5
+    val got = Curation.samplePriority(spark, sf, k).collect()
+    assert(got.length == k)
+    assert(got.map(_.getLong(0)).distinct.length == k,
+      "sample must be without replacement")
+    got.zip(ref.take(k)).zipWithIndex.foreach {
+      case ((row, (id, w, v1, key, p)), i) =>
+        assert(row.getLong(0) == id, s"rank ${i + 1} doc")
+        assert(row.getAs[Long]("n_tokens") == w)
+        assert(row.getAs[Long]("draw") == v1)
+        assert(row.getAs[Long]("pkey") == key)
+        assert(row.getAs[Long]("rank") == i + 1L)
+        // tolerance = the round-6 quantum; the bit-exact cross-engine
+        // guarantee is the oracle's job, this pins the formula
+        assert(math.abs(row.getAs[Double]("priority") - p) < 2e-6)
+        assert(math.abs(row.getAs[Double]("est_weight") -
+          math.max(w.toDouble, tauRaw)) < 2e-6)
+    }
+    // every admitted priority is >= tau (the k highest priorities ARE
+    // the sample — DLT's defining property, modulo the documented
+    // 20-bit key quantization, which the key comparison reflects)
+    val tauKey = ref(k)._4
+    assert(got.forall(_.getAs[Long]("pkey") <= tauKey))
+  }
+
+  test("priority sampling degenerates to the whole corpus with tau 0 " +
+    "when k exceeds the corpus") {
+    val n = Ingest.table(spark, sf, "documents").count().toInt
+    val got = Curation.samplePriority(spark, sf, k = n + 50).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      assert(r.getAs[Double]("tau") == 0.0)
+      // no threshold: the estimator is the weight itself
+      assert(r.getAs[Double]("est_weight") ==
+        r.getAs[Long]("n_tokens").toDouble)
+    }
+  }
 }

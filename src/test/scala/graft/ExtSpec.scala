@@ -616,4 +616,63 @@ class ExtSpec extends SparkTestBase {
     assert(sigRows(TextDedup.signatures(spark, dir)).toSeq ==
       sigRows(TextDedup.signaturesViaHof(spark, dir)).toSeq)
   }
+
+  test("zipf profile: octaves tile the rank head, masses reconcile with " +
+    "the vocabulary, coverage is monotone") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.zipfProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // octaves contiguous from 0; rank ranges tile [1, maxRank] with
+    // rank_lo = 2^octave
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("octave") == i.toLong)
+      assert(r.getAs[Long]("rank_lo") == (1L << i))
+      assert(r.getAs[Long]("rank_hi") ==
+        r.getAs[Long]("rank_lo") + r.getAs[Long]("n_tokens") - 1)
+      assert(r.getAs[Long]("max_freq") >= r.getAs[Long]("min_freq"))
+    }
+    // the octave masses sum to the head's total frequency, and the
+    // head token of octave 0 is the corpus's most frequent token
+    val vocab = TextAnalysis.vocabTopK(spark, dir, 4096).collect()
+    assert(rows.map(_.getAs[Long]("mass")).sum ==
+      vocab.map(_.getAs[Long]("freq")).sum)
+    assert(rows.head.getAs[String]("head_token") ==
+      vocab.head.getAs[String]("token"))
+    // coverage is nondecreasing and ends <= 1; mass_ratio is null only
+    // on the last octave and equals the successive-mass quotient
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.last <= 1.0)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val expect = a.getAs[Long]("mass").toDouble /
+          b.getAs[Long]("mass").toDouble
+        assert(math.abs(a.getAs[Double]("mass_ratio") - expect) < 2e-6)
+      case _ =>
+    }
+    assert(rows.last.isNullAt(rows.last.fieldIndex("mass_ratio")))
+  }
+
+  test("heaps profile: quartile totals reconcile with the corpus, " +
+    "every type is new exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.heapsProfile(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    assert(rows.map(_.getAs[Long]("quarter")).forall(q => q >= 0 && q < 4))
+    val toks = TextAnalysis.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val totalOcc = toks.count()
+    val totalTypes = toks.distinct().count()
+    assert(rows.last.getAs[Long]("cum_tokens") == totalOcc)
+    assert(rows.last.getAs[Long]("cum_types") == totalTypes)
+    assert(rows.map(_.getAs[Long]("n_new_types")).sum == totalTypes)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalOcc)
+    // cumulative columns are running sums of the per-quartile columns
+    var (ct, cy) = (0L, 0L)
+    rows.foreach { r =>
+      ct += r.getAs[Long]("n_tokens"); cy += r.getAs[Long]("n_new_types")
+      assert(r.getAs[Long]("cum_tokens") == ct)
+      assert(r.getAs[Long]("cum_types") == cy)
+    }
+  }
 }
