@@ -403,6 +403,16 @@ object ExtEntry {
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(s, dir, threshold = 0.4, nCentroids = 16)),
 
+    // kNN graph: per-vector top-m within-cell neighbors — the batch
+    // artifact graph clustering and cluster-balanced sampling consume
+    "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir, m = 3)),
+
+    // word2phrase collocation mining: lift-ranked adjacent pairs (lift
+    // order = PMI order, no ln) — the phrase-candidate table a
+    // tokenizer build reads
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(s, dir, minCount = 5, k = 50)),
+
     // sliding context-window chunking (HF stride convention)
     "chunk_windows" -> ((s, dir) => TextAnalysis.chunkWindows(s, dir)),
 
@@ -791,6 +801,29 @@ object ExtEntry {
        |  FROM probed p JOIN cells c ON p.cent_id = c.cent_id),
        |$labelSims""".stripMargin
   }
+
+  /** Whole-corpus cell assignment (train over the whole table,
+    * nQueries = 0) ending in `v(vec_id, embedding, nrm)`,
+    * `cells(vec_id, cent_id)`, and the rank-capped
+    * `grp(cent_id, ids)` — the DuckDB twin of
+    * `Similarity.cellAssignment` + cap, shared by the `dedup_semantic`
+    * and `knn_graph` oracles.
+    */
+  private lazy val semanticCellCtes: String =
+    s"""${ivfTrainCtes(nQueries = 0, nCentroids = 16, iters = 2,
+           sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
+       |v AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |assign AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ${cosSql("CAST(embedding[i] AS DOUBLE)", "cemb[i]")} DESC,
+       |    cent_id) AS rk
+       |  FROM v, cents),
+       |cells AS (SELECT vec_id, cent_id FROM assign WHERE rk = 1),
+       |grp AS (SELECT cent_id,
+       |    (array_agg(vec_id ORDER BY vec_id))[1:$cap] AS ids
+       |  FROM cells GROUP BY cent_id)""".stripMargin
 
   private def ivfOracleSql(nQueries: Int, nCentroids: Int, nProbe: Int,
                            k: Int, iters: Int, sampleMod: Int,
@@ -1901,6 +1934,30 @@ object ExtEntry {
         |FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
         |GROUP BY t ORDER BY freq DESC, token LIMIT 20""".stripMargin,
 
+    // lift = (n_ab/n_a)·(N/n_b) in the engine's fixed operation order —
+    // two exactly-rounded divisions and a multiply, bit-identical; the
+    // top-50 cut orders by the RAW lift (ties by pair), the output by
+    // the rounded lift
+    "text_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d, UNNEST(w) AS u(t) GROUP BY t),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM d, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY w1, w2 HAVING count(*) >= 5),
+        |sc AS (SELECT w1, w2, n_ab, a.cnt AS n_a, b.cnt AS n_b,
+        |    (CAST(n_ab AS DOUBLE) / CAST(a.cnt AS DOUBLE)) *
+        |    (CAST(n_total AS DOUBLE) / CAST(b.cnt AS DOUBLE)) AS lift_raw
+        |  FROM pc JOIN uni a ON pc.w1 = a.token
+        |  JOIN uni b ON pc.w2 = b.token, tot),
+        |top AS (SELECT w1, w2, n_ab, n_a, n_b, round(lift_raw, 6) AS lift
+        |  FROM sc ORDER BY lift_raw DESC, w1, w2 LIMIT 50)
+        |SELECT w1, w2, n_ab, n_a, n_b, lift FROM top
+        |ORDER BY lift DESC, w1, w2""".stripMargin,
+
     "text_unk_mask" ->
       """WITH vocab AS (
         |  SELECT t AS token
@@ -2422,20 +2479,7 @@ object ExtEntry {
     // (nQueries = 0), rank-capped membership, within-cell smaller-id
     // neighbor at cos >= 0.4 drops the vector
     "dedup_semantic" ->
-      s"""WITH ${ivfTrainCtes(nQueries = 0, nCentroids = 16, iters = 2,
-             sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
-         |v AS (SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(generate_series(1, 64),
-         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
-         |assign AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ${cosSql("CAST(embedding[i] AS DOUBLE)", "cemb[i]")} DESC,
-         |    cent_id) AS rk
-         |  FROM v, cents),
-         |cells AS (SELECT vec_id, cent_id FROM assign WHERE rk = 1),
-         |grp AS (SELECT cent_id,
-         |    (array_agg(vec_id ORDER BY vec_id))[1:$cap] AS ids
-         |  FROM cells GROUP BY cent_id),
+      s"""WITH $semanticCellCtes,
          |pairs AS (SELECT a AS v1, b AS v2
          |  FROM grp, UNNEST(ids) AS u1(a), UNNEST(ids) AS u2(b) WHERE a < b),
          |drops AS (SELECT DISTINCT v2 AS vec_id FROM pairs
@@ -2446,6 +2490,25 @@ object ExtEntry {
          |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
          |  FROM cells c LEFT JOIN drops d USING (vec_id))
          |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin,
+
+    // same trained cells + rank-cap as dedup_semantic, then DIRECTED
+    // within-cell edges ranked per vector
+    "knn_graph" ->
+      s"""WITH $semanticCellCtes,
+         |edges AS (SELECT a AS vid, b AS nid
+         |  FROM grp, UNNEST(ids) AS u1(a), UNNEST(ids) AS u2(b)
+         |  WHERE a <> b),
+         |sims AS (SELECT vid, nid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         |    / (e1.nrm * e2.nrm) AS sim
+         |  FROM edges JOIN v e1 ON e1.vec_id = vid
+         |  JOIN v e2 ON e2.vec_id = nid),
+         |rk AS (SELECT vid, nid, sim, row_number() OVER (PARTITION BY vid
+         |    ORDER BY sim DESC, nid) AS rank FROM sims)
+         |SELECT vid AS vec_id, nid AS nbr_id, CAST(rank AS BIGINT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // chunk i covers w[i*48+1 : i*48+64] (inclusive DuckDB slice, clamped
     // at the list end exactly like Spark's slice)

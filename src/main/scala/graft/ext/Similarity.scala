@@ -433,6 +433,80 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Whole-corpus cell assignment against centroids trained over the
+    * WHOLE table (nQueries = 0): one broadcast of the centroid panel,
+    * one corpus scan, per-vector argmax via a vec_id-keyed window —
+    * (vec_id, cent_id). Shared by [[semanticDedup]] and [[knnGraph]];
+    * the per-query IVF search forms use the persisted index instead.
+    */
+  private def cellAssignment(spark: SparkSession, emb: DataFrame,
+                             nCentroids: Int, iters: Int, sampleMod: Int,
+                             sampleCap: Int): DataFrame = {
+    import spark.implicits._
+    val trained = trainIvfCentroids(emb, 0, nCentroids, iters, sampleMod,
+      sampleCap)
+    val cents = trained.zipWithIndex.toSeq
+      .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+      .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("en"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("cent_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("cemb")) / (col("en") * col("cn")))
+          .as("acos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"))
+  }
+
+  /** k-nearest-neighbor graph over the corpus embeddings — the batch
+    * artifact graph clustering, SemDeDup variants, and
+    * cluster-balanced sampling consume: for every vector, its `m`
+    * most-cosine-similar neighbors among vectors sharing its IVF cell.
+    * One row per (vector, neighbor) edge with the per-vector rank.
+    *
+    * Scale shape: candidates come from [[cellAssignment]]'s
+    * geometry-driven blocking (cell count grows with the corpus, so
+    * expected cell size stays bounded) with the same
+    * [[TextDedup.maxBucket]] rank-cap as [[semanticDedup]] — beyond-cap
+    * members contribute no edges, the documented bounded-candidate
+    * tradeoff. The edge enumeration is per-cell (never all-pairs), the
+    * ranking is a vec_id-keyed window — map-side bounded, no single
+    * reducer anywhere.
+    */
+  def knnGraph(spark: SparkSession, dir: String, m: Int = 3,
+               nCentroids: Int = 16, iters: Int = 2, sampleMod: Int = 3,
+               sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
+      sampleCap)
+    val edges = cells.groupBy(col("cent_id"))
+      .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
+        TextDedup.maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("vid"), col("ids"))
+      .select(col("vid"), explode(col("ids")).as("nid"))
+      .filter(col("vid") =!= col("nid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("sim").desc, col("nid").asc)
+    edges
+      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("e1"),
+        norm(col("embedding")).as("n1")), Seq("vid"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("e2"),
+        norm(col("embedding")).as("n2")), Seq("nid"))
+      .select(col("vid"), col("nid"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("vid").as("vec_id"), col("nid").as("nbr_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * the corpus with the trained IVF centroids ([[trainIvfCentroids]],
     * nQueries = 0 — train over a bounded sample of the whole table),
@@ -452,26 +526,9 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
                     nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
                     sampleCap: Int = defaultIvfSampleCap): DataFrame = {
-    import spark.implicits._
     val emb = embeddings(spark, dir)
-    val trained = trainIvfCentroids(emb, 0, nCentroids, iters, sampleMod,
+    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
       sampleCap)
-    val cents = trained.zipWithIndex.toSeq
-      .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
-      .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
-    val vecs = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("en"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("acos").desc, col("cent_id").asc)
-    val cells = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        (dot(col("embedding"), col("cemb")) / (col("en") * col("cn")))
-          .as("acos"),
-        col("cent_id"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id"))
     val capped = cells.groupBy(col("cent_id"))
       .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
         TextDedup.maxBucket).as("ids"))

@@ -458,6 +458,59 @@ object TextAnalysis {
       .orderBy(col("quarter"))
   }
 
+  /** Collocation mining — the word2phrase/tokenizer-prep op (Mikolov et
+    * al. 2013 §4): adjacent word pairs whose corpus count beats chance,
+    * scored by lift = P(ab) / (P(a)·P(b)) and reported top-k. A high-lift
+    * pair ("new york") is a phrase candidate the tokenizer should learn
+    * as a unit; the `minCount` floor is word2phrase's discounting of
+    * rare accidents.
+    *
+    * Cross-engine exactness: counts are BIGINT; lift is computed as
+    * `(n_ab / n_a) · (N / n_b)` — two exactly-rounded IEEE divisions
+    * and one multiply in a FIXED order, so both engines produce the
+    * bit-identical double (the registry's no-libm bar needs no `ln`:
+    * lift order ≡ PMI order). The top-k ordering ties break on
+    * (w1, w2), making the cut total.
+    *
+    * Scale shape: one corpus scan explodes adjacent pairs → map-side-
+    * combined pair counts (key space = observed-bigram vocabulary); the
+    * unigram model (vocabulary-sized) broadcasts onto the pair table
+    * twice; the final top-k is `TakeOrderedAndProject`. No all-pairs
+    * anywhere — only observed bigrams are keyed.
+    */
+  def collocations(spark: SparkSession, dir: String, minCount: Int = 5,
+                   k: Int = 50): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(tokens(col("text")).as("w"))
+    val uni = docs.select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("n_total"))
+    val pairs = docs
+      .filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+      .select(col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount.toLong)
+    pairs
+      .join(broadcast(uni.select(col("token").as("w1"),
+        col("cnt").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"),
+        col("cnt").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") / col("n_a").cast("double")) *
+          (col("n_total").cast("double") / col("n_b").cast("double")))
+          .as("lift_raw"))
+      .orderBy(col("lift_raw").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("lift_raw"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+  }
+
   /** The all-scan-local quality gate: repetition keep × composite
     * quality score × language-ID agreement, computed in ONE projection
     * over one documents scan — no joins, no shuffle before the output

@@ -617,6 +617,99 @@ class ExtSpec extends SparkTestBase {
       sigRows(TextDedup.signaturesViaHof(spark, dir)).toSeq)
   }
 
+  test("knn graph: edges stay within cells, ranks are dense and " +
+    "sim-ordered, and match a brute-force within-cell reference") {
+    val dir = "/root/testdata/sf0.001"
+    val m = 3
+    val edges = Similarity.knnGraph(spark, dir, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(edges.nonEmpty)
+    // same default (nCentroids, iters) as semanticDedup -> identical
+    // deterministic assignment; use its cell column as the reference
+    val cell = Similarity.semanticDedup(spark, dir, 0.4, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { case (v, n, _, _) =>
+      assert(v != n)
+      assert(cell(v) == cell(n), s"edge $v->$n crosses cells")
+    }
+    val emb = Similarity.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val byVec = edges.groupBy(_._1)
+    byVec.foreach { case (v, es) =>
+      val sorted = es.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to es.length).toSeq)
+      assert(es.length <= m)
+      // sims non-increasing with rank
+      sorted.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-9)
+        case _ =>
+      }
+      // brute-force within-cell reference (cells are far below the
+      // rank cap at this sf, so the cap never bites)
+      val cands = cell.keys.filter(c => c != v && cell(c) == cell(v))
+      val expect = cands.map(c => (c, cos(emb(v), emb(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(m)
+      assert(sorted.map(_._2).toSeq == expect.map(_._1),
+        s"vec $v neighbor set")
+      sorted.map(_._4).zip(expect.map(_._2)).foreach { case (got, exp) =>
+        assert(math.abs(got - exp) < 2e-6)
+      }
+    }
+    // every vector in a multi-member cell has edges
+    val multi = cell.groupBy(_._2).filter(_._2.size > 1).flatMap(_._2.keys)
+    assert(multi.toSet == byVec.keySet)
+  }
+
+  test("collocations: counts reconcile with a driver reference and the " +
+    "lift cut is the true top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.collocations(spark, dir, minCount = 5, k = 50)
+      .collect()
+    assert(got.nonEmpty && got.length <= 50)
+    val texts = TextAnalysis.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    val words = texts.map(_.split(" ", -1).toSeq)
+    val uni = words.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val nTotal = words.map(_.size).sum.toLong
+    val bg = words.filter(_.length >= 2)
+      .flatMap(w => w.zip(w.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5L)
+    val ref = bg.map { case ((a, b), nab) =>
+      (a, b, nab, uni(a), uni(b),
+        (nab.toDouble / uni(a)) * (nTotal.toDouble / uni(b)))
+    }.toSeq.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(50)
+    // the SELECTION is the true raw-lift top-k (order compared as sets:
+    // the output re-sorts by the ROUNDED lift, which can legally swap
+    // raw-lift ties)
+    assert(got.length == ref.length)
+    val refByPair = ref.map(t => (t._1, t._2) -> t).toMap
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ==
+      refByPair.keySet)
+    got.foreach { row =>
+      val (_, _, nab, na, nb, lift) =
+        refByPair((row.getString(0), row.getString(1)))
+      assert(row.getLong(2) == nab && row.getLong(3) == na &&
+        row.getLong(4) == nb)
+      assert(math.abs(row.getDouble(5) - lift) < 2e-6)
+    }
+    // lift is non-increasing down the output
+    val lifts = got.map(_.getDouble(5))
+    lifts.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("zipf profile: octaves tile the rank head, masses reconcile with " +
     "the vocabulary, coverage is monotone") {
     val dir = "/root/testdata/sf0.001"
