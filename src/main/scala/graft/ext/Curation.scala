@@ -807,14 +807,19 @@ object Curation {
     * the rank/τ tail runs on k+1 rows. At 100 TB this reads the corpus
     * once and moves k+1 rows per partition.
     */
-  def samplePriority(spark: SparkSession, dir: String,
-                     k: Int = 20): DataFrame = {
+  /** The corpus-touching pass of [[samplePriority]] — scan-local
+    * projection + global top-(k+1) — exposed so PlanAuditSpec can pin
+    * its shape (TakeOrderedAndProject, no shuffle, no window) on the
+    * REAL construction.
+    */
+  private[graft] def priorityTopFrame(spark: SparkSession, dir: String,
+                                      k: Int): DataFrame = {
     // 32-bit draw in [1, 2^32]: zero excluded so w/u and the key are
     // always defined
     val v1 = conv(substring(md5(concat(lit("pri:"),
       col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long") + lit(1L)
-    val topK1 = documents(spark, dir)
+    documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         v1.as("draw"))
@@ -824,6 +829,11 @@ object Curation {
           col("draw").cast("double"))
       .orderBy(col("pkey").asc, col("doc_id").asc)
       .limit(k + 1)
+  }
+
+  def samplePriority(spark: SparkSession, dir: String,
+                     k: Int = 20): DataFrame = {
+    val topK1 = priorityTopFrame(spark, dir, k)
       .withColumn("rank", row_number().over(Window
         .orderBy(col("pkey").asc, col("doc_id").asc)).cast("long"))
       .localCheckpoint(true) // feeds the sample AND τ; k+1 rows

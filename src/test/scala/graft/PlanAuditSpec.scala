@@ -357,4 +357,26 @@ class PlanAuditSpec extends SparkTestBase {
       assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, q)
     }
   }
+
+  test("priority sampling's corpus pass is scan + partial top-k, no " +
+    "corpus shuffle or window") {
+    // the corpus-touching plan lives inside the eager checkpoint; pin
+    // the PRE-checkpoint frame the operator itself builds
+    val df = graft.ext.Curation.priorityTopFrame(spark, sf, 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("knn graph and collocations stay cartesian-free; the unigram " +
+    "model broadcasts onto the pair table") {
+    val knn = executedPlan("knn_graph")
+    assert(!knn.contains("CartesianProduct"), knn)
+    val coll = executedPlan("text_collocations")
+    assert(!coll.contains("CartesianProduct"), coll)
+    assert(coll.contains("BroadcastHashJoin"), coll)
+    assert(coll.contains("TakeOrderedAndProject"), coll)
+  }
 }
