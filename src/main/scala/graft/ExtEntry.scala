@@ -413,6 +413,9 @@ object ExtEntry {
     "text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(s, dir, minCount = 5, k = 50)),
 
+    // per-doc top-k ratio-TF-IDF keywords (documented no-log deviation)
+    "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir, k = 5)),
+
     // sliding context-window chunking (HF stride convention)
     "chunk_windows" -> ((s, dir) => TextAnalysis.chunkWindows(s, dir)),
 
@@ -1933,6 +1936,28 @@ object ExtEntry {
       """SELECT t AS token, count(*) AS freq
         |FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
         |GROUP BY t ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    // score = tf·(N/df) in the engine's fixed operation order — one
+    // division, one multiply, exact BIGINT inputs; ranks tie on token
+    "text_keywords" ->
+      """WITH dt AS (SELECT doc_id, t AS token,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(w) AS u(t)
+        |  GROUP BY doc_id, t),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, tf, df,
+        |    CAST(tf AS DOUBLE) *
+        |      (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |  FROM dt JOIN dfq USING (token), n),
+        |r AS (SELECT doc_id, token, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT doc_id, token, tf, df, rank, round(score, 6) AS tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // lift = (n_ab/n_a)·(N/n_b) in the engine's fixed operation order —
     // two exactly-rounded divisions and a multiply, bit-identical; the

@@ -812,24 +812,31 @@ object Curation {
     * its shape (TakeOrderedAndProject, no shuffle, no window) on the
     * REAL construction.
     */
-  private[graft] def priorityTopFrame(spark: SparkSession, dir: String,
-                                      k: Int): DataFrame = {
+  /** The priority-sampling projection — (doc_id, n_tokens, draw, pkey,
+    * priority_raw) as pure functions of (doc_id, text), shared verbatim
+    * by the batch query and the streaming twin
+    * ([[graft.streaming.StreamingCuration.prioritySampleStream]]).
+    */
+  private[graft] def priorityColumns: Seq[org.apache.spark.sql.Column] = {
     // 32-bit draw in [1, 2^32]: zero excluded so w/u and the key are
     // always defined
     val v1 = conv(substring(md5(concat(lit("pri:"),
       col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long") + lit(1L)
+    val nTok = size(split(col("text"), " ")).cast("long")
+    Seq(col("doc_id"), nTok.as("n_tokens"), v1.as("draw"))
+  }
+
+  private[graft] def priorityTopFrame(spark: SparkSession, dir: String,
+                                      k: Int): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        v1.as("draw"))
+      .select(priorityColumns: _*)
       .withColumn("pkey", expr("(draw * 1048576L) div n_tokens"))
       .withColumn("priority_raw",
         col("n_tokens").cast("double") * lit(4294967296.0) /
           col("draw").cast("double"))
       .orderBy(col("pkey").asc, col("doc_id").asc)
       .limit(k + 1)
-  }
 
   def samplePriority(spark: SparkSession, dir: String,
                      k: Int = 20): DataFrame = {

@@ -458,6 +458,45 @@ object TextAnalysis {
       .orderBy(col("quarter"))
   }
 
+  /** Per-document keyword extraction — top-k TF-IDF terms, the doc-
+    * tagging/indexing artifact a corpus browser or retrieval index
+    * build reads. DOCUMENTED DEVIATION, same policy as [[unigramLm]]'s
+    * no-log mean: the IDF factor is the RATIO N/df, not log(N/df) —
+    * `ln` carries no cross-engine bit guarantee and the registry's bar
+    * is hash-exact oracles. Per-document RANKINGS under tf·N/df are
+    * monotone-equivalent per fixed df to the log form's; across terms
+    * the ratio weighs rarity more steeply (a harmless re-mix for a
+    * keyword table, whose job is surfacing distinctive terms).
+    *
+    * Scale shape: one corpus scan → (doc, term) counts (map-side
+    * combined); df folds the SAME frame by term (vocabulary key
+    * space); the vocabulary-sized df model broadcasts back; the
+    * per-doc top-k is a doc_id-keyed window — keyed shuffle, no
+    * single reducer. Score = one IEEE division and one multiply in
+    * fixed order on exact BIGINTs — bit-identical cross-engine.
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val dt = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_raw").desc, col("token").asc)
+    dt.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_raw",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("rank"), round(col("score_raw"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Collocation mining — the word2phrase/tokenizer-prep op (Mikolov et
     * al. 2013 §4): adjacent word pairs whose corpus count beats chance,
     * scored by lift = P(ab) / (P(a)·P(b)) and reported top-k. A high-lift

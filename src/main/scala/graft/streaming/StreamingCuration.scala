@@ -371,4 +371,81 @@ object StreamingCuration {
           6) >= threshold))
       .drop("_evp")
   }
+
+  case class DocPri(doc_id: Long, n_tokens: Long, draw: Long, pkey: Long)
+
+  private val priOrd: Ordering[DocPri] =
+    Ordering.by(r => (r.pkey, r.doc_id))
+
+  /** Bounded running top-`cap` by (pkey, doc_id) with doc_id dedupe —
+    * the pure core of the streaming priority sample, shared by the
+    * partition-local pre-reduce and the state merge (and driven
+    * directly by the seeded property spec). Duplicate doc_ids (at-
+    * least-once redelivery) carry identical derived values — the draw
+    * is a pure function of the id — so keeping the first is exact.
+    */
+  private[graft] def priorityTop(rows: Iterator[DocPri],
+                                 cap: Int): Seq[DocPri] = {
+    val heap = // max at head: the head is the current worst priority
+      scala.collection.mutable.PriorityQueue.empty[DocPri](priOrd)
+    rows.foreach { r =>
+      if (!heap.exists(_.doc_id == r.doc_id)) {
+        if (heap.size < cap) heap.enqueue(r)
+        else if (priOrd.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+      }
+    }
+    heap.toSeq.sorted(priOrd)
+  }
+
+  /** Running global top-(k+1) in the state store: each micro-batch
+    * merges its (pre-reduced) candidates into the standing sample and
+    * emits the COMPLETE current admit set — a refresh stream, not an
+    * append log: consumers key by doc_id or read the latest batch.
+    * State is k+1 rows (the extra row carries the DLT τ threshold).
+    */
+  class PrioritySampleProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, DocPri, DocPri] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    @transient private var top: ListState[DocPri] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[DocPri]("top",
+        org.apache.spark.sql.Encoders.product[DocPri], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[DocPri],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DocPri] = {
+      val merged = StreamingCuration.priorityTop(top.get() ++ rows, k + 1)
+      top.clear()
+      merged.foreach(top.appendValue)
+      merged.take(k).iterator
+    }
+  }
+
+  /** Document stream → the running priority sample
+    * ([[graft.ext.Curation.samplePriority]]'s twin). Unlike the quota
+    * twins, the result is ORDER-INVARIANT across batches and arrival
+    * orders — top-k under a pure-function priority is a commutative
+    * merge, which is exactly why priority sampling is the streaming
+    * survey op of choice (Duffield et al. 2007 §1). After any prefix
+    * of the stream, the last emitted batch equals the batch operator's
+    * admit set over the rows seen.
+    *
+    * Scale shape: the projection is scan-local; a stateless partition-
+    * local top-(k+1) pre-reduce bounds the single merge key's input to
+    * partitions×(k+1) rows per batch — the streaming mirror of the
+    * batch `TakeOrderedAndProject`'s partial top-k.
+    */
+  def prioritySampleStream(docs: DataFrame, k: Int): Dataset[DocPri] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.select(Curation.priorityColumns: _*)
+      .withColumn("pkey", expr("(draw * 1048576L) div n_tokens"))
+      .as[DocPri]
+      .mapPartitions(it => priorityTop(it, k + 1).iterator)
+      .groupByKey(_ => 0)
+      .transformWithState(new PrioritySampleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

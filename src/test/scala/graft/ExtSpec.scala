@@ -710,6 +710,37 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("keywords: per-doc top-k ratio-TF-IDF matches a driver reference") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 5
+    val got = TextAnalysis.keywords(spark, dir, k).collect()
+    val docs = TextAnalysis.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val tf = docs.flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (w, o) => (d, w) -> o.size.toLong }
+    }
+    val df_ = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toLong
+    val refTop = tf.groupBy(_._1._1).map { case (d, m) =>
+      d -> m.map { case ((_, w), t) =>
+        (w, t, df_(w), t.toDouble * (n.toDouble / df_(w)))
+      }.toSeq.sortBy { case (w, _, _, s) => (-s, w) }.take(k)
+    }
+    val byDoc = got.groupBy(_.getLong(0))
+    assert(byDoc.keySet == refTop.keySet)
+    byDoc.foreach { case (d, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rows.length).toSeq)
+      sorted.zip(refTop(d)).foreach { case (row, (w, t, dfc, s)) =>
+        assert(row.getString(1) == w, s"doc $d")
+        assert(row.getAs[Long]("tf") == t && row.getAs[Long]("df") == dfc)
+        assert(math.abs(row.getAs[Double]("tfidf") - s) < 2e-6)
+      }
+    }
+  }
+
   test("zipf profile: octaves tile the rank head, masses reconcile with " +
     "the vocabulary, coverage is monotone") {
     val dir = "/root/testdata/sf0.001"

@@ -539,4 +539,69 @@ class StreamingCurationSpec extends SparkTestBase {
       assert(expected(3L) == 3 && greedyStage(batch1.filter(_.user_id == 3)) == 1)
     } finally q.stop()
   }
+
+  test("property (seeded): priorityTop equals the sort-dedupe-take " +
+    "reference and merges associatively") {
+    import StreamingCuration.DocPri
+    val rng = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 5 + rng.nextInt(200)
+      // duplicate ids on purpose (redelivery): same id -> same values
+      val ids = Seq.fill(n)(rng.nextInt(60).toLong)
+      val rows = ids.map { id =>
+        val draw = (id * 2654435761L % 4294967296L) + 1L
+        val w = id % 7 + 1L
+        DocPri(id, w, draw, draw * 1048576L / w)
+      }
+      val cap = 1 + rng.nextInt(12)
+      val ref = rows.distinct.sortBy(r => (r.pkey, r.doc_id)).take(cap)
+      assert(StreamingCuration.priorityTop(rows.iterator, cap) == ref,
+        s"trial $trial")
+      // commutative merge: pre-reduced splits lose nothing
+      val (a, b) = rows.splitAt(rng.nextInt(rows.length + 1))
+      val merged = StreamingCuration.priorityTop(
+        (StreamingCuration.priorityTop(a.iterator, cap) ++
+          StreamingCuration.priorityTop(b.iterator, cap)).iterator, cap)
+      assert(merged == ref, s"trial $trial split merge")
+    }
+  }
+
+  test("streaming priority sample converges to the batch selection " +
+    "regardless of arrival order, with cross-batch eviction") {
+    import StreamingCuration.DocPri
+    val k = 10
+    val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the batch operator's admit set over the same corpus
+    val expected = Curation.samplePriority(spark,
+      "/root/testdata/sf0.001", k).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pkey"))).toSeq
+
+    def run(name: String, id: Int,
+            order: Seq[(Long, String)]): Seq[DocPri] = {
+      val input = MemoryStream[(Long, String)](id, spark, None)
+      val q = StreamingCuration.prioritySampleStream(
+        input.toDF().toDF("doc_id", "text"), k)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        order.grouped(order.length / 3 + 1).foreach { batch =>
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+        // refresh stream: the standing sample is the top-k over every
+        // emitted candidate (each emission was the then-current sample)
+        StreamingCuration.priorityTop(
+          spark.table(name).as[DocPri].collect().iterator, k)
+      } finally q.stop()
+    }
+
+    val fwd = run("graft_stream_pri_fwd", 43, docs)
+    val rev = run("graft_stream_pri_rev", 44,
+      new scala.util.Random(7).shuffle(docs))
+    assert(fwd == rev, "arrival order changed the sample")
+    assert(fwd.map(r => (r.doc_id, r.pkey)) == expected,
+      s"streaming sample diverged from batch: $fwd vs $expected")
+  }
 }
