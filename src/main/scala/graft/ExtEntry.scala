@@ -407,6 +407,12 @@ object ExtEntry {
     // artifact graph clustering and cluster-balanced sampling consume
     "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir, m = 3)),
 
+    // connected components over the verified semantic edges — the
+    // embedding-space twin of dedup_cluster
+    "cluster_semantic" -> ((s, dir) =>
+      Similarity.semanticClusters(s, dir, threshold = 0.4,
+        nCentroids = 16)),
+
     // word2phrase collocation mining: lift-ranked adjacent pairs (lift
     // order = PMI order, no ln) — the phrase-candidate table a
     // tokenizer build reads
@@ -2515,6 +2521,29 @@ object ExtEntry {
          |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
          |  FROM cells c LEFT JOIN drops d USING (vec_id))
          |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin,
+
+    // same trained cells + verified pairs as dedup_semantic, closed
+    // into components by the dedup_cluster recursive reachability
+    "cluster_semantic" ->
+      s"""WITH RECURSIVE $semanticCellCtes,
+         |spairs AS (SELECT a AS v1, b AS v2
+         |  FROM grp, UNNEST(ids) AS u1(a), UNNEST(ids) AS u2(b)
+         |  WHERE a < b),
+         |vpairs AS (SELECT v1, v2 FROM spairs
+         |  JOIN v e1 ON e1.vec_id = v1 JOIN v e2 ON e2.vec_id = v2
+         |  WHERE list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         |    / (e1.nrm * e2.nrm) >= 0.4),
+         |edges AS (SELECT v1 AS a, v2 AS b FROM vpairs
+         |  UNION SELECT v2, v1 FROM vpairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a),
+         |lbl AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT cluster_id, count(*) AS n_vecs, max(node) AS max_vec
+         |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // same trained cells + rank-cap as dedup_semantic, then DIRECTED
     // within-cell edges ranked per vector

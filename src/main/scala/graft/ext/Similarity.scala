@@ -523,31 +523,66 @@ object Similarity {
     * oracle) — beyond-cap members are conservatively kept, the same
     * bounded-candidate tradeoff every LSH family op here makes.
     */
-  def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
-                    nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
-                    sampleCap: Int = defaultIvfSampleCap): DataFrame = {
-    val emb = embeddings(spark, dir)
-    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
-      sampleCap)
-    val capped = cells.groupBy(col("cent_id"))
+  /** Rank-capped within-cell candidate pairs verified by exact cosine
+    * ≥ `threshold` — (v1, v2) with v1 < v2. The shared pair step of
+    * [[semanticDedup]] (which drops the larger id) and
+    * [[semanticClusters]] (which runs connected components).
+    */
+  private def semanticPairs(emb: DataFrame, cells: DataFrame,
+                            threshold: Double): DataFrame =
+    cells.groupBy(col("cent_id"))
       .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
         TextDedup.maxBucket).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(TextDedup.pairsOf(col("ids"))).as("p"))
       .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
-    val drops = capped
       .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1"),
         norm(col("embedding")).as("n1")), Seq("v1"))
       .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2"),
         norm(col("embedding")).as("n2")), Seq("v2"))
       .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
         threshold)
+      .select(col("v1"), col("v2"))
+
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
+                    nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
+                    sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
+      sampleCap)
+    val drops = semanticPairs(emb, cells, threshold)
       .select(col("v2").as("vec_id")).distinct()
     cells
       .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cent_id").as("cell"),
         not(coalesce(col("dropped"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Semantic duplicate CLUSTERS — connected components over the
+    * verified within-cell cosine edges, one row per multi-member
+    * component with its canonical (minimum-id) label: the artifact
+    * cluster-balanced sampling and SemDeDup survivorship read, and the
+    * embedding-space twin of [[TextDedup.nearDupClusters]].
+    *
+    * Scale shape: edges come from [[semanticPairs]] (geometry-blocked,
+    * rank-capped, never all-pairs); components ride
+    * [[TextDedup.clusters]]' hash-min label propagation with pointer
+    * jumping — O(log diameter) rounds, two keyed joins and a min-fold
+    * per round, one scalar action per round for convergence.
+    */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double, nCentroids: Int,
+                       iters: Int = 2, sampleMod: Int = 3,
+                       sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
+      sampleCap)
+    TextDedup.clusters(semanticPairs(emb, cells, threshold)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("node")).as("max_vec"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the

@@ -710,6 +710,56 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("semantic clusters: equal to a driver union-find over the same " +
+    "within-cell verified edges, consistent with semanticDedup drops") {
+    val dir = "/root/testdata/sf0.001"
+    val th = 0.4
+    val dedup = Similarity.semanticDedup(spark, dir, th, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cell = dedup.map(t => t._1 -> t._2).toMap
+    val emb = Similarity.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    // driver union-find over within-cell pairs at the threshold
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCell = cell.keys.toSeq.groupBy(cell)
+    byCell.values.foreach { ids =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        if (cos(emb(s(i)), emb(s(j))) >= th) union(s(i), s(j))
+    }
+    val comps = cell.keys.toSeq.map(v => find(v) -> v)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).filter(_._2.size > 1)
+    val expect = comps.map { case (lbl, vs) =>
+      (lbl, vs.size.toLong, vs.max)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.semanticClusters(spark, dir, th, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // dedup's drops are non-label cluster members (a non-minimal member
+    // can legally survive dedup when it is the smaller side of every
+    // edge it touches — a chain component — so ⊆, not ==), and a
+    // component's canonical label always survives
+    val clustered = comps.values.flatten.toSet
+    val labels = comps.keySet
+    val dropped = dedup.filter(!_._3).map(_._1).toSet
+    assert(dropped.subsetOf(clustered -- labels))
+    assert(labels.forall(!dropped.contains(_)))
+  }
+
   test("keywords: per-doc top-k ratio-TF-IDF matches a driver reference") {
     val dir = "/root/testdata/sf0.001"
     val k = 5
