@@ -392,6 +392,15 @@ object ExtEntry {
     // per-language corpus snapshot report
     "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
 
+    // per-source mixture-decision scorecard: mass, token share, gopher
+    // keep rate, mean quality — one scan, sources-sized rollup
+    "source_scorecard" -> ((s, dir) =>
+      TextAnalysis.sourceScorecard(s, dir)),
+
+    // cross-source near-dup matrix: which feeds double-count content
+    "corpus_overlap_matrix" -> ((s, dir) =>
+      TextDedup.sourceOverlapMatrix(s, dir, threshold = 0.5)),
+
     // deterministic ~5%/~5%/~90% test/val/train split, reshard-stable
     "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
 
@@ -2521,6 +2530,60 @@ object ExtEntry {
          |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
          |  FROM cells c LEFT JOIN drops d USING (vec_id))
          |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin,
+
+    // the gopher chain + the text_quality score expression, rolled up
+    // per source; mean quality via the exact DECIMAL(27,6) sum
+    "source_scorecard" ->
+      s"""WITH ${gopherChainCtes("sc")},
+         |en AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d),
+         |q AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+         |        / length(text)) * 0.5 +
+         |      least(CAST(len(list_filter(string_split(lower(text), ' '),
+         |        x -> list_contains(d, x))) AS DOUBLE)
+         |        / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5, 6) AS qs
+         |  FROM documents, en),
+         |j AS (SELECT q.source, q.n_tokens, q.qs, g.keep
+         |  FROM q JOIN scgk g USING (doc_id)),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_gopher_keep,
+         |    sum(CAST(qs AS DECIMAL(27,6))) AS qsum
+         |  FROM j GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM agg)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |    AS token_share,
+         |  n_gopher_keep,
+         |  round(CAST(n_gopher_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS gopher_keep_rate,
+         |  round(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS mean_quality
+         |FROM agg, tot ORDER BY source""".stripMargin,
+
+    // the verified near-dup pairs labeled by both endpoints' sources,
+    // unordered-pair rollup; n_pairs = half the exploded doc rows
+    "corpus_overlap_matrix" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |pairs AS (SELECT d1, d2 FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |lab AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b, d1, d2
+         |  FROM pairs JOIN documents da ON da.doc_id = d1
+         |  JOIN documents db ON db.doc_id = d2),
+         |ex AS (SELECT source_a, source_b, doc
+         |  FROM lab, UNNEST([d1, d2]) AS u(doc))
+         |SELECT source_a, source_b,
+         |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |FROM ex GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // same trained cells + verified pairs as dedup_semantic, closed
     // into components by the dedup_cluster recursive reachability

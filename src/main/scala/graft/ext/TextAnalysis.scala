@@ -87,14 +87,24 @@ object TextAnalysis {
         .as("lang_score"))
   }
 
+  /** The composite quality score as a pure column of `text` — shared by
+    * [[quality]] and the per-source [[sourceScorecard]] rollup.
+    */
+  private def punctRatioCol: Column =
+    length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+      length(col("text"))
+  private[graft] def qualityScoreCol: Column = {
+    val stopRatio = dictRatio(tokens(lower(col("text"))), dictCol("en"))
+    round((lit(1.0) - punctRatioCol) * 0.5 +
+      least(stopRatio * 10, lit(1.0)) * 0.5, 6)
+  }
+
   /** Quality metrics: char/token counts, regex token count, punctuation
     * ratio, mean token length, stopword ratio, and a composite score.
     */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val w = tokens(col("text"))
-    val punctRatio =
-      length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
-        length(col("text"))
+    val punctRatio = punctRatioCol
     val stopRatio = dictRatio(tokens(lower(col("text"))), dictCol("en"))
     documents(spark, dir).select(
       col("doc_id"),
@@ -105,8 +115,48 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       (length(col("text")).cast("double") / size(w)).as("mean_tok_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round((lit(1.0) - punctRatio) * 0.5 +
-        least(stopRatio * 10, lit(1.0)) * 0.5, 6).as("quality_score"))
+      qualityScoreCol.as("quality_score"))
+  }
+
+  /** Per-source quality scorecard — the mixture-decision artifact: one
+    * row per source with its document and token mass, token share, the
+    * Gopher-rule keep rate, and the mean composite quality score. This
+    * is the table a curation run reads before setting
+    * `mixture_weights` / `sample_stratified` rates: which sources are
+    * big, which are clean, which the rules would gut.
+    *
+    * Scale shape: ONE corpus scan — [[gopherFlags]] passes the source
+    * column through its projection and the quality score is a pure
+    * column of the same row — folded map-side into a sources-sized
+    * groupBy. The mean quality rides the registry's exact-sum
+    * convention (round-6 doubles cast DECIMAL(27,6), summed exactly,
+    * ONE final division); the share denominators come from a window
+    * over the sources-sized rollup, not a second scan.
+    */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = gopherFlags(documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("source")))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    flagged
+      .select(col("source"), col("keep"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        qualityScoreCol.as("qs"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        sum(col("qs").cast("decimal(27,6)")).as("qsum"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_share"),
+        col("n_gopher_keep"),
+        round(col("n_gopher_keep").cast("double") /
+          col("n_docs").cast("double"), 6).as("gopher_keep_rate"),
+        round(col("qsum").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_quality"))
+      .orderBy(col("source"))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, token-level

@@ -180,6 +180,39 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-source duplication matrix — the "how much does source A
+    * repeat source B" artifact a mixture decision reads next to
+    * [[graft.ext.TextAnalysis.sourceScorecard]]: verified near-dup
+    * pairs ([[nearDupPairs]]) labeled by both endpoints' sources,
+    * rolled up per unordered source pair with the pair count and the
+    * count of distinct documents involved. A heavy off-diagonal cell
+    * means two feeds crawl the same content and their mixture weights
+    * double-count it.
+    *
+    * Scale shape: rides the LSH near-dup pipeline unchanged; the
+    * source labels join on the SPARSE pair ids (two keyed equi-joins,
+    * the label side is (doc_id, source) — never the text), and the
+    * rollup is a source-pair-sized groupBy with map-side combine.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String,
+                          threshold: Double): DataFrame = {
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    nearDupPairs(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")),
+        Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")),
+        Seq("d2"))
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"),
+        col("d1"), col("d2"))
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("doc")).as("n_docs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** [[nearDupPairs]] riding the STANDING dedup index (VERDICT r11 #3):
     * the 80% standing corpus contributes its band rows and shingle sets
     * from the persisted bucketed tables ([[ensureDedupIndex]] — built

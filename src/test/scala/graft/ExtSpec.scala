@@ -710,6 +710,64 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("source scorecard reconciles with the per-doc quality and gopher " +
+    "frames") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.sourceScorecard(spark, dir).collect()
+    val src = TextAnalysis.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = TextAnalysis.quality(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keep = TextAnalysis.gopherRules(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bySrc = q.groupBy(t => src(t._1))
+    assert(got.map(_.getString(0)).toSeq == bySrc.keys.toSeq.sorted)
+    val totalTokens = q.map(_._2).sum
+    got.foreach { row =>
+      val docs = bySrc(row.getString(0))
+      assert(row.getAs[Long]("n_docs") == docs.length.toLong)
+      assert(row.getAs[Long]("n_tokens") == docs.map(_._2).sum)
+      assert(row.getAs[Long]("n_gopher_keep") ==
+        docs.count(t => keep(t._1)).toLong)
+      assert(math.abs(row.getAs[Double]("token_share") -
+        docs.map(_._2).sum.toDouble / totalTokens) < 2e-6)
+      assert(math.abs(row.getAs[Double]("mean_quality") -
+        docs.map(t => BigDecimal(t._3)).sum.toDouble / docs.length) < 2e-6)
+      val rate = row.getAs[Double]("gopher_keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(math.abs(got.map(_.getAs[Double]("token_share")).sum - 1.0)
+      < 1e-4)
+  }
+
+  test("source overlap matrix reconciles with the verified near-dup " +
+    "pairs and their endpoint sources") {
+    val dir = "/root/testdata/sf0.001"
+    val th = 0.5
+    val src = TextDedup.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextDedup.nearDupPairs(spark, dir, th)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCell = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }
+    val got = TextDedup.sourceOverlapMatrix(spark, dir, th).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ==
+      byCell.keySet)
+    got.foreach { row =>
+      val cell = byCell((row.getString(0), row.getString(1)))
+      assert(row.getAs[Long]("n_pairs") == cell.length.toLong)
+      assert(row.getAs[Long]("n_docs") ==
+        cell.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+  }
+
   test("semantic clusters: equal to a driver union-find over the same " +
     "within-cell verified edges, consistent with semanticDedup drops") {
     val dir = "/root/testdata/sf0.001"
