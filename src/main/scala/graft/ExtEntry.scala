@@ -401,6 +401,14 @@ object ExtEntry {
     "corpus_overlap_matrix" -> ((s, dir) =>
       TextDedup.sourceOverlapMatrix(s, dir, threshold = 0.5)),
 
+    // why-0.5 tuning artifact: pair/doc survival per jaccard threshold
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      TextDedup.thresholdSweep(s, dir)),
+
+    // the embedding-space twin, behind semanticDedup's 0.4
+    "semantic_threshold_sweep" -> ((s, dir) =>
+      Similarity.semanticThresholdSweep(s, dir)),
+
     // deterministic ~5%/~5%/~90% test/val/train split, reshard-stable
     "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
 
@@ -2530,6 +2538,46 @@ object ExtEntry {
          |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
          |  FROM cells c LEFT JOIN drops d USING (vec_id))
          |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin,
+
+    // all candidate pairs with their exact jaccard, exploded into the
+    // thresholds each clears; n_pairs = half the exploded doc rows
+    "dedup_threshold_sweep" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |jp AS (SELECT d1, d2,
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+         |      AS jaccard
+         |  FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2),
+         |ex AS (SELECT t AS threshold, doc
+         |  FROM jp, UNNEST([0.3, 0.5, 0.7, 0.9]) AS tt(t),
+         |    UNNEST([d1, d2]) AS u(doc)
+         |  WHERE jaccard >= t)
+         |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |FROM ex GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    // within-cell verified pairs with their exact cosine, exploded into
+    // the thresholds each clears
+    "semantic_threshold_sweep" ->
+      s"""WITH $semanticCellCtes,
+         |spairs AS (SELECT a AS v1, b AS v2
+         |  FROM grp, UNNEST(ids) AS u1(a), UNNEST(ids) AS u2(b)
+         |  WHERE a < b),
+         |cp AS (SELECT v1, v2,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         |    / (e1.nrm * e2.nrm) AS cs
+         |  FROM spairs JOIN v e1 ON e1.vec_id = v1
+         |  JOIN v e2 ON e2.vec_id = v2),
+         |ex AS (SELECT t AS threshold, vec
+         |  FROM cp, UNNEST([0.3, 0.4, 0.6, 0.8]) AS tt(t),
+         |    UNNEST([v1, v2]) AS u(vec)
+         |  WHERE cs >= t)
+         |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT vec) AS BIGINT) AS n_vecs
+         |FROM ex GROUP BY threshold ORDER BY threshold""".stripMargin,
 
     // the gopher chain + the text_quality score expression, rolled up
     // per source; mean quality via the exact DECIMAL(27,6) sum

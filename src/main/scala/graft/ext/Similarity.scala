@@ -540,9 +540,9 @@ object Similarity {
         norm(col("embedding")).as("n1")), Seq("v1"))
       .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2"),
         norm(col("embedding")).as("n2")), Seq("v2"))
-      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
-        threshold)
-      .select(col("v1"), col("v2"))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), col("cos"))
 
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
                     nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
@@ -557,6 +557,33 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cell"),
         not(coalesce(col("dropped"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
+  }
+
+  /** [[TextDedup.thresholdSweep]]'s embedding-space twin — per
+    * candidate cosine threshold, the surviving verified-pair count and
+    * distinct vectors touched, one pass over the within-cell pair
+    * frame computed once at the loosest threshold. The tuning artifact
+    * behind [[semanticDedup]]'s 0.4.
+    */
+  def semanticThresholdSweep(spark: SparkSession, dir: String,
+                             ths: Seq[Double] = Seq(0.3, 0.4, 0.6, 0.8),
+                             nCentroids: Int = 16, iters: Int = 2,
+                             sampleMod: Int = 3,
+                             sampleCap: Int = defaultIvfSampleCap)
+      : DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
+      sampleCap)
+    val thArr = array(ths.sorted.map(lit): _*)
+    semanticPairs(emb, cells, ths.min)
+      .select(explode(filter(thArr, t => col("cos") >= t)).as("threshold"),
+        col("v1"), col("v2"))
+      .select(col("threshold"),
+        explode(array(col("v1"), col("v2"))).as("vec"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("vec")).as("n_vecs"))
+      .orderBy(col("threshold"))
   }
 
   /** Semantic duplicate CLUSTERS — connected components over the

@@ -180,6 +180,31 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Threshold sweep over the verified near-dup pair graph — the
+    * tuning artifact behind "why 0.5": for each candidate threshold,
+    * the surviving pair count and the count of distinct documents
+    * touched, in ONE pass over the pair frame (each pair explodes only
+    * into the thresholds it clears — no per-threshold recompute of the
+    * LSH chain). The knee of n_docs(threshold) is where dedup stops
+    * being near-dup removal and starts being topic collapse. A
+    * threshold no pair clears emits no row (the explode produces
+    * nothing), matching the oracle's WHERE.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     ths: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9))
+      : DataFrame = {
+    val thArr = array(ths.sorted.map(lit): _*)
+    nearDupPairs(spark, dir, ths.min)
+      .select(explode(filter(thArr, t => col("jaccard") >= t))
+        .as("threshold"), col("d1"), col("d2"))
+      .select(col("threshold"),
+        explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("doc")).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Cross-source duplication matrix — the "how much does source A
     * repeat source B" artifact a mixture decision reads next to
     * [[graft.ext.TextAnalysis.sourceScorecard]]: verified near-dup

@@ -710,6 +710,44 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("threshold sweeps: counts fall monotonically with the threshold " +
+    "and reconcile with the pair frames") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = TextDedup.thresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.nonEmpty)
+    assert(sweep.map(_._1).toSeq == sweep.map(_._1).sorted.toSeq)
+    sweep.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) =>
+        assert(p1 >= p2 && d1 >= d2)
+      case _ =>
+    }
+    // each row reconciles with an independent nearDupPairs call at
+    // that exact threshold
+    sweep.foreach { case (t, nPairs, nDocs) =>
+      val pairs = TextDedup.nearDupPairs(spark, dir, t)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(nPairs == pairs.length.toLong, s"threshold $t")
+      assert(nDocs ==
+        pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val sem = Similarity.semanticThresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(sem.nonEmpty)
+    sem.sliding(2).foreach {
+      case Array((_, p1, v1), (_, p2, v2)) =>
+        assert(p1 >= p2 && v1 >= v2)
+      case _ =>
+    }
+    // the 0.4 row agrees with semanticDedup's pair universe: every
+    // dropped vector is among the touched vectors
+    val at04 = sem.find(_._1 == 0.4)
+    assert(at04.isDefined)
+    val dropped = Similarity.semanticDedup(spark, dir, 0.4, 16)
+      .filter(!col("kept")).count()
+    assert(at04.get._3 >= dropped)
+  }
+
   test("source scorecard reconciles with the per-doc quality and gopher " +
     "frames") {
     val dir = "/root/testdata/sf0.001"
