@@ -428,10 +428,13 @@ object TextAnalysis {
     */
   def zipfProfile(spark: SparkSession, dir: String,
                   maxRank: Int = 4096): DataFrame = {
+    // the vocab feeds the totals AND the ranked head — left lazy, the
+    // wordcount pass would run twice; the frame is vocabulary-sized
     val vocab = documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
     val totals = vocab.agg(count(lit(1)).as("vocab_size"),
       sum(col("freq")).as("total_mass"))
     val ranked = vocab
@@ -476,20 +479,27 @@ object TextAnalysis {
     * registry's no-libm bar).
     *
     * Scale shape: the quartile is a scan-local pure function of doc_id;
-    * `occ` is a 4-key map-side-combined count; `first quartile per
-    * token` is the wordcount shuffle (vocabulary key space) folded to 4
-    * rows; the join and windows run on 4 rows. All counts BIGINT-exact;
-    * ratios are single IEEE divisions, rounded.
+    * ONE corpus explode folds map-side into (quarter, token) counts
+    * (≤4× vocabulary keys, checkpointed), and both rollups — per-
+    * quartile occurrences and first-quartile-per-token — are
+    * vocabulary-sized folds of that frame; the join and windows run on
+    * 4 rows. All counts BIGINT-exact; ratios are single IEEE
+    * divisions, rounded.
     */
   def heapsProfile(spark: SparkSession, dir: String): DataFrame = {
     val quart = floor(conv(substring(md5(concat(lit("hp:"),
       col("doc_id").cast("string")).cast("binary")), 1, 1), 16, 10)
       .cast("long") / 4).cast("long")
-    val tok = documents(spark, dir)
+    // ONE corpus explode folded to (quarter, token) counts; both
+    // downstream rollups are vocabulary-sized folds of this frame
+    val tokc = documents(spark, dir)
       .select(quart.as("quarter"), explode(tokens(col("text"))).as("token"))
-    val occ = tok.groupBy(col("quarter"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val newTypes = tok.groupBy(col("token"))
+      .groupBy(col("quarter"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val occ = tokc.groupBy(col("quarter"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+    val newTypes = tokc.groupBy(col("token"))
       .agg(min(col("quarter")).as("first_q"))
       .groupBy(col("first_q")).agg(count(lit(1)).as("n_new_types"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("quarter"))
@@ -571,8 +581,11 @@ object TextAnalysis {
                    k: Int = 50): DataFrame = {
     val docs = documents(spark, dir)
       .select(tokens(col("text")).as("w"))
+    // the unigram model feeds TWO broadcast probes and the total — left
+    // lazy, the wordcount pass would run three times
     val uni = docs.select(explode(col("w")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = uni.agg(sum(col("cnt")).as("n_total"))
     val pairs = docs
       .filter(size(col("w")) >= 2)
