@@ -372,6 +372,70 @@ object StreamingCuration {
       .drop("_evp")
   }
 
+  case class SrcCounts(source: String, n_docs: Long, n_tokens: Long,
+                       n_gopher_keep: Long, q_micro: Long)
+
+  /** Running per-source counters behind the live scorecard — all four
+    * are commutative sums, so the standing row converges to the batch
+    * rollup whatever the arrival order. The quality mass rides as
+    * MICRO-units (the round-6 score × 1e6 is an exact integer), the
+    * streaming mirror of the batch DECIMAL(27,6) exact-sum convention.
+    */
+  class ScorecardProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SrcCounts, SrcCounts] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var acc: ValueState[SrcCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SrcCounts]("scorecard",
+        org.apache.spark.sql.Encoders.product[SrcCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SrcCounts],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SrcCounts] = {
+      var s = if (acc.exists()) acc.get()
+        else SrcCounts(key, 0L, 0L, 0L, 0L)
+      rows.foreach { r =>
+        s = SrcCounts(key, s.n_docs + r.n_docs, s.n_tokens + r.n_tokens,
+          s.n_gopher_keep + r.n_gopher_keep, s.q_micro + r.q_micro)
+      }
+      acc.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** Document stream → the live per-source scorecard
+    * ([[graft.ext.TextAnalysis.sourceScorecard]]'s twin): each batch
+    * emits the UPDATED standing counters of every touched source — a
+    * refresh stream keyed by source. `mean_quality` and the keep rate
+    * are derived from the counters downstream
+    * (`q_micro / 1e6 / n_docs`); the batch query's `token_share`
+    * denominator is a cross-source total, so it stays a one-row
+    * division over the latest emitted rows rather than state.
+    *
+    * Scale shape: the gopher flags and quality score are scan-local
+    * columns of the arriving row; the per-batch pre-fold
+    * (groupBy source inside the micro-batch) happens in
+    * [[ScorecardProcessor]]'s iterator drain — state is four longs per
+    * source, emissions one row per touched source per batch.
+    */
+  def scorecardStream(docs: DataFrame): Dataset[SrcCounts] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    graft.ext.TextAnalysis.gopherFlags(docs
+        .select(col("doc_id"), col("lang"), col("text"), col("source")))
+      .select(col("source"), lit(1L).as("n_docs"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        when(col("keep"), 1L).otherwise(0L).as("n_gopher_keep"),
+        round(graft.ext.TextAnalysis.qualityScoreCol * 1000000.0, 0)
+          .cast("long").as("q_micro"))
+      .as[SrcCounts]
+      .groupByKey(_.source)
+      .transformWithState(new ScorecardProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class DocPri(doc_id: Long, n_tokens: Long, draw: Long, pkey: Long)
 
   private val priOrd: Ordering[DocPri] =

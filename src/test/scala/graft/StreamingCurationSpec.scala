@@ -540,6 +540,45 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming scorecard counters converge to the batch scorecard " +
+    "whatever the batch split") {
+    import StreamingCuration.SrcCounts
+    val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val expected = graft.ext.TextAnalysis
+      .sourceScorecard(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_gopher_keep"),
+        r.getAs[Double]("mean_quality"))).toMap
+
+    val input = MemoryStream[(Long, String, String, String)](45, spark, None)
+    val q = StreamingCuration.scorecardStream(
+      input.toDF().toDF("doc_id", "lang", "text", "source"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_scorecard").start()
+    try {
+      new scala.util.Random(11).shuffle(docs).grouped(137).foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+      // counters are monotone: the standing row per source is the max
+      val fin = spark.table("graft_stream_scorecard").as[SrcCounts]
+        .collect().groupBy(_.source).map { case (s, rows) =>
+          s -> rows.maxBy(_.n_docs)
+        }
+      assert(fin.keySet == expected.keySet)
+      fin.foreach { case (s, c) =>
+        val (nd, nt, nk, mq) = expected(s)
+        assert(c.n_docs == nd && c.n_tokens == nt && c.n_gopher_keep == nk,
+          s"source $s")
+        assert(math.abs(c.q_micro.toDouble / 1e6 / c.n_docs - mq) < 1e-6,
+          s"source $s quality")
+      }
+    } finally q.stop()
+  }
+
   test("property (seeded): priorityTop equals the sort-dedupe-take " +
     "reference and merges associatively") {
     import StreamingCuration.DocPri
