@@ -124,4 +124,38 @@ object StreamingSimilarity {
     }
     fire
   }
+
+  /** The QUERY-side serving loop — the other direction of the one-index
+    * contract: a stream of caller query vectors (qid, qe) runs each
+    * micro-batch through [[Similarity.ivfIndexedTopK]]'s external-frame
+    * form against the SAME standing index the admission loops append
+    * into, and hands each batch's (qid, cid, rank, sim) result frame to
+    * `sink` (the serving callback — a keyed upsert, an in-memory table,
+    * a parquet append). A query arriving after an admitted vector's
+    * batch sees that vector; interleaved batch searches see the same
+    * world — one index, not a state-store copy.
+    *
+    * Same foreachBatch shape as the admission loops, and the search is
+    * PURE (no index mutation), so replay after a crash merely re-emits
+    * a batch's results — the sink owns dedup, which a qid-keyed upsert
+    * gets for free. Scale: per batch the probe work is
+    * queries × nProbe cells; the corpus-side cost stays the persisted
+    * posting-list scan of the probed cells, exactly the batch plan.
+    */
+  def startIvfSearchStream(spark: SparkSession, dir: String,
+                           queries: DataFrame, checkpoint: String,
+                           nQueries: Int, nCentroids: Int, nProbe: Int,
+                           k: Int)(sink: DataFrame => Unit): StreamingQuery = {
+    Similarity.ensureIvfIndex(spark, dir, nQueries, nCentroids)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(Similarity.ivfIndexedTopK(spark, dir, batch, nQueries,
+            nCentroids, nProbe, k, iters = 2, sampleMod = 3,
+            sampleCap = Similarity.defaultIvfSampleCap))
+        ()
+      }
+      .start()
+  }
 }

@@ -104,6 +104,43 @@ class IvfIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("streamed queries search the standing index and emit exactly " +
+    "the batch external-form results") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    purge()
+    try {
+      val panel = Similarity.externalQueryPanel(spark, dir, nPanel = 5)
+      val expected = rows(Similarity.ivfIndexedTopK(spark, dir, panel,
+        nQueries = 10, nCentroids = 16, nProbe = 4, k = 3,
+        iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap))
+      val panelRows = panel.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val ckpt = Files.createTempDirectory("graft_ivf_q_ckpt").toString
+      val emitted = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      val input = MemoryStream[(Long, Seq[Double])](94, spark, None)
+      val q = graft.streaming.StreamingSimilarity.startIvfSearchStream(
+        spark, dir, input.toDF().toDF("qid", "qe"), ckpt,
+        nQueries = 10, nCentroids = 16, nProbe = 4, k = 3) { res =>
+        emitted.synchronized { emitted ++= res.collect().map(_.toSeq) }
+      }
+      try {
+        // two micro-batches: the serving loop is per-batch pure
+        input.addData(panelRows.take(2))
+        q.processAllAvailable()
+        input.addData(panelRows.drop(2))
+        q.processAllAvailable()
+        val got = emitted.synchronized(emitted.toSeq)
+          .sortBy(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+        assert(got == expected.sortBy(r =>
+          (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])),
+          s"streamed results diverged: $got vs $expected")
+      } finally q.stop()
+    } finally purge()
+  }
+
   test("indexed hard-negative mining at nProbe = nCentroids equals the " +
     "brute-force form; partial probes stay label-disjoint") {
     purge()
