@@ -158,4 +158,27 @@ object StreamingSimilarity {
       }
       .start()
   }
+
+  /** The PQ sibling of [[startIvfSearchStream]]: streamed query vectors
+    * build their per-query LUT against the frozen codebooks and ADC-scan
+    * the standing codes table — the same pure-search / sink-owns-dedup
+    * contract, with [[Pq.pqIndexedTopK]]'s external form doing the work.
+    */
+  def startPqSearchStream(spark: SparkSession, dir: String,
+                          queries: DataFrame, checkpoint: String,
+                          nQueries: Int, k: Int, rescoreFactor: Int = 4)
+                         (sink: DataFrame => Unit): StreamingQuery = {
+    Pq.ensurePqIndex(spark, dir, nQueries)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(Pq.pqIndexedTopK(spark, dir, batch, nQueries, k,
+            nSub = 8, kSub = 16, iters = 2, sampleMod = 3,
+            sampleCap = Similarity.defaultIvfSampleCap,
+            rescoreFactor = rescoreFactor))
+        ()
+      }
+      .start()
+  }
 }

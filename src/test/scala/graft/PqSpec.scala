@@ -194,6 +194,41 @@ class PqSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("streamed queries ADC-search the standing codes index and emit " +
+    "exactly the batch external-form results") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    purgeIdx()
+    try {
+      val panel = Similarity.externalQueryPanel(spark, dir, nPanel = 4)
+      val expected = Pq.pqIndexedTopK(spark, dir, panel, nQueries = 10,
+        k = 3, nSub = 8, kSub = 16, iters = 2, sampleMod = 3,
+        sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = 4)
+        .collect().toSeq.map(_.toSeq)
+      val panelRows = panel.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val ckpt = Files.createTempDirectory("graft_pq_q_ckpt").toString
+      val emitted = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      val input = MemoryStream[(Long, Seq[Double])](95, spark, None)
+      val q = graft.streaming.StreamingSimilarity.startPqSearchStream(
+        spark, dir, input.toDF().toDF("qid", "qe"), ckpt,
+        nQueries = 10, k = 3) { res =>
+        emitted.synchronized { emitted ++= res.collect().map(_.toSeq) }
+      }
+      try {
+        input.addData(panelRows.take(2))
+        q.processAllAvailable()
+        input.addData(panelRows.drop(2))
+        q.processAllAvailable()
+        val ord = (r: Seq[Any]) =>
+          (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])
+        assert(emitted.synchronized(emitted.toSeq).sortBy(ord) ==
+          expected.sortBy(ord))
+      } finally q.stop()
+    } finally purgeIdx()
+  }
+
   test("catalog loss reattaches the surviving PQ tables; results " +
     "unchanged") {
     purgeIdx()
