@@ -812,10 +812,12 @@ object Curation {
     * its shape (TakeOrderedAndProject, no shuffle, no window) on the
     * REAL construction.
     */
-  /** The priority-sampling projection — (doc_id, n_tokens, draw, pkey,
-    * priority_raw) as pure functions of (doc_id, text), shared verbatim
-    * by the batch query and the streaming twin
-    * ([[graft.streaming.StreamingCuration.prioritySampleStream]]).
+  /** The priority-sampling projection — (doc_id, n_tokens, draw) as
+    * pure functions of (doc_id, text), shared verbatim by the batch
+    * query and the streaming twin
+    * ([[graft.streaming.StreamingCuration.prioritySampleStream]]);
+    * both derive the BIGINT `pkey` from these with the same
+    * `(draw * 2^20) div n_tokens` expression.
     */
   private[graft] def priorityColumns: Seq[org.apache.spark.sql.Column] = {
     // 32-bit draw in [1, 2^32]: zero excluded so w/u and the key are
