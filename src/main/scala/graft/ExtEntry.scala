@@ -439,6 +439,11 @@ object ExtEntry {
     // per-doc top-k ratio-TF-IDF keywords (documented no-log deviation)
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir, k = 5)),
 
+    // the lmBuckets 100 TB deployment shape: sketch cutoffs, no
+    // per-language sort; error bound asserted as oracle-TRUE booleans
+    "text_lm_buckets_approx" -> ((s, dir) =>
+      TextAnalysis.lmBucketsApprox(s, dir)),
+
     // sliding context-window chunking (HF stride convention)
     "chunk_windows" -> ((s, dir) => TextAnalysis.chunkWindows(s, dir)),
 
@@ -1959,6 +1964,15 @@ object ExtEntry {
       """SELECT t AS token, count(*) AS freq
         |FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
         |GROUP BY t ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    // sketch cutoffs have no cross-engine twin: the registered query
+    // asserts the ±5%-rank bucket-size bound as booleans (the
+    // agg_approx_percentile pattern); lang masses stay exact
+    "text_lm_buckets_approx" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS head_within_rank_eps, TRUE AS middle_within_rank_eps,
+        |  TRUE AS tail_within_rank_eps
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // score = tf·(N/df) in the engine's fixed operation order — one
     // division, one multiply, exact BIGINT inputs; ranks tie on token

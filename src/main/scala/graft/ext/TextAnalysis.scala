@@ -978,18 +978,23 @@ object TextAnalysis {
     * doc_id shuffle. The tertile needs a per-language rank — a per-lang
     * sort of DOC SCORES (not tokens). At 100 TB the exact rank becomes
     * the bottleneck and the deployment shape swaps in approx-percentile
-    * cutoffs over the score histogram (the `agg_sketch_rollup` pattern:
-    * one pass, no global sort, error confined to the bucket boundary);
-    * the registered query keeps the exact form the oracle can replay.
+    * cutoffs over the score histogram — that shape IS shipped as
+    * [[lmBucketsApprox]] (`text_lm_buckets_approx`, error-bound
+    * oracle); the registered query here keeps the exact form the
+    * oracle can replay hash-exactly.
     */
-  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-document LM-score chain of [[lmBuckets]] and
+    * [[lmBucketsApprox]]: one (lang, token) wordcount, per-lang models
+    * broadcast, one doc-keyed fold → (doc_id, lang, n_tokens, score).
+    */
+  private def lmPerDocScores(spark: SparkSession, dir: String): DataFrame = {
     val toks = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("token"))
     val model = toks.groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))
     val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("total"))
-    val perDoc = toks.join(broadcast(model), Seq("lang", "token"))
+    toks.join(broadcast(model), Seq("lang", "token"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
       .join(broadcast(totals), Seq("lang"))
@@ -1001,6 +1006,10 @@ object TextAnalysis {
       .withColumn("score",
         col("sum_cnt").cast("double") /
           (col("n_tokens").cast("double") * col("total").cast("double")))
+  }
+
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = lmPerDocScores(spark, dir)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)
     val wLang = org.apache.spark.sql.expressions.Window
@@ -1014,6 +1023,52 @@ object TextAnalysis {
           .when(col("lm_rank") * 3 <= col("n_docs") * 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The 100 TB deployment shape [[lmBuckets]]' scaladoc promises:
+    * tertile CUTOFFS from a per-language quantile sketch
+    * (`approx_percentile`, one pass, no per-language sort) instead of
+    * the exact rank — at corpus scale the per-lang rank window is the
+    * bottleneck, while the sketch is a map-side-mergeable aggregate;
+    * each doc then buckets by comparing its score to the broadcast
+    * cutoffs, scan-local.
+    *
+    * Oracle contract (the `agg_approx_percentile` pattern — a sketch
+    * has no cross-engine twin, so the registered query asserts its
+    * ERROR BOUND as booleans the oracle expects TRUE): per language,
+    * each approx bucket's size must sit within the exact tertile
+    * ± 5%-rank (plus one for the floor) — accuracy 1000 gives ≤0.1%
+    * rank error, so the window holds with room for boundary ties.
+    */
+  def lmBucketsApprox(spark: SparkSession, dir: String,
+                      accuracy: Int = 1000): DataFrame = {
+    val perDoc = lmPerDocScores(spark, dir).localCheckpoint(true)
+    val cuts = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_percentile(col("score"), lit(2.0 / 3.0), lit(accuracy))
+          .as("c_head"),
+        approx_percentile(col("score"), lit(1.0 / 3.0), lit(accuracy))
+          .as("c_mid"))
+    val eps = col("n_docs").cast("double") * 0.05 + 1.0
+    val third = col("n_docs").cast("double") / 3.0
+    perDoc.join(broadcast(cuts), Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        when(col("score") >= col("c_head"), "head")
+          .when(col("score") >= col("c_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("nh"),
+        sum(when(col("bucket") === "middle", 1L).otherwise(0L)).as("nm"),
+        sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("nt"))
+      .select(col("lang"), col("n_docs"),
+        (abs(col("nh").cast("double") - third) <= eps)
+          .as("head_within_rank_eps"),
+        (abs(col("nm").cast("double") - third) <= eps)
+          .as("middle_within_rank_eps"),
+        (abs(col("nt").cast("double") - third) <= eps)
+          .as("tail_within_rank_eps"))
+      .orderBy(col("lang"))
   }
 
   /** Fingerprints: md5 of the whitespace-normalized text plus the minimum

@@ -710,6 +710,20 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("approx lm buckets: every language's sketch-cutoff bucket sizes " +
+    "sit inside the rank-eps window; langs match the exact form") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = TextAnalysis.lmBucketsApprox(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"lang ${r.getString(0)} bucket sizes outside the eps window")
+    }
+    val exactLangs = TextAnalysis.lmBuckets(spark, dir)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(approx.map(_.getString(0)).toSet == exactLangs)
+  }
+
   test("threshold sweeps: counts fall monotonically with the threshold " +
     "and reconcile with the pair frames") {
     val dir = "/root/testdata/sf0.001"
