@@ -507,6 +507,10 @@ object ExtEntry {
     // rank via the distributed block prefix sum (never one task/shard)
     "layout_shuffle" -> ((s, dir) => Layout.shuffleLayout(s, dir)),
 
+    // stratified source interleave: every prefix of the training order
+    // stays within ±1 doc per source of exact proportionality
+    "layout_interleave" -> ((s, dir) => Layout.interleaveLayout(s, dir)),
+
     // annealing order: quality tertiles phase the shuffle so each
     // shard reads its highest-quality docs LAST (mid-training recipe)
     "layout_curriculum" -> ((s, dir) => Layout.curriculumLayout(s, dir)),
@@ -2887,6 +2891,28 @@ object ExtEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |  CAST(pos AS BIGINT) AS pos
         |FROM c ORDER BY shard, pos, doc_id""".stripMargin,
+
+    // per-source hash-order ranks (the layout_shuffle window reference
+    // for the engine's block prefix sum), stride positions as the same
+    // fixed-order double ops, doc_id tie-break
+    "layout_interleave" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    CAST(concat('0x',
+        |      substr(md5(concat('s42:', doc_id)), 1, 13)) AS BIGINT)
+        |      AS hkey
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, hkey,
+        |    CAST(count(*) OVER (PARTITION BY source ORDER BY hkey)
+        |      AS BIGINT) AS src_rank
+        |  FROM k),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT doc_id, source, src_rank,
+        |  round(CAST(src_rank * 2 - 1 AS DOUBLE) *
+        |    (CAST(n_total AS DOUBLE) / CAST(n_src AS DOUBLE)), 6) AS ipos
+        |FROM r JOIN s USING (source), t
+        |ORDER BY ipos, doc_id""".stripMargin,
 
     // quality-banded shuffle: the text_quality score expression, exact
     // cumulative-count bands via cross-multiplied integer comparisons,

@@ -201,4 +201,50 @@ object Layout {
         col("cum").as("pos"))
       .orderBy(col("shard"), col("pos"), col("doc_id"))
   }
+
+  /** Stratified source interleave — the training order in which a
+    * reader sees every source at its corpus share THROUGHOUT the
+    * epoch, not just in aggregate: source `s`'s `r`-th doc (in
+    * deterministic hash order) lands at interleave position
+    * `(2r−1)·N / n_s` — the classic stride placement, which keeps
+    * every prefix of the stream within ±1 doc per source of exact
+    * proportionality. [[shuffleLayout]] randomizes WHICH doc comes
+    * next; this fixes HOW OFTEN each source comes up — the
+    * "homogenized mixture" a loss curve wants when sources differ in
+    * quality (no mid-epoch distribution shift).
+    *
+    * Determinism contract: the position is two exactly-rounded IEEE
+    * ops on exact integers (`(2r−1) · (N/n_s)` in fixed order) — both
+    * engines produce the identical double, and the output order
+    * tie-breaks on doc_id, so the layout is reproducible across
+    * engines, retries, and reshards like the rest of the family.
+    *
+    * Scale shape: per-source ranks ride the same
+    * [[graft.ops.Analytics.blockedCumCount]] distributed prefix sum as
+    * [[shuffleLayout]] (a hot source never serializes through one
+    * task); source sizes are a sources-sized fold broadcast back. The
+    * prescribed physical write is `repartitionByRange(ipos)` +
+    * `sortWithinPartitions`, one range shuffle.
+    */
+  def interleaveLayout(spark: SparkSession, dir: String,
+                       salt: String = "s42"): DataFrame = {
+    val h = md5(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
+    val keyed = Ingest.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        conv(substring(h, 1, 13), 16, 10).cast("long").as("hkey"))
+    val grid = keyed.groupBy(col("source"), col("hkey"))
+      .agg(count(lit(1)).as("c"))
+    val ranks = graft.ops.Analytics.blockedCumCount(grid, Seq("source"),
+      "hkey", "c")
+    val sizes = ranks.groupBy(col("source")).agg(max(col("cum")).as("n_src"))
+    val total = sizes.agg(sum(col("n_src")).as("n_total"))
+    ranks.join(keyed, Seq("source", "hkey"))
+      .join(broadcast(sizes), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"), col("cum").as("src_rank"),
+        round((col("cum") * 2L - 1L).cast("double") *
+          (col("n_total").cast("double") / col("n_src").cast("double")), 6)
+          .as("ipos"))
+      .orderBy(col("ipos"), col("doc_id"))
+  }
 }

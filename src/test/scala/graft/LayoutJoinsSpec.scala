@@ -104,6 +104,41 @@ class LayoutJoinsSpec extends SparkTestBase {
     assert(flat.toSeq == plain.toSeq)
   }
 
+  test("interleave layout: every prefix of the order stays within a " +
+    "couple of docs per source of exact proportionality") {
+    val rows = Layout.interleaveLayout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val n = rows.length
+    assert(n > 0)
+    val nSrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // ipos nondecreasing down the emitted order
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+    // stride placement: every prefix is proportional to within ±2 docs
+    // per source (the interleave's whole point: no mid-epoch shift)
+    Seq(n / 7, n / 3, n / 2, 2 * n / 3, n - 1).foreach { cut =>
+      val pref = rows.take(cut).groupBy(_._2).view.mapValues(_.length)
+      nSrc.foreach { case (s, total) =>
+        val expect = cut.toDouble * total / n
+        val got = pref.getOrElse(s, 0)
+        assert(math.abs(got - expect) <= 2.0,
+          s"source $s at prefix $cut: $got vs $expect")
+      }
+    }
+    // per-source ranks are the dense sequence 1..n_src in emitted order
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).toSeq == (1L to rs.length).toSeq, s)
+    }
+    // deterministic: a second invocation is byte-identical
+    val again = Layout.interleaveLayout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("zorder manifest files have narrower time extents than range files") {
     val m = Layout.zOrderManifest(spark, sf).collect()
     val zSpans = m.filter(_.getString(0) == "zorder").map(_.getLong(7))
