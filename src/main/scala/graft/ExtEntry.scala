@@ -430,6 +430,10 @@ object ExtEntry {
       Similarity.semanticClusters(s, dir, threshold = 0.4,
         nCentroids = 16)),
 
+    // label x label-centroid mean-cosine matrix — the linear-probe
+    // sanity check; exact micro-int centroids, DECIMAL mean sims
+    "emb_class_sep" -> ((s, dir) => Similarity.classSeparation(s, dir)),
+
     // word2phrase collocation mining: lift-ranked adjacent pairs (lift
     // order = PMI order, no ln) — the phrase-candidate table a
     // tokenizer build reads
@@ -2650,6 +2654,39 @@ object ExtEntry {
          |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
          |FROM ex GROUP BY source_a, source_b
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // the trainIvfCentroids micro-int quantization, distributed:
+    // exact per-dim BIGINT sums -> one rounded division per component;
+    // mean sims via the round-6 DECIMAL(27,6) exact-sum convention
+    "emb_class_sep" ->
+      """WITH qd AS (SELECT label, i,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS g(i)),
+        |cd AS (SELECT label, i,
+        |    floor(sum(v) / count(*) + 0.5) / 1000000.0 AS c
+        |  FROM qd GROUP BY label, i),
+        |cent AS (SELECT label AS clabel, array_agg(c ORDER BY i) AS cemb
+        |  FROM cd GROUP BY label),
+        |cn AS (SELECT clabel, cemb,
+        |    sqrt(list_sum(list_transform(cemb, x -> x * x))) AS cnorm
+        |  FROM cent),
+        |v AS (SELECT label, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |      AS en
+        |  FROM embeddings),
+        |sims AS (SELECT v.label, cn.clabel,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(v.embedding[i] AS DOUBLE) * cemb[i]))
+        |      / (v.en * cn.cnorm), 6) AS sim
+        |  FROM v, cn)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(clabel AS BIGINT) AS clabel,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(CAST(sim AS DECIMAL(27,6))) AS DOUBLE) / count(*),
+        |    6) AS mean_sim,
+        |  label = clabel AS is_self
+        |FROM sims GROUP BY label, clabel ORDER BY label, clabel""".stripMargin,
 
     // same trained cells + verified pairs as dedup_semantic, closed
     // into components by the dedup_cluster recursive reachability

@@ -612,6 +612,55 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** Label-separability audit — the linear-probe sanity check an
+    * embedding table gets before anyone trains on its labels: the
+    * full label × label-centroid mean-cosine matrix. A healthy
+    * labeling shows the `is_self` diagonal dominating every off-
+    * diagonal cell of its row; a label whose row is flat is not
+    * separable in this embedding space, and its best confusable
+    * neighbor is the row's off-diagonal argmax.
+    *
+    * Exactness: centroids use [[trainIvfCentroids]]' micro-int
+    * quantization, but DISTRIBUTED — per-dimension EXACT BIGINT sums
+    * (one corpus×64 map-side-combined fold to labels×64 keys), one
+    * exactly-rounded division + floor per component; per-cell mean
+    * similarity rides the registry's round-6 → DECIMAL(27,6) exact-sum
+    * convention. Labels are bounded, so the centroid panel broadcasts
+    * and the matrix fold is labels²-sized.
+    */
+  def classSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val cents = embeddings(spark, dir)
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+        .as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (floor(col("s").cast("double") / col("n").cast("double") + 0.5) /
+          1e6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cemb"))
+      .select(col("label").as("clabel"), col("cemb"),
+        norm(col("cemb")).as("cn"))
+    embeddings(spark, dir)
+      .select(col("label"), col("embedding"),
+        norm(col("embedding")).as("en"))
+      .crossJoin(broadcast(cents))
+      .select(col("label"), col("clabel"),
+        round(dot(col("embedding"), col("cemb")) / (col("en") * col("cn")),
+          6).as("sim"))
+      .groupBy(col("label"), col("clabel"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sim").cast("decimal(27,6)")).as("ssum"))
+      .select(col("label").cast("long").as("label"),
+        col("clabel").cast("long").as("clabel"), col("n_vecs"),
+        round(col("ssum").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_sim"),
+        (col("label") === col("clabel")).as("is_self"))
+      .orderBy(col("label"), col("clabel"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * blocking column stands in for any coarse partitioner — at scale the
     * all-pairs join happens only within blocks).

@@ -820,6 +820,46 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("class separation: full label matrix, constant row mass, and " +
+    "cells match a driver centroid recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.classSeparation(spark, dir).collect()
+    val emb = Similarity.embeddings(spark, dir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).map(_.toDouble)))
+    val labels = emb.map(_._1).distinct.sorted
+    assert(got.length == labels.length * labels.length)
+    // n_vecs in every (label, *) cell is that label's member count
+    val sizes = emb.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == sizes(r.getLong(0)))
+      assert(r.getAs[Boolean]("is_self") == (r.getLong(0) == r.getLong(1)))
+      assert(r.getAs[Double]("mean_sim") <= 1.0 + 1e-9)
+    }
+    // driver reference: micro-int centroids, mean cosine per cell
+    val cents = emb.groupBy(_._1).view.mapValues { vs =>
+      val dims = vs.head._2.length
+      (0 until dims).map { i =>
+        val s = vs.map(v => math.floor(v._2(i) * 1e6 + 0.5)).sum
+        math.floor(s / vs.size + 0.5) / 1e6
+      }
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { r =>
+      val members = emb.filter(_._1 == r.getLong(0)).map(_._2)
+      val c = cents(r.getLong(1))
+      val ref = members.map(m =>
+        BigDecimal(cos(m, c)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / members.size
+      assert(math.abs(r.getAs[Double]("mean_sim") - ref) < 2e-6,
+        s"cell (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("semantic clusters: equal to a driver union-find over the same " +
     "within-cell verified edges, consistent with semanticDedup drops") {
     val dir = "/root/testdata/sf0.001"
