@@ -448,6 +448,10 @@ object ExtEntry {
     "text_lm_buckets_approx" -> ((s, dir) =>
       TextAnalysis.lmBucketsApprox(s, dir)),
 
+    // bigram conditional-probability scoring — the rung above
+    // text_unigram_lm; exact BIGINT ratios, DECIMAL mean, no ln
+    "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
+
     // sliding context-window chunking (HF stride convention)
     "chunk_windows" -> ((s, dir) => TextAnalysis.chunkWindows(s, dir)),
 
@@ -1972,6 +1976,33 @@ object ExtEntry {
       """SELECT t AS token, count(*) AS freq
         |FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(t)
         |GROUP BY t ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    // transitions explode once; p = exact BIGINT ratio rounded 6, mean
+    // via the DECIMAL(27,6) exact sum; rare compare is integer
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM t GROUP BY w1, w2),
+        |lf AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a
+        |  FROM big GROUP BY w1),
+        |sc AS (SELECT doc_id,
+        |    round(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p,
+        |    n_ab, n_a
+        |  FROM t JOIN big USING (w1, w2) JOIN lf USING (w1)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |    sum(CAST(p AS DECIMAL(27,6))) AS psum,
+        |    min(p) AS min_p,
+        |    CAST(sum(CASE WHEN n_ab * 100 < n_a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rare
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_trans,
+        |  round(CAST(psum AS DOUBLE) / CAST(n_trans AS DOUBLE), 6)
+        |    AS mean_p,
+        |  min_p, n_rare
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // sketch cutoffs have no cross-engine twin: the registered query
     // asserts the ±5%-rank bucket-size bound as booleans (the

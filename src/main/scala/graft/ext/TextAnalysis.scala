@@ -965,6 +965,63 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram LM scoring — the next rung above [[unigramLm]]: per
+    * document, the arithmetic mean of the conditional probabilities
+    * p(w_i | w_{i-1}) = cnt(w_{i-1} w_i) / cnt(w_{i-1}·), each an
+    * EXACT BIGINT ratio (same no-`ln` policy as [[unigramLm]]: the
+    * registry's bar is hash-exact oracles, so the score is the
+    * arithmetic — not geometric — mean), plus the minimum conditional
+    * probability (the most surprising transition) and the count of
+    * rare transitions (p < 1/100). Fluent running text scores high;
+    * shuffled or template text scores low even when [[unigramLm]]
+    * likes its vocabulary — this is the signal the bigram rung adds.
+    *
+    * The conditioning denominator is the count of the PRECEDING word
+    * as a bigram-left (= occurrences not at document end), so the
+    * probabilities per left-word sum to exactly 1 over the observed
+    * follower set — a true conditional model of the corpus.
+    *
+    * Scale shape: one corpus pass folds bigram counts (observed-bigram
+    * key space, map-side combined) and left-counts derive from the
+    * same frame; both broadcast (bigram vocabulary is the larger — at
+    * a 100 TB corpus the probe becomes a shuffled hash join on the
+    * pair key, plan change, same semantics); the scoring pass explodes
+    * transitions once and folds per doc_id. Mean = round-6 ratios
+    * summed as DECIMAL(27,6), ONE final division.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val trans = documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+      .select(col("doc_id"), col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    val big = trans.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // feeds the model AND the left-counts
+    val lefts = big.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    trans
+      .join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(lefts), Seq("w1"))
+      .select(col("doc_id"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("p"),
+        col("n_ab"), col("n_a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("p").cast("decimal(27,6)")).as("psum"),
+        min(col("p")).as("min_p"),
+        sum(when(col("n_ab") * 100L < col("n_a"), 1L).otherwise(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_trans"),
+        round(col("psum").cast("double") / col("n_trans").cast("double"),
+          6).as("mean_p"),
+        col("min_p"), col("n_rare"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style LM quality buckets (Wenzek et al. 2020 §4.3): score
     * every document under ITS OWN language's corpus unigram LM, then
     * split each language into head / middle / tail TERTILES by score —

@@ -710,6 +710,38 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("bigram lm: conditionals sum to one per left word and doc " +
+    "scores match a driver reference") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = TextAnalysis.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val trans = docs.flatMap { case (d, w) =>
+      if (w.length >= 2) w.zip(w.tail).map(p => (d, p)) else Seq.empty
+    }
+    val big = trans.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val lefts = big.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    // a true conditional model: per left word the follower masses
+    // exhaust the denominator
+    lefts.foreach { case (a, na) =>
+      assert(big.collect { case ((l, _), c) if l == a => c }.sum == na)
+    }
+    val got = TextAnalysis.bigramLm(spark, dir).collect()
+    val byDoc = trans.groupBy(_._1)
+    assert(got.map(_.getLong(0)).toSet == byDoc.keySet)
+    got.foreach { r =>
+      val ps = byDoc(r.getLong(0)).map { case (_, p) =>
+        BigDecimal(big(p).toDouble / lefts(p._1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      assert(r.getAs[Long]("n_trans") == ps.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_p") -
+        ps.sum.toDouble / ps.length) < 2e-6)
+      assert(math.abs(r.getAs[Double]("min_p") - ps.min.toDouble) < 2e-6)
+    }
+  }
+
   test("approx lm buckets: every language's sketch-cutoff bucket sizes " +
     "sit inside the rank-eps window; langs match the exact form") {
     val dir = "/root/testdata/sf0.001"
