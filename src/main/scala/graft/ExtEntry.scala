@@ -1999,8 +1999,8 @@ object ExtEntry {
         |      AS BIGINT) AS n_rare
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_trans,
-        |  round(CAST(psum AS DOUBLE) / CAST(n_trans AS DOUBLE), 6)
-        |    AS mean_p,
+        |  CAST(CAST(psum * 1000000 AS BIGINT) * 1000 // n_trans AS DOUBLE)
+        |    / 1000000000.0 AS mean_p,
         |  min_p, n_rare
         |FROM agg ORDER BY doc_id""".stripMargin,
 

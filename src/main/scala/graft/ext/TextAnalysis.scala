@@ -987,7 +987,10 @@ object TextAnalysis {
     * a 100 TB corpus the probe becomes a shuffled hash join on the
     * pair key, plan change, same semantics); the scoring pass explodes
     * transitions once and folds per doc_id. Mean = round-6 ratios
-    * summed as DECIMAL(27,6), ONE final division.
+    * summed as DECIMAL(27,6), then a BIGINT floor division into
+    * nano-units — no round() of a quotient anywhere (see the inline
+    * note: psum/n terminates on half-way decimals that Spark and
+    * DuckDB round apart).
     */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     val trans = documents(spark, dir)
@@ -1016,8 +1019,15 @@ object TextAnalysis {
         sum(when(col("n_ab") * 100L < col("n_a"), 1L).otherwise(0L))
           .as("n_rare"))
       .select(col("doc_id"), col("n_trans"),
-        round(col("psum").cast("double") / col("n_trans").cast("double"),
-          6).as("mean_p"),
+        // NO round() anywhere near this mean: psum/n is a terminating
+        // decimal for many n, and round() of a half-way double splits
+        // between Spark (shortest-decimal HALF_UP) and DuckDB (scaled-
+        // double) — sf0.01 hit it at BOTH 6 and 9 digits. Instead the
+        // mean is computed in integer NANO-units with BIGINT floor
+        // division (truncation, bit-identical by construction) and one
+        // exactly-rounded /1e9 conversion.
+        (expr("(cast(psum * 1000000 as bigint) * 1000L) div n_trans")
+          .cast("double") / lit(1e9)).as("mean_p"),
         col("min_p"), col("n_rare"))
       .orderBy(col("doc_id"))
   }
