@@ -2661,8 +2661,8 @@ object ExtEntry {
          |  n_gopher_keep,
          |  round(CAST(n_gopher_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
          |    AS gopher_keep_rate,
-         |  round(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-         |    AS mean_quality
+         |  CAST(CAST(qsum * 1000000 AS BIGINT) * 1000 // n_docs AS DOUBLE)
+         |    / 1000000000.0 AS mean_quality
          |FROM agg, tot ORDER BY source""".stripMargin,
 
     // the verified near-dup pairs labeled by both endpoints' sources,

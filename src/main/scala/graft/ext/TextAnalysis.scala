@@ -154,8 +154,12 @@ object TextAnalysis {
         col("n_gopher_keep"),
         round(col("n_gopher_keep").cast("double") /
           col("n_docs").cast("double"), 6).as("gopher_keep_rate"),
-        round(col("qsum").cast("double") /
-          col("n_docs").cast("double"), 6).as("mean_quality"))
+        // qsum/n_docs is the bigramLm defect pattern (a 6-dp sum over a
+        // count terminates ON round() half-way boundaries that the two
+        // engines resolve differently) — nano-unit floor division, no
+        // round() of the quotient
+        (expr("(cast(qsum * 1000000 as bigint) * 1000L) div n_docs")
+          .cast("double") / lit(1e9)).as("mean_quality"))
       .orderBy(col("source"))
   }
 
