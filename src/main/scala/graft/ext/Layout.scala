@@ -227,9 +227,17 @@ object Layout {
     * `sortWithinPartitions`, one range shuffle.
     */
   def interleaveLayout(spark: SparkSession, dir: String,
-                       salt: String = "s42"): DataFrame = {
+                       salt: String = "s42"): DataFrame =
+    interleaveOf(Ingest.table(spark, dir, "documents"), salt)
+
+  /** [[interleaveLayout]] over an arbitrary (doc_id, source) frame —
+    * the form the seeded property spec drives with skewed synthetic
+    * corpora.
+    */
+  private[graft] def interleaveOf(docs: DataFrame,
+                                  salt: String): DataFrame = {
     val h = md5(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
-    val keyed = Ingest.table(spark, dir, "documents")
+    val keyed = docs
       .select(col("doc_id"), col("source"),
         conv(substring(h, 1, 13), 16, 10).cast("long").as("hkey"))
     val grid = keyed.groupBy(col("source"), col("hkey"))

@@ -139,6 +139,47 @@ class LayoutJoinsSpec extends SparkTestBase {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("property (seeded): interleave prefix proportionality holds on " +
+    "skewed synthetic corpora and under salt changes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    (1 to 5).foreach { trial =>
+      // skewed mixture: one dominant source, several small ones
+      val shares = Seq(60 + rng.nextInt(40)) ++
+        Seq.fill(2 + rng.nextInt(4))(1 + rng.nextInt(12))
+      val docs = shares.zipWithIndex.flatMap { case (sz, s) =>
+        Seq.fill(sz)(s"src$s")
+      }.zipWithIndex.map { case (src, i) => (i.toLong + 1000L, src) }
+      val df = docs.toDF("doc_id", "source")
+      Seq("s42", s"t$trial").foreach { salt =>
+        val rows = graft.ext.Layout.interleaveOf(df, salt).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val n = rows.length
+        assert(n == docs.length, s"trial $trial")
+        val sizes = docs.groupBy(_._2).view.mapValues(_.size).toMap
+        Seq(n / 5, n / 3, n / 2, 3 * n / 4, n - 1).foreach { cut =>
+          val pref = rows.take(cut).groupBy(_._2).view.mapValues(_.length)
+          sizes.foreach { case (s, tot) =>
+            val expect = cut.toDouble * tot / n
+            assert(math.abs(pref.getOrElse(s, 0) - expect) <= 2.0,
+              s"trial $trial salt $salt source $s cut $cut")
+          }
+        }
+        rows.groupBy(_._2).foreach { case (s, rs) =>
+          assert(rs.map(_._3).toSeq == (1L to rs.length).toSeq,
+            s"trial $trial $s ranks")
+        }
+      }
+      // different salts permute WITHIN sources: same doc sets, and for
+      // a multi-doc source some order differs with high probability
+      val a = graft.ext.Layout.interleaveOf(df, "s42").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val b = graft.ext.Layout.interleaveOf(df, "zz").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(a.toSet == b.toSet)
+    }
+  }
+
   test("zorder manifest files have narrower time extents than range files") {
     val m = Layout.zOrderManifest(spark, sf).collect()
     val zSpans = m.filter(_.getString(0) == "zorder").map(_.getLong(7))
