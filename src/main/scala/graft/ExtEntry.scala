@@ -341,6 +341,10 @@ object ExtEntry {
     // card artifact, composed end-to-end inside the engine
     "pipeline_pretrain" -> ((s, dir) => Curation.pretrainManifest(s, dir)),
 
+    // the dataset-paper attrition table: docs/tokens surviving each
+    // cumulative curation stage, with kept fractions of raw
+    "pipeline_funnel" -> ((s, dir) => Curation.attritionFunnel(s, dir)),
+
     // deterministic stratified sampling: en down-weighted to ~25%, zh to
     // ~12.5%, everything else ~50% — hex thresholds on md5(doc_id), a
     // scan-local filter with zero shuffle (see Curation scaladoc)
@@ -2591,6 +2595,73 @@ object ExtEntry {
          |res AS (SELECT c.vec_id, c.cent_id AS cell, d.vec_id IS NULL AS kept
          |  FROM cells c LEFT JOIN drops d USING (vec_id))
          |SELECT vec_id, cell, kept FROM res ORDER BY vec_id""".stripMargin,
+
+    // composes the proven fragments: exact-hash keeps, the recursive
+    // near-dup closure, the pipeline_filter gate, and decontam_ngram's
+    // shingle probe; fractions are single raw divisions (no round)
+    "pipeline_funnel" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$bandsCte,
+         |fpairs AS (SELECT d1, d2 FROM cand
+         |  JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |fedges AS (SELECT d1 AS a, d2 AS b FROM fpairs
+         |  UNION SELECT d2, d1 FROM fpairs),
+         |freach(node, r) AS (
+         |  SELECT a, b FROM fedges
+         |  UNION
+         |  SELECT rr.node, e.b FROM freach rr JOIN fedges e ON rr.r = e.a),
+         |fnd AS (SELECT node AS doc_id FROM (
+         |  SELECT node, least(node, min(r)) AS cid FROM freach
+         |  GROUP BY node) WHERE node <> cid),
+         |fex AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text)),
+         |fdict AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d),
+         |fb AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> list_contains(d, x))) AS DOUBLE)
+         |      / len(string_split(lower(text), ' ')) AS stop_ratio
+         |  FROM documents, fdict),
+         |fs1 AS (SELECT * FROM fb
+         |  WHERE doc_id IN (SELECT doc_id FROM fex)),
+         |fs2 AS (SELECT * FROM fs1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM fnd)),
+         |fs3 AS (SELECT * FROM fs2
+         |  WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01),
+         |fdocs AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |fsh5 AS (SELECT doc_id, source, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(w) - 4, 1)),
+         |    i -> array_to_string(w[i:i+4], ' '))) AS shg FROM fdocs),
+         |fev AS (SELECT DISTINCT g FROM (
+         |  SELECT unnest(shg) AS g FROM fsh5 WHERE source = 'src0')),
+         |fhits AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id, unnest(shg) AS g FROM fsh5 WHERE source <> 'src0')
+         |  WHERE g IN (SELECT g FROM fev)),
+         |fs4 AS (SELECT * FROM fs3 WHERE source <> 'src0'
+         |  AND doc_id NOT IN (SELECT doc_id FROM fhits)),
+         |ftot AS (SELECT CAST(count(*) AS BIGINT) AS n0d,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n0t FROM fb),
+         |fstages AS (
+         |  SELECT 0 AS stage, 'raw' AS stage_name,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM fb
+         |  UNION ALL SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fs1
+         |  UNION ALL SELECT 2, 'near_dedup', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fs2
+         |  UNION ALL SELECT 3, 'quality_gate', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fs3
+         |  UNION ALL SELECT 4, 'decontam', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fs4)
+         |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs,
+         |  n_tokens,
+         |  CAST(n_docs AS DOUBLE) / CAST(n0d AS DOUBLE) AS kept_docs_frac,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n0t AS DOUBLE)
+         |    AS kept_tokens_frac
+         |FROM fstages, ftot ORDER BY stage""".stripMargin,
 
     // all candidate pairs with their exact jaccard, exploded into the
     // thresholds each clears; n_pairs = half the exploded doc rows

@@ -858,6 +858,78 @@ object Curation {
       .orderBy(col("rank"))
   }
 
+  /** The pipeline attrition funnel — the "table 1" every dataset paper
+    * ships: one row per curation stage with the documents and tokens
+    * SURVIVING the cumulative pipeline (raw → exact dedup → near-dup
+    * canonicalization → length/stopword gate → decontamination), plus
+    * each stage's kept fraction of the raw corpus. This is the
+    * accounting a curation run publishes and the first thing reviewed
+    * when a stage unexpectedly guts the corpus.
+    *
+    * Stage semantics reuse the registered operators verbatim: exact
+    * keeps are [[TextDedup.exactGroups]]' min-id representatives;
+    * near-dup drops are the non-canonical members of
+    * [[TextDedup.clusters]] over verified 0.5-jaccard pairs; the gate
+    * is `pipeline_filter`'s token-count + stopword-ratio predicate;
+    * decontamination drops the held-out src0 split and
+    * [[decontaminate]]'s contaminated survivors.
+    *
+    * Scale shape: the base projection (doc_id, source, n_tokens,
+    * stop_ratio — four narrow columns, checkpointed) feeds all five
+    * stage aggregates; deletions are left-semi/anti joins, never
+    * collects; fractions are ONE raw IEEE division each — exactly
+    * rounded, bit-identical cross-engine, and immune to the
+    * terminating-quotient round() split BECAUSE nothing re-rounds the
+    * quotient (and unlike a scaled-integer form, nothing overflows at
+    * 100 TB token counts).
+    */
+  def attritionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
+    val toksLower = split(lower(col("text")), " ")
+    val stopRatio =
+      size(filter(toksLower, x => array_contains(dict, x))).cast("double") /
+        size(toksLower)
+    val base = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        stopRatio.as("stop_ratio"))
+      .localCheckpoint(true) // one row per doc, four narrow columns
+    val keepExact = TextDedup.exactGroups(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val nearDrops = TextDedup.clusters(
+        TextDedup.nearDupPairs(spark, dir, 0.5).select(col("d1"), col("d2")))
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_id"))
+    val contam = decontaminate(spark, dir)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val s1 = base.join(keepExact, Seq("doc_id"), "left_semi")
+    val s2 = s1.join(nearDrops, Seq("doc_id"), "left_anti")
+    val s3 = s2.filter(col("n_tokens").between(20, 400) &&
+      col("stop_ratio") >= 0.01)
+    val s4 = s3.filter(col("source") =!= "src0")
+      .join(contam, Seq("doc_id"), "left_anti")
+    val totals = base.agg(count(lit(1)).as("n0_docs"),
+      sum(col("n_tokens")).as("n0_tokens"))
+    Seq((0L, "raw", base), (1L, "exact_dedup", s1),
+      (2L, "near_dedup", s2), (3L, "quality_gate", s3),
+      (4L, "decontam", s4))
+      .map { case (i, name, df) =>
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+          .select(lit(i).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      }
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        col("n_tokens"),
+        (col("n_docs").cast("double") / col("n0_docs").cast("double"))
+          .as("kept_docs_frac"),
+        (col("n_tokens").cast("double") / col("n0_tokens").cast("double"))
+          .as("kept_tokens_frac"))
+      .orderBy(col("stage"))
+  }
+
   /** The filter-agreement cube: before composing quality gates, a
     * curation run quantifies how much the gates OVERLAP — do the Gopher
     * rules, the trained classifier, and the LM-tertile filter remove

@@ -598,6 +598,33 @@ class CurationSpec extends SparkTestBase {
       s"en avg $enAvg should exceed non-en avg $restAvg")
   }
 
+  test("attrition funnel: monotone stages that reconcile with the " +
+    "operators each stage reuses") {
+    val rows = Curation.attritionFunnel(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "raw"), (1L, "exact_dedup"), (2L, "near_dedup"),
+        (3L, "quality_gate"), (4L, "decontam")))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    docs.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    toks.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    // stage reconciliation against the registered operators
+    assert(docs(0) == Ingest.table(spark, sf, "documents").count())
+    assert(docs(1) == TextDedup.exactGroups(spark, sf).count())
+    // pipeline_curate applies exactly the funnel's first three cuts
+    assert(docs(3) ==
+      graft.ExtEntry.queries("pipeline_curate")(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kept_docs_frac") ==
+        r.getAs[Long]("n_docs").toDouble / docs(0))
+      assert(r.getAs[Double]("kept_tokens_frac") ==
+        r.getAs[Long]("n_tokens").toDouble / toks(0))
+    }
+    // decontam stage can only remove docs relative to the gate stage
+    // restricted to non-eval sources
+    assert(docs(4) <= docs(3))
+  }
+
   /** Driver-side reference for the priority-sampling draw: the same
     * md5("pri:"+doc_id) 32-bit draw, quantized key, and raw priority
     * the operator computes, but in plain JVM arithmetic — independent
