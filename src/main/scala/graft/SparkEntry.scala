@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.{Aggregate, Dedup, Ingest, Serve}
+import graft.ops.Exact.round6
 
 /** Driver contract — query registry + DuckDB oracle SQL.
   *
@@ -331,8 +332,8 @@ object SparkEntry {
       Ingest.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
-          round(percentile(col("value"), lit(0.9)), 6).as("exact_p90"),
+          round6(percentile(col("value"), lit(0.5))).as("exact_p50"),
+          round6(percentile(col("value"), lit(0.9))).as("exact_p90"),
           approx_percentile(col("value"), lit(0.5), lit(100)).as("a50"),
           approx_percentile(col("value"), lit(0.9), lit(100)).as("a90"),
           percentile(col("value"), lit(0.45)).as("lo50"),
@@ -349,8 +350,8 @@ object SparkEntry {
     "agg_percentiles" -> ((s, dir) =>
       Ingest.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+        .agg(round6(percentile(col("value"), lit(0.5))).as("p50"),
+          round6(percentile(col("value"), lit(0.9))).as("p90"))
         .orderBy(col("event_type"))),
 
     // as-of join: each event enriched with the latest order at-or-before
@@ -610,12 +611,12 @@ object SparkEntry {
           min(when(col("cum") >= expr("(9 * nt + 9) div 10"), col("bin")))
             .as("b90"))
       val exact = ev.groupBy(col("event_type"))
-        .agg(round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
-          round(percentile(col("value"), lit(0.9)), 6).as("exact_p90"))
+        .agg(round6(percentile(col("value"), lit(0.5))).as("exact_p50"),
+          round6(percentile(col("value"), lit(0.9))).as("exact_p90"))
       picks.crossJoin(broadcast(mm))
         .select(col("event_type"),
-          round(col("mn") + col("b50") * col("bw"), 6).as("hist_p50"),
-          round(col("mn") + col("b90") * col("bw"), 6).as("hist_p90"))
+          round6(col("mn") + col("b50") * col("bw")).as("hist_p50"),
+          round6(col("mn") + col("b90") * col("bw")).as("hist_p90"))
         .join(exact, Seq("event_type"))
         .select(col("event_type"), col("exact_p50"), col("hist_p50"),
           col("exact_p90"), col("hist_p90"))
@@ -793,8 +794,8 @@ object SparkEntry {
         .partitionBy(col("event_type"))
         .orderBy(col("total_value").asc, col("user_id").asc)
       totals.select(col("event_type"), col("user_id"), col("total_value"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cum_dist"),
+          round6(percent_rank().over(w)).as("pct_rank"),
+          round6(cume_dist().over(w)).as("cum_dist"),
           lead(col("total_value"), 1).over(w).as("next_total"))
         .orderBy(col("event_type"), col("total_value"), col("user_id"))
     }),
@@ -1401,7 +1402,7 @@ object SparkEntry {
         |SELECT CAST(a.cohort_day AS VARCHAR) || ':' ||
         |    CAST(day_offset AS VARCHAR) AS _id,
         |  a.cohort_day, day_offset, n_active, cohort_size,
-        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |  floor(CAST((CAST(n_active AS DOUBLE) / cohort_size) AS DOUBLE)*1000000 + 0.5)/1000000 AS retention
         |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
         |ORDER BY a.cohort_day, day_offset LIMIT 20 OFFSET 20""".stripMargin,
 
@@ -1419,7 +1420,7 @@ object SparkEntry {
         |SELECT CAST(a.cohort_day AS VARCHAR) || ':' ||
         |    CAST(day_offset AS VARCHAR) AS _id,
         |  a.cohort_day, day_offset, n_active, cohort_size,
-        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |  floor(CAST((CAST(n_active AS DOUBLE) / cohort_size) AS DOUBLE)*1000000 + 0.5)/1000000 AS retention
         |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
         |WHERE a.cohort_day >= 19723
         |  AND (a.cohort_day > 19723 OR day_offset > 5)
@@ -1455,8 +1456,8 @@ object SparkEntry {
 
     "agg_percentiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |  floor(CAST((quantile_cont(value, 0.5)) AS DOUBLE)*1000000 + 0.5)/1000000 AS p50,
+        |  floor(CAST((quantile_cont(value, 0.9)) AS DOUBLE)*1000000 + 0.5)/1000000 AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_sliding" ->
@@ -1472,8 +1473,8 @@ object SparkEntry {
 
     "agg_approx_percentile" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
-        |  round(quantile_cont(value, 0.9), 6) AS exact_p90,
+        |  floor(CAST((quantile_cont(value, 0.5)) AS DOUBLE)*1000000 + 0.5)/1000000 AS exact_p50,
+        |  floor(CAST((quantile_cont(value, 0.9)) AS DOUBLE)*1000000 + 0.5)/1000000 AS exact_p90,
         |  TRUE AS p50_within_rank_eps, TRUE AS p90_within_rank_eps
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1585,18 +1586,18 @@ object SparkEntry {
         |    min(CASE WHEN cum >= (9 * nt + 9) // 10 THEN bin END) AS b90
         |  FROM cum GROUP BY event_type),
         |exact AS (SELECT event_type,
-        |    round(quantile_cont(value, 0.5), 6) AS exact_p50,
-        |    round(quantile_cont(value, 0.9), 6) AS exact_p90
+        |    floor(CAST((quantile_cont(value, 0.5)) AS DOUBLE)*1000000 + 0.5)/1000000 AS exact_p50,
+        |    floor(CAST((quantile_cont(value, 0.9)) AS DOUBLE)*1000000 + 0.5)/1000000 AS exact_p90
         |  FROM events GROUP BY event_type)
         |SELECT p.event_type, exact_p50,
-        |  round(mn + b50 * bw, 6) AS hist_p50,
+        |  floor(CAST((mn + b50 * bw) AS DOUBLE)*1000000 + 0.5)/1000000 AS hist_p50,
         |  exact_p90,
-        |  round(mn + b90 * bw, 6) AS hist_p90
+        |  floor(CAST((mn + b90 * bw) AS DOUBLE)*1000000 + 0.5)/1000000 AS hist_p90
         |FROM picks p JOIN exact ON p.event_type = exact.event_type, mm
         |ORDER BY p.event_type""".stripMargin,
 
     "clean_winsorize" ->
-      """WITH e AS (SELECT event_id, event_type, round(value, 6) AS rv
+      """WITH e AS (SELECT event_id, event_type, floor(CAST((value) AS DOUBLE)*1000000 + 0.5)/1000000 AS rv
         |  FROM events),
         |bv AS (SELECT event_type, rv, count(*) AS c
         |  FROM e GROUP BY event_type, rv),
@@ -1618,7 +1619,7 @@ object SparkEntry {
     // bounds frozen on the even-id half (the same exact order-statistic
     // chain as clean_winsorize), realized clip rate over the whole table
     "clean_clip_drift" ->
-      """WITH e AS (SELECT event_id, event_type, round(value, 6) AS rv
+      """WITH e AS (SELECT event_id, event_type, floor(CAST((value) AS DOUBLE)*1000000 + 0.5)/1000000 AS rv
         |  FROM events),
         |h AS (SELECT * FROM e WHERE event_id % 2 = 0),
         |bv AS (SELECT event_type, rv, count(*) AS c
@@ -1637,9 +1638,9 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN lo_v IS NOT NULL AND (rv < lo_v OR rv > hi_v)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-        |  round(CAST(sum(CASE WHEN lo_v IS NOT NULL AND
+        |  floor(CAST((CAST(sum(CASE WHEN lo_v IS NOT NULL AND
         |      (rv < lo_v OR rv > hi_v) THEN 1 ELSE 0 END) AS DOUBLE) /
-        |    count(*), 6) AS clip_frac,
+        |    count(*)) AS DOUBLE)*1000000 + 0.5)/1000000 AS clip_frac,
         |  0.05 + (1.0 - 0.95) AS expected_frac,
         |  bool_or(lo_v IS NULL) AS uncovered
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1659,7 +1660,7 @@ object SparkEntry {
         |  FROM daily GROUP BY event_type)
         |SELECT d.event_type, day, c AS n_events,
         |  CASE WHEN std = 0 THEN 0.0
-        |       ELSE round((c - mean) / std, 6) END AS z,
+        |       ELSE floor(CAST(((c - mean) / std) AS DOUBLE)*1000000 + 0.5)/1000000 END AS z,
         |  std > 0 AND abs((c - mean) / std) > 2.0 AS is_anomaly
         |FROM daily d JOIN stats s ON d.event_type = s.event_type
         |ORDER BY d.event_type, day""".stripMargin,
@@ -1676,7 +1677,7 @@ object SparkEntry {
         |sz AS (SELECT cohort_day, n_active AS cohort_size FROM act
         |  WHERE day_offset = 0)
         |SELECT a.cohort_day, day_offset, n_active, cohort_size,
-        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |  floor(CAST((CAST(n_active AS DOUBLE) / cohort_size) AS DOUBLE)*1000000 + 0.5)/1000000 AS retention
         |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
         |ORDER BY a.cohort_day, day_offset""".stripMargin,
 
@@ -1770,10 +1771,10 @@ object SparkEntry {
         |    CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |  FROM events GROUP BY event_type, user_id)
         |SELECT event_type, user_id, total_value,
-        |  round(percent_rank() OVER (PARTITION BY event_type
-        |    ORDER BY total_value, user_id), 6) AS pct_rank,
-        |  round(cume_dist() OVER (PARTITION BY event_type
-        |    ORDER BY total_value, user_id), 6) AS cum_dist,
+        |  floor(CAST((percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY total_value, user_id)) AS DOUBLE)*1000000 + 0.5)/1000000 AS pct_rank,
+        |  floor(CAST((cume_dist() OVER (PARTITION BY event_type
+        |    ORDER BY total_value, user_id)) AS DOUBLE)*1000000 + 0.5)/1000000 AS cum_dist,
         |  lead(total_value, 1) OVER (PARTITION BY event_type
         |    ORDER BY total_value, user_id) AS next_total
         |FROM totals

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalyst.HashExpressions
 import graft.ops.Ingest
+import graft.ops.Exact.round6
 
 /** Model-based corpus classification — the classifier slot modern
   * curation pipelines (CCNet, DCLM, FineWeb-Edu) put at the front of
@@ -213,8 +214,8 @@ object Classifier {
         split(col("text"), " "), col("p_arr"), col("n_arr")))
       .withColumn("n_grams", col("_sc").getField("n_grams"))
       .withColumn("weight",
-        round((col("_sc").getField("num").cast("double") * col("n_tb")) /
-          (col("_sc").getField("den").cast("double") * col("p_tb")), 6))
+        round6((col("_sc").getField("num").cast("double") * col("n_tb")) /
+          (col("_sc").getField("den").cast("double") * col("p_tb"))))
       .withColumn("pred", col("weight") > 1.0)
       .drop("_sc", "p_arr", "n_arr", "p_tb", "n_tb")
   }
@@ -247,8 +248,8 @@ object Classifier {
               .as("den"),
             col("p_tb"), col("n_tb"))
           .select(col("doc_id"), col("lang"), col("n_grams"),
-            round((col("num").cast("double") * col("n_tb")) /
-              (col("den").cast("double") * col("p_tb")), 6).as("weight"))
+            round6((col("num").cast("double") * col("n_tb")) /
+              (col("den").cast("double") * col("p_tb"))).as("weight"))
     scored
       .withColumn("pred", col("weight") > 1.0)
       .orderBy(col("doc_id"))
@@ -309,10 +310,10 @@ object Classifier {
           .otherwise(0L)).as("fn"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") > 0L,
-          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          round6(col("tp").cast("double") / (col("tp") + col("fp"))))
           .as("precision"),
         when(col("tp") + col("fn") > 0L,
-          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          round6(col("tp").cast("double") / (col("tp") + col("fn"))))
           .as("recall"))
       .orderBy(col("threshold"))
   }
@@ -360,8 +361,8 @@ object Classifier {
        |    CAST(sum(COALESCE(m.neg_cnt, 0) + 1) AS BIGINT) AS den
        |  FROM ${p}ag LEFT JOIN ${p}model m USING (b) GROUP BY doc_id, lang),
        |${p}sc AS (SELECT doc_id, lang, n_grams,
-       |    round((CAST(num AS DOUBLE) * n_tb) /
-       |      (CAST(den AS DOUBLE) * p_tb), 6) AS weight
+       |    floor(CAST(((CAST(num AS DOUBLE) * n_tb) /
+       |      (CAST(den AS DOUBLE) * p_tb)) AS DOUBLE)*1000000 + 0.5)/1000000 AS weight
        |  FROM ${p}agg, ${p}tot)""".stripMargin
 
   /** DuckDB oracle for `text_clf_train`. */
@@ -395,9 +396,9 @@ object Classifier {
        |  FROM lab GROUP BY threshold)
        |SELECT threshold, tp, fp, fn,
        |  CASE WHEN tp + fp > 0
-       |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       |    THEN floor(CAST((CAST(tp AS DOUBLE) / (tp + fp)) AS DOUBLE)*1000000 + 0.5)/1000000 END AS precision,
        |  CASE WHEN tp + fn > 0
-       |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+       |    THEN floor(CAST((CAST(tp AS DOUBLE) / (tp + fn)) AS DOUBLE)*1000000 + 0.5)/1000000 END AS recall
        |FROM pr ORDER BY threshold""".stripMargin
   }
 

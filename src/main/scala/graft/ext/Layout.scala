@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ingest
+import graft.ops.Exact.round6
 
 /** Data-layout operators: Z-order (Morton) interleaving and the min/max
   * pruning manifest that justifies it.
@@ -250,8 +251,8 @@ object Layout {
       .join(broadcast(sizes), Seq("source"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("source"), col("cum").as("src_rank"),
-        round((col("cum") * 2L - 1L).cast("double") *
-          (col("n_total").cast("double") / col("n_src").cast("double")), 6)
+        round6((col("cum") * 2L - 1L).cast("double") *
+          (col("n_total").cast("double") / col("n_src").cast("double")))
           .as("ipos"))
       .orderBy(col("ipos"), col("doc_id"))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.Similarity.{defaultIvfSampleCap, dot, embeddings, ivfSample, norm}
+import graft.ops.Exact.round6
 
 /** Product Quantization (Jégou et al. 2011, "Product quantization for
   * nearest neighbor search") — the standard billion-scale ANN compression:
@@ -279,7 +280,7 @@ object Pq {
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
-        round(col("sim"), 6).as("sim"))
+        round6(col("sim")).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -322,7 +323,7 @@ object Pq {
       .agg(count(lit(1)).as("n_codes_used"),
         min(col("n")).as("min_cell"),
         max(col("n")).as("max_cell"),
-        round(sum(col("sse_dec")).cast("double") / lit(1e12), 6).as("sse"))
+        round6(sum(col("sse_dec")).cast("double") / lit(1e12)).as("sse"))
       .orderBy(col("sub_id"))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ingest
+import graft.ops.Exact.{round6, round9}
 
 /** Text-analysis operators for the LLM-data-pipeline extension set
   * (SURVEY §7.6): language ID (stopword n-gram heuristic), quality
@@ -83,7 +84,7 @@ object TextAnalysis {
         .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
         .when(col("s_es") >= col("s_fr"), "es")
         .otherwise("fr").as("lang_guess"),
-      round(greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")), 6)
+      round6(greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
         .as("lang_score"))
   }
 
@@ -95,8 +96,8 @@ object TextAnalysis {
       length(col("text"))
   private[graft] def qualityScoreCol: Column = {
     val stopRatio = dictRatio(tokens(lower(col("text"))), dictCol("en"))
-    round((lit(1.0) - punctRatioCol) * 0.5 +
-      least(stopRatio * 10, lit(1.0)) * 0.5, 6)
+    round6((lit(1.0) - punctRatioCol) * 0.5 +
+      least(stopRatio * 10, lit(1.0)) * 0.5)
   }
 
   /** Quality metrics: char/token counts, regex token count, punctuation
@@ -114,7 +115,7 @@ object TextAnalysis {
         .cast("long").as("n_tokens_re"),
       punctRatio.as("punct_ratio"),
       (length(col("text")).cast("double") / size(w)).as("mean_tok_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
+      round6(stopRatio).as("stopword_ratio"),
       qualityScoreCol.as("quality_score"))
   }
 
@@ -149,16 +150,22 @@ object TextAnalysis {
         sum(col("qs").cast("decimal(27,6)")).as("qsum"))
       .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") /
-          col("total_tokens").cast("double"), 6).as("token_share"),
+        round6(col("n_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_share"),
         col("n_gopher_keep"),
-        round(col("n_gopher_keep").cast("double") /
-          col("n_docs").cast("double"), 6).as("gopher_keep_rate"),
+        round6(col("n_gopher_keep").cast("double") /
+          col("n_docs").cast("double")).as("gopher_keep_rate"),
         // qsum/n_docs is the bigramLm defect pattern (a 6-dp sum over a
         // count terminates ON round() half-way boundaries that the two
         // engines resolve differently) — nano-unit floor division, no
-        // round() of the quotient
-        (expr("(cast(qsum * 1000000 as bigint) * 1000L) div n_docs")
+        // round() of the quotient. Divide-then-remainder (ADVICE r12):
+        // the one-shot (micro * 1000) div n form overflows BIGINT once
+        // a source holds ~9.2e9 docs (micro ≈ n_docs·1e6); splitting as
+        // (micro div n)*1000 + ((micro mod n)*1000) div n is the same
+        // floor exactly (micro = q·n + r ⇒ floor(micro·1000/n) =
+        // q·1000 + floor(r·1000/n)) with intermediates ≤ n·1000
+        (expr("((cast(qsum * 1000000 as bigint) div n_docs) * 1000L) + " +
+          "(((cast(qsum * 1000000 as bigint) % n_docs) * 1000L) div n_docs)")
           .cast("double") / lit(1e9)).as("mean_quality"))
       .orderBy(col("source"))
   }
@@ -187,10 +194,10 @@ object TextAnalysis {
         i => concat_ws(" ", slice(col("w"), i, lit(3)))))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        round(maxRunCount(col("bg")).cast("double") /
-          size(col("bg")), 6).as("top_bigram_frac"),
-        round((size(col("tg")) - size(array_distinct(col("tg"))))
-          .cast("double") / size(col("tg")), 6).as("dup_trigram_frac"))
+        round6(maxRunCount(col("bg")).cast("double") /
+          size(col("bg"))).as("top_bigram_frac"),
+        round6((size(col("tg")) - size(array_distinct(col("tg"))))
+          .cast("double") / size(col("tg"))).as("dup_trigram_frac"))
     metrics
       .withColumn("keep_repetition",
         col("top_bigram_frac") <= 0.06 && col("dup_trigram_frac") <= 0.02)
@@ -284,13 +291,13 @@ object TextAnalysis {
         col("n_chars"),
         col("_rs.n_spans").as("n_spans"),
         col("_rs.n_dup_spans").as("n_dup_spans"),
-        round(col("_rs.n_dup_spans").cast("double") / col("_rs.n_spans"), 6)
+        round6(col("_rs.n_dup_spans").cast("double") / col("_rs.n_spans"))
           .as("dup_span_frac"),
         col("_rs.top_gram").as("top_gram"),
         col("_rs.top_cnt").as("top_cnt"),
-        round(col("_rs.top_cnt").cast("double") * col("_rs.top_chars") /
-          col("n_chars"), 6).as("top_gram_char_frac"),
-        round(col("_rs.dup_chars").cast("double") / col("n_chars"), 6)
+        round6(col("_rs.top_cnt").cast("double") * col("_rs.top_chars") /
+          col("n_chars")).as("top_gram_char_frac"),
+        round6(col("_rs.dup_chars").cast("double") / col("n_chars"))
           .as("dup_gram_char_frac"),
         (lit(10L) * col("_rs.n_dup_spans") <= lit(3L) * col("_rs.n_spans"))
           .as("r_dupspan"),
@@ -343,11 +350,11 @@ object TextAnalysis {
     base.select(
       passthrough ++ Seq(
         col("n_words"),
-        round(col("tot_chars").cast("double") / col("n_words"), 6)
+        round6(col("tot_chars").cast("double") / col("n_words"))
           .as("mean_word_len"),
-        round(col("n_symbols").cast("double") / col("n_words"), 6)
+        round6(col("n_symbols").cast("double") / col("n_words"))
           .as("symbol_ratio"),
-        round(col("n_alpha").cast("double") / col("n_words"), 6)
+        round6(col("n_alpha").cast("double") / col("n_words"))
           .as("alpha_frac"),
         col("stop_hits"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -387,12 +394,12 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+        round6(sum(col("n_tokens")).cast("double") / count(lit(1)))
           .as("avg_tokens"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
-        round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
-        round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90_tokens"))
+        round6(percentile(col("n_tokens"), lit(0.5))).as("p50_tokens"),
+        round6(percentile(col("n_tokens"), lit(0.9))).as("p90_tokens"))
       .orderBy(col("lang"))
 
   /** Vocabulary: token → frequency, top-k. The one genuinely shuffling
@@ -463,10 +470,9 @@ object TextAnalysis {
       .select(col("octave"), col("rank_lo"), col("rank_hi"),
         col("n_tokens"), col("mass"), col("max_freq"), col("min_freq"),
         col("head_token"),
-        round(col("mass").cast("double") / col("next_mass").cast("double"),
-          6).as("mass_ratio"),
-        round(col("cum_mass").cast("double") /
-          col("total_mass").cast("double"), 6).as("coverage"),
+        round6(col("mass").cast("double") / col("next_mass").cast("double")).as("mass_ratio"),
+        round6(col("cum_mass").cast("double") /
+          col("total_mass").cast("double")).as("coverage"),
         col("vocab_size"), col("total_mass"))
       .orderBy(col("octave"))
   }
@@ -515,10 +521,10 @@ object TextAnalysis {
       .withColumn("cum_types", sum(col("n_new_types")).over(w))
       .select(col("quarter"), col("n_tokens"), col("n_new_types"),
         col("cum_tokens"), col("cum_types"),
-        round(col("cum_types").cast("double") /
-          col("cum_tokens").cast("double"), 6).as("type_token_ratio"),
-        round(col("n_new_types").cast("double") /
-          col("n_tokens").cast("double"), 6).as("new_type_rate"))
+        round6(col("cum_types").cast("double") /
+          col("cum_tokens").cast("double")).as("type_token_ratio"),
+        round6(col("n_new_types").cast("double") /
+          col("n_tokens").cast("double")).as("new_type_rate"))
       .orderBy(col("quarter"))
   }
 
@@ -557,7 +563,7 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        col("rank"), round(col("score_raw"), 6).as("tfidf"))
+        col("rank"), round6(col("score_raw")).as("tfidf"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -613,7 +619,7 @@ object TextAnalysis {
       .orderBy(col("lift_raw").desc, col("w1").asc, col("w2").asc)
       .limit(k)
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-        round(col("lift_raw"), 6).as("lift"))
+        round6(col("lift_raw")).as("lift"))
       .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
   }
 
@@ -649,12 +655,12 @@ object TextAnalysis {
         sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
         i => concat_ws(" ", slice(col("w"), i, lit(3)))))
       .select(col("doc_id"), col("lang"),
-        round(maxRunCount(col("bg")).cast("double") /
-          size(col("bg")), 6).as("top_bigram_frac"),
-        round((size(col("tg")) - size(array_distinct(col("tg"))))
-          .cast("double") / size(col("tg")), 6).as("dup_trigram_frac"),
-        round((lit(1.0) - punctRatio) * 0.5 +
-          least(stopRatio * 10, lit(1.0)) * 0.5, 6).as("quality_score"),
+        round6(maxRunCount(col("bg")).cast("double") /
+          size(col("bg"))).as("top_bigram_frac"),
+        round6((size(col("tg")) - size(array_distinct(col("tg"))))
+          .cast("double") / size(col("tg"))).as("dup_trigram_frac"),
+        round6((lit(1.0) - punctRatio) * 0.5 +
+          least(stopRatio * 10, lit(1.0)) * 0.5).as("quality_score"),
         dictRatio(wLower, dictCol("en")).as("s_en"),
         dictRatio(wLower, dictCol("de")).as("s_de"),
         dictRatio(wLower, dictCol("es")).as("s_es"),
@@ -727,7 +733,7 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("rank"),
-        round(col("score"), 6).as("score"))
+        round6(col("score")).as("score"))
       .orderBy(col("rank"))
   }
 
@@ -762,7 +768,7 @@ object TextAnalysis {
        |rk AS (SELECT doc_id, score,
        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |  FROM sc WHERE score > 0)
-       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |SELECT doc_id, rank, floor(CAST((score) AS DOUBLE)*1000000 + 0.5)/1000000 AS score FROM rk
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
@@ -961,10 +967,10 @@ object TextAnalysis {
         col("n_rare"),
         // factors cast to double before the multiply — see lmBuckets'
         // overflow note; bit-equal below 2^53
-        round(col("sum_cnt").cast("double") /
-          (col("n_tokens").cast("double") * col("total").cast("double")), 9)
+        round9(col("sum_cnt").cast("double") /
+          (col("n_tokens").cast("double") * col("total").cast("double")))
           .as("mean_p"),
-        round(col("min_cnt").cast("double") / col("total").cast("double"), 9)
+        round9(col("min_cnt").cast("double") / col("total").cast("double"))
           .as("min_p"))
       .orderBy(col("doc_id"))
   }
@@ -1013,7 +1019,7 @@ object TextAnalysis {
       .join(broadcast(big), Seq("w1", "w2"))
       .join(broadcast(lefts), Seq("w1"))
       .select(col("doc_id"),
-        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+        round6(col("n_ab").cast("double") / col("n_a").cast("double"))
           .as("p"),
         col("n_ab"), col("n_a"))
       .groupBy(col("doc_id"))
@@ -1089,7 +1095,7 @@ object TextAnalysis {
       .withColumn("lm_rank", row_number().over(wRank).cast("long"))
       .withColumn("n_docs", count(lit(1)).over(wLang))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("score"), 9).as("mean_p"), col("lm_rank"),
+        round9(col("score")).as("mean_p"), col("lm_rank"),
         when(col("lm_rank") * 3 <= col("n_docs"), lit("head"))
           .when(col("lm_rank") * 3 <= col("n_docs") * 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
@@ -1381,7 +1387,7 @@ object TextAnalysis {
         sum(length(col("w")).cast("long")).as("n_chars"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         col("n_chars"),
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+        round6(col("n_chars").cast("double") / col("n_bpe_tokens"))
           .as("compression"))
       .orderBy(col("doc_id"))
   }
@@ -1411,9 +1417,9 @@ object TextAnalysis {
           sum(col("freq") * length(col("w")).cast("long")).as("n_chars"))
         .select(lit(m.toLong).as("n_merges"), col("n_words"),
           col("n_bpe_tokens"), col("n_chars"),
-          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+          round6(col("n_chars").cast("double") / col("n_bpe_tokens"))
             .as("chars_per_token"),
-          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          round6(col("n_bpe_tokens").cast("double") / col("n_words"))
             .as("tokens_per_word"))
     }.reduce(_ unionByName _).orderBy(col("n_merges"))
 }

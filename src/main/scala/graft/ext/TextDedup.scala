@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ingest
+import graft.ops.Exact.round6
 
 /** Near-duplicate detection for the LLM-data-pipeline extension set
   * (SURVEY §7.6): exact hash dedup, MinHash+LSH banding, n-gram Jaccard
@@ -323,7 +324,7 @@ object TextDedup {
     val cand = candidatePairsFromBands(bands(signaturesOf(sh)), maxBucket)
       .withColumn("found", lit(true))
     truth.join(cand, Seq("d1", "d2"), "left")
-      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
+      .select(col("d1"), col("d2"), round6(col("jaccard")).as("jaccard"),
         coalesce(col("found"), lit(false)).as("found"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -365,12 +366,12 @@ object TextDedup {
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("x2")),
         Seq("d2"))
       .select(col("d1"), col("d2"), col("n_match"),
-        round(col("n_match").cast("double") / numHashes, 6).as("est"),
+        round6(col("n_match").cast("double") / numHashes).as("est"),
         (size(array_intersect(col("x1"), col("x2"))).cast("double") /
           size(array_union(col("x1"), col("x2")))).as("j0"))
       .select(col("d1"), col("d2"), col("n_match"), col("est"),
-        round(col("j0"), 6).as("jaccard"),
-        round(abs(col("n_match").cast("double") / numHashes - col("j0")), 6)
+        round6(col("j0")).as("jaccard"),
+        round6(abs(col("n_match").cast("double") / numHashes - col("j0")))
           .as("abs_err"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -525,7 +526,7 @@ object TextDedup {
       .filter(col("rk") === 1)
       .select(col("d_new").as("doc_id"), col("n_matches"),
         col("d_old").as("best_match"),
-        round(col("jaccard"), 6).as("best_jaccard"))
+        round6(col("jaccard")).as("best_jaccard"))
     shNew.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1056,8 +1057,8 @@ object TextDedup {
       .join(counts.select(col("doc_id").as("d2"), col("nf").as("n2")),
         Seq("d2"))
       .select(col("d1"), col("d2"), col("n_shared"),
-        round(col("n_shared").cast("double") /
-          least(col("n1"), col("n2")).cast("double"), 6).as("overlap"))
+        round6(col("n_shared").cast("double") /
+          least(col("n1"), col("n2")).cast("double")).as("overlap"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -1116,10 +1117,10 @@ object TextDedup {
         sum(col("n_tok")).as("n_tokens"))
       .select(col("lang"), col("n_docs"), col("n_chunks"),
         col("n_distinct_chunks"),
-        round(col("n_distinct_chunks").cast("double") /
-          col("n_chunks").cast("double"), 6).as("distinct_ratio"),
-        round(col("n_tokens").cast("double") /
-          col("n_chunks").cast("double"), 6).as("avg_chunk_tokens"))
+        round6(col("n_distinct_chunks").cast("double") /
+          col("n_chunks").cast("double")).as("distinct_ratio"),
+        round6(col("n_tokens").cast("double") /
+          col("n_chunks").cast("double")).as("avg_chunk_tokens"))
       .orderBy(col("lang"))
   }
 
@@ -1715,7 +1716,7 @@ object TextDedup {
         sum(col("n_tokens")).as("n_tokens"),
         sum(coalesce(col("covered"), lit(0L))).as("dup_tokens"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("dup_tokens"),
-        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+        round6(col("dup_tokens").cast("double") / col("n_tokens"))
           .as("dup_ratio"))
       .orderBy(col("lang"))
   }

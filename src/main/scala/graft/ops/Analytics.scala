@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Exact.round6
 
 /** The analytics rollup tails shared by the batch queries
   * (`retention_cohorts`, `anomaly_daily` in SparkEntry) and their
@@ -20,7 +21,7 @@ object Analytics {
     * before value aggregation (a fat-fingered or corrupt `value` row
     * otherwise owns every mean/sum downstream): each row's value is
     * clipped to its group's [p05, p95], with the clipped flag kept for
-    * audit. Quantiles are EXACT ORDER STATISTICS on round(value, 6) —
+    * audit. Quantiles are EXACT ORDER STATISTICS on round6(value) —
     * the position-ceil(q·n) value over cumulative counts of the
     * DISTINCT rounded values per group (the [[graft.ext.Similarity]]
     * ivfStats formulation), chosen over interpolated `percentile`
@@ -35,7 +36,7 @@ object Analytics {
   def winsorize(events: DataFrame, group: String, idCol: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val e = events.select(col(idCol), col(group),
-      round(col("value"), 6).as("rv"))
+      round6(col("value")).as("rv"))
     e.join(broadcast(winsorizeBounds(events, group, lo, hi)), Seq(group))
       .select(col(idCol), col(group), col("rv").as("value"),
         when(col("rv") < col("lo_v"), col("lo_v"))
@@ -59,7 +60,7 @@ object Analytics {
     */
   def winsorizeBounds(events: DataFrame, group: String,
                       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    val e = events.select(col(group), round(col("value"), 6).as("rv"))
+    val e = events.select(col(group), round6(col("value")).as("rv"))
     val byVal = e.groupBy(col(group), col("rv")).agg(count(lit(1)).as("c"))
     val cum = blockedCumCount(byVal, Seq(group), "rv", "c")
     val tot = e.groupBy(col(group)).agg(count(lit(1)).as("n"))
@@ -94,7 +95,7 @@ object Analytics {
     // double: DuckDB folds the literals in DECIMAL (exactly 0.10), IEEE
     // double addition gives 0.10000000000000005 — the 6-digit display
     // grid unifies them
-    val theoretical = round(lit(lo + (1.0 - hi)), 6)
+    val theoretical = round6(lit(lo + (1.0 - hi)))
     // a bounds frame carrying a freeze-time `expected_frac` column (the
     // standing-table form, [[ensureBoundsIndex]]) pins each group's
     // calm point to the REALIZED clip rate at freeze — exact for
@@ -107,7 +108,7 @@ object Analytics {
         col("expected_frac").as("__exp"))
     else bounds.select(col(group), col("lo_v"), col("hi_v"),
       theoretical.as("__exp"))
-    events.select(col(group), round(col("value"), 6).as("__rv"))
+    events.select(col(group), round6(col("value")).as("__rv"))
       .join(broadcast(b), Seq(group), "left")
       .groupBy(col(group))
       .agg(
@@ -118,7 +119,7 @@ object Analytics {
         max(col("lo_v").isNull).as("uncovered"),
         max(col("__exp")).as("__exp")) // constant within a group
       .select(col(group), col("n"), col("n_clipped"),
-        round(col("n_clipped").cast("double") / col("n"), 6)
+        round6(col("n_clipped").cast("double") / col("n"))
           .as("clip_frac"),
         coalesce(col("__exp"), theoretical).as("expected_frac"),
         col("uncovered"))
@@ -325,7 +326,7 @@ object Analytics {
     act.join(broadcast(sizes), Seq("cohort_day"))
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
         col("cohort_size"),
-        round(col("n_active").cast("double") / col("cohort_size"), 6)
+        round6(col("n_active").cast("double") / col("cohort_size"))
           .as("retention"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
@@ -352,7 +353,7 @@ object Analytics {
     daily.join(broadcast(stats), Seq(key))
       .select(col(key), col("day"), col("c").as("n_events"),
         when(col("std") === 0.0, lit(0.0))
-          .otherwise(round((col("c") - col("mean")) / col("std"), 6))
+          .otherwise(round6((col("c") - col("mean")) / col("std")))
           .as("z"),
         (col("std") > 0.0 &&
           abs((col("c") - col("mean")) / col("std")) > 2.0)

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-exact display rounding.
+  *
+  * `round(q, k)` where `q` is a quotient of exact integers or round-6
+  * decimals is a documented defect class (BENCH_DELTA risk register): the
+  * quotient can terminate exactly ON a half-way decimal at digit k+1, and
+  * Spark (HALF_UP on the shortest decimal representation of the double)
+  * and DuckDB (scaled-double rounding) resolve that tie differently —
+  * `text_bigram_lm` hit it at both 6 and 9 digits in round 12.
+  *
+  * The retirement: `round6(x) := floor(x*1e6 + 0.5)/1e6`. Every step is a
+  * plain IEEE-754 double op (multiply, add, floor, divide) executed
+  * identically by both engines on the same input double, so the result is
+  * bit-identical by construction — there is no decimal-string re-parse and
+  * no tie-break convention to disagree on. The oracle SQL uses the literal
+  * form `floor(CAST((x) AS DOUBLE)*1000000 + 0.5)/1000000`.
+  *
+  * Semantics vs `round(x, 6)`: identical everywhere except exact half-way
+  * doubles, where this rounds toward +Inf while HALF_UP rounds away from
+  * zero (differs only for negative ties) — and on those the engine and
+  * oracle now agree with EACH OTHER, which is the property the correctness
+  * gate checks. Spark's `floor` returns LongType, so inputs must stay
+  * within ±2^53/1e6 (true for every ratio/score/percentile in the
+  * registry); division by the double literal restores DoubleType, matching
+  * DuckDB's double floor/divide.
+  */
+object Exact {
+  /** floor(x*1e6 + 0.5)/1e6 — 6-digit half-up rounding, bit-identical
+    * between Spark and DuckDB on the same input double. */
+  def round6(c: Column): Column =
+    floor(c.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** floor(x*1e9 + 0.5)/1e9 — the 9-digit sibling. */
+  def round9(c: Column): Column =
+    floor(c.cast("double") * lit(1e9) + lit(0.5)) / lit(1e9)
+
+  /** Oracle-SQL text form of [[round6]] (DuckDB and Spark SQL both parse
+    * it; floor of a double is a double in DuckDB and a BIGINT in Spark,
+    * and the final float division restores the same double either way). */
+  def sqlRound6(e: String): String =
+    s"floor(CAST(($e) AS DOUBLE)*1000000 + 0.5)/1000000"
+
+  /** Oracle-SQL text form of [[round9]]. */
+  def sqlRound9(e: String): String =
+    s"floor(CAST(($e) AS DOUBLE)*1000000000 + 0.5)/1000000000"
+}

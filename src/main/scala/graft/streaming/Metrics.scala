@@ -119,4 +119,62 @@ object Metrics {
     Seq((version, ts, asOfMs - ts))
       .toDF("snapshot_version", "snapshot_ts_ms", "lag_ms")
   }
+
+  /** Freshness of a STANDING-INDEX search surface (VERDICT r12 #8): the
+    * query-side search streams
+    * ([[StreamingSimilarity.startIvfSearchStream]]/[[StreamingSimilarity
+    * .startPqSearchStream]]) serve results against the persisted index
+    * tables the admission loops append into — a result returned now
+    * reflects the index as of its NEWEST committed data file, so lag =
+    * `asOfMs - max(file modification time)` is the search-side "Data
+    * Lag", the sibling of [[retentionFreshness]]'s snapshot probe. One
+    * driver-side recursive file-status listing over the table's fixed
+    * warehouse location — no scan, no job, pollable at any rate. One
+    * row: (index_table, index_ts_ms, lag_ms).
+    *
+    * Fails loudly on a missing/empty location (same contract as
+    * `retentionFreshness` and the index-exists guards: a mis-set shape
+    * must not report a permanently-fresh ghost index).
+    */
+  def searchFreshness(spark: SparkSession, table: String,
+                      asOfMs: Long): DataFrame = {
+    import spark.implicits._
+    val loc = graft.ext.IndexCatalog.tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(loc),
+      s"searchFreshness: no standing index data at $loc — check the " +
+        "index shape parameters against what was built")
+    val it = fs.listFiles(loc, true)
+    var ts = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      // data files only: _SUCCESS markers are rewritten by reattach
+      // checks and would undercount staleness
+      if (!st.getPath.getName.startsWith("_"))
+        ts = math.max(ts, st.getModificationTime)
+    }
+    require(ts > 0, s"searchFreshness: no data files under $loc")
+    Seq((table, ts, asOfMs - ts))
+      .toDF("index_table", "index_ts_ms", "lag_ms")
+  }
+
+  /** [[searchFreshness]] of the standing IVF cell table at the default
+    * build shape — what [[StreamingSimilarity.startIvfSearchStream]]
+    * probes.
+    */
+  def ivfSearchFreshness(spark: SparkSession, dir: String, nQueries: Int,
+                         nCentroids: Int, asOfMs: Long): DataFrame =
+    searchFreshness(spark, graft.ext.Similarity.ivfCellsTable(dir,
+      graft.ext.Similarity.ivfKey(nQueries, nCentroids, 2, 3,
+        graft.ext.Similarity.defaultIvfSampleCap)), asOfMs)
+
+  /** [[searchFreshness]] of the standing PQ codes table at the default
+    * build shape — what [[StreamingSimilarity.startPqSearchStream]]
+    * probes.
+    */
+  def pqSearchFreshness(spark: SparkSession, dir: String, nQueries: Int,
+                        asOfMs: Long): DataFrame =
+    searchFreshness(spark, graft.ext.Pq.pqCodesTable(dir,
+      graft.ext.Pq.pqKey(nQueries, 8, 16, 2, 3,
+        graft.ext.Similarity.defaultIvfSampleCap)), asOfMs)
 }

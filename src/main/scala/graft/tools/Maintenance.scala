@@ -103,10 +103,21 @@ object Maintenance {
           !covered.exists(c => name == c || name.startsWith(c + "_"))
       }
       .map { case (fam, name) =>
+        // ADVICE r12: the env manifest can only express DEFAULT-shape
+        // IVF/PQ keys (iters=2, sampleMod=3, default sampleCap — the
+        // same shapes the retrain/compaction passes themselves run
+        // with), so a non-default-shape index is permanently
+        // unmaintainable by this loop and the remedy is purge+rebuild,
+        // not a config change; say so instead of pointing at env vars
+        // that cannot cover it
         s"[maintenance] WARNING: standing $fam index '$name' is not " +
           "covered by this loop's configured manifest — it will grow " +
-          "and drift unmaintained (set the matching SPARK_GRAFT_* vars " +
-          "or purge it)"
+          "and drift unmaintained. If it has the default shape, set " +
+          "the matching SPARK_GRAFT_* vars; a NON-default-shape " +
+          "IVF/PQ index cannot be maintained by this loop at all " +
+          "(its passes run default iters/sampleMod/sampleCap) — " +
+          "purge and rebuild it at the default shape, or maintain " +
+          "it out-of-band"
       }
   }
 

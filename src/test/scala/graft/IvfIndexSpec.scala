@@ -30,6 +30,28 @@ class IvfIndexSpec extends SparkTestBase {
     } finally purge()
   }
 
+  test("searchFreshness probes the standing index's newest data file; " +
+    "a mis-set shape fails loudly instead of reporting a ghost index") {
+    purge()
+    try {
+      Similarity.ensureIvfIndex(spark, dir, nQueries = 10, nCentroids = 16)
+      val asOf = System.currentTimeMillis() + 5000
+      val row = graft.streaming.Metrics
+        .ivfSearchFreshness(spark, dir, 10, 16, asOf).collect().head
+      assert(row.getAs[String]("index_table").contains("graft_ivf_"))
+      assert(row.getAs[Long]("index_ts_ms") > 0L)
+      val lag = row.getAs[Long]("lag_ms")
+      assert(lag > 0L && lag < 24L * 3600 * 1000,
+        s"lag must be the just-built index's staleness, got $lag ms")
+      // the index-absent contract: a shape that was never built must
+      // throw, not report permanently-fresh nothing
+      intercept[IllegalArgumentException] {
+        graft.streaming.Metrics.ivfSearchFreshness(spark, dir, 10, 999,
+          asOf).collect()
+      }
+    } finally purge()
+  }
+
   test("catalog loss reattaches the surviving IVF tables; results " +
     "unchanged") {
     purge()
@@ -194,6 +216,47 @@ class IvfIndexSpec extends SparkTestBase {
         sampleCap = Similarity.defaultIvfSampleCap).collect().toSeq
       assert(p1.nonEmpty && p1 == p2)
     } finally purge()
+  }
+
+  test("property (seeded): random hostile external panels at the " +
+    "identity boundary (nProbe = nCentroids) equal the exact scan " +
+    "across random index shapes and k") {
+    // VERDICT r12 #7: the r12 identities ran only on the deterministic
+    // adjacent-sum panel; this drives the same identity with random
+    // out-of-corpus vectors (including duplicate panel rows — rank
+    // tie-break must stay deterministic) and random (nCentroids, k)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val dim = Similarity.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val cand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"))
+    (1 to 3).foreach { trial =>
+      val nc = 4 + rnd.nextInt(20)
+      val k = 1 + rnd.nextInt(5)
+      def vec(): Seq[Double] = Seq.fill(dim)(
+        math.floor((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6)
+      val base = (0 until (3 + rnd.nextInt(5))).map(q => (q.toLong, vec()))
+      // hostile: one duplicated vector under a fresh qid
+      val panel = (base :+ ((base.length.toLong, base.head._2)))
+        .toDF("qid", "qe")
+      Similarity.purgeIvfIndex(spark, dir, nQueries = 10, nCentroids = nc)
+      try {
+        val got = Similarity.ivfIndexedTopK(spark, dir, panel,
+          nQueries = 10, nCentroids = nc, nProbe = nc, k = k,
+          iters = 2, sampleMod = 3,
+          sampleCap = Similarity.defaultIvfSampleCap)
+          .collect().toSeq.map(_.toSeq)
+        val want = Similarity.bruteForceOf(
+          Similarity.normQueries(panel), cand, k)
+          .collect().toSeq.map(_.toSeq)
+        assert(got.nonEmpty && got == want,
+          s"trial $trial: nCentroids=$nc k=$k")
+      } finally Similarity.purgeIvfIndex(spark, dir, nQueries = 10,
+        nCentroids = nc)
+    }
   }
 
   test("external brute force: with queries = the head rows and minCid = " +

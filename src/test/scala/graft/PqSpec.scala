@@ -194,6 +194,59 @@ class PqSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("property (seeded): random hostile external panels with " +
+    "corpus-covering rescore pools equal the exact scan across random " +
+    "rescoreFactors and k; all-cells external IVF-PQ stays equal to " +
+    "external PQ under the same panels") {
+    // VERDICT r12 #7: same hardening as the IVF property spec — random
+    // panels (with a duplicated vector) and a random rescoreFactor AT
+    // or past the identity boundary rf·k >= |candidates|, where the
+    // ADC pool covers the corpus and the exact rescore must reproduce
+    // the brute-force answer bit-for-bit
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816)
+    val dim = Similarity.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val cand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"))
+    val nCand = cand.count()
+    Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+    purgeIdx()
+    try {
+      (1 to 3).foreach { trial =>
+        val k = 1 + rnd.nextInt(4)
+        val rf = (nCand / k + 1).toInt + rnd.nextInt(40)
+        def vec(): Seq[Double] = Seq.fill(dim)(
+          math.floor((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6)
+        val base = (0 until (3 + rnd.nextInt(5))).map(q => (q.toLong, vec()))
+        val panel = (base :+ ((base.length.toLong, base.head._2)))
+          .toDF("qid", "qe")
+        val got = Pq.pqIndexedTopK(spark, dir, panel, nQueries = 10,
+          k = k, nSub = 8, kSub = 16, iters = 2, sampleMod = 3,
+          sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = rf)
+          .collect().toSeq.map(_.toSeq)
+        val want = Similarity.bruteForceOf(
+          Similarity.normQueries(panel), cand, k)
+          .collect().toSeq.map(_.toSeq)
+        assert(got.nonEmpty && got == want, s"trial $trial: k=$k rf=$rf")
+        // the composed index under the same random panel: probing every
+        // cell must restrict nothing
+        val viaIvfpq = Pq.ivfpqTopK(spark, dir, panel, nQueries = 10,
+          nProbe = 16, k = k, nCentroids = 16, nSub = 8, kSub = 16,
+          iters = 2, sampleMod = 3,
+          sampleCap = Similarity.defaultIvfSampleCap, rescoreFactor = rf)
+          .collect().toSeq.map(_.toSeq)
+        assert(viaIvfpq == got, s"trial $trial ivfpq: k=$k rf=$rf")
+      }
+    } finally {
+      Pq.purgeIvfPqIndex(spark, dir, nQueries = 10)
+      purgeIdx()
+    }
+  }
+
   test("streamed queries ADC-search the standing codes index and emit " +
     "exactly the batch external-form results") {
     import java.nio.file.Files

@@ -206,4 +206,88 @@ class SqlFunctionsSpec extends SparkTestBase {
         s"case $id: stats($toks) = ${got(id)}, expected ${naive(toks)}")
     }
   }
+
+  test("round6/round9 floor-form parity on adversarial terminating " +
+    "quotients (the round(int/int) defect class, retired wholesale r13)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Exact.{round6, round9, sqlRound6, sqlRound9}
+    import spark.implicits._
+    // Quotients that terminate exactly ON a half-way decimal at digit 7
+    // (resp. 10) — the inputs on which Spark's round() (HALF_UP on the
+    // shortest decimal of the double) and DuckDB's round() (scaled
+    // double) historically split (text_bigram_lm, r12). The floor form
+    // floor(q*1e6 + 0.5)/1e6 is one fixed IEEE op sequence, so any
+    // engine computing it on the same double q gets the same bits.
+    val cases = Seq[(Long, Long)](
+      (1L, 2000000L),        // 0.0000005
+      (3L, 2000000L),        // 0.0000015
+      (1234565L, 10000000L), // 0.1234565
+      (-1234565L, 10000000L),
+      (987654321L, 2000000000L), // ~0.4938271605 (9-digit half-way)
+      (5L, 10000000000L),    // 0.0000000005 (10-digit half-way, round9)
+      (-5L, 10000000000L),
+      (7L, 8L), (1L, 3L), (2L, 7L), // non-terminating controls
+      (123456789L, 1000000L), // >1 magnitudes
+      (0L, 5L))
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        (col("a").cast("double") / col("b").cast("double")).as("q"))
+    val got = df.select(col("a"), col("b"),
+        round6(col("q")).as("r6"), round9(col("q")).as("r9"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    cases.foreach { case (a, b) =>
+      val q = a.toDouble / b.toDouble
+      // the JVM runs the identical IEEE sequence — bit-equality expected
+      val want6 = math.floor(q * 1e6 + 0.5) / 1e6
+      val want9 = math.floor(q * 1e9 + 0.5) / 1e9
+      assert(got((a, b)) == ((want6, want9)),
+        s"floor-form mismatch on $a/$b: got ${got((a, b))}, " +
+          s"want ($want6, $want9)")
+    }
+    // the SQL-text twins (what the oracle runs) evaluate to the same
+    // doubles through Spark's SQL parser — and DuckDB parses the very
+    // same text into the very same op sequence
+    val viaSql = df.selectExpr("a", "b",
+        s"${sqlRound6("q")} AS r6", s"${sqlRound9("q")} AS r9")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(viaSql == got, "sqlRound6/9 text form diverges from Column form")
+    // the defect is real: on at least one half-way case the retired
+    // round() disagrees with the floor form in this very engine —
+    // proving the class could never be fixed by auditing round() users
+    val legacy = df.select(col("a"), col("b"), round(col("q"), 6).as("l6"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cases.exists { case (a, b) =>
+      legacy((a, b)) != got((a, b))._1 },
+      "expected >=1 half-way case where legacy round() != floor form")
+  }
+
+  test("no round(x, 6|9) call sites remain in src/main (defect class " +
+    "retired wholesale; graft.ops.Exact is the only rounding path)") {
+    val root = new java.io.File("src/main/scala")
+    assert(root.isDirectory, s"run tests from the repo root: $root missing")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val hits = for {
+      f <- walk(root)
+      if f.getName != "Exact.scala"
+      (raw, i) <- scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+        .getLines().zipWithIndex
+      // comments may still NAME round() in prose; code may not CALL it
+      line = raw.replaceAll("//.*$", "").trim
+      if !line.startsWith("*")
+      // flag call sites rounding to a literal digit count, including
+      // call opens that spill the second arg to the next line
+      if line.matches(""".*\bround\(.*""") &&
+        (line.matches(""".*\bround\(.*,\s*[0-9]+\).*""") ||
+          line.matches(""".*\bround\([^)]*$"""))
+    } yield s"${f.getPath}:${i + 1}: ${raw.trim}"
+    assert(hits.isEmpty,
+      s"round() call sites must use graft.ops.Exact:\n${hits.mkString("\n")}")
+  }
 }
