@@ -134,6 +134,12 @@ object ExtEntry {
       Similarity.hardNegativesIndexed(s, dir, nAnchors = 10,
         nCentroids = 16, nProbe = 2, k = 3)),
 
+    // margin-based bitext mining: per label-0 vector its best label-1
+    // match by the ratio margin (neighborhood-density-normalized
+    // cosine — the LASER/CCMatrix aligned-pair recipe)
+    "mine_bitext" -> ((s, dir) =>
+      Similarity.mineBitext(s, dir, labelX = 0, labelY = 1, kNN = 4)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -158,6 +164,13 @@ object ExtEntry {
     "ann_mrr" -> ((s, dir) =>
       Similarity.annMrr(s, dir, nQueries = 10, nCentroids = 16,
         nProbe = 2, k = 3)),
+
+    // recall AND scan-cost per nProbe setting in one pass — the curve
+    // whose knee picks the deployment nProbe (the ANN twin of
+    // dedup_threshold_sweep)
+    "ann_nprobe_sweep" -> ((s, dir) =>
+      Similarity.annNprobeSweep(s, dir, nQueries = 10, nCentroids = 16,
+        k = 3)),
 
     // cluster-balanced subsampling: cap each IVF cell's membership in a
     // deterministic hash order — over-dense embedding regions capped,
@@ -425,6 +438,11 @@ object ExtEntry {
     // int8-prefilter + exact-rescore ANN — the 4×-scan-reduction path
     "ann_int8_topk" -> ((s, dir) =>
       Similarity.int8RescoreTopK(s, dir, nQueries = 10, k = 5)),
+
+    // binary (1-bit) prefilter + exact-rescore ANN — the 32× path:
+    // packed sign fingerprints, Hamming candidate order, float rescore
+    "ann_binary_topk" -> ((s, dir) =>
+      Similarity.binaryRescoreTopK(s, dir, nQueries = 10, k = 5)),
 
     // SemDeDup: centroid-blocked embedding dedup over trained IVF cells
     "dedup_semantic" -> ((s, dir) =>
@@ -1799,6 +1817,40 @@ object ExtEntry {
          |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // ratio-margin bitext mining: k-NN averages as DECIMAL sums of
+    // round6 sims (order-free), margin = sim / ((ax + ay) / 2) — one
+    // fixed IEEE sequence in both engines
+    "mine_bitext" -> {
+      val cos = cosSql("CAST(xe[i] AS DOUBLE)", "CAST(ye[i] AS DOUBLE)")
+      s"""WITH x AS (SELECT vec_id AS xid, embedding AS xe
+         |  FROM embeddings WHERE label = 0),
+         |y AS (SELECT vec_id AS yid, embedding AS ye
+         |  FROM embeddings WHERE label = 1),
+         |sims AS (SELECT xid, yid, $cos AS sim FROM x, y),
+         |ax AS (SELECT xid,
+         |    CAST(sum(CAST(floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000
+         |      AS DECIMAL(27,6))) AS DOUBLE) / 4.0 AS avg_x
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY xid
+         |      ORDER BY sim DESC, yid) AS rk FROM sims) t
+         |  WHERE rk <= 4 GROUP BY xid),
+         |ay AS (SELECT yid,
+         |    CAST(sum(CAST(floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000
+         |      AS DECIMAL(27,6))) AS DOUBLE) / 4.0 AS avg_y
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY yid
+         |      ORDER BY sim DESC, xid) AS rk FROM sims) t
+         |  WHERE rk <= 4 GROUP BY yid),
+         |m AS (SELECT s.xid, s.yid, s.sim,
+         |    s.sim / ((ax.avg_x + ay.avg_y) / 2.0) AS margin
+         |  FROM sims s JOIN ax USING (xid) JOIN ay USING (yid)),
+         |best AS (SELECT xid, yid, sim, margin, row_number()
+         |    OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS rk
+         |  FROM m)
+         |SELECT xid, yid,
+         |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim,
+         |  floor(CAST((margin) AS DOUBLE)*1000000 + 0.5)/1000000 AS margin
+         |FROM best WHERE rk = 1 ORDER BY xid""".stripMargin
+    },
+
     // BM25 pool (the text_relevance oracle, nested) -> cosine rerank
     "hybrid_rerank" -> {
       val cos = cosSql("CAST(qv.qe[i] AS DOUBLE)", "CAST(e.embedding[i] AS DOUBLE)")
@@ -1867,6 +1919,46 @@ object ExtEntry {
          |  floor(CAST((COALESCE(CAST(1.0 AS DOUBLE) / iv.rank, 0.0)) AS DOUBLE)*1000000 + 0.5)/1000000 AS rr
          |FROM truth t LEFT JOIN iv ON t.qid = iv.qid AND t.cid = iv.cid
          |ORDER BY t.qid""".stripMargin,
+
+    // reachability recall + posting-list scan cost per sweep point;
+    // grid left-joined so every setting emits its row; probe/assign
+    // CTEs shared with the ann_ivf_topk chain (nProbe = all cells —
+    // the unfiltered rank table the sweep reads)
+    "ann_nprobe_sweep" ->
+      s"""WITH ${ivfTrainCtes(nQueries = 10, nCentroids = 16, iters = 2,
+        sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap)},
+         |${ivfSearchCtes(nQueries = 10, nProbe = 16)},
+         |truth AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, cd.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("CAST(q.qe[i] AS DOUBLE)",
+        "CAST(cd.ce[i] AS DOUBLE)")} DESC, cd.cid) AS brank
+         |    FROM q, cand cd) t
+         |  WHERE brank <= 3),
+         |grid AS (SELECT t AS n_probe FROM UNNEST([1, 2, 4, 8, 16]) AS g(t)),
+         |reach AS (SELECT g.n_probe, count(*) AS n_reachable
+         |  FROM truth tr JOIN cells c ON tr.cid = c.cid
+         |  JOIN probe p ON p.qid = tr.qid AND p.cent_id = c.cent_id
+         |  JOIN grid g ON p.rk <= g.n_probe
+         |  GROUP BY g.n_probe),
+         |csize AS (SELECT cent_id, count(*) AS sz FROM cells
+         |  GROUP BY cent_id),
+         |scan AS (SELECT g.n_probe, sum(s.sz) AS scanned
+         |  FROM probe p JOIN csize s USING (cent_id)
+         |  JOIN grid g ON p.rk <= g.n_probe
+         |  GROUP BY g.n_probe),
+         |tot AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM cand) AS n_cand)
+         |SELECT CAST(g.n_probe AS BIGINT) AS n_probe,
+         |  CAST(coalesce(r.n_reachable, 0) AS BIGINT) AS n_reachable,
+         |  CAST(t.n_true AS BIGINT) AS n_true,
+         |  floor(CAST((CAST(coalesce(r.n_reachable, 0) AS DOUBLE) /
+         |    t.n_true) AS DOUBLE)*1000000 + 0.5)/1000000 AS recall,
+         |  CAST(coalesce(s.scanned, 0) AS BIGINT) AS scanned,
+         |  floor(CAST((CAST(coalesce(s.scanned, 0) AS DOUBLE) /
+         |    (t.n_cand * 10)) AS DOUBLE)*1000000 + 0.5)/1000000 AS scan_frac
+         |FROM grid g LEFT JOIN reach r USING (n_probe)
+         |LEFT JOIN scan s USING (n_probe), tot t
+         |ORDER BY n_probe""".stripMargin,
 
     // same trained assignment as ann_ivf_topk, then the hash-ordered
     // per-cell cap
@@ -2576,6 +2668,40 @@ object ExtEntry {
          |pool AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid
          |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 20),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+         |      / (qnn * cnn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // sign-bit fingerprints packed MSB-first into two 32-bit halves
+    // (engine fold acc*2+bit == Σ bit·2^(32-i)); Hamming = XOR +
+    // bit_count, integer-exact; rescore mirrors ann_int8_topk's tail
+    "ann_binary_topk" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h2
+         |  FROM embeddings),
+         |q AS (SELECT * FROM s WHERE vec_id < 10),
+         |c AS (SELECT * FROM s WHERE vec_id >= 10),
+         |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    q.embedding AS qe, c.embedding AS ce, q.nrm AS qnn, c.nrm AS cnn,
+         |    bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamm
+         |  FROM q, c),
+         |pool AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamm, cid) AS ark FROM ap) WHERE ark <= 20),
          |ex AS (SELECT qid, cid,
          |    list_sum(list_transform(generate_series(1, 64),
          |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))

@@ -378,6 +378,70 @@ object Similarity {
     * rescore pool — is deterministic; ties break toward the smaller
     * candidate id at both stages.
     */
+  /** Binary (1-bit) quantized ANN — [[int8RescoreTopK]]'s 32× sibling
+    * and the most aggressive standard compression rung (one sign bit
+    * per dimension): stage 1 ranks candidates by HAMMING distance
+    * between packed sign fingerprints (XOR + bit_count — pure integer
+    * ops, bit-identical cross-engine, ties toward the smaller cid),
+    * stage 2 rescores the `rescoreFactor·k` pool in exact float cosine.
+    * Sign-of-dot survives 1-bit quantization in expectation (the
+    * SimHash/SRP bound: P[bit differs] = angle/π per Charikar 2002), so
+    * Hamming order approximates angular order — the same guarantee the
+    * text-side simhash pairs ride, here on the raw embedding signs.
+    *
+    * The 64 dims pack into TWO 32-bit halves, not one 64-bit word: dim
+    * 64 would land on the sign bit, where BIGINT shift/overflow
+    * conventions stop being portable across engines; two halves keep
+    * every packed value < 2^32 (also exactly representable through
+    * DuckDB's double-typed `list_sum`). Packing is an MSB-first fold
+    * `acc·2 + sign_bit` — scan-local, zero shuffle; at 100 TB the
+    * stage-1 scan reads 16 bytes per row instead of 256.
+    */
+  def binaryRescoreTopK(spark: SparkSession, dir: String, nQueries: Int,
+                        k: Int, rescoreFactor: Int = 4): DataFrame = {
+    val emb = embeddings(spark, dir)
+    def packHalf(lo: Int, hi: Int) =
+      aggregate(sequence(lit(lo), lit(hi)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at(col("embedding"), i) > 0f, 1L).otherwise(0L))
+    val sig = emb.select(col("vec_id"),
+      packHalf(1, 32).as("h1"), packHalf(33, 64).as("h2"))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        col("h1").as("qh1"), col("h2").as("qh2"))
+    val c = sig.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"),
+        col("h1").as("ch1"), col("h2").as("ch2"))
+    // stage 1: only (qid, cid, hamm) flows into the ranking — the float
+    // payload never leaves the scan
+    val approx = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        expr("bit_count(qh1 ^ ch1) + bit_count(qh2 ^ ch2)").as("hamm"))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("hamm").asc, col("cid").asc)
+    val pool = approx.withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rescoreFactor * k)
+      .select(col("qid"), col("cid"))
+    // stage 2: exact float32 cosine over only the pool rows
+    val qf = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val cf = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    cf.join(broadcast(pool), Seq("cid"))
+      .join(broadcast(qf), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round6(col("sim")).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def int8RescoreTopK(spark: SparkSession, dir: String, nQueries: Int,
                       k: Int, rescoreFactor: Int = 4): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -855,6 +919,70 @@ object Similarity {
     * post-probe label join) exactly as [[annRecall]] documents for
     * retrieval.
     */
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * §3.2 ratio margin; the LASER/CCMatrix recipe): for every vector on
+    * side X (label `labelX` — standing in for language X's sentence
+    * embeddings) the best side-Y match scored not by raw cosine but by
+    * the RATIO margin
+    * `sim(x,y) / ((avgNN_k(x→Y) + avgNN_k(y→X)) / 2)` — dividing by
+    * both endpoints' neighborhood density cancels the hubness that
+    * makes raw-cosine mining pair everything with the same few hub
+    * sentences. One row per x: its top-margin y with the raw cosine
+    * and the margin. This is the aligned-pair miner a translation-data
+    * pipeline runs where the contrastive pipeline runs
+    * [[hardNegatives]].
+    *
+    * Cross-engine exactness: each k-NN average is a sum of ROUNDED
+    * (round6) sims accumulated in DECIMAL(27,6) — order-free and
+    * exact, the doctrine for sums of doubles — then one exact cast
+    * (the sum is ≤ kNN in magnitude, 6 fractional digits: exactly a
+    * double) and one fixed IEEE divide; the margin is the fixed
+    * sequence `sim / ((ax + ay) / 2)` in both engines.
+    *
+    * Scale shape: both sides are label-pruned scans; the Y side and
+    * the two k-NN average frames broadcast (one row per anchor /
+    * candidate); the only exchanges are the two top-k windows keyed by
+    * the anchor ids. At real bitext scale the X×Y score pass rides an
+    * ANN prefilter exactly like [[hardNegativesIndexed]] — the margin
+    * tail is unchanged, so this form is the oracle-checked semantics
+    * anchor for that deployment.
+    */
+  def mineBitext(spark: SparkSession, dir: String, labelX: Int = 0,
+                 labelY: Int = 1, kNN: Int = 4): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val x = emb.filter(col("label") === labelX)
+      .select(col("vec_id").as("xid"), col("embedding").as("xe"),
+        norm(col("embedding")).as("xn"))
+    val y = emb.filter(col("label") === labelY)
+      .select(col("vec_id").as("yid"), col("embedding").as("ye"),
+        norm(col("embedding")).as("yn"))
+    val sims = x.crossJoin(broadcast(y))
+      .select(col("xid"), col("yid"),
+        (dot(col("xe"), col("ye")) / (col("xn") * col("yn"))).as("sim"))
+    def nnAvg(keyCol: String, other: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col("sim").desc, col(other).asc)
+      sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= kNN)
+        .groupBy(col(keyCol))
+        .agg((sum(round6(col("sim")).cast("decimal(27,6)")).cast("double") /
+          lit(kNN.toDouble)).as(s"avg_$keyCol"))
+    }
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("xid")).orderBy(col("margin").desc, col("yid").asc)
+    sims.join(broadcast(nnAvg("xid", "yid")), Seq("xid"))
+      .join(broadcast(nnAvg("yid", "xid")), Seq("yid"))
+      .select(col("xid"), col("yid"), col("sim"),
+        (col("sim") / ((col("avg_xid") + col("avg_yid")) / lit(2.0)))
+          .as("margin"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("xid"), col("yid"), round6(col("sim")).as("sim"),
+        round6(col("margin")).as("margin"))
+      .orderBy(col("xid"))
+  }
+
   def hardNegatives(spark: SparkSession, dir: String, nAnchors: Int,
                     k: Int): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -999,6 +1127,92 @@ object Similarity {
         coalesce(col("rank"), lit(0L)).as("hit_rank"),
         round6(coalesce(lit(1.0) / col("rank"), lit(0.0))).as("rr"))
       .orderBy(col("qid"))
+  }
+
+  /** Recall-vs-cost curve across nProbe settings — the tuning artifact
+    * behind "why nProbe = 2", the ANN twin of `dedup_threshold_sweep`:
+    * ONE training pass, one candidate assignment, one probe ranking,
+    * then each (query, true-top-k neighbor) pair explodes only into
+    * the sweep points that REACH it (a true neighbor is reachable at
+    * nProbe = t iff its assigned cell's probe rank for that query is
+    * ≤ t — cell-bounded search then finds it exactly, so reachability
+    * IS recall for the in-cell exact rescore). Alongside recall, the
+    * COST axis: `scanned` totals the posting-list rows the probe pays
+    * at each setting, and `scan_frac` normalizes by the full
+    * brute-force work (nQueries × candidates) — the curve's knee is
+    * the deployment setting. Every sweep point emits a row (a grid
+    * left-join, not a bare groupBy), so a setting that reaches nothing
+    * still shows its cost.
+    *
+    * Scale shape: no per-threshold recompute — training, assignment,
+    * probe ranking, and the exact panel each run once; the sweep is an
+    * explode over ≤|probes| literals per tiny pair/probe row, and
+    * every rollup lands on |probes| rows.
+    */
+  def annNprobeSweep(spark: SparkSession, dir: String, nQueries: Int,
+                     nCentroids: Int, k: Int,
+                     probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                     iters: Int = 2, sampleMod: Int = 3,
+                     sampleCap: Int = defaultIvfSampleCap): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters,
+      sampleMod, sampleCap)
+    val cents = trained.zipWithIndex.toSeq
+      .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
+      .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("en"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("acos").desc, col("cent_id").asc)
+    val cells = cand.crossJoin(broadcast(cents))
+      .select(col("cid"),
+        (dot(col("ce"), col("cemb")) / (col("en") * col("cn"))).as("acos"),
+        col("cent_id"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("cent_id"))
+    val maxProbe = probes.max
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id").asc)
+    val probeRanks = q.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cn"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= maxProbe)
+      .select(col("qid"), col("cent_id"), col("prk"))
+    val thArr = array(probes.sorted.map(lit): _*)
+    val truth = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("cid"))
+    val reach = truth.join(cells, Seq("cid"))
+      .join(broadcast(probeRanks), Seq("qid", "cent_id"), "left")
+      .select(explode(filter(thArr, t => t >= col("prk"))).as("n_probe"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_reachable"))
+    val cellSizes = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
+    val scan = probeRanks.join(broadcast(cellSizes), Seq("cent_id"))
+      .select(explode(filter(thArr, t => t >= col("prk"))).as("n_probe"),
+        col("sz"))
+      .groupBy(col("n_probe")).agg(sum(col("sz")).as("scanned"))
+    val totals = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+    probes.sorted.toDF("n_probe")
+      .join(reach, Seq("n_probe"), "left")
+      .join(scan, Seq("n_probe"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("n_probe").cast("long").as("n_probe"),
+        coalesce(col("n_reachable"), lit(0L)).as("n_reachable"),
+        col("n_true"),
+        round6(coalesce(col("n_reachable"), lit(0L)).cast("double") /
+          col("n_true")).as("recall"),
+        coalesce(col("scanned"), lit(0L)).as("scanned"),
+        round6(coalesce(col("scanned"), lit(0L)).cast("double") /
+          (col("n_cand") * lit(nQueries.toLong))).as("scan_frac"))
+      .orderBy(col("n_probe"))
   }
 
   /** [[annRecall]] for a CALLER-SUPPLIED query frame against the

@@ -561,6 +561,86 @@ class ExtSpec extends SparkTestBase {
       .forall(_.getAs[Long]("count") == 5))
   }
 
+  test("binary-rescore ANN: corpus-covering pool equals brute force " +
+    "exactly; packed halves match a driver-side sign pack; tight pool " +
+    "stays k rows per query") {
+    val dir = "/root/testdata/sf0.001"
+    // identity boundary: rescoreFactor·k >= |candidates| — the Hamming
+    // stage then only orders the pool, and the exact rescore IS the
+    // brute-force answer row-for-row (ranks and round6 sims included)
+    val nCand = Similarity.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 10).count()
+    val rf = (nCand / 5 + 1).toInt
+    val full = Similarity.binaryRescoreTopK(spark, dir, nQueries = 10,
+      k = 5, rescoreFactor = rf).collect().toSeq.map(_.toSeq)
+    val exact = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().toSeq.map(_.toSeq)
+    assert(full.nonEmpty && full == exact)
+    // the sign pack itself: engine fold == driver-side MSB-first pack
+    import org.apache.spark.sql.functions._
+    val emb = Similarity.embeddings(spark, dir).limit(20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def pack(v: Seq[Float], lo: Int, hi: Int): Long =
+      (lo to hi).foldLeft(0L)((acc, i) =>
+        acc * 2 + (if (v(i - 1) > 0f) 1L else 0L))
+    val sigs = Similarity.embeddings(spark, dir).limit(20)
+      .select(col("vec_id"),
+        expr("aggregate(sequence(1, 32), 0L, (acc, i) -> acc * 2 + " +
+          "IF(embedding[i - 1] > 0F, 1L, 0L))").as("h1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.foreach { case (id, v) =>
+      assert(sigs(id) == pack(v, 1, 32), s"vec $id") }
+    // bounded pool: rescoreFactor=1 still emits k rows per query
+    val tight = Similarity.binaryRescoreTopK(spark, dir, nQueries = 10,
+      k = 5, rescoreFactor = 1)
+    assert(tight.groupBy("qid").count().collect()
+      .forall(_.getAs[Long]("count") == 5))
+  }
+
+  test("nProbe sweep: recall is monotone in nProbe, hits 1.0 at all " +
+    "cells, and the cost axis totals every probed posting list") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.annNprobeSweep(spark, dir, nQueries = 10,
+      nCentroids = 16, k = 3).collect()
+    assert(rows.map(_.getAs[Long]("n_probe")).toSeq ==
+      Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nProbe: $recalls")
+    assert(recalls.last == 1.0,
+      "probing every cell reaches every true neighbor")
+    val scans = rows.map(_.getAs[Long]("scanned")).toSeq
+    assert(scans.zip(scans.tail).forall { case (a, b) => a <= b })
+    // at nProbe = nCentroids every query scans the whole corpus
+    val nCand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10).count()
+    assert(scans.last == nCand * 10,
+      s"full probe must cost nQueries × candidates, got ${scans.last}")
+    assert(rows.last.getAs[Double]("scan_frac") == 1.0)
+  }
+
+  test("bitext margin mining: one best match per anchor; the margin " +
+    "de-ranks hub candidates a raw-cosine miner would over-pair") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.mineBitext(spark, dir).collect()
+    val nX = Similarity.embeddings(spark, dir)
+      .filter(col("label") === 0).count()
+    assert(rows.length == nX, "one row per side-X anchor")
+    assert(rows.map(_.getAs[Long]("xid")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") > 0.0 &&
+        !r.getAs[Double]("margin").isNaN, r.toString) }
+    // margin ≠ raw cosine as a ranking: the mined pair's raw sim need
+    // not be the anchor's max sim (density normalization re-ranks); on
+    // real data at least the SETS can differ — assert the margin values
+    // are genuinely normalized (not equal to sim)
+    assert(rows.exists(r =>
+      r.getAs[Double]("margin") != r.getAs[Double]("sim")))
+  }
+
   test("semantic dedup: drops have a smaller-id cell neighbor above threshold") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
