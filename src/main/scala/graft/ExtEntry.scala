@@ -444,6 +444,23 @@ object ExtEntry {
     "ann_binary_topk" -> ((s, dir) =>
       Similarity.binaryRescoreTopK(s, dir, nQueries = 10, k = 5)),
 
+    // Matryoshka prefix-dimension prefilter (first 16 of 64 dims) +
+    // exact full-dim rescore — the dimension-truncation rung
+    "ann_matryoshka_topk" -> ((s, dir) =>
+      Similarity.matryoshkaRescoreTopK(s, dir, nQueries = 10, k = 5)),
+
+    // the external-vector forms of the two new rungs — every search
+    // family carries the caller-supplied-panel surface (r12 contract)
+    "ann_external_binary" -> ((s, dir) =>
+      Similarity.binaryRescoreTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5), k = 3,
+        rescoreFactor = 4, minCid = Long.MinValue)),
+
+    "ann_external_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRescoreTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5), k = 3,
+        dPrefix = 16, rescoreFactor = 4, minCid = Long.MinValue)),
+
     // SemDeDup: centroid-blocked embedding dedup over trained IVF cells
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(s, dir, threshold = 0.4, nCentroids = 16)),
@@ -2664,6 +2681,111 @@ object ExtEntry {
          |    list_sum(list_transform(generate_series(1, 64),
          |      i -> q.qi[i] * c.qi[i])) * q.scale * c.scale / 16129.0
          |      / (q.nrm * c.nrm) AS ascore
+         |  FROM q, c),
+         |pool AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 20),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+         |      / (qnn * cnn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the external panel through the binary rung: double-typed panel
+    // vectors sign-pack through the same shift sum, whole table searched
+    "ann_external_binary" ->
+      s"""WITH ${externalPanelCte(5)},
+         |qs AS (SELECT qid, qe,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * qe[i]))) AS qn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN qe[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS qh1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN qe[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS qh2
+         |  FROM q),
+         |c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS ch1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS ch2
+         |  FROM embeddings),
+         |ap AS (SELECT qs.qid, c.cid, qs.qe, c.ce, qs.qn, c.cn,
+         |    bit_count(xor(qs.qh1, c.ch1)) + bit_count(xor(qs.qh2, c.ch2))
+         |      AS hamm
+         |  FROM qs, c),
+         |pool AS (SELECT qid, cid, qe, ce, qn, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamm, cid) AS ark FROM ap) WHERE ark <= 12),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the external panel through the prefix-dim rung
+    "ann_external_matryoshka" ->
+      s"""WITH ${externalPanelCte(5)},
+         |qs AS (SELECT qid, qe,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * qe[i]))) AS qn,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16),
+         |      i -> qe[i] * qe[i]))) AS qpn
+         |  FROM q),
+         |c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cpn
+         |  FROM embeddings),
+         |ap AS (SELECT qs.qid, c.cid, qs.qe, c.ce, qs.qn, c.cn,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> qs.qe[i] * CAST(c.ce[i] AS DOUBLE))) / (qs.qpn * c.cpn)
+         |      AS ascore
+         |  FROM qs, c),
+         |pool AS (SELECT qid, cid, qe, ce, qn, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 12),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // prefix-dim cosine over the first 16 dims ranks the pool; the
+    // exact full-dim rescore mirrors ann_int8_topk's tail
+    "ann_matryoshka_topk" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS pn
+         |  FROM embeddings),
+         |q AS (SELECT * FROM s WHERE vec_id < 10),
+         |c AS (SELECT * FROM s WHERE vec_id >= 10),
+         |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    q.embedding AS qe, c.embedding AS ce, q.nrm AS qnn, c.nrm AS cnn,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.pn * c.pn) AS ascore
          |  FROM q, c),
          |pool AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid

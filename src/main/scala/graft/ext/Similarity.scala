@@ -378,6 +378,75 @@ object Similarity {
     * rescore pool — is deterministic; ties break toward the smaller
     * candidate id at both stages.
     */
+  /** Matryoshka (truncated-dimension) ANN — the THIRD compression rung
+    * next to [[int8RescoreTopK]] (fewer bits per dim) and
+    * [[binaryRescoreTopK]] (one bit per dim): stage 1 ranks candidates
+    * by cosine over only the FIRST `dPrefix` dimensions (MRL-trained
+    * embeddings front-load information so a prefix is itself a usable
+    * embedding — Kusupati et al. 2022, "Matryoshka Representation
+    * Learning"), stage 2 rescores the `rescoreFactor·k` pool in exact
+    * full-dimension cosine. At 100 TB the stage-1 scan reads
+    * `dPrefix/dim` of the float bytes with zero quantization error in
+    * the dims it does read — the right rung when the model was
+    * MRL-trained and int8's per-dim error is the recall bottleneck.
+    *
+    * Exactness: the prefix cosine is the same fixed dot/sqrt/divide
+    * sequence as every other sim here, over `slice(embedding, 1,
+    * dPrefix)` — ordering (prefix-cos desc, cid asc) is deterministic
+    * cross-engine, and the rescore tail is [[int8RescoreTopK]]'s.
+    */
+  def matryoshkaRescoreTopK(spark: SparkSession, dir: String,
+                            nQueries: Int, k: Int, dPrefix: Int = 16,
+                            rescoreFactor: Int = 4): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val headQ = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    matryoshkaRescoreTopK(spark, dir, headQ, k, dPrefix, rescoreFactor,
+      minCid = nQueries.toLong)
+  }
+
+  /** [[matryoshkaRescoreTopK]] for a CALLER-SUPPLIED query frame
+    * (qid, qe) — the external-vector form every search family carries
+    * (same contract as the external [[bruteForceTopK]]; `minCid`
+    * restricts the searched partition for like-for-like audits).
+    */
+  def matryoshkaRescoreTopK(spark: SparkSession, dir: String,
+                            queries: DataFrame, k: Int, dPrefix: Int,
+                            rescoreFactor: Int, minCid: Long): DataFrame = {
+    val emb = embeddings(spark, dir).filter(col("vec_id") >= minCid)
+    val q = queries.select(col("qid").cast("long").as("qid"), col("qe"))
+      .withColumn("qpe", slice(col("qe"), 1, dPrefix))
+      .select(col("qid"), col("qe"), norm(col("qe")).as("qn"),
+        col("qpe"), norm(col("qpe")).as("qpn"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cpe", slice(col("ce"), 1, dPrefix))
+      .select(col("cid"), col("ce"), norm(col("ce")).as("cn"),
+        col("cpe"), norm(col("cpe")).as("cpn"))
+    val approx = c.select(col("cid"), col("cpe"), col("cpn"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qpe"), col("qpn"))))
+      .select(col("qid"), col("cid"),
+        (dot(col("qpe"), col("cpe")) / (col("qpn") * col("cpn")))
+          .as("ascore"))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid").asc)
+    val pool = approx.withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rescoreFactor * k)
+      .select(col("qid"), col("cid"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    c.select(col("cid"), col("ce"), col("cn"))
+      .join(broadcast(pool), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))),
+        Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round6(col("sim")).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Binary (1-bit) quantized ANN — [[int8RescoreTopK]]'s 32× sibling
     * and the most aggressive standard compression rung (one sign bit
     * per dimension): stage 1 ranks candidates by HAMMING distance
@@ -399,22 +468,42 @@ object Similarity {
     */
   def binaryRescoreTopK(spark: SparkSession, dir: String, nQueries: Int,
                         k: Int, rescoreFactor: Int = 4): DataFrame = {
-    val emb = embeddings(spark, dir)
-    def packHalf(lo: Int, hi: Int) =
-      aggregate(sequence(lit(lo), lit(hi)), lit(0L),
-        (acc, i) => acc * 2 +
-          when(element_at(col("embedding"), i) > 0f, 1L).otherwise(0L))
-    val sig = emb.select(col("vec_id"),
-      packHalf(1, 32).as("h1"), packHalf(33, 64).as("h2"))
-    val q = sig.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"),
-        col("h1").as("qh1"), col("h2").as("qh2"))
-    val c = sig.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("cid"),
-        col("h1").as("ch1"), col("h2").as("ch2"))
+    val headQ = embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    binaryRescoreTopK(spark, dir, headQ, k, rescoreFactor,
+      minCid = nQueries.toLong)
+  }
+
+  /** Sign pack of dims [lo, hi] of vector column `v` — MSB-first fold
+    * `acc·2 + (v_i > 0)`; the cast makes one pack serve float corpus
+    * rows and double caller panels (the sign test is exact either way).
+    */
+  private def packSigns(v: Column, lo: Int, hi: Int): Column =
+    aggregate(sequence(lit(lo), lit(hi)), lit(0L),
+      (acc, i) => acc * 2 +
+        when(element_at(v, i).cast("double") > 0.0, 1L).otherwise(0L))
+
+  /** [[binaryRescoreTopK]] for a CALLER-SUPPLIED query frame
+    * (qid, qe) — the external-vector form every search family carries
+    * (same contract as the external [[bruteForceTopK]]; `minCid`
+    * restricts the searched partition for like-for-like audits).
+    */
+  def binaryRescoreTopK(spark: SparkSession, dir: String,
+                        queries: DataFrame, k: Int, rescoreFactor: Int,
+                        minCid: Long): DataFrame = {
+    val emb = embeddings(spark, dir).filter(col("vec_id") >= minCid)
+    val q = queries.select(col("qid").cast("long").as("qid"), col("qe"),
+      packSigns(col("qe"), 1, 32).as("qh1"),
+      packSigns(col("qe"), 33, 64).as("qh2"),
+      norm(col("qe")).as("qn"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      packSigns(col("embedding"), 1, 32).as("ch1"),
+      packSigns(col("embedding"), 33, 64).as("ch2"),
+      norm(col("embedding")).as("cn"))
     // stage 1: only (qid, cid, hamm) flows into the ranking — the float
     // payload never leaves the scan
-    val approx = c.crossJoin(broadcast(q))
+    val approx = c.select(col("cid"), col("ch1"), col("ch2"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qh1"), col("qh2"))))
       .select(col("qid"), col("cid"),
         expr("bit_count(qh1 ^ ch1) + bit_count(qh2 ^ ch2)").as("hamm"))
     val wApprox = org.apache.spark.sql.expressions.Window
@@ -422,17 +511,13 @@ object Similarity {
     val pool = approx.withColumn("ark", row_number().over(wApprox))
       .filter(col("ark") <= rescoreFactor * k)
       .select(col("qid"), col("cid"))
-    // stage 2: exact float32 cosine over only the pool rows
-    val qf = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm(col("embedding")).as("qn"))
-    val cf = emb.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        norm(col("embedding")).as("cn"))
+    // stage 2: exact cosine over only the pool rows
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    cf.join(broadcast(pool), Seq("cid"))
-      .join(broadcast(qf), Seq("qid"))
+    c.select(col("cid"), col("ce"), col("cn"))
+      .join(broadcast(pool), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))),
+        Seq("qid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rank", row_number().over(wExact))

@@ -598,6 +598,41 @@ class ExtSpec extends SparkTestBase {
       .forall(_.getAs[Long]("count") == 5))
   }
 
+  test("matryoshka ANN: corpus-covering pool equals brute force " +
+    "exactly; the stage-1 order is the prefix cosine (driver-checked)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val nCand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10).count()
+    val rf = (nCand / 5 + 1).toInt
+    val full = Similarity.matryoshkaRescoreTopK(spark, dir, nQueries = 10,
+      k = 5, rescoreFactor = rf).collect().toSeq.map(_.toSeq)
+    val exact = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().toSeq.map(_.toSeq)
+    assert(full.nonEmpty && full == exact)
+    // tight pool: the k survivors are exactly the top-k BY PREFIX
+    // cosine, rescored — cross-checked against a driver-side prefix
+    // ranking of the raw vectors
+    val emb = Similarity.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pcos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        (0 until 16).map(i => x(i).toDouble * y(i).toDouble).sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val tight = Similarity.matryoshkaRescoreTopK(spark, dir, nQueries = 10,
+      k = 5, rescoreFactor = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 10L).foreach { qid =>
+      val want = emb.keys.filter(_ >= 10L).toSeq
+        .map(cid => (cid, pcos(emb(qid), emb(cid))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(5).map(_._1).toSet
+      assert(tight(qid) == want, s"query $qid prefix pool")
+    }
+  }
+
   test("nProbe sweep: recall is monotone in nProbe, hits 1.0 at all " +
     "cells, and the cost axis totals every probed posting list") {
     import org.apache.spark.sql.functions._
