@@ -432,6 +432,11 @@ object ExtEntry {
     "semantic_threshold_sweep" -> ((s, dir) =>
       Similarity.semanticThresholdSweep(s, dir)),
 
+    // the quality-axis sweep: docs/tokens surviving each candidate
+    // quality cutoff — the filter-strength curve a dataset card quotes
+    "quality_threshold_sweep" -> ((s, dir) =>
+      TextAnalysis.qualitySweep(s, dir)),
+
     // deterministic ~5%/~5%/~90% test/val/train split, reshard-stable
     "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
 
@@ -2936,6 +2941,37 @@ object ExtEntry {
          |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
          |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
          |FROM ex GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    // per-doc quality score computed once, exploded into the cutoffs
+    // it clears; grid left-joined so every sweep point emits
+    "quality_threshold_sweep" ->
+      """WITH dicts AS (SELECT
+        |  ['the','a','of','and','to','in','is','it','you','that'] AS en),
+        |d AS (SELECT text, string_split(lower(text), ' ') AS wl,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT n_tokens,
+        |    floor(CAST(((1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |        / length(text)) * 0.5 +
+        |      least(CAST(len(list_filter(wl, x -> list_contains(en, x))) AS DOUBLE)
+        |        / len(wl) * 10, 1.0) * 0.5) AS DOUBLE)*1000000 + 0.5)/1000000 AS qs
+        |  FROM d, dicts),
+        |tot AS (SELECT count(*) AS total_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM q),
+        |grid AS (SELECT CAST(t AS DOUBLE) AS threshold
+        |  FROM UNNEST([0.2, 0.4, 0.6, 0.8]) AS g(t)),
+        |surv AS (SELECT threshold, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM q JOIN grid ON qs >= threshold GROUP BY threshold)
+        |SELECT g.threshold,
+        |  CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  floor(CAST((CAST(coalesce(s.n_docs, 0) AS DOUBLE) / t.total_docs)
+        |    AS DOUBLE)*1000000 + 0.5)/1000000 AS kept_docs_frac,
+        |  floor(CAST((CAST(coalesce(s.n_tokens, 0) AS DOUBLE) / t.total_tokens)
+        |    AS DOUBLE)*1000000 + 0.5)/1000000 AS kept_tokens_frac
+        |FROM grid g LEFT JOIN surv s USING (threshold), tot t
+        |ORDER BY threshold""".stripMargin,
 
     // within-cell verified pairs with their exact cosine, exploded into
     // the thresholds each clears

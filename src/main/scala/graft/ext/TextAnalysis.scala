@@ -100,6 +100,44 @@ object TextAnalysis {
       least(stopRatio * 10, lit(1.0)) * 0.5)
   }
 
+  /** Survival curve behind the quality gate — the dataset-card artifact
+    * every filter-strength decision quotes (the sibling of
+    * `dedup_threshold_sweep` on the quality axis): for each candidate
+    * cutoff, the documents and tokens that would survive
+    * `quality_score >= cutoff`, with their fractions of the corpus. ONE
+    * pass: the per-doc score computes once (narrow two-column
+    * checkpoint), each doc explodes only into the cutoffs it clears,
+    * and the grid left-join emits every sweep point — a cutoff nothing
+    * clears still shows its zero.
+    */
+  def qualitySweep(spark: SparkSession, dir: String,
+                   ths: Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8)): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+      .select(qualityScoreCol.as("qs"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // score once; totals + survival both read it
+    val totals = docs.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_tokens")).as("total_tokens"))
+    val thArr = array(ths.sorted.map(lit): _*)
+    val surv = docs
+      .select(explode(filter(thArr, t => col("qs") >= t)).as("threshold"),
+        col("n_tokens"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    ths.sorted.toDF("threshold")
+      .join(surv, Seq("threshold"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round6(coalesce(col("n_docs"), lit(0L)).cast("double") /
+          col("total_docs")).as("kept_docs_frac"),
+        round6(coalesce(col("n_tokens"), lit(0L)).cast("double") /
+          col("total_tokens")).as("kept_tokens_frac"))
+      .orderBy(col("threshold"))
+  }
+
   /** Quality metrics: char/token counts, regex token count, punctuation
     * ratio, mean token length, stopword ratio, and a composite score.
     */

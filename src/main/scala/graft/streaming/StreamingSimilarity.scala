@@ -159,6 +159,30 @@ object StreamingSimilarity {
       .start()
   }
 
+  /** Query-side search stream for the SCAN-BASED compression rungs
+    * (binary sign-pack, matryoshka prefix-dim — the forms with no
+    * standing index to probe): each micro-batch of caller query vectors
+    * (qid, qe) runs through `search` — e.g.
+    * `Similarity.binaryRescoreTopK(spark, dir, _, k, rf, minCid)` or
+    * the matryoshka external form — and hands the result frame to
+    * `sink`. One generic shell instead of a per-rung copy of the
+    * foreachBatch plumbing (the rankTopK lesson from r12 applied to
+    * the stream surface); the IVF/PQ streams stay their own entry
+    * points because they also pin the standing-index ensure step.
+    * Same pure-search / sink-owns-dedup replay contract as
+    * [[startIvfSearchStream]].
+    */
+  def startScanSearchStream(queries: DataFrame, checkpoint: String)
+                           (search: DataFrame => DataFrame)
+                           (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(search(batch))
+        ()
+      }
+      .start()
+
   /** The PQ sibling of [[startIvfSearchStream]]: streamed query vectors
     * build their per-query LUT against the frozen codebooks and ADC-scan
     * the standing codes table — the same pure-search / sink-owns-dedup
