@@ -172,6 +172,12 @@ object ExtEntry {
       Similarity.annNprobeSweep(s, dir, nQueries = 10, nCentroids = 16,
         k = 3)),
 
+    // the compression-rung decision table: recall@k vs stage-1 bytes
+    // per vector for float32 / int8 / matryoshka / binary at the same
+    // k and rescoreFactor
+    "ann_compression_recall" -> ((s, dir) =>
+      Similarity.compressionRecall(s, dir, nQueries = 10, k = 3)),
+
     // cluster-balanced subsampling: cap each IVF cell's membership in a
     // deterministic hash order — over-dense embedding regions capped,
     // sparse regions kept whole (the semantic-coverage sampling move)
@@ -2700,6 +2706,74 @@ object ExtEntry {
          |  FROM ex)
          |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the rung decision table: one q×c pair pass carries the exact sim
+    // AND all three approximate scores; each method pools/rescores from
+    // it, hits count against the shared truth panel
+    "ann_compression_recall" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS pn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h2
+         |  FROM embeddings),
+         |s2 AS (SELECT *, list_transform(embedding,
+         |    v -> CASE WHEN scale = 0 THEN 0
+         |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5) END) AS qi
+         |  FROM s),
+         |q AS (SELECT * FROM s2 WHERE vec_id < 10),
+         |c AS (SELECT * FROM s2 WHERE vec_id >= 10),
+         |ex0 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.nrm * c.nrm) AS sim,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.qi[i] * c.qi[i])) * q.scale * c.scale / 16129.0
+         |      / (q.nrm * c.nrm) AS a_i8,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.pn * c.pn) AS a_mt,
+         |    bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamm
+         |  FROM q, c),
+         |truth AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM ex0) t WHERE rk <= 3),
+         |i8 AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM (SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY a_i8 DESC, cid) AS ark
+         |    FROM ex0) p WHERE ark <= 12) pool) r WHERE rk <= 3),
+         |mt AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM (SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY a_mt DESC, cid) AS ark
+         |    FROM ex0) p WHERE ark <= 12) pool) r WHERE rk <= 3),
+         |bn AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM (SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY hamm, cid) AS ark
+         |    FROM ex0) p WHERE ark <= 12) pool) r WHERE rk <= 3),
+         |hits AS (
+         |  SELECT 'float32' AS method, 256 AS b, count(*) AS n_hits FROM truth
+         |  UNION ALL SELECT 'int8', 64, count(*)
+         |    FROM i8 JOIN truth USING (qid, cid)
+         |  UNION ALL SELECT 'matryoshka16', 64, count(*)
+         |    FROM mt JOIN truth USING (qid, cid)
+         |  UNION ALL SELECT 'binary', 16, count(*)
+         |    FROM bn JOIN truth USING (qid, cid)),
+         |tot AS (SELECT count(*) AS n_true FROM truth)
+         |SELECT method, CAST(b AS BIGINT) AS stage1_bytes_per_vec,
+         |  CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
+         |  floor(CAST((CAST(n_hits AS DOUBLE) / n_true) AS DOUBLE)*1000000 + 0.5)/1000000
+         |    AS recall
+         |FROM hits, tot ORDER BY method""".stripMargin,
 
     // the external panel through the binary rung: double-typed panel
     // vectors sign-pack through the same shift sum, whole table searched

@@ -1214,6 +1214,45 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The compression-rung decision table — recall@k of every SCAN-based
+    * approximate rung against exact brute force, next to each rung's
+    * stage-1 bytes per vector: float32 (the exact baseline, 256 B),
+    * int8 (64 B), matryoshka prefix-16 (64 B), binary sign bits (16 B).
+    * One row per method; the row a deployment reads before picking its
+    * scan payload, the way `ann_nprobe_sweep` picks the probe width.
+    * Each rung runs at the SAME k and rescoreFactor so the comparison
+    * is like-for-like; the exact panel computes once and each method's
+    * hit count is a semi-join against it.
+    */
+  def compressionRecall(spark: SparkSession, dir: String, nQueries: Int,
+                        k: Int, rescoreFactor: Int = 4): DataFrame = {
+    val truth = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("cid")).localCheckpoint(true)
+    val totals = truth.agg(count(lit(1)).as("n_true"))
+    def hitsOf(name: String, bytesPerVec: Long,
+               df: DataFrame): DataFrame =
+      df.select(col("qid"), col("cid"))
+        .join(truth, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"),
+          lit(bytesPerVec).as("stage1_bytes_per_vec"), col("n_hits"))
+    Seq(
+      hitsOf("float32", 256L, truth),
+      hitsOf("int8", 64L,
+        int8RescoreTopK(spark, dir, nQueries, k, rescoreFactor)),
+      hitsOf("matryoshka16", 64L,
+        matryoshkaRescoreTopK(spark, dir, nQueries, k,
+          dPrefix = 16, rescoreFactor = rescoreFactor)),
+      hitsOf("binary", 16L,
+        binaryRescoreTopK(spark, dir, nQueries, k, rescoreFactor)))
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("method"), col("stage1_bytes_per_vec"), col("n_hits"),
+        col("n_true"),
+        round6(col("n_hits").cast("double") / col("n_true")).as("recall"))
+      .orderBy(col("method"))
+  }
+
   /** Recall-vs-cost curve across nProbe settings — the tuning artifact
     * behind "why nProbe = 2", the ANN twin of `dedup_threshold_sweep`:
     * ONE training pass, one candidate assignment, one probe ranking,

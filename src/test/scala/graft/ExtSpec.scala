@@ -656,6 +656,31 @@ class ExtSpec extends SparkTestBase {
     assert(rows.last.getAs[Double]("scan_frac") == 1.0)
   }
 
+  test("compression-rung decision table: float32 baseline at recall 1.0," +
+    " every rung bounded, hits consistent with the rung's own output") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.compressionRecall(spark, dir, nQueries = 10,
+      k = 3).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_true"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet ==
+      Set("float32", "int8", "matryoshka16", "binary"))
+    val nTrue = rows("float32")._2
+    assert(rows("float32")._1 == nTrue && rows("float32")._3 == 1.0)
+    rows.values.foreach { case (h, t, r) =>
+      assert(t == nTrue && h <= t && r >= 0.0 && r <= 1.0) }
+    // cross-check one rung's hit count against its own standalone output
+    val binTopK = Similarity.binaryRescoreTopK(spark, dir, nQueries = 10,
+      k = 3).select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 3)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("binary")._1 == (binTopK & truth).size.toLong)
+  }
+
   test("streamed queries through the scan-based rungs emit exactly the " +
     "batch external-form results (binary and matryoshka)") {
     import java.nio.file.Files
