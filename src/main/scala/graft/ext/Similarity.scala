@@ -1232,7 +1232,7 @@ object Similarity {
     def hitsOf(name: String, bytesPerVec: Long,
                df: DataFrame): DataFrame =
       df.select(col("qid"), col("cid"))
-        .join(truth, Seq("qid", "cid"), "left_semi")
+        .join(broadcast(truth), Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"),
           lit(bytesPerVec).as("stage1_bytes_per_vec"), col("n_hits"))
@@ -1311,9 +1311,11 @@ object Similarity {
       .filter(col("prk") <= maxProbe)
       .select(col("qid"), col("cent_id"), col("prk"))
     val thArr = array(probes.sorted.map(lit): _*)
+    // the truth panel (k·nQueries rows) broadcasts into the
+    // corpus-proportional cells frame, never the reverse
     val truth = bruteForceTopK(spark, dir, nQueries, k)
       .select(col("qid"), col("cid"))
-    val reach = truth.join(cells, Seq("cid"))
+    val reach = cells.join(broadcast(truth), Seq("cid"))
       .join(broadcast(probeRanks), Seq("qid", "cent_id"), "left")
       .select(explode(filter(thArr, t => t >= col("prk"))).as("n_probe"))
       .groupBy(col("n_probe")).agg(count(lit(1)).as("n_reachable"))
@@ -1325,8 +1327,8 @@ object Similarity {
     val totals = truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
     probes.sorted.toDF("n_probe")
-      .join(reach, Seq("n_probe"), "left")
-      .join(scan, Seq("n_probe"), "left")
+      .join(broadcast(reach), Seq("n_probe"), "left")
+      .join(broadcast(scan), Seq("n_probe"), "left")
       .crossJoin(broadcast(totals))
       .select(col("n_probe").cast("long").as("n_probe"),
         coalesce(col("n_reachable"), lit(0L)).as("n_reachable"),
