@@ -202,6 +202,30 @@ object StreamingCuration {
       allTokens)
   }
 
+  /** The order guard's OBSERVABILITY face: read the per-key guard
+    * counters straight out of a quota stream's checkpoint via Spark's
+    * state data source — one row per key with the primary admission
+    * counter (`admitted` for [[QuotaProcessor]], `seen_tokens` for
+    * [[TokenBudgetProcessor]]), the high watermark, and the
+    * out-of-order drop count. `ooo_dropped > 0` IS the
+    * stream-vs-backfill divergence signal the guard exists for — a
+    * dashboard polls this exactly like [[Metrics.searchFreshness]],
+    * with no job against the corpus (the state files are
+    * keys-many rows).
+    */
+  def orderGuardStats(spark: org.apache.spark.sql.SparkSession,
+                      checkpoint: String,
+                      primaryState: String = "admitted"): DataFrame = {
+    def read(name: String) = spark.read.format("statestore")
+      .option("path", checkpoint).option("stateVarName", name).load()
+      .select(col("key.value").as("key"),
+        col("value.value").as(name))
+    read(primaryState)
+      .join(read("high_watermark"), Seq("key"), "full_outer")
+      .join(read("ooo_dropped"), Seq("key"), "full_outer")
+      .orderBy(col("key"))
+  }
+
   /** Document stream → the per-source token-budget admit stream. */
   def quotaTokensStream(docs: Dataset[DocTok], budget: Long): Dataset[DocTok] = {
     import docs.sparkSession.implicits._

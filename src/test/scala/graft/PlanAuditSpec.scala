@@ -179,6 +179,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning\\(blk".r.findFirstIn(finalPlan).isDefined, p)
   }
 
+  test("r13 ANN rungs and sweeps plan broadcast-only: no sort-merge " +
+    "fallback from the unhinted tiny frames, no cartesian") {
+    // the first r13 audit caught ann_nprobe_sweep/ann_compression_recall
+    // falling back to SMJ on statless truth panels and 5-row sweep
+    // grids; this pins the broadcast hints that fixed it and guards the
+    // whole new family
+    Seq("ann_binary_topk", "ann_matryoshka_topk", "ann_external_binary",
+      "ann_external_matryoshka", "ann_nprobe_sweep",
+      "ann_compression_recall", "mine_bitext",
+      "quality_threshold_sweep").foreach { q =>
+      val p = executedPlan(q)
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("SortMergeJoin"),
+        s"$q: tiny frame fell back to sort-merge\n$p")
+      assert(!finalPlan.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
   test("winsorize bounds pass plans no single-reducer window — the value " +
     "grid prefix-sums in (group, block) parallel") {
     // VERDICT r10 #1: the cumulative count over the per-group distinct

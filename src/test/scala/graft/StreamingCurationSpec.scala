@@ -72,8 +72,11 @@ class StreamingCurationSpec extends SparkTestBase {
     // high-watermark now drops-and-counts it — observable as the late
     // row's ABSENCE even though quota remained
     val input = MemoryStream[DocMeta](36, spark, None)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_quota_ooo_ckpt").toString
     val q = StreamingCuration.quotaCapStream(input.toDS(), n = 10)
       .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
       .format("memory").queryName("graft_stream_quota_ooo").start()
     try {
       input.addData(DocMeta(5, "a", "en"), DocMeta(7, "a", "en"))
@@ -89,6 +92,13 @@ class StreamingCurationSpec extends SparkTestBase {
         .select("doc_id").as[Long].collect().toSeq
       assert(admitted.sorted == Seq(5L, 7L, 9L), s"got $admitted")
     } finally q.stop()
+    // the observability face: the guard counters read back out of the
+    // checkpoint — ooo_dropped IS the divergence signal, per key
+    val stats = StreamingCuration.orderGuardStats(spark, ckpt).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("a") == ((3L, 9L, 2L)),
+      s"(admitted, high_watermark, ooo_dropped) for a: ${stats.get("a")}")
   }
 
   test("cross-batch order guard: a late doc neither admits nor charges " +
