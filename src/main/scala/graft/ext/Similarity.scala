@@ -1028,10 +1028,11 @@ object Similarity {
     * Scale shape: both sides are label-pruned scans; the Y side and
     * the two k-NN average frames broadcast (one row per anchor /
     * candidate); the only exchanges are the two top-k windows keyed by
-    * the anchor ids. At real bitext scale the X×Y score pass rides an
-    * ANN prefilter exactly like [[hardNegativesIndexed]] — the margin
-    * tail is unchanged, so this form is the oracle-checked semantics
-    * anchor for that deployment.
+    * the anchor ids. At real bitext scale the X×Y score pass would
+    * swap in an ANN prefilter the way [[hardNegativesIndexed]] does
+    * for mining (not built here — the margin tail would be reused
+    * unchanged); this brute-force form is the oracle-checked
+    * semantics anchor such a variant would be pinned against.
     */
   def mineBitext(spark: SparkSession, dir: String, labelX: Int = 0,
                  labelY: Int = 1, kNN: Int = 4): DataFrame = {
