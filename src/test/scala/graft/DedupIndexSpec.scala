@@ -18,6 +18,24 @@ class DedupIndexSpec extends SparkTestBase {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  test("pipeline_curate rides the standing index: running it on a " +
+    "purged warehouse builds the band/shingle tables as a side effect") {
+    // the final plan cannot show the bucketed scans (label-propagation
+    // checkpoints cut them out, as with pipeline_pretrain in r12) — the
+    // runtime-observable pin is that the curate report ENSURES the
+    // standing index, proving nearDupPairsIndexed is the path it runs
+    dropIndex()
+    try {
+      assert(!spark.catalog.tableExists(TextDedup.bandsTable(dir)))
+      val out = graft.ExtEntry.queries("pipeline_curate")(spark, dir)
+      assert(out.count() > 0)
+      assert(spark.catalog.tableExists(TextDedup.bandsTable(dir)),
+        "curate must read (and therefore ensure) the standing band table")
+      assert(spark.catalog.tableExists(TextDedup.shinglesTable(dir)),
+        "curate must read the standing shingle store")
+    } finally dropIndex()
+  }
+
   test("indexed admission equals the recompute form") {
     dropIndex()
     try {

@@ -725,6 +725,28 @@ class ExtSpec extends SparkTestBase {
     assert(gotMat.nonEmpty && gotMat == wantMat)
   }
 
+  test("nProbe sweep with a truncated grid: true neighbors whose cell " +
+    "ranks past max(probes) fall out of the left join (null prk) and " +
+    "count as unreachable, never as rows") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val small = Similarity.annNprobeSweep(spark, dir, nQueries = 10,
+      nCentroids = 16, k = 3, probes = Seq(1, 2)).collect()
+    val full = Similarity.annNprobeSweep(spark, dir, nQueries = 10,
+      nCentroids = 16, k = 3).collect()
+      .map(r => r.getAs[Long]("n_probe") ->
+        (r.getAs[Long]("n_reachable"), r.getAs[Long]("scanned"))).toMap
+    assert(small.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L))
+    small.foreach { r =>
+      // truncating the rank table must not change the sweep points it
+      // still covers — the null-prk path only removes, never distorts
+      assert((r.getAs[Long]("n_reachable"), r.getAs[Long]("scanned")) ==
+        full(r.getAs[Long]("n_probe")), r.toString)
+      assert(r.getAs[Double]("recall") < 1.0 ||
+        r.getAs[Long]("n_reachable") == r.getAs[Long]("n_true"))
+    }
+  }
+
   test("bitext margin mining: one best match per anchor; the margin " +
     "de-ranks hub candidates a raw-cosine miner would over-pair") {
     import org.apache.spark.sql.functions._
