@@ -140,6 +140,13 @@ object ExtEntry {
     "mine_bitext" -> ((s, dir) =>
       Similarity.mineBitext(s, dir, labelX = 0, labelY = 1, kNN = 4)),
 
+    // the same mining against the standing whole-table IVF index:
+    // both directions probe 2 cells per query (the CCMatrix deployment
+    // shape); nProbe = nCentroids identity pinned in ExtSpec
+    "mine_bitext_ivf" -> ((s, dir) =>
+      Similarity.mineBitextIndexed(s, dir, labelX = 0, labelY = 1,
+        kNN = 4, nCentroids = 16, nProbe = 2)),
+
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to
     // StreamingSimilarity.shouldRetrain's purge+rebuild decision rule
@@ -1844,6 +1851,61 @@ object ExtEntry {
          |SELECT qid, q_label, cid, c_label, CAST(rank AS BIGINT) AS rank,
          |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim
          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the indexed bitext twin: whole-table trained cells (the
+    // dedup_semantic chain), both directions probe 2 cells per query,
+    // candidates are the probed cells' other-label members, then the
+    // same margin tail as mine_bitext
+    "mine_bitext_ivf" -> {
+      val pairCos = "list_sum(list_transform(generate_series(1, 64), " +
+        "i -> CAST(x.xe[i] AS DOUBLE) * CAST(y.ye[i] AS DOUBLE))) " +
+        "/ (x.xn * y.yn)"
+      s"""WITH $semanticCellCtes,
+         |x AS (SELECT v.vec_id AS xid, v.embedding AS xe, v.nrm AS xn
+         |  FROM v JOIN embeddings e ON e.vec_id = v.vec_id
+         |  WHERE e.label = 0),
+         |y AS (SELECT v.vec_id AS yid, v.embedding AS ye, v.nrm AS yn
+         |  FROM v JOIN embeddings e ON e.vec_id = v.vec_id
+         |  WHERE e.label = 1),
+         |xp AS (SELECT xid, cent_id FROM (SELECT x.xid, c.cent_id,
+         |    row_number() OVER (PARTITION BY x.xid
+         |      ORDER BY ${cosSql("CAST(x.xe[i] AS DOUBLE)", "c.cemb[i]")}
+         |      DESC, c.cent_id) AS rk
+         |  FROM x, cents c) t WHERE rk <= 2),
+         |yp AS (SELECT yid, cent_id FROM (SELECT y.yid, c.cent_id,
+         |    row_number() OVER (PARTITION BY y.yid
+         |      ORDER BY ${cosSql("CAST(y.ye[i] AS DOUBLE)", "c.cemb[i]")}
+         |      DESC, c.cent_id) AS rk
+         |  FROM y, cents c) t WHERE rk <= 2),
+         |sxy AS (SELECT p.xid, y.yid, $pairCos AS sim
+         |  FROM xp p JOIN cells m USING (cent_id)
+         |  JOIN y ON y.yid = m.vec_id JOIN x ON x.xid = p.xid),
+         |syx AS (SELECT p.yid, x.xid, $pairCos AS sim
+         |  FROM yp p JOIN cells m USING (cent_id)
+         |  JOIN x ON x.xid = m.vec_id JOIN y ON y.yid = p.yid),
+         |ax AS (SELECT xid,
+         |    CAST(sum(CAST(floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000
+         |      AS DECIMAL(27,6))) AS DOUBLE) / 4.0 AS avg_x
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY xid
+         |      ORDER BY sim DESC, yid) AS rk FROM sxy) t
+         |  WHERE rk <= 4 GROUP BY xid),
+         |ay AS (SELECT yid,
+         |    CAST(sum(CAST(floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000
+         |      AS DECIMAL(27,6))) AS DOUBLE) / 4.0 AS avg_y
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY yid
+         |      ORDER BY sim DESC, xid) AS rk FROM syx) t
+         |  WHERE rk <= 4 GROUP BY yid),
+         |m AS (SELECT s.xid, s.yid, s.sim,
+         |    s.sim / ((ax.avg_x + ay.avg_y) / 2.0) AS margin
+         |  FROM sxy s JOIN ax USING (xid) JOIN ay USING (yid)),
+         |best AS (SELECT xid, yid, sim, margin, row_number()
+         |    OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS rk
+         |  FROM m)
+         |SELECT xid, yid,
+         |  floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim,
+         |  floor(CAST((margin) AS DOUBLE)*1000000 + 0.5)/1000000 AS margin
+         |FROM best WHERE rk = 1 ORDER BY xid""".stripMargin
+    },
 
     // ratio-margin bitext mining: k-NN averages as DECIMAL sums of
     // round6 sims (order-free), margin = sim / ((ax + ay) / 2) — one

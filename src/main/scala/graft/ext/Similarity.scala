@@ -1028,11 +1028,11 @@ object Similarity {
     * Scale shape: both sides are label-pruned scans; the Y side and
     * the two k-NN average frames broadcast (one row per anchor /
     * candidate); the only exchanges are the two top-k windows keyed by
-    * the anchor ids. At real bitext scale the X×Y score pass would
-    * swap in an ANN prefilter the way [[hardNegativesIndexed]] does
-    * for mining (not built here — the margin tail would be reused
-    * unchanged); this brute-force form is the oracle-checked
-    * semantics anchor such a variant would be pinned against.
+    * the anchor ids. At real bitext scale the X×Y score pass swaps in
+    * the standing-index form [[mineBitextIndexed]] (probed cells in
+    * both directions, the same [[marginTail]]); this brute-force form
+    * is the oracle-checked semantics anchor the indexed form is
+    * identity-pinned against at nProbe = nCentroids (ExtSpec).
     */
   def mineBitext(spark: SparkSession, dir: String, labelX: Int = 0,
                  labelY: Int = 1, kNN: Int = 4): DataFrame = {
@@ -1046,19 +1046,37 @@ object Similarity {
     val sims = x.crossJoin(broadcast(y))
       .select(col("xid"), col("yid"),
         (dot(col("xe"), col("ye")) / (col("xn") * col("yn"))).as("sim"))
-    def nnAvg(keyCol: String, other: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(keyCol)).orderBy(col("sim").desc, col(other).asc)
-      sims.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= kNN)
-        .groupBy(col(keyCol))
-        .agg((sum(round6(col("sim")).cast("decimal(27,6)")).cast("double") /
-          lit(kNN.toDouble)).as(s"avg_$keyCol"))
-    }
+    marginTail(sims,
+      nnAvgOf(sims, "xid", "yid", "avg_xid", kNN),
+      nnAvgOf(sims, "yid", "xid", "avg_yid", kNN))
+  }
+
+  /** Per-key mean of the top-`kNN` sims (the margin denominators):
+    * round6 each sim, sum in DECIMAL(27,6) — order-free — one exact
+    * cast, one fixed divide. Shared by [[mineBitext]] and
+    * [[mineBitextIndexed]].
+    */
+  private def nnAvgOf(sims: DataFrame, keyCol: String, tieCol: String,
+                      out: String, kNN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("sim").desc, col(tieCol).asc)
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kNN)
+      .groupBy(col(keyCol))
+      .agg((sum(round6(col("sim")).cast("decimal(27,6)")).cast("double") /
+        lit(kNN.toDouble)).as(out))
+  }
+
+  /** The ratio-margin ranking tail both bitext forms end in: margin
+    * each (x, y) pair by the two broadcast neighborhood averages, keep
+    * each x's best y.
+    */
+  private def marginTail(sims: DataFrame, ax: DataFrame,
+                         ay: DataFrame): DataFrame = {
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("xid")).orderBy(col("margin").desc, col("yid").asc)
-    sims.join(broadcast(nnAvg("xid", "yid")), Seq("xid"))
-      .join(broadcast(nnAvg("yid", "xid")), Seq("yid"))
+    sims.join(broadcast(ax), Seq("xid"))
+      .join(broadcast(ay), Seq("yid"))
       .select(col("xid"), col("yid"), col("sim"),
         (col("sim") / ((col("avg_xid") + col("avg_yid")) / lit(2.0)))
           .as("margin"))
@@ -1067,6 +1085,52 @@ object Similarity {
       .select(col("xid"), col("yid"), round6(col("sim")).as("sim"),
         round6(col("margin")).as("margin"))
       .orderBy(col("xid"))
+  }
+
+  /** [[mineBitext]] against the STANDING whole-table IVF index
+    * (`nQueries = 0` — every vector indexed, both languages): each
+    * direction's score pass probes `nProbe` cells per query and scores
+    * only the probed cells' co-located members carrying the other
+    * side's label — the candidate generation [[hardNegativesIndexed]]
+    * uses, run in BOTH directions because the ratio margin needs both
+    * neighborhoods. With `nProbe = nCentroids` every cell is probed,
+    * both candidate sets are complete, and the output equals
+    * [[mineBitext]] exactly (ExtSpec pins it); lower nProbe
+    * approximates both the candidate pairs and the margin denominators
+    * — the CCMatrix-style deployment trade.
+    */
+  def mineBitextIndexed(spark: SparkSession, dir: String, labelX: Int,
+                        labelY: Int, kNN: Int, nCentroids: Int,
+                        nProbe: Int): DataFrame = {
+    ensureIvfIndex(spark, dir, nQueries = 0, nCentroids)
+    val key = ivfKey(0, nCentroids, 2, 3, defaultIvfSampleCap)
+    val cents = spark.table(ivfCentsTable(dir, key))
+    val cells = spark.table(ivfCellsTable(dir, key))
+    val emb = embeddings(spark, dir)
+    val labels = emb.select(col("vec_id").as("cid"), col("label"))
+    def sideQ(lbl: Int) = emb.filter(col("label") === lbl)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    // one direction: probe per query, score the probed cells' members
+    // carrying the candidate-side label (each vector lives in exactly
+    // one cell, so pairs are already unique)
+    def dirSims(qLbl: Int, cLbl: Int) = {
+      val q = sideQ(qLbl)
+      probeCells(q, cents, nProbe)
+        .join(cells, Seq("cent_id"))
+        .join(labels, Seq("cid"))
+        .filter(col("label") === cLbl)
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("en"))).as("sim"))
+    }
+    // X→Y feeds both the margin base and avg_x — materialized once
+    val sxy = dirSims(labelX, labelY)
+      .select(col("qid").as("xid"), col("cid").as("yid"), col("sim"))
+      .localCheckpoint(true)
+    val ay = nnAvgOf(dirSims(labelY, labelX), "qid", "cid", "avg_yid", kNN)
+      .withColumnRenamed("qid", "yid")
+    marginTail(sxy, nnAvgOf(sxy, "xid", "yid", "avg_xid", kNN), ay)
   }
 
   def hardNegatives(spark: SparkSession, dir: String, nAnchors: Int,

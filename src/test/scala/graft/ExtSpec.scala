@@ -747,6 +747,37 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("indexed bitext mining at nProbe = nCentroids equals the " +
+    "brute-force margin form; a partial probe stays label-correct") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    Similarity.purgeIvfIndex(spark, dir, nQueries = 0, nCentroids = 16)
+    try {
+      // all cells probed in BOTH directions → complete candidate sets
+      // and exact margin denominators → the brute-force answer
+      val full = Similarity.mineBitextIndexed(spark, dir, labelX = 0,
+        labelY = 1, kNN = 4, nCentroids = 16, nProbe = 16)
+        .collect().toSeq.map(_.toSeq)
+      val want = Similarity.mineBitext(spark, dir).collect()
+        .toSeq.map(_.toSeq)
+      assert(full.nonEmpty && full == want)
+      val labels = Similarity.embeddings(spark, dir)
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val partial = Similarity.mineBitextIndexed(spark, dir, labelX = 0,
+        labelY = 1, kNN = 4, nCentroids = 16, nProbe = 2).collect()
+      assert(partial.nonEmpty)
+      partial.foreach { r =>
+        assert(labels(r.getAs[Long]("xid")) == 0 &&
+          labels(r.getAs[Long]("yid")) == 1, r.toString)
+        // margins are legitimately negative when an anchor's probed
+        // neighborhood is anti-correlated — only NaN would be a bug
+        assert(!r.getAs[Double]("margin").isNaN, r.toString)
+      }
+    } finally Similarity.purgeIvfIndex(spark, dir, nQueries = 0,
+      nCentroids = 16)
+  }
+
   test("bitext margin mining: one best match per anchor; the margin " +
     "de-ranks hub candidates a raw-cosine miner would over-pair") {
     import org.apache.spark.sql.functions._
