@@ -105,8 +105,11 @@ class StreamingCurationSpec extends SparkTestBase {
     "the token budget (its world is the backfill's, not the stream's)") {
     import StreamingCuration.DocTok
     val input = MemoryStream[DocTok](37, spark, None)
+    val ckptToks = java.nio.file.Files
+      .createTempDirectory("graft_toks_ooo_ckpt").toString
     val q = StreamingCuration.quotaTokensStream(input.toDS(), budget = 35L)
       .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptToks)
       .format("memory").queryName("graft_stream_toks_ooo").start()
     try {
       input.addData(DocTok(5, "a", 10L), DocTok(7, "a", 10L))
@@ -122,6 +125,14 @@ class StreamingCurationSpec extends SparkTestBase {
         .select("doc_id").as[Long].collect().toSet
       assert(admitted == Set(5L, 7L, 9L, 10L), s"got $admitted")
     } finally q.stop()
+    // the token-budget flavor of the state reader: seen_tokens is the
+    // primary counter and excludes the dropped late doc's 10 tokens
+    val stats = StreamingCuration.orderGuardStats(spark, ckptToks,
+      primaryState = "seen_tokens").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("a") == ((35L, 10L, 1L)),
+      s"(seen_tokens, high_watermark, ooo_dropped) for a: ${stats.get("a")}")
   }
 
   test("token-budget heap: an oversized middle doc arriving last still " +
