@@ -1288,6 +1288,15 @@ object Similarity {
     * Each rung runs at the SAME k and rescoreFactor so the comparison
     * is like-for-like; the exact panel computes once and each method's
     * hit count is a semi-join against it.
+    *
+    * `stage1_bytes_per_vec` is the MATERIALIZED deployment layout's
+    * per-row scan cost — at 100 TB the chosen rung's derived column
+    * (int8 payload, packed sign halves, prefix slice) is written once
+    * as a standing table the way the PQ codes are, and stage 1 scans
+    * only it. At oracle scale these queries compute the derived
+    * columns on the fly from the float table (correctness is identical
+    * either way: the derivations are pure per-row functions), so the
+    * bytes column prices the layout, not this test-SF plan.
     */
   def compressionRecall(spark: SparkSession, dir: String, nQueries: Int,
                         k: Int, rescoreFactor: Int = 4): DataFrame = {
