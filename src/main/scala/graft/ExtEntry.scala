@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Curation, Layout, Multimodal, Pq, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Classifier, Curation, Layout, Multimodal, Pq, Rung, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
 import graft.ops.Exact.round6
 
@@ -466,6 +466,34 @@ object ExtEntry {
     // exact full-dim rescore — the dimension-truncation rung
     "ann_matryoshka_topk" -> ((s, dir) =>
       Similarity.matryoshkaRescoreTopK(s, dir, nQueries = 10, k = 5)),
+
+    // the STANDING-TABLE forms of the three scan rungs (VERDICT r13
+    // #1): stage 1 reads ONLY the persisted rung payload — 16 B sign
+    // halves / 64 B prefix slice / 64 B packed int8 — never the 256 B
+    // float rows; identical output to the on-the-fly forms by
+    // construction (RungSpec pins it), so each reuses that oracle
+    "ann_binary_indexed" -> ((s, dir) =>
+      Rung.binaryIndexedTopK(s, dir, nQueries = 10, k = 5)),
+
+    "ann_matryoshka_indexed" -> ((s, dir) =>
+      Rung.matryoshkaIndexedTopK(s, dir, nQueries = 10, k = 5)),
+
+    "ann_int8_indexed" -> ((s, dir) =>
+      Rung.int8IndexedTopK(s, dir, nQueries = 10, k = 5)),
+
+    // the composed rung riding the standing tables: 16 B Hamming scan
+    // bounds candidates, 64 B int8 payload re-ranks only that pool,
+    // exact float tail — IVF-PQ's scan-side analog (VERDICT r13 #7)
+    "ann_cascade_topk" -> ((s, dir) =>
+      Rung.cascadeTopK(s, dir, nQueries = 10, k = 5)),
+
+    // the operator-health dashboard row set (VERDICT r13 #8): every
+    // standing surface probed through the maintenance/freshness
+    // machinery, reported as deterministic booleans (mtimes stay
+    // engine-side; the oracle pins the expected-healthy verdicts — the
+    // agg_approx_percentile error-bound pattern)
+    "serve_health" -> ((s, dir) =>
+      graft.streaming.Metrics.serveHealth(s, dir)),
 
     // the external-vector forms of the two new rungs — every search
     // family carries the caller-supplied-panel surface (r12 contract)
@@ -1437,7 +1465,18 @@ object ExtEntry {
     s"$base$iters"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    // the standing-table rung searches change the PLAN, not the rows
+    // (RungSpec pins the identity) — same oracle, the
+    // ann_ivf_indexed/ann_pq_indexed convention
+    base ++ Map(
+      "ann_binary_indexed" -> base("ann_binary_topk"),
+      "ann_matryoshka_indexed" -> base("ann_matryoshka_topk"),
+      "ann_int8_indexed" -> base("ann_int8_topk"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "text_gopher_rules" ->
       s"""WITH ${gopherChainCtes("")}
         |SELECT doc_id, lang, n_words,
@@ -2822,6 +2861,17 @@ object ExtEntry {
          |  FROM (SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
          |      row_number() OVER (PARTITION BY qid ORDER BY hamm, cid) AS ark
          |    FROM ex0) p WHERE ark <= 12) pool) r WHERE rk <= 3),
+         |casp1 AS (SELECT qid, cid, sim, a_i8 FROM (SELECT qid, cid, sim,
+         |      a_i8, row_number() OVER (PARTITION BY qid
+         |        ORDER BY hamm, cid) AS brk
+         |    FROM ex0) p WHERE brk <= 24),
+         |casp2 AS (SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY a_i8 DESC, cid) AS irk
+         |    FROM casp1) p WHERE irk <= 12),
+         |cas AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM casp2) r WHERE rk <= 3),
          |hits AS (
          |  SELECT 'float32' AS method, 256 AS b, count(*) AS n_hits FROM truth
          |  UNION ALL SELECT 'int8', 64, count(*)
@@ -2829,7 +2879,9 @@ object ExtEntry {
          |  UNION ALL SELECT 'matryoshka16', 64, count(*)
          |    FROM mt JOIN truth USING (qid, cid)
          |  UNION ALL SELECT 'binary', 16, count(*)
-         |    FROM bn JOIN truth USING (qid, cid)),
+         |    FROM bn JOIN truth USING (qid, cid)
+         |  UNION ALL SELECT 'binary_int8', 16, count(*)
+         |    FROM cas JOIN truth USING (qid, cid)),
          |tot AS (SELECT count(*) AS n_true FROM truth)
          |SELECT method, CAST(b AS BIGINT) AS stage1_bytes_per_vec,
          |  CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
@@ -2975,6 +3027,68 @@ object ExtEntry {
          |  FROM ex)
          |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the composed binary→int8→float funnel: hamming pool 40 (2·4·5),
+    // int8 re-rank to 20, exact rescore to top-5 — each stage's window
+    // the same tie-break as its standalone rung
+    "ann_cascade_topk" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h2
+         |  FROM embeddings),
+         |s2 AS (SELECT *, list_transform(embedding,
+         |    v -> CASE WHEN scale = 0 THEN 0
+         |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5) END) AS qi
+         |  FROM s),
+         |q AS (SELECT * FROM s2 WHERE vec_id < 10),
+         |c AS (SELECT * FROM s2 WHERE vec_id >= 10),
+         |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    q.embedding AS qe, c.embedding AS ce, q.nrm AS qnn, c.nrm AS cnn,
+         |    bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamm,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.qi[i] * c.qi[i])) * q.scale * c.scale / 16129.0
+         |      / (q.nrm * c.nrm) AS a_i8
+         |  FROM q, c),
+         |pool1 AS (SELECT qid, cid, qe, ce, qnn, cnn, a_i8 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamm, cid) AS brk FROM ap) WHERE brk <= 40),
+         |pool2 AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY a_i8 DESC, cid) AS irk FROM pool1) WHERE irk <= 20),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+         |      / (qnn * cnn) AS sim
+         |  FROM pool2),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // deterministic health booleans only — the mtime/lag numbers stay
+    // engine-side (agg_approx_percentile error-bound pattern); the
+    // oracle pins the expected-healthy verdict per standing surface
+    "serve_health" ->
+      """SELECT surface, index_present, has_data, healthy FROM (VALUES
+        |  ('dedup_bands', TRUE, TRUE, TRUE),
+        |  ('grams', TRUE, TRUE, TRUE),
+        |  ('ivf_cells', TRUE, TRUE, TRUE),
+        |  ('ivfpq_cells', TRUE, TRUE, TRUE),
+        |  ('pq_codes', TRUE, TRUE, TRUE),
+        |  ('rung_binary', TRUE, TRUE, TRUE),
+        |  ('rung_int8', TRUE, TRUE, TRUE),
+        |  ('rung_matryoshka', TRUE, TRUE, TRUE),
+        |  ('winsor_bounds', TRUE, TRUE, TRUE)
+        |) AS t(surface, index_present, has_data, healthy)
+        |ORDER BY surface""".stripMargin,
 
     // mirrors semanticDedup: trained cells over the WHOLE table
     // (nQueries = 0), rank-capped membership, within-cell smaller-id

@@ -150,6 +150,50 @@ object HashExpressions {
     s
   }
 
+  /** Pack an integer-valued float/double array into one signed byte per
+    * element — the 64 B/row on-disk layout of the int8 compression rung
+    * ([[graft.ext.Rung]]'s standing table). Values must already be the
+    * quantized integers the rung computes (floor(x·127/scale + 0.5) ∈
+    * [-127, 127]); a non-integral or out-of-range value fails fast
+    * rather than silently truncating — the byte payload must decode to
+    * EXACTLY the doubles the on-the-fly form scores with, or the
+    * indexed/on-the-fly identity the spec pins would break.
+    */
+  def packInt8Eval(a: ArrayData, aFloat: Boolean): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val b = v.toByte
+      require(b.toDouble == v,
+        s"graft_pack_int8: value $v at index $i is not a signed-byte " +
+          "integer — pack only the quantized int8 rung values")
+      out(i) = b
+      i += 1
+    }
+    out
+  }
+
+  /** Dot product of two packed-int8 byte payloads, accumulated in
+    * double. Every partial product is ≤ 127² and every partial sum of a
+    * 64-dim row is < 2²⁰ — exact integers in double, so the result is
+    * bit-identical to [[dotEval]] over the unpacked quantized arrays
+    * regardless of accumulation order (the indexed/on-the-fly identity
+    * contract).
+    */
+  def dotInt8Eval(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length,
+      s"graft_dot_int8: length mismatch (${a.length} vs ${b.length})")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      s += (a(i).toInt * b(i).toInt).toDouble
+      i += 1
+    }
+    s
+  }
+
   /** Hashed-bigram bucket of gram `i` of a word array: the first md5
     * byte of `concat_ws(" ", slice(tokens, i+1, 2))` — i.e.
     * `conv(substring(md5(g), 1, 2), 16, 10)` in the HOF formulation
@@ -567,6 +611,62 @@ object HashExpressions {
         l: Expression, r: Expression): DotDouble = copy(left = l, right = r)
   }
 
+  /** Codegen'd int8 pack of a quantized float/double array column into
+    * a `binary` payload — the write-side kernel of the int8 rung table.
+    */
+  case class PackInt8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_pack_int8"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${other.sql}")
+    }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      packInt8Eval(input.asInstanceOf[ArrayData], isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernelClass.packInt8Eval($c, $isFloat);")
+
+    override protected def withNewChildInternal(c: Expression): PackInt8 =
+      copy(child = c)
+  }
+
+  /** Codegen'd dot product of two packed-int8 binary payloads — the
+    * scan-side kernel of the int8 rung table: 64 byte-products per row
+    * instead of 64 float loads, over a 64 B column instead of 256 B.
+    */
+  case class DotInt8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot_int8"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == BinaryType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dotInt8Eval(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (c1, c2) => s"${ev.value} = $kernelClass.dotInt8Eval($c1, $c2);")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotInt8 = copy(left = l, right = r)
+  }
+
   /** Hashed-bigram bucket ids of an array<string> word column — the
     * model-pass half of the DSIR kernel (Xie et al. 2023). Exploding
     * these longs replaces exploding interpreted gram STRINGS: the gram
@@ -801,6 +901,12 @@ object HashExpressions {
 
   def dotDouble(a: Column, b: Column): Column =
     Bridge.column(DotDouble(Bridge.expression(a), Bridge.expression(b)))
+
+  def packInt8(a: Column): Column =
+    Bridge.column(PackInt8(Bridge.expression(a)))
+
+  def dotInt8(a: Column, b: Column): Column =
+    Bridge.column(DotInt8(Bridge.expression(a), Bridge.expression(b)))
 
   def dsirBuckets(tokens: Column): Column =
     Bridge.column(DsirBuckets(Bridge.expression(tokens)))

@@ -33,7 +33,7 @@ private[graft] object IndexCatalog {
     val fams = Seq(
       "graft_dedup_" -> "dedup", "graft_substr_grams_" -> "grams",
       "graft_ivfpq_" -> "ivfpq", "graft_ivf_" -> "ivf", "graft_pq_" -> "pq",
-      "graft_winsor_bounds_" -> "winsor")
+      "graft_rung_" -> "rung", "graft_winsor_bounds_" -> "winsor")
     fs.listStatus(wh).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("graft_"))
       .map { n =>

@@ -477,11 +477,21 @@ object Similarity {
   /** Sign pack of dims [lo, hi] of vector column `v` — MSB-first fold
     * `acc·2 + (v_i > 0)`; the cast makes one pack serve float corpus
     * rows and double caller panels (the sign test is exact either way).
+    *
+    * Input contract is ENFORCED, not assumed (VERDICT r13 #5): a vector
+    * shorter than `hi` dims raises instead of packing silent 0 sign
+    * bits for the missing tail (`element_at` past the end yields null,
+    * which the old fold scored as "negative" — a trap for any future
+    * shorter-dim fixture). The guard is one `size` comparison per row.
     */
-  private def packSigns(v: Column, lo: Int, hi: Int): Column =
-    aggregate(sequence(lit(lo), lit(hi)), lit(0L),
-      (acc, i) => acc * 2 +
-        when(element_at(v, i).cast("double") > 0.0, 1L).otherwise(0L))
+  private[graft] def packSigns(v: Column, lo: Int, hi: Int): Column =
+    when(size(v) >= hi,
+      aggregate(sequence(lit(lo), lit(hi)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at(v, i).cast("double") > 0.0, 1L).otherwise(0L)))
+      .otherwise(raise_error(concat(
+        lit(s"packSigns: vector has fewer than $hi dims: "),
+        size(v).cast("string"))))
 
   /** [[binaryRescoreTopK]] for a CALLER-SUPPLIED query frame
     * (qid, qe) — the external-vector form every search family carries
@@ -1098,6 +1108,16 @@ object Similarity {
     * [[mineBitext]] exactly (ExtSpec pins it); lower nProbe
     * approximates both the candidate pairs and the margin denominators
     * — the CCMatrix-style deployment trade.
+    *
+    * Partial-nProbe edge semantics (ADVICE r13, stated explicitly): the
+    * margin join on both neighborhood-average frames is INNER, so a
+    * scored (x, y) pair whose y-side probe surfaced no X-label members
+    * has no `avg_yid` row and drops from ranking entirely, and an x
+    * whose probe surfaced no Y-label candidates emits NO output row —
+    * one-row-per-anchor holds only at full probe width. Both drops are
+    * the conservative choice (a margin against an empty neighborhood
+    * would be unnormalized, not comparable to the mined ones) and the
+    * oracle replays them.
     */
   def mineBitextIndexed(spark: SparkSession, dir: String, labelX: Int,
                         labelY: Int, kNN: Int, nCentroids: Int,
@@ -1282,21 +1302,25 @@ object Similarity {
   /** The compression-rung decision table — recall@k of every SCAN-based
     * approximate rung against exact brute force, next to each rung's
     * stage-1 bytes per vector: float32 (the exact baseline, 256 B),
-    * int8 (64 B), matryoshka prefix-16 (64 B), binary sign bits (16 B).
-    * One row per method; the row a deployment reads before picking its
-    * scan payload, the way `ann_nprobe_sweep` picks the probe width.
-    * Each rung runs at the SAME k and rescoreFactor so the comparison
-    * is like-for-like; the exact panel computes once and each method's
-    * hit count is a semi-join against it.
+    * int8 (64 B), matryoshka prefix-16 (64 B), binary sign bits (16 B),
+    * and the composed binary→int8→float funnel ([[Rung.cascadeTopK]] —
+    * stage-1 bytes 16, its stage-2 re-rank reads the 64 B int8 payload
+    * for only the Hamming pool before the exact tail). One row per
+    * method; the row a deployment reads before picking its scan
+    * payload, the way `ann_nprobe_sweep` picks the probe width. Each
+    * rung runs at the SAME k and rescoreFactor so the comparison is
+    * like-for-like (the cascade's binary pool is 2× its int8 pool);
+    * the exact panel computes once and each method's hit count is a
+    * semi-join against it.
     *
     * `stage1_bytes_per_vec` is the MATERIALIZED deployment layout's
-    * per-row scan cost — at 100 TB the chosen rung's derived column
-    * (int8 payload, packed sign halves, prefix slice) is written once
-    * as a standing table the way the PQ codes are, and stage 1 scans
-    * only it. At oracle scale these queries compute the derived
-    * columns on the fly from the float table (correctness is identical
-    * either way: the derivations are pure per-row functions), so the
-    * bytes column prices the layout, not this test-SF plan.
+    * per-row scan cost — the standing [[Rung]] tables (round 14): at
+    * 100 TB the chosen rung's `ensure*Index` writes the derived column
+    * once the way the PQ codes are written, and the `*IndexedTopK`
+    * stage-1 scan reads ONLY it (RungSpec pins both the plans and
+    * their identity to the on-the-fly forms used here, which are kept
+    * as the direct per-row derivations so this table prices every rung
+    * without requiring all five indexes to exist).
     */
   def compressionRecall(spark: SparkSession, dir: String, nQueries: Int,
                         k: Int, rescoreFactor: Int = 4): DataFrame = {
@@ -1318,7 +1342,10 @@ object Similarity {
         matryoshkaRescoreTopK(spark, dir, nQueries, k,
           dPrefix = 16, rescoreFactor = rescoreFactor)),
       hitsOf("binary", 16L,
-        binaryRescoreTopK(spark, dir, nQueries, k, rescoreFactor)))
+        binaryRescoreTopK(spark, dir, nQueries, k, rescoreFactor)),
+      hitsOf("binary_int8", 16L,
+        Rung.cascadeTopK(spark, dir, nQueries, k,
+          rescoreInt8 = rescoreFactor, rescoreBinary = 2)))
       .reduce(_ unionByName _)
       .crossJoin(broadcast(totals))
       .select(col("method"), col("stage1_bytes_per_vec"), col("n_hits"),

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ext.{Pq, Similarity}
+import graft.ext.{Pq, Rung, Similarity}
 
 /** Ingest-time admission into the STANDING IVF index — the embedding
   * sibling of [[StreamingDedup.startIndexedAdmission]]: each micro-batch
@@ -55,6 +55,34 @@ object StreamingSimilarity {
       .start()
   }
 
+  /** The compression-rung sibling of [[startPqAdmission]] (VERDICT r13
+    * next #2): each micro-batch of newly embedded vectors derives its
+    * packed sign halves, matryoshka prefix slice, and int8 payload
+    * through the SAME frame builders the offline build ran and appends
+    * them to all three standing rung tables, so interleaved batch
+    * searches ([[Rung.binaryIndexedTopK]] and siblings) see
+    * stream-admitted vectors. Same no-marker replay contract —
+    * [[Rung.appendToRungIndexes]] is idempotent at vector granularity
+    * per table, and a crash between the three appends replays into
+    * anti-join no-ops for the tables already written. The raw-store
+    * caveat applies: exact stage-2 rescoring of admitted vectors needs
+    * the ingest to also land them in the raw embeddings store.
+    */
+  def startRungAdmission(spark: SparkSession, dir: String,
+                         vecs: DataFrame, checkpoint: String,
+                         nQueries: Int, dPrefix: Int = 16): StreamingQuery = {
+    Rung.ensureBinaryIndex(spark, dir, nQueries)
+    Rung.ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
+    Rung.ensureInt8Index(spark, dir, nQueries)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Rung.appendToRungIndexes(spark, dir, batch, nQueries, dPrefix)
+        ()
+      }
+      .start()
+  }
+
   /** The RETRAIN DECISION RULE for the frozen-centroid deployment
     * (VERDICT r9 missing #4): admission against frozen centroids
     * degrades SILENTLY as the stream shifts the vector distribution —
@@ -80,20 +108,24 @@ object StreamingSimilarity {
   def shouldRetrain(spark: SparkSession, dir: String, nQueries: Int,
                     nCentroids: Int, simThreshold: Double = 0.1,
                     maxDriftFrac: Double = 0.2,
-                    maxSkew: Double = 4.0): Boolean = {
+                    maxSkew: Double = 4.0, iters: Int = 2,
+                    sampleMod: Int = 3,
+                    sampleCap: Int = Similarity.defaultIvfSampleCap)
+      : Boolean = {
     // fail fast on a shape/dir misconfiguration: health-checking an
     // index that was never built would silently BUILD a fresh spurious
     // one (ivfStats -> ensureIvfIndex) and then forever monitor it as
     // calm while the real index drifts — the gram-compaction guard's
     // sibling hazard
-    require(Similarity.ivfIndexExists(spark, dir, nQueries, nCentroids),
+    require(Similarity.ivfIndexExists(spark, dir, nQueries, nCentroids,
+      iters, sampleMod, sampleCap),
       s"shouldRetrain: no standing IVF index for dir=$dir, " +
         s"nQueries=$nQueries, nCentroids=$nCentroids (check " +
-        "SPARK_GRAFT_IVF_DIR/_NQ/_NC against the built index's shape) " +
-        "— the health rule monitors an existing index, it does not " +
-        "build one")
+        "SPARK_GRAFT_IVF_DIR/_NQ/_NC/_ITERS/_SAMPLE_MOD/_SAMPLE_CAP " +
+        "against the built index's shape) — the health rule monitors " +
+        "an existing index, it does not build one")
     val s = Similarity.ivfStats(spark, dir, nQueries, nCentroids,
-      simThreshold).collect().head
+      simThreshold, iters, sampleMod, sampleCap).collect().head
     s.getAs[Double]("frac_drifted") > maxDriftFrac ||
       s.getAs[Double]("cell_skew") > maxSkew
   }
@@ -115,12 +147,17 @@ object StreamingSimilarity {
   def retrainIfNeeded(spark: SparkSession, dir: String, nQueries: Int,
                       nCentroids: Int, simThreshold: Double = 0.1,
                       maxDriftFrac: Double = 0.2,
-                      maxSkew: Double = 4.0): Boolean = {
+                      maxSkew: Double = 4.0, iters: Int = 2,
+                      sampleMod: Int = 3,
+                      sampleCap: Int = Similarity.defaultIvfSampleCap)
+      : Boolean = {
     val fire = shouldRetrain(spark, dir, nQueries, nCentroids,
-      simThreshold, maxDriftFrac, maxSkew)
+      simThreshold, maxDriftFrac, maxSkew, iters, sampleMod, sampleCap)
     if (fire) {
-      Similarity.purgeIvfIndex(spark, dir, nQueries, nCentroids)
-      Similarity.ensureIvfIndex(spark, dir, nQueries, nCentroids)
+      Similarity.purgeIvfIndex(spark, dir, nQueries, nCentroids, iters,
+        sampleMod, sampleCap)
+      Similarity.ensureIvfIndex(spark, dir, nQueries, nCentroids, iters,
+        sampleMod, sampleCap)
     }
     fire
   }
@@ -159,14 +196,15 @@ object StreamingSimilarity {
       .start()
   }
 
-  /** Query-side search stream for the SCAN-BASED compression rungs
-    * (binary sign-pack, matryoshka prefix-dim — the forms with no
-    * standing index to probe): each micro-batch of caller query vectors
-    * (qid, qe) runs through `search` — e.g.
-    * `Similarity.binaryRescoreTopK(spark, dir, _, k, rf, minCid)` or
-    * the matryoshka external form — and hands the result frame to
-    * `sink`. One generic shell instead of a per-rung copy of the
-    * foreachBatch plumbing (the rankTopK lesson from r12 applied to
+  /** Query-side search stream for the SCAN-BASED compression rungs:
+    * each micro-batch of caller query vectors (qid, qe) runs through
+    * `search` — e.g.
+    * `Similarity.binaryRescoreTopK(spark, dir, _, k, rf, minCid)`, the
+    * matryoshka external form, or (the deployment shape since the
+    * standing [[Rung]] tables exist) a closure over
+    * `Rung.binaryIndexedTopK`-style searches — and hands the result
+    * frame to `sink`. One generic shell instead of a per-rung copy of
+    * the foreachBatch plumbing (the rankTopK lesson from r12 applied to
     * the stream surface); the IVF/PQ streams stay their own entry
     * points because they also pin the standing-index ensure step.
     * Same pure-search / sink-owns-dedup replay contract as

@@ -47,13 +47,31 @@ object Maintenance {
     * (append-capped at build; rebuilt via purge+ensure) and are listed
     * for visibility only, never warned.
     */
+  /** The full shape manifest the loop reads from `SPARK_GRAFT_*` env
+    * vars — ONE record threaded through the guards, the coverage keys,
+    * and the passes themselves, so the key the manifest derives is BY
+    * CONSTRUCTION the key the passes maintain (VERDICT r13 next #4:
+    * r12/r13 hardcoded default shape parameters here and warned
+    * permanently on any non-default index; now a non-default shape is
+    * coverable by setting the matching vars).
+    */
+  private[graft] final case class Shapes(
+      ivfIters: Int = 2, ivfSampleMod: Int = 3,
+      ivfSampleCap: Int = graft.ext.Similarity.defaultIvfSampleCap,
+      pqNSub: Int = 8, pqKSub: Int = 16, pqIters: Int = 2,
+      pqSampleMod: Int = 3,
+      pqSampleCap: Int = graft.ext.Similarity.defaultIvfSampleCap)
+
   private[graft] def manifestReport(spark: SparkSession,
       gramDir: Option[String], gramN: Int,
       ivfDir: Option[String], ivfNq: Int, ivfNc: Int,
       pqDir: Option[String], pqNq: Int,
       winsorDir: Option[String] = None,
-      winsorGroup: String = "event_type"): Seq[String] = {
-    import graft.ext.{IndexCatalog, Pq, Similarity, TextDedup}
+      winsorGroup: String = "event_type",
+      rungDir: Option[String] = None, rungNq: Int = 10,
+      rungPrefix: Int = 16,
+      shapes: Shapes = Shapes()): Seq[String] = {
+    import graft.ext.{IndexCatalog, Pq, Rung, Similarity, TextDedup}
     import graft.ops.Analytics
     gramDir.foreach { d =>
       require(TextDedup.substringIndexExists(spark, d, gramN),
@@ -62,15 +80,23 @@ object Maintenance {
           "SPARK_GRAFT_GRAM_INDEX_N against the built index's width")
     }
     ivfDir.foreach { d =>
-      require(Similarity.ivfIndexExists(spark, d, ivfNq, ivfNc),
+      require(Similarity.ivfIndexExists(spark, d, ivfNq, ivfNc,
+        shapes.ivfIters, shapes.ivfSampleMod, shapes.ivfSampleCap),
         s"maintenance manifest: SPARK_GRAFT_IVF_DIR=$d but no standing " +
-          s"IVF index for nQueries=$ivfNq, nCentroids=$ivfNc exists — " +
-          "check SPARK_GRAFT_IVF_NQ/_NC against the built index's shape")
+          s"IVF index for nQueries=$ivfNq, nCentroids=$ivfNc, " +
+          s"iters=${shapes.ivfIters}, sampleMod=${shapes.ivfSampleMod}, " +
+          s"sampleCap=${shapes.ivfSampleCap} exists — check " +
+          "SPARK_GRAFT_IVF_NQ/_NC/_ITERS/_SAMPLE_MOD/_SAMPLE_CAP " +
+          "against the built index's shape")
     }
     pqDir.foreach { d =>
-      require(Pq.pqIndexExists(spark, d, pqNq),
+      require(Pq.pqIndexExists(spark, d, pqNq, shapes.pqNSub,
+        shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+        shapes.pqSampleCap),
         s"maintenance manifest: SPARK_GRAFT_PQ_DIR=$d but no standing " +
-          s"PQ index for nQueries=$pqNq exists — check SPARK_GRAFT_PQ_NQ " +
+          s"PQ index for nQueries=$pqNq, nSub=${shapes.pqNSub}, " +
+          s"kSub=${shapes.pqKSub} exists — check " +
+          "SPARK_GRAFT_PQ_NQ/_NSUB/_KSUB/_ITERS/_SAMPLE_MOD/_SAMPLE_CAP " +
           "against the built index's shape")
     }
     winsorDir.foreach { d =>
@@ -79,21 +105,35 @@ object Maintenance {
           s"standing bounds table for group=$winsorGroup exists — check " +
           "SPARK_GRAFT_WINSOR_GROUP against the built table's shape")
     }
+    rungDir.foreach { d =>
+      require(Rung.binaryIndexExists(spark, d, rungNq) &&
+        Rung.matryoshkaIndexExists(spark, d, rungNq, rungPrefix) &&
+        Rung.int8IndexExists(spark, d, rungNq),
+        s"maintenance manifest: SPARK_GRAFT_RUNG_DIR=$d but no standing " +
+          s"rung tables for nQueries=$rungNq, dPrefix=$rungPrefix exist " +
+          "— check SPARK_GRAFT_RUNG_NQ/_PREFIX against the built " +
+          "tables' shape")
+    }
     val covered: Set[String] =
       gramDir.map(d => TextDedup.gramsTable(d, gramN)).toSet ++
         ivfDir.toSeq.flatMap { d =>
-          val key = Similarity.ivfKey(ivfNq, ivfNc, 2, 3,
-            Similarity.defaultIvfSampleCap)
+          val key = Similarity.ivfKey(ivfNq, ivfNc, shapes.ivfIters,
+            shapes.ivfSampleMod, shapes.ivfSampleCap)
           Seq(Similarity.ivfCentsTable(d, key),
             Similarity.ivfCellsTable(d, key))
         } ++
         pqDir.toSeq.flatMap { d =>
-          val key = Pq.pqKey(pqNq, 8, 16, 2, 3,
-            Similarity.defaultIvfSampleCap)
+          val key = Pq.pqKey(pqNq, shapes.pqNSub, shapes.pqKSub,
+            shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
           Seq(Pq.pqBooksTable(d, key), Pq.pqCodesTable(d, key))
         } ++
-        winsorDir.map(d => Analytics.boundsTable(d, winsorGroup, 0.05, 0.95))
-    val maintainable = Set("grams", "ivf", "pq", "winsor")
+        winsorDir.map(d => Analytics.boundsTable(d, winsorGroup, 0.05, 0.95)) ++
+        rungDir.toSeq.flatMap { d =>
+          Seq(Rung.binTable(d, Rung.binKey(rungNq)),
+            Rung.mrlTable(d, Rung.mrlKey(rungNq, rungPrefix)),
+            Rung.i8Table(d, Rung.i8Key(rungNq)))
+        }
+    val maintainable = Set("grams", "ivf", "pq", "winsor", "rung")
     IndexCatalog.listIndexDirs(spark)
       .filter { case (fam, name) =>
         // exact name or a "_"-separated suffix of it (the gram log's
@@ -103,21 +143,16 @@ object Maintenance {
           !covered.exists(c => name == c || name.startsWith(c + "_"))
       }
       .map { case (fam, name) =>
-        // ADVICE r12: the env manifest can only express DEFAULT-shape
-        // IVF/PQ keys (iters=2, sampleMod=3, default sampleCap — the
-        // same shapes the retrain/compaction passes themselves run
-        // with), so a non-default-shape index is permanently
-        // unmaintainable by this loop and the remedy is purge+rebuild,
-        // not a config change; say so instead of pointing at env vars
-        // that cannot cover it
+        // since r14 the manifest derives its keys from the SAME
+        // SPARK_GRAFT_* shape vars the passes run with, so ANY shape is
+        // coverable — the warning is now actionable config, not a
+        // permanent fact of a non-default build (ADVICE r12 / VERDICT
+        // r13 #4)
         s"[maintenance] WARNING: standing $fam index '$name' is not " +
           "covered by this loop's configured manifest — it will grow " +
-          "and drift unmaintained. If it has the default shape, set " +
-          "the matching SPARK_GRAFT_* vars; a NON-default-shape " +
-          "IVF/PQ index cannot be maintained by this loop at all " +
-          "(its passes run default iters/sampleMod/sampleCap) — " +
-          "purge and rebuild it at the default shape, or maintain " +
-          "it out-of-band"
+          "and drift unmaintained. Set the matching SPARK_GRAFT_* dir " +
+          "and shape vars (one maintenance loop maintains one shape " +
+          "per family; run a second loop for a second shape)"
       }
   }
 
@@ -155,6 +190,22 @@ object Maintenance {
     val ivfDir = sys.env.get("SPARK_GRAFT_IVF_DIR")
     val ivfNq = sys.env.getOrElse("SPARK_GRAFT_IVF_NQ", "10").toInt
     val ivfNc = sys.env.getOrElse("SPARK_GRAFT_IVF_NC", "16").toInt
+    // full shape manifest (VERDICT r13 #4): the same vars feed the
+    // coverage keys AND the passes, so a non-default-shape index is
+    // maintainable by configuring them — not purge-and-rebuild-only
+    val shapes = Shapes(
+      ivfIters = sys.env.getOrElse("SPARK_GRAFT_IVF_ITERS", "2").toInt,
+      ivfSampleMod =
+        sys.env.getOrElse("SPARK_GRAFT_IVF_SAMPLE_MOD", "3").toInt,
+      ivfSampleCap = sys.env.getOrElse("SPARK_GRAFT_IVF_SAMPLE_CAP",
+        graft.ext.Similarity.defaultIvfSampleCap.toString).toInt,
+      pqNSub = sys.env.getOrElse("SPARK_GRAFT_PQ_NSUB", "8").toInt,
+      pqKSub = sys.env.getOrElse("SPARK_GRAFT_PQ_KSUB", "16").toInt,
+      pqIters = sys.env.getOrElse("SPARK_GRAFT_PQ_ITERS", "2").toInt,
+      pqSampleMod =
+        sys.env.getOrElse("SPARK_GRAFT_PQ_SAMPLE_MOD", "3").toInt,
+      pqSampleCap = sys.env.getOrElse("SPARK_GRAFT_PQ_SAMPLE_CAP",
+        graft.ext.Similarity.defaultIvfSampleCap.toString).toInt)
     // Optional: PQ codes-table file-growth compaction (round 10) — pass
     // the indexed corpus dir as SPARK_GRAFT_PQ_DIR (+ _NQ / _MAX_FILES).
     // Stream admission appends one file set per micro-batch; past the
@@ -174,13 +225,25 @@ object Maintenance {
     val winsorDir = sys.env.get("SPARK_GRAFT_WINSOR_DIR")
     val winsorGroup = sys.env.getOrElse("SPARK_GRAFT_WINSOR_GROUP",
       "event_type")
+    // Optional: compression-rung table file-growth compaction (round
+    // 14) — pass the indexed corpus dir as SPARK_GRAFT_RUNG_DIR
+    // (+ _NQ/_PREFIX/_MAX_FILES). Stream admission
+    // (StreamingSimilarity.startRungAdmission) appends one file set per
+    // micro-batch per table; past the threshold the purge+rebuild IS
+    // the compaction (rung payloads are derived state, like PQ codes).
+    val rungDir = sys.env.get("SPARK_GRAFT_RUNG_DIR")
+    val rungNq = sys.env.getOrElse("SPARK_GRAFT_RUNG_NQ", "10").toInt
+    val rungPrefix = sys.env.getOrElse("SPARK_GRAFT_RUNG_PREFIX", "16").toInt
+    val rungMaxFiles =
+      sys.env.getOrElse("SPARK_GRAFT_RUNG_MAX_FILES", "64").toInt
     // both-ways manifest validation BEFORE the first pass mutates
     // anything: a configured-but-absent index throws here. The coverage
     // half re-runs EVERY pass (one cheap listStatus) — an index another
     // session builds mid-run must start warning on the next tick, not
     // after a restart
     def uncovered() = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
-      ivfNc, pqDir, pqNq, winsorDir, winsorGroup)
+      ivfNc, pqDir, pqNq, winsorDir, winsorGroup, rungDir, rungNq,
+      rungPrefix, shapes)
     uncovered()
     do {
       uncovered().foreach(println)
@@ -190,11 +253,17 @@ object Maintenance {
       format.vacuumChangeFeed(spark, cfg)
       gramDir.foreach(graft.ext.TextDedup.compactSubstringIndex(spark, _, gramN))
       val retrained = ivfDir.exists(d => graft.streaming.StreamingSimilarity
-        .retrainIfNeeded(spark, d, ivfNq, ivfNc))
+        .retrainIfNeeded(spark, d, ivfNq, ivfNc, iters = shapes.ivfIters,
+          sampleMod = shapes.ivfSampleMod, sampleCap = shapes.ivfSampleCap))
       val pqCompacted = pqDir.exists(d => graft.ext.Pq
-        .compactPqIndexIfNeeded(spark, d, pqNq, pqMaxFiles))
+        .compactPqIndexIfNeeded(spark, d, pqNq, pqMaxFiles, shapes.pqNSub,
+          shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+          shapes.pqSampleCap))
       val refroze = winsorDir.exists(d => graft.ops.Analytics
         .refreezeBoundsIndexIfNeeded(spark, d, winsorGroup))
+      val rungCompacted = rungDir.exists(d => graft.ext.Rung
+        .compactRungIndexesIfNeeded(spark, d, rungNq, rungMaxFiles,
+          rungPrefix))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -204,6 +273,8 @@ object Maintenance {
           s" + pq file growth for $d (compacted=$pqCompacted)") +
         winsorDir.fold("")(d =>
           s" + winsor bounds drift for $d (refroze=$refroze)") +
+        rungDir.fold("")(d =>
+          s" + rung file growth for $d (compacted=$rungCompacted)") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)
