@@ -475,6 +475,24 @@ object ExtEntry {
     "ann_binary_indexed" -> ((s, dir) =>
       Rung.binaryIndexedTopK(s, dir, nQueries = 10, k = 5)),
 
+    // external caller vectors against the standing rung tables — the
+    // r12 every-family-external contract carried to the indexed rungs;
+    // candidates are the indexed vec_id >= 10 partition
+    "ann_external_binary_indexed" -> ((s, dir) =>
+      Rung.binaryIndexedTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, k = 3, rescoreFactor = 4)),
+
+    "ann_external_matryoshka_indexed" -> ((s, dir) =>
+      Rung.matryoshkaIndexedTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, k = 3, dPrefix = 16, rescoreFactor = 4)),
+
+    "ann_external_int8_indexed" -> ((s, dir) =>
+      Rung.int8IndexedTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, k = 3, rescoreFactor = 4)),
+
     "ann_matryoshka_indexed" -> ((s, dir) =>
       Rung.matryoshkaIndexedTopK(s, dir, nQueries = 10, k = 5)),
 
@@ -2950,6 +2968,121 @@ object ExtEntry {
          |      i -> qs.qe[i] * CAST(c.ce[i] AS DOUBLE))) / (qs.qpn * c.cpn)
          |      AS ascore
          |  FROM qs, c),
+         |pool AS (SELECT qid, cid, qe, ce, qn, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 12),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the external panel against the STANDING binary rung table: same
+    // math as ann_external_binary over the indexed vec_id >= 10
+    // partition (the partition the standing table covers)
+    "ann_external_binary_indexed" ->
+      s"""WITH ${externalPanelCte(5)},
+         |qs AS (SELECT qid, qe,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * qe[i]))) AS qn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN qe[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS qh1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN qe[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS qh2
+         |  FROM q),
+         |c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS ch1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS ch2
+         |  FROM embeddings WHERE vec_id >= 10),
+         |ap AS (SELECT qs.qid, c.cid, qs.qe, c.ce, qs.qn, c.cn,
+         |    bit_count(xor(qs.qh1, c.ch1)) + bit_count(xor(qs.qh2, c.ch2))
+         |      AS hamm
+         |  FROM qs, c),
+         |pool AS (SELECT qid, cid, qe, ce, qn, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamm, cid) AS ark FROM ap) WHERE ark <= 12),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the external panel against the STANDING matryoshka rung table
+    "ann_external_matryoshka_indexed" ->
+      s"""WITH ${externalPanelCte(5)},
+         |qs AS (SELECT qid, qe,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * qe[i]))) AS qn,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16),
+         |      i -> qe[i] * qe[i]))) AS qpn
+         |  FROM q),
+         |c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cpn
+         |  FROM embeddings WHERE vec_id >= 10),
+         |ap AS (SELECT qs.qid, c.cid, qs.qe, c.ce, qs.qn, c.cn,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> qs.qe[i] * CAST(c.ce[i] AS DOUBLE))) / (qs.qpn * c.cpn)
+         |      AS ascore
+         |  FROM qs, c),
+         |pool AS (SELECT qid, cid, qe, ce, qn, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 12),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
+         |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the external panel against the STANDING int8 rung table: panel
+    // quantizes query-side through the same symmetric int8 recipe
+    "ann_external_int8_indexed" ->
+      s"""WITH ${externalPanelCte(5)},
+         |qs AS (SELECT qid, qe,
+         |    list_max(list_transform(qe, v -> abs(v))) AS qscale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * qe[i]))) AS qn
+         |  FROM q),
+         |qq AS (SELECT *, list_transform(qe,
+         |    v -> CASE WHEN qscale = 0 THEN 0
+         |      ELSE floor(v * 127.0 / qscale + 0.5) END) AS qqi
+         |  FROM qs),
+         |c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS cscale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn
+         |  FROM embeddings WHERE vec_id >= 10),
+         |cc AS (SELECT *, list_transform(ce,
+         |    v -> CASE WHEN cscale = 0 THEN 0
+         |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / cscale + 0.5) END) AS cqi
+         |  FROM c),
+         |ap AS (SELECT qq.qid, cc.cid, qq.qe, cc.ce, qq.qn, cc.cn,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qq.qqi[i] * cc.cqi[i])) * qq.qscale * cc.cscale / 16129.0
+         |      / (qq.qn * cc.cn) AS ascore
+         |  FROM qq, cc),
          |pool AS (SELECT qid, cid, qe, ce, qn, cn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid
          |      ORDER BY ascore DESC, cid) AS ark FROM ap) WHERE ark <= 12),

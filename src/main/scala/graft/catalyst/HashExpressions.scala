@@ -611,6 +611,38 @@ object HashExpressions {
         l: Expression, r: Expression): DotDouble = copy(left = l, right = r)
   }
 
+  /** Double-typed floor — `Math.floor`, the SAME correctly-rounded IEEE
+    * op DuckDB's `floor(DOUBLE)` runs (ADVICE r13 on
+    * [[graft.ops.Exact]]): Spark's built-in `floor` returns LongType,
+    * so NaN silently became 0 and ±Inf / |x| ≳ 9.2e18 saturated at
+    * Long.Min/MaxValue while the oracle's double floor propagates them
+    * — the exact cross-engine divergence class the round6 helper exists
+    * to retire, reintroduced at the domain edges. Staying in double
+    * makes the helper total: NaN→NaN, ±Inf→±Inf, and above 2^53 floor
+    * is the identity in BOTH engines, bit-for-bit. On every value the
+    * registry previously produced (|x·1e6+0.5| < 2^53) the result is
+    * unchanged.
+    */
+  case class FloorDouble(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_floor_double"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects double, got ${other.sql}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Math.floor(input.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = Math.floor($c);")
+
+    override protected def withNewChildInternal(c: Expression): FloorDouble =
+      copy(child = c)
+  }
+
   /** Codegen'd int8 pack of a quantized float/double array column into
     * a `binary` payload — the write-side kernel of the int8 rung table.
     */
@@ -901,6 +933,9 @@ object HashExpressions {
 
   def dotDouble(a: Column, b: Column): Column =
     Bridge.column(DotDouble(Bridge.expression(a), Bridge.expression(b)))
+
+  def floorDouble(a: Column): Column =
+    Bridge.column(FloorDouble(Bridge.expression(a)))
 
   def packInt8(a: Column): Column =
     Bridge.column(PackInt8(Bridge.expression(a)))

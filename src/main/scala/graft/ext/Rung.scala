@@ -415,6 +415,58 @@ object Rung {
       nQueries, k)
   }
 
+  // ——————— external query vectors against the standing rung tables ———————
+  // (every search family carries the caller-supplied-panel surface —
+  // the r12 contract; the standing tables cover vec_id >= nQueries, so
+  // each external form equals its on-the-fly twin at minCid = nQueries)
+
+  /** [[binaryIndexedTopK]] for a CALLER-SUPPLIED query frame (qid, qe):
+    * the panel packs its sign halves query-side (tiny, broadcast); the
+    * corpus side stays the standing 16 B rows.
+    */
+  def binaryIndexedTopK(spark: SparkSession, dir: String,
+                        queries: DataFrame, nQueries: Int, k: Int,
+                        rescoreFactor: Int): DataFrame = {
+    ensureBinaryIndex(spark, dir, nQueries)
+    val q = Similarity.normQueries(queries)
+      .withColumn("qh1", packSigns(col("qe"), 1, 32))
+      .withColumn("qh2", packSigns(col("qe"), 33, 64))
+    val pool = binaryPool(spark, dir, nQueries,
+      q.select(col("qid"), col("qh1"), col("qh2")), rescoreFactor * k)
+    exactRescore(spark, dir, pool, q, nQueries, k)
+  }
+
+  /** [[matryoshkaIndexedTopK]] for a CALLER-SUPPLIED query frame. */
+  def matryoshkaIndexedTopK(spark: SparkSession, dir: String,
+                            queries: DataFrame, nQueries: Int, k: Int,
+                            dPrefix: Int, rescoreFactor: Int): DataFrame = {
+    ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
+    val q = Similarity.normQueries(queries)
+      .withColumn("qpe", slice(col("qe"), 1, dPrefix))
+      .withColumn("qpn", norm(col("qpe")))
+    val pool = matryoshkaPool(spark, dir, nQueries, dPrefix,
+      q.select(col("qid"), col("qpe"), col("qpn")), rescoreFactor * k)
+    exactRescore(spark, dir, pool, q, nQueries, k)
+  }
+
+  /** [[int8IndexedTopK]] for a CALLER-SUPPLIED query frame — the panel
+    * quantizes and packs query-side through the SAME [[i8Frame]] the
+    * table build ran (float corpus rows and double caller panels both
+    * pass: the quantized values are exact integers either way).
+    */
+  def int8IndexedTopK(spark: SparkSession, dir: String,
+                      queries: DataFrame, nQueries: Int, k: Int,
+                      rescoreFactor: Int): DataFrame = {
+    ensureInt8Index(spark, dir, nQueries)
+    val q = Similarity.normQueries(queries)
+    val q8 = i8Frame(q.select(col("qid").as("cid"),
+        col("qe").as("embedding")))
+      .select(col("cid").as("qid"), col("q8").as("qq8"),
+        col("cscale").as("qscale"), col("cn").as("qn"))
+    val pool = int8Pool(spark, dir, nQueries, q8, rescoreFactor * k)
+    exactRescore(spark, dir, pool, q, nQueries, k)
+  }
+
   /** The COMPOSED rung (VERDICT r13 next #7) — IVF-PQ's scan-side
     * analog, a three-stage funnel over the standing tables: the 16 B
     * binary scan bounds the candidate set

@@ -23,20 +23,38 @@ import org.apache.spark.sql.functions._
   * doubles, where this rounds toward +Inf while HALF_UP rounds away from
   * zero (differs only for negative ties) — and on those the engine and
   * oracle now agree with EACH OTHER, which is the property the correctness
-  * gate checks. Spark's `floor` returns LongType, so inputs must stay
-  * within ±2^53/1e6 (true for every ratio/score/percentile in the
-  * registry); division by the double literal restores DoubleType, matching
-  * DuckDB's double floor/divide.
+  * gate checks.
+  *
+  * The floor is the DOUBLE-typed
+  * [[graft.catalyst.HashExpressions.FloorDouble]] (`Math.floor`), NOT
+  * Spark's LongType `floor` (ADVICE r13): the long form made NaN → 0.0
+  * and saturated ±Inf and |x·1e6| > ~9.2e18 at Long.Min/MaxValue while
+  * DuckDB's double floor propagates all three — reintroducing at the
+  * domain edges the exact divergence class this helper retires. With the
+  * double floor the helper is TOTAL: every step (multiply, add,
+  * `Math.floor`, divide) is the same correctly-rounded IEEE-754 op DuckDB
+  * executes, so NaN → NaN, ±Inf → ±Inf, and above 2^53/1e6 (where the
+  * 6-digit grid is finer than double spacing and the +0.5/floor walk the
+  * same representable values) the engines still agree bit-for-bit — e.g.
+  * `mixture_epochs`' token-valued columns stay exact at the 100 TB design
+  * point where targets exceed 9.2e12. On the registry's historical domain
+  * (|x·1e6 + 0.5| < 2^53) long-floor and double-floor were equal, so no
+  * result changed (SqlFunctionsSpec pins both the edge behavior and the
+  * on-grid equivalence).
   */
 object Exact {
+  private def floorD(c: Column): Column =
+    graft.catalyst.HashExpressions.floorDouble(c)
+
   /** floor(x*1e6 + 0.5)/1e6 — 6-digit half-up rounding, bit-identical
-    * between Spark and DuckDB on the same input double. */
+    * between Spark and DuckDB on the same input double (ALL doubles,
+    * non-finite and huge included). */
   def round6(c: Column): Column =
-    floor(c.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+    floorD(c.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** floor(x*1e9 + 0.5)/1e9 — the 9-digit sibling. */
   def round9(c: Column): Column =
-    floor(c.cast("double") * lit(1e9) + lit(0.5)) / lit(1e9)
+    floorD(c.cast("double") * lit(1e9) + lit(0.5)) / lit(1e9)
 
   /** Oracle-SQL text form of [[round6]] (DuckDB and Spark SQL both parse
     * it; floor of a double is a double in DuckDB and a BIGINT in Spark,

@@ -40,11 +40,13 @@ object StreamingCuration {
     * counts the violation (`ooo_dropped` state, one long per key) —
     * the drop is observable in the output (the spec pins it) and the
     * count makes stream-vs-backfill divergence measurable rather than
-    * assumed away. Exact at-least-once redelivery of an ALREADY-SEEN
-    * doc_id lands at ≤ the watermark too, so the same guard
-    * deduplicates replays instead of double-admitting them. In-batch
-    * arrival order was never assumed (the whole batch is processed as
-    * one set); only CROSS-batch order was, and is now checked.
+    * assumed away. At-least-once redelivery deduplicates in BOTH
+    * granularities (ADVICE r13): a replay in a LATER batch lands at ≤
+    * the watermark, and a duplicate WITHIN one batch is caught by the
+    * per-batch id set — either way the doc admits once and charges
+    * quota once. In-batch arrival order of DISTINCT ids was never
+    * assumed (the batch is processed as one set); only CROSS-batch
+    * order was, and is checked.
     */
   class QuotaProcessor(n: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -70,9 +72,17 @@ object StreamingCuration {
       val hw0 = if (highWater.exists()) highWater.get() else Long.MinValue
       var ooo = if (oooDropped.exists()) oooDropped.get() else 0L
       var hw = hw0
+      // ADVICE r13: an at-least-once redelivery duplicated WITHIN one
+      // batch lands above hw0, so the watermark alone admitted it twice
+      // and charged quota twice. The batch is processed as one SET —
+      // each doc_id admits at most once per batch (one long per
+      // distinct in-batch id per key, strictly less memory than the
+      // row buffering the token processor's heap bound exists to avoid)
+      val seenIds = scala.collection.mutable.HashSet[Long]()
       val out = scala.collection.mutable.ArrayBuffer[DocMeta]()
       rows.foreach { r =>
-        if (r.doc_id <= hw0) ooo += 1 // late cross-batch: drop-and-count
+        if (r.doc_id <= hw0 || !seenIds.add(r.doc_id))
+          ooo += 1 // late cross-batch OR in-batch replay: drop-and-count
         else {
           if (r.doc_id > hw) hw = r.doc_id
           if (count < n) { out += r; count += 1 }

@@ -81,6 +81,43 @@ class DedupStreamAdmitSpec extends SparkTestBase {
     } finally dropIndex()
   }
 
+  test("admissionOrderStats reads cross-batch order violations out of " +
+    "the verdict markers — no new state, nonzero ooo_docs flags the " +
+    "batches where arrival and backfill order could diverge") {
+    dropIndex()
+    try {
+      val novelA = "quartz pelicans rehearse a thunderstorm over the " +
+        "abandoned funicular while two librarians inventory the fog"
+      val novelB = "eleven kettles of borrowed starlight simmer behind " +
+        "the dune observatory awaiting the cartwheel comet's rsvp"
+      val novelC = "a brass tortoise files a complaint about the " +
+        "metronome factory's irregular tides every second thursday"
+      val outDir = Files.createTempDirectory("graft_ooo_out").toString
+      val ckpt = Files.createTempDirectory("graft_ooo_ckpt").toString
+      val input = MemoryStream[(Long, String)](95, spark, None)
+      val q = StreamingDedup.startIndexedAdmission(spark, dir,
+        input.toDF().toDF("doc_id", "text"), 0.5, outDir, ckpt)
+      try {
+        input.addData((40100L, novelA), (40200L, novelB))
+        q.processAllAvailable()
+        // 40150 arrives AFTER 40200 was recorded — late by doc_id,
+        // still legitimately admitted (arrival-order semantics), but
+        // the stats must flag it
+        input.addData((40150L, novelC), (40300L, novelA))
+        q.processAllAvailable()
+        val stats = StreamingDedup.admissionOrderStats(spark, outDir)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+          .toMap
+        // batch 0: 2 docs, both novel → admitted, hw 40200, no prior
+        assert(stats(0L) == ((2L, 2L, 40200L, 0L)), s"b0: ${stats.get(0L)}")
+        // batch 1: 2 docs, 40150 below the prior hw → ooo 1; 40300 is
+        // a copy of the admitted novelA → rejected, so 1 admitted
+        assert(stats(1L) == ((2L, 1L, 40300L, 1L)), s"b1: ${stats.get(1L)}")
+      } finally q.stop()
+    } finally dropIndex()
+  }
+
   test("indexed admission survives a checkpoint restart: committed " +
     "batches are not re-admitted, new batches admit against the same " +
     "standing index") {

@@ -197,6 +197,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("r14 standing-rung searches and the cascade plan broadcast-only: " +
+    "no sort-merge fallback, no cartesian, and the indexed stage-1 " +
+    "scans its rung table") {
+    Seq("ann_binary_indexed", "ann_matryoshka_indexed", "ann_int8_indexed",
+      "ann_cascade_topk", "ann_external_binary_indexed",
+      "ann_external_matryoshka_indexed", "ann_external_int8_indexed")
+      .foreach { q =>
+        val p = executedPlan(q)
+        val finalPlan = p.split("== Initial Plan ==").head
+        assert(!finalPlan.contains("SortMergeJoin"),
+          s"$q: tiny frame fell back to sort-merge\n$p")
+        assert(!finalPlan.contains("CartesianProduct"), s"$q\n$p")
+        assert(p.contains("graft_rung_"),
+          s"$q does not read a standing rung table\n$p")
+      }
+  }
+
   test("winsorize bounds pass plans no single-reducer window — the value " +
     "grid prefix-sums in (group, block) parallel") {
     // VERDICT r10 #1: the cumulative count over the per-group distinct

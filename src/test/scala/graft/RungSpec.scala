@@ -86,6 +86,30 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("external panels against the standing rung tables equal the " +
+    "on-the-fly external forms at minCid = nQueries; the external int8 " +
+    "funnel with a corpus-covering pool equals exact brute force") {
+    purgeIdx()
+    try {
+      val panel = Similarity.externalQueryPanel(spark, dir, nPanel = 5)
+      assert(Rung.binaryIndexedTopK(spark, dir, panel, 10, 3, 4)
+        .collect().toSeq ==
+        Similarity.binaryRescoreTopK(spark, dir, panel, 3, 4,
+          minCid = 10L).collect().toSeq)
+      assert(Rung.matryoshkaIndexedTopK(spark, dir, panel, 10, 3, 16, 4)
+        .collect().toSeq ==
+        Similarity.matryoshkaRescoreTopK(spark, dir, panel, 3, 16, 4,
+          minCid = 10L).collect().toSeq)
+      // int8 carries no on-the-fly external twin; a corpus-covering
+      // pool makes the exact tail decide everything — equality with
+      // brute force over the same indexed partition pins it
+      assert(Rung.int8IndexedTopK(spark, dir, panel, 10, 10, 49)
+        .collect().toSeq ==
+        Similarity.bruteForceTopK(spark, dir, panel, 10, minCid = 10L)
+          .collect().toSeq)
+    } finally purgeIdx()
+  }
+
   test("packed int8 payload scores bit-identically to the unpacked " +
     "array form across the whole corpus") {
     import graft.catalyst.HashExpressions

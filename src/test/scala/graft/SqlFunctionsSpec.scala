@@ -266,6 +266,45 @@ class SqlFunctionsSpec extends SparkTestBase {
       "expected >=1 half-way case where legacy round() != floor form")
   }
 
+  test("round6 is total over doubles (ADVICE r13): NaN/±Inf propagate " +
+    "and huge values pass the SAME IEEE floor DuckDB runs — no LongType " +
+    "saturation; on the historical grid it equals the long-floor form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    import graft.ops.Exact.round6
+    // token-count magnitudes from the 100 TB design point (ADVICE: the
+    // mixture_epochs target/effective/deficit columns exceed 9.2e12),
+    // plus the long-floor saturation points and the non-finite edge
+    val edge = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.23456785e13, 9.3e12, 2.0e14,
+      Double.MaxValue)
+    val got = edge.toDF("x").select(round6(col("x")).as("r"))
+      .collect().map(_.getDouble(0))
+    // the reference semantics: the identical Math op chain in the JVM
+    val want = edge.map(x => Math.floor(x * 1e6 + 0.5) / 1e6)
+    got.zip(want).zip(edge).foreach { case ((g, w), x) =>
+      assert(java.lang.Double.compare(g, w) == 0,
+        s"round6($x) = $g, want $w")
+    }
+    assert(got(0).isNaN && got(1).isPosInfinity && got(2).isNegInfinity)
+    // Spark's LongType floor would have produced 0 / ±9.223372036854776e12
+    // for the first three — the saturation this pin retires
+    assert(got(3) != 9.223372036854776e12)
+    // on the registry's historical domain (|x·1e6+0.5| < 2^53) the
+    // double floor changes NOTHING vs the long floor, ties included
+    val grid = Seq(0.0, 1.0, -1.0, 0.1234565, -0.1234565, 0.9999995,
+      -0.9999995, 8.9e9, -8.9e9, 1.0 / 3.0, -2.0 / 7.0)
+    val both = grid.toDF("x")
+      .select(round6(col("x")).as("d"),
+        (floor(col("x") * lit(1e6) + lit(0.5)) / lit(1e6)).as("l"))
+      .collect()
+    both.zip(grid).foreach { case (r, x) =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"double-floor vs long-floor diverge on in-grid $x: " +
+          s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("no round(x, 6|9) call sites remain in src/main (defect class " +
     "retired wholesale; graft.ops.Exact is the only rounding path)") {
     val root = new java.io.File("src/main/scala")

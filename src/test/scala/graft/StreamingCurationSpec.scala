@@ -101,6 +101,45 @@ class StreamingCurationSpec extends SparkTestBase {
       s"(admitted, high_watermark, ooo_dropped) for a: ${stats.get("a")}")
   }
 
+  test("in-batch at-least-once replay admits once and charges quota " +
+    "once (ADVICE r13); serve_health surfaces the guard verdict") {
+    val input = MemoryStream[DocMeta](38, spark, None)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_quota_dup_ckpt").toString
+    val q = StreamingCuration.quotaCapStream(input.toDS(), n = 2)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("graft_stream_quota_dup").start()
+    try {
+      // doc 1 delivered twice IN ONE BATCH (at-least-once redelivery
+      // above the watermark — the case the hw0 check alone missed):
+      // with n = 2 a double-charge would burn the quota and reject
+      // doc 2; set semantics admit {1, 2} and count one drop
+      input.addData(DocMeta(1, "a", "en"), DocMeta(1, "a", "en"),
+        DocMeta(2, "a", "en"))
+      q.processAllAvailable()
+      val admitted = spark.table("graft_stream_quota_dup")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(admitted.sorted == Seq(1L, 2L), s"got $admitted")
+    } finally q.stop()
+    val stats = StreamingCuration.orderGuardStats(spark, ckpt).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("a") == ((2L, 2L, 1L)),
+      s"(admitted, high_watermark, ooo_dropped) for a: ${stats.get("a")}")
+    // the health face: a guard surface with recorded drops reads
+    // unhealthy (present + populated, divergence recorded), next to the
+    // standing-index rows
+    val health = graft.streaming.Metrics.serveHealth(spark,
+      "/root/testdata/sf0.001",
+      Seq(("quota_dup_guard", ckpt, "admitted")))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(health("quota_dup_guard") == ((true, true, false)),
+      s"guard row: ${health.get("quota_dup_guard")}")
+    assert(health("rung_binary") == ((true, true, true)))
+  }
+
   test("cross-batch order guard: a late doc neither admits nor charges " +
     "the token budget (its world is the backfill's, not the stream's)") {
     import StreamingCuration.DocTok
