@@ -295,17 +295,35 @@ object Rung {
 
   /** Exact float32-cosine rescore of a (qid, cid) pool against the raw
     * embeddings table, final top `k` — the stage-2 tail every rung
-    * shares ([[Pq]]'s exactRescore shape).
+    * shares ([[Pq]]'s exactRescore shape), with one deployment upgrade:
+    * the pool is CONSTANT-bounded (rescoreFactor·k per query over a
+    * bounded panel), so its distinct cids are collected and pushed into
+    * the float scan as a literal IN — at 100 TB the fetch reads only
+    * the row groups containing pool members instead of scanning the
+    * whole 256 B/row table to feed a broadcast join (the adaptive
+    * [[TextDedup.indexPruneMaxKeys]] policy the standing-index probes
+    * ride; an oversized pool falls back to the flat scan+join plan).
+    * The pool frame is checkpointed once — read by the cid collect and
+    * the join, never recomputed.
     */
   private def exactRescore(spark: SparkSession, dir: String,
                            pool: DataFrame, qf: DataFrame, nQueries: Int,
                            k: Int): DataFrame = {
-    val cf = embeddings(spark, dir).filter(col("vec_id") >= nQueries)
+    val p = pool.localCheckpoint(true)
+    val cids = p.select(col("cid")).distinct()
+      .limit(TextDedup.indexPruneMaxKeys + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val base = embeddings(spark, dir).filter(col("vec_id") >= nQueries)
+    val pruned =
+      if (cids.length <= TextDedup.indexPruneMaxKeys)
+        base.filter(col("vec_id").isin(cids: _*))
+      else base
+    val cf = pruned
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding")).as("cn"))
     val wExact = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
-    cf.join(broadcast(pool), Seq("cid"))
+    cf.join(broadcast(p), Seq("cid"))
       .join(broadcast(qf.select(col("qid"), col("qe"), col("qn"))),
         Seq("qid"))
       .select(col("qid"), col("cid"),

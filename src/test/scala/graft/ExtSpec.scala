@@ -666,7 +666,7 @@ class ExtSpec extends SparkTestBase {
         (r.getAs[Long]("n_hits"), r.getAs[Long]("n_true"),
           r.getAs[Double]("recall"))).toMap
     assert(rows.keySet ==
-      Set("float32", "int8", "matryoshka16", "binary"))
+      Set("float32", "int8", "matryoshka16", "binary", "binary_int8"))
     val nTrue = rows("float32")._2
     assert(rows("float32")._1 == nTrue && rows("float32")._3 == 1.0)
     rows.values.foreach { case (h, t, r) =>
@@ -679,6 +679,10 @@ class ExtSpec extends SparkTestBase {
       .select(col("qid"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows("binary")._1 == (binTopK & truth).size.toLong)
+    // the cascade's wider binary pool (2× its int8 pool) gives the int8
+    // re-rank room to repair binary's misses — it can never do worse
+    // than the bare binary rung on this table
+    assert(rows("binary_int8")._1 >= rows("binary")._1)
   }
 
   test("streamed queries through the scan-based rungs emit exactly the " +

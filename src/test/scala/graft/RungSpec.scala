@@ -110,6 +110,63 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("property (seeded): random hostile external panels with " +
+    "corpus-covering pools equal the exact scan through all three " +
+    "standing rungs and the cascade") {
+    // the r13 hostile-panel hardening (PqSpec/IvfIndexSpec pattern)
+    // carried to the rung family: random panels with a duplicated
+    // vector, random k, pools at or past the identity boundary
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val dim = Similarity.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val cand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"))
+    val nCand = cand.count()
+    purgeIdx()
+    try {
+      (1 to 2).foreach { trial =>
+        val k = 1 + rnd.nextInt(4)
+        val rf = (nCand / k + 1).toInt + rnd.nextInt(40)
+        def vec(): Seq[Double] = Seq.fill(dim)(
+          math.floor((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6)
+        val base = (0 until (3 + rnd.nextInt(4))).map(q => (q.toLong, vec()))
+        val panel = (base :+ ((base.length.toLong, base.head._2)))
+          .toDF("qid", "qe")
+        val want = Similarity.bruteForceOf(
+          Similarity.normQueries(panel), cand, k)
+          .collect().toSeq.map(_.toSeq)
+        Seq(
+          "binary" -> Rung.binaryIndexedTopK(spark, dir, panel, 10, k, rf),
+          "matryoshka" ->
+            Rung.matryoshkaIndexedTopK(spark, dir, panel, 10, k, 16, rf),
+          "int8" -> Rung.int8IndexedTopK(spark, dir, panel, 10, k, rf)
+        ).foreach { case (name, df) =>
+          val got = df.collect().toSeq.map(_.toSeq)
+          assert(got.nonEmpty && got == want,
+            s"trial $trial $name: k=$k rf=$rf")
+        }
+      }
+    } finally purgeIdx()
+  }
+
+  test("the rescore fetch prunes to the pool's cids: a literal IN on " +
+    "vec_id is pushed into the float scan (no full-table fetch at scale)") {
+    purgeIdx()
+    try {
+      val df = Rung.binaryIndexedTopK(spark, dir, 10, 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = plan.split("\n").filter(l =>
+        l.contains("PushedFilters") && l.contains("vec_id"))
+      assert(scans.exists(_.matches(".*PushedFilters:.*In\\(vec_id.*")),
+        s"rescore scan carries no pushed IN on vec_id\n$plan")
+    } finally purgeIdx()
+  }
+
   test("packed int8 payload scores bit-identically to the unpacked " +
     "array form across the whole corpus") {
     import graft.catalyst.HashExpressions
@@ -233,6 +290,35 @@ class RungSpec extends SparkTestBase {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .toSet
         assert(standing == rebuilt)
+      } finally sq.stop()
+    } finally purgeIdx()
+  }
+
+  test("streamed query vectors search the standing binary rung table " +
+    "through the generic scan-search stream and emit the batch result") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    purgeIdx()
+    try {
+      Rung.ensureBinaryIndex(spark, dir, 10)
+      val panel = Similarity.externalQueryPanel(spark, dir, nPanel = 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val expected = Rung.binaryIndexedTopK(spark, dir,
+        Similarity.externalQueryPanel(spark, dir, nPanel = 3),
+        10, 3, 4).collect().toSeq
+      val ckpt = Files.createTempDirectory("graft_rung_search_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Double])](99, spark, None)
+      val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val sq = graft.streaming.StreamingSimilarity.startScanSearchStream(
+        input.toDF().toDF("qid", "qe"), ckpt)(
+        batch => Rung.binaryIndexedTopK(spark, dir, batch, 10, 3, 4))(
+        res => got.synchronized { got ++= res.collect() })
+      try {
+        input.addData(panel.toSeq: _*)
+        sq.processAllAvailable()
+        assert(got.toSeq == expected,
+          s"stream result diverges from batch:\n${got.toSeq}\nvs\n$expected")
       } finally sq.stop()
     } finally purgeIdx()
   }
