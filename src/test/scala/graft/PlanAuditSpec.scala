@@ -198,8 +198,13 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("r14 standing-rung searches and the cascade plan broadcast-only: " +
-    "no sort-merge fallback, no cartesian, and the indexed stage-1 " +
-    "scans its rung table") {
+    "no sort-merge fallback, no cartesian, and the rescore fetch is " +
+    "IN-pruned to the pool's cids") {
+    // the stage-1 "scans ONLY the rung table" pin lives in RungSpec on
+    // the pool frames directly — the registered queries' FINAL plans
+    // start at the localCheckpointed pool, so the rung scan is upstream
+    // of what executedPlan shows; what the final plan CAN prove is the
+    // join discipline and the pushed pool-cid prune on the float fetch
     Seq("ann_binary_indexed", "ann_matryoshka_indexed", "ann_int8_indexed",
       "ann_cascade_topk", "ann_external_binary_indexed",
       "ann_external_matryoshka_indexed", "ann_external_int8_indexed")
@@ -209,8 +214,9 @@ class PlanAuditSpec extends SparkTestBase {
         assert(!finalPlan.contains("SortMergeJoin"),
           s"$q: tiny frame fell back to sort-merge\n$p")
         assert(!finalPlan.contains("CartesianProduct"), s"$q\n$p")
-        assert(p.contains("graft_rung_"),
-          s"$q does not read a standing rung table\n$p")
+        assert(p.split("\n").exists(l => l.contains("PushedFilters") &&
+          l.matches(".*In\\(vec_id.*")),
+          s"$q: rescore fetch carries no pushed IN on vec_id\n$p")
       }
   }
 

@@ -323,6 +323,43 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("crash between the three per-table appends replays safely: the " +
+    "already-written table anti-joins the batch to a no-op, the others " +
+    "catch up — no duplicates, no gaps") {
+    import spark.implicits._
+    purgeIdx()
+    try {
+      Rung.ensureBinaryIndex(spark, dir, 10)
+      Rung.ensureMatryoshkaIndex(spark, dir, 10, 16)
+      Rung.ensureInt8Index(spark, dir, 10)
+      val binT = Rung.binTable(dir, Rung.binKey(10))
+      val mrlT = Rung.mrlTable(dir, Rung.mrlKey(10, 16))
+      val i8T = Rung.i8Table(dir, Rung.i8Key(10))
+      val n0 = spark.table(binT).count()
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val batch = Seq((930000L, q0)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      // simulate the crash window: ONLY the binary append landed
+      // (appendToRungIndexes writes bin first — reproduce its frame)
+      Rung.binFrame(batch.select(col("vec_id").as("cid"), col("embedding")))
+        .write.mode("append").bucketBy(8, "cid").sortBy("cid")
+        .saveAsTable(binT)
+      spark.catalog.refreshTable(binT)
+      assert(spark.table(binT).count() == n0 + 1)
+      assert(spark.table(mrlT).count() == n0)
+      // the foreachBatch replay re-runs the whole admission
+      Rung.appendToRungIndexes(spark, dir, batch, 10)
+      Seq(binT, mrlT, i8T).foreach { t =>
+        assert(spark.table(t).count() == n0 + 1, t)
+        assert(spark.table(t).filter(col("cid") === 930000L).count() == 1L,
+          s"$t: admitted row duplicated or missing after replay")
+      }
+    } finally purgeIdx()
+  }
+
   test("catalog loss reattaches the surviving rung tables; results " +
     "unchanged and nothing rebuilds") {
     purgeIdx()
