@@ -493,6 +493,11 @@ object ExtEntry {
         Similarity.externalQueryPanel(s, dir, nPanel = 5),
         nQueries = 10, k = 3, rescoreFactor = 4)),
 
+    "ann_external_cascade" -> ((s, dir) =>
+      Rung.cascadeTopK(s, dir,
+        Similarity.externalQueryPanel(s, dir, nPanel = 5),
+        nQueries = 10, k = 3, rescoreInt8 = 4, rescoreBinary = 2)),
+
     "ann_matryoshka_indexed" -> ((s, dir) =>
       Rung.matryoshkaIndexedTopK(s, dir, nQueries = 10, k = 5)),
 
@@ -3090,6 +3095,64 @@ object ExtEntry {
          |    list_sum(list_transform(generate_series(1, 64),
          |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
          |  FROM pool),
+         |rk AS (SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ex)
+         |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the external panel through the cascade funnel: hamming pool 24
+    // (2·4·3), int8 re-rank to 12, exact rescore to top-3, candidates
+    // the indexed vec_id >= 10 partition
+    "ann_external_cascade" ->
+      s"""WITH ${externalPanelCte(5)},
+         |qs AS (SELECT qid, qe,
+         |    list_max(list_transform(qe, v -> abs(v))) AS qscale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * qe[i]))) AS qn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN qe[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS qh1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN qe[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS qh2
+         |  FROM q),
+         |qq AS (SELECT *, list_transform(qe,
+         |    v -> CASE WHEN qscale = 0 THEN 0
+         |      ELSE floor(v * 127.0 / qscale + 0.5) END) AS qqi
+         |  FROM qs),
+         |c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS cscale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS ch1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS ch2
+         |  FROM embeddings WHERE vec_id >= 10),
+         |cc AS (SELECT *, list_transform(ce,
+         |    v -> CASE WHEN cscale = 0 THEN 0
+         |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / cscale + 0.5) END) AS cqi
+         |  FROM c),
+         |ap AS (SELECT qq.qid, cc.cid, qq.qe, cc.ce, qq.qn, cc.cn,
+         |    bit_count(xor(qq.qh1, cc.ch1)) + bit_count(xor(qq.qh2, cc.ch2))
+         |      AS hamm,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qq.qqi[i] * cc.cqi[i])) * qq.qscale * cc.cscale / 16129.0
+         |      / (qq.qn * cc.cn) AS a_i8
+         |  FROM qq, cc),
+         |pool1 AS (SELECT qid, cid, qe, ce, qn, cn, a_i8 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamm, cid) AS brk FROM ap) WHERE brk <= 24),
+         |pool2 AS (SELECT qid, cid, qe, ce, qn, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY a_i8 DESC, cid) AS irk FROM pool1) WHERE irk <= 12),
+         |ex AS (SELECT qid, cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> qe[i] * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS sim
+         |  FROM pool2),
          |rk AS (SELECT qid, cid, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
          |  FROM ex)

@@ -80,7 +80,19 @@ object Functions {
     "graft_bloom_contains" -> (exprs => {
       val Seq(b, v) = arity("graft_bloom_contains", "(bloom, value)", 2)(exprs)
       BloomFilterMightContain(b, v)
-    })
+    }),
+    // round-14 rung kernels + the total double floor behind
+    // graft.ops.Exact.round6/round9
+    "graft_pack_int8" -> (exprs =>
+      HashExpressions.PackInt8(
+        arity("graft_pack_int8", "(quantized_array)", 1)(exprs).head)),
+    "graft_dot_int8" -> (exprs => {
+      val Seq(a, b) = arity("graft_dot_int8", "(a, b)", 2)(exprs)
+      HashExpressions.DotInt8(a, b)
+    }),
+    "graft_floor_double" -> (exprs =>
+      HashExpressions.FloorDouble(
+        arity("graft_floor_double", "(x)", 1)(exprs).head))
   )
 
   def register(spark: SparkSession): Unit = {

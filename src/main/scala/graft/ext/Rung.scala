@@ -497,16 +497,42 @@ object Rung {
     * brute force (RungSpec pins it).
     */
   def cascadeTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-                  rescoreInt8: Int = 4, rescoreBinary: Int = 2): DataFrame = {
+                  rescoreInt8: Int = 4, rescoreBinary: Int = 2): DataFrame =
+    cascadeSearch(spark, dir,
+      headQueries(spark, dir, nQueries),
+      int8Queries(spark, dir, nQueries), nQueries, k, rescoreInt8,
+      rescoreBinary)
+
+  /** [[cascadeTopK]] for a CALLER-SUPPLIED query frame (qid, qe) — the
+    * external-panel surface the other rung searches carry; the panel
+    * derives its sign halves AND its int8 side query-side.
+    */
+  def cascadeTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                  nQueries: Int, k: Int, rescoreInt8: Int,
+                  rescoreBinary: Int): DataFrame = {
+    val q = Similarity.normQueries(queries)
+    cascadeSearch(spark, dir, q,
+      i8Frame(q.select(col("qid").as("cid"), col("qe").as("embedding")))
+        .select(col("cid").as("qid"), col("q8").as("qq8"),
+          col("cscale").as("qscale"), col("cn").as("qn")),
+      nQueries, k, rescoreInt8, rescoreBinary)
+  }
+
+  /** The binary→int8→float funnel both cascade forms share: `q` is the
+    * normalized (qid, qe, qn) frame, `q8` its packed int8 side.
+    */
+  private def cascadeSearch(spark: SparkSession, dir: String, q: DataFrame,
+                            q8: DataFrame, nQueries: Int, k: Int,
+                            rescoreInt8: Int, rescoreBinary: Int)
+      : DataFrame = {
     ensureBinaryIndex(spark, dir, nQueries)
     ensureInt8Index(spark, dir, nQueries)
-    val q = headQueries(spark, dir, nQueries)
+    val qh = q
       .withColumn("qh1", packSigns(col("qe"), 1, 32))
       .withColumn("qh2", packSigns(col("qe"), 33, 64))
     val pool1 = binaryPool(spark, dir, nQueries,
-      q.select(col("qid"), col("qh1"), col("qh2")),
+      qh.select(col("qid"), col("qh1"), col("qh2")),
       rescoreBinary * rescoreInt8 * k)
-    val q8 = int8Queries(spark, dir, nQueries)
     val pool2 = poolOf(
       spark.table(i8Table(dir, i8Key(nQueries)))
         .join(broadcast(pool1), Seq("cid"))

@@ -207,7 +207,8 @@ class PlanAuditSpec extends SparkTestBase {
     // join discipline and the pushed pool-cid prune on the float fetch
     Seq("ann_binary_indexed", "ann_matryoshka_indexed", "ann_int8_indexed",
       "ann_cascade_topk", "ann_external_binary_indexed",
-      "ann_external_matryoshka_indexed", "ann_external_int8_indexed")
+      "ann_external_matryoshka_indexed", "ann_external_int8_indexed",
+      "ann_external_cascade")
       .foreach { q =>
         val p = executedPlan(q)
         val finalPlan = p.split("== Initial Plan ==").head

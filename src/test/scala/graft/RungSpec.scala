@@ -107,6 +107,12 @@ class RungSpec extends SparkTestBase {
         .collect().toSeq ==
         Similarity.bruteForceTopK(spark, dir, panel, 10, minCid = 10L)
           .collect().toSeq)
+      // the external cascade at corpus-covering pools: both funnel
+      // stages pass everything through, the exact tail decides
+      assert(Rung.cascadeTopK(spark, dir, panel, 10, 10,
+        rescoreInt8 = 49, rescoreBinary = 2).collect().toSeq ==
+        Similarity.bruteForceTopK(spark, dir, panel, 10, minCid = 10L)
+          .collect().toSeq)
     } finally purgeIdx()
   }
 

@@ -266,6 +266,20 @@ class SqlFunctionsSpec extends SparkTestBase {
       "expected >=1 half-way case where legacy round() != floor form")
   }
 
+  test("the r14 kernels are SQL-reachable: pack/dot int8 round-trip and " +
+    "the total double floor") {
+    graft.catalyst.Functions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot_int8(graft_pack_int8(array(1.0D, -2.0D, 127.0D)),
+        |         graft_pack_int8(array(3.0D, 4.0D, -1.0D))) AS d,
+        |       graft_floor_double(CAST('NaN' AS DOUBLE)) AS nanf,
+        |       graft_floor_double(2.7D) AS f""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == (3.0 - 8.0 - 127.0))
+    assert(r.getDouble(1).isNaN)
+    assert(r.getDouble(2) == 2.0)
+  }
+
   test("round6 is total over doubles (ADVICE r13): NaN/±Inf propagate " +
     "and huge values pass the SAME IEEE floor DuckDB runs — no LongType " +
     "saturation; on the historical grid it equals the long-floor form") {
