@@ -164,6 +164,12 @@ object HashExpressions {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // a null element would read as the zeroed storage slot (0.0) and
+      // silently pack as byte 0 while the HOF twin returns NULL and the
+      // oracle's list_sum skips it — fail fast instead (review r14)
+      require(!a.isNullAt(i),
+        s"graft_pack_int8: null element at index $i — pack only " +
+          "complete quantized vectors")
       val v = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val b = v.toByte
       require(b.toDouble == v,

@@ -42,6 +42,21 @@ private[graft] object IndexCatalog {
       }.toSeq.sortBy(_._2)
   }
 
+  /** True when `table` is live in this session's catalog OR has
+    * COMMITTED data (`_SUCCESS` present — the same marker
+    * [[reattachIfPresent]] trusts) at its fixed location — the ONE
+    * definition of "this standing index exists" every exists-guard and
+    * health probe shares (review r14: three copies of this predicate
+    * had grown; a marker-semantics change updated in one would leave
+    * the guards disagreeing about the same table).
+    */
+  def hasCommittedData(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table) || {
+      val loc = tableLocation(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(loc, "_SUCCESS"))
+    }
+
   /** Re-register a prior session's surviving table data:
     * `CREATE TABLE … CLUSTERED BY … LOCATION` reattaches the bucketed
     * parquet (bucket ids are encoded in the file names, so bucketed

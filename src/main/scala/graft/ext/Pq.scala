@@ -390,13 +390,8 @@ object Pq {
                                    sampleCap: Int = defaultIvfSampleCap)
       : Boolean = {
     val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
-    Seq(pqBooksTable(dir, key), pqCodesTable(dir, key)).forall { t =>
-      spark.catalog.tableExists(t) || {
-        val loc = IndexCatalog.tableLocation(spark, t)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
-      }
-    }
+    Seq(pqBooksTable(dir, key), pqCodesTable(dir, key))
+      .forall(IndexCatalog.hasCommittedData(spark, _))
   }
 
   /** File-growth maintenance rule for the standing PQ index: streaming

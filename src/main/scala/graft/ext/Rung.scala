@@ -141,24 +141,20 @@ object Rung {
     ensureTable(spark, i8Table(dir, i8Key(nQueries)),
       i8Frame(candidates(spark, dir, nQueries)))
 
-  /** The [[Pq.pqIndexExists]] fail-fast class, per rung table. */
-  private def tableHasData(spark: SparkSession, table: String): Boolean =
-    spark.catalog.tableExists(table) || {
-      val loc = IndexCatalog.tableLocation(spark, table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
-    }
-
+  /** The [[Pq.pqIndexExists]] fail-fast class, per rung table — the
+    * shared [[IndexCatalog.hasCommittedData]] predicate.
+    */
   private[graft] def binaryIndexExists(spark: SparkSession, dir: String,
                                        nQueries: Int): Boolean =
-    tableHasData(spark, binTable(dir, binKey(nQueries)))
+    IndexCatalog.hasCommittedData(spark, binTable(dir, binKey(nQueries)))
   private[graft] def matryoshkaIndexExists(spark: SparkSession, dir: String,
                                            nQueries: Int,
                                            dPrefix: Int = 16): Boolean =
-    tableHasData(spark, mrlTable(dir, mrlKey(nQueries, dPrefix)))
+    IndexCatalog.hasCommittedData(spark,
+      mrlTable(dir, mrlKey(nQueries, dPrefix)))
   private[graft] def int8IndexExists(spark: SparkSession, dir: String,
                                      nQueries: Int): Boolean =
-    tableHasData(spark, i8Table(dir, i8Key(nQueries)))
+    IndexCatalog.hasCommittedData(spark, i8Table(dir, i8Key(nQueries)))
 
   /** Drop all three rung tables (catalog entries and data) — the
     * rebuild half of a re-derive.

@@ -1817,13 +1817,8 @@ object Similarity {
                                     sampleCap: Int = defaultIvfSampleCap)
       : Boolean = {
     val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
-    Seq(ivfCentsTable(dir, key), ivfCellsTable(dir, key)).forall { t =>
-      spark.catalog.tableExists(t) || {
-        val loc = IndexCatalog.tableLocation(spark, t)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
-      }
-    }
+    Seq(ivfCentsTable(dir, key), ivfCellsTable(dir, key))
+      .forall(IndexCatalog.hasCommittedData(spark, _))
   }
 
   /** Drop the IVF index tables and their data (spec teardown). */

@@ -1456,13 +1456,8 @@ object TextDedup {
     * the real contribution log keeps growing.
     */
   private[graft] def substringIndexExists(spark: SparkSession, dir: String,
-                                          n: Int): Boolean = {
-    val t = gramsTable(dir, n)
-    if (spark.catalog.tableExists(t)) return true
-    val loc = tableLocation(spark, t)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(loc, "_SUCCESS"))
-  }
+                                          n: Int): Boolean =
+    IndexCatalog.hasCommittedData(spark, gramsTable(dir, n))
 
   /** The standing per-gram distinct-doc counts: contributions summed by
     * gram. GroupBy on the bucket column — no exchange on the corpus

@@ -195,12 +195,8 @@ object Analytics {
                                        dir: String, group: String,
                                        lo: Double = 0.05,
                                        hi: Double = 0.95): Boolean = {
-    val t = boundsTable(dir, group, lo, hi)
-    spark.catalog.tableExists(t) || {
-      val loc = graft.ext.IndexCatalog.tableLocation(spark, t)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
-    }
+    graft.ext.IndexCatalog.hasCommittedData(spark,
+      boundsTable(dir, group, lo, hi))
   }
 
   /** Drop the standing bounds table and its data. */

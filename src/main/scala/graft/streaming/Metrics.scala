@@ -254,11 +254,7 @@ object Metrics {
         0.05, 0.95))
     val asOf = System.currentTimeMillis()
     surfaces.map { case (surface, table) =>
-      val present = spark.catalog.tableExists(table) || {
-        val loc = IndexCatalog.tableLocation(spark, table)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
-      }
+      val present = IndexCatalog.hasCommittedData(spark, table)
       val lag = scala.util.Try(
         searchFreshness(spark, table, asOf)
           .select(col("lag_ms")).collect().head.getLong(0))
@@ -272,9 +268,14 @@ object Metrics {
     * whose [[graft.streaming.StreamingCuration.orderGuardStats]]
     * counters roll into one row — `index_present` = the state store is
     * readable, `has_data` = ≥1 key tracked, `healthy` = ZERO
-    * out-of-order drops recorded across keys (a nonzero `ooo_dropped`
-    * IS the stream-vs-backfill divergence signal, so it surfaces here
-    * as unhealthy for a dashboard to drill into via the stats reader).
+    * CROSS-BATCH out-of-order drops recorded across keys (a nonzero
+    * `ooo_dropped` IS the stream-vs-backfill divergence signal, so it
+    * surfaces here as unhealthy for a dashboard to drill into via the
+    * stats reader; benign in-batch replays count in the separate
+    * `dup_dropped` and never flip this — review r14). The counter is
+    * monotone, so `healthy` is a strict has-never-diverged latch by
+    * design: clearing it is an operator decision (restart the stream's
+    * lineage after investigating), not something a poll should do.
     */
   def serveHealth(spark: SparkSession, dir: String,
                   guards: Seq[(String, String, String)]): DataFrame = {

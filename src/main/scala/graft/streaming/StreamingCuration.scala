@@ -44,9 +44,17 @@ object StreamingCuration {
     * granularities (ADVICE r13): a replay in a LATER batch lands at ≤
     * the watermark, and a duplicate WITHIN one batch is caught by the
     * per-batch id set — either way the doc admits once and charges
-    * quota once. In-batch arrival order of DISTINCT ids was never
-    * assumed (the batch is processed as one set); only CROSS-batch
-    * order was, and is checked.
+    * quota once. The two counters are deliberately SEPARATE: an
+    * in-batch duplicate is provably a benign replay (same id, this
+    * batch) and lands in `dup_dropped`, while `ooo_dropped` counts only
+    * cross-batch ≤-watermark rows — the rows that MIGHT be genuine
+    * order violations (a late replay and a late NEW doc are
+    * indistinguishable without remembering every id ever seen, which is
+    * unbounded; so ooo_dropped is the strict over-approximation of
+    * divergence, dup_dropped is pure delivery noise, and a dashboard
+    * alerts on the former without saturating on the latter). In-batch
+    * arrival order of DISTINCT ids was never assumed (the batch is
+    * processed as one set); only CROSS-batch order was, and is checked.
     */
   class QuotaProcessor(n: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -55,6 +63,7 @@ object StreamingCuration {
     @transient private var admitted: ValueState[Long] = _
     @transient private var highWater: ValueState[Long] = _
     @transient private var oooDropped: ValueState[Long] = _
+    @transient private var dupDropped: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       admitted = getHandle.getValueState[Long]("admitted",
@@ -62,6 +71,8 @@ object StreamingCuration {
       highWater = getHandle.getValueState[Long]("high_watermark",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       oooDropped = getHandle.getValueState[Long]("ooo_dropped",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      dupDropped = getHandle.getValueState[Long]("dup_dropped",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
@@ -71,18 +82,22 @@ object StreamingCuration {
       var count = if (admitted.exists()) admitted.get() else 0L
       val hw0 = if (highWater.exists()) highWater.get() else Long.MinValue
       var ooo = if (oooDropped.exists()) oooDropped.get() else 0L
+      var dup = if (dupDropped.exists()) dupDropped.get() else 0L
       var hw = hw0
       // ADVICE r13: an at-least-once redelivery duplicated WITHIN one
       // batch lands above hw0, so the watermark alone admitted it twice
       // and charged quota twice. The batch is processed as one SET —
       // each doc_id admits at most once per batch (one long per
       // distinct in-batch id per key, strictly less memory than the
-      // row buffering the token processor's heap bound exists to avoid)
+      // row buffering the token processor's heap bound exists to avoid).
+      // In-batch replays are PROVABLY benign (same id seen this batch)
+      // and count in `dup_dropped`, not `ooo_dropped` — the divergence
+      // signal must not latch on routine redelivery (review r14)
       val seenIds = scala.collection.mutable.HashSet[Long]()
       val out = scala.collection.mutable.ArrayBuffer[DocMeta]()
       rows.foreach { r =>
-        if (r.doc_id <= hw0 || !seenIds.add(r.doc_id))
-          ooo += 1 // late cross-batch OR in-batch replay: drop-and-count
+        if (r.doc_id <= hw0) ooo += 1 // late cross-batch: drop-and-count
+        else if (!seenIds.add(r.doc_id)) dup += 1 // in-batch replay
         else {
           if (r.doc_id > hw) hw = r.doc_id
           if (count < n) { out += r; count += 1 }
@@ -91,6 +106,7 @@ object StreamingCuration {
       admitted.update(count)
       highWater.update(hw)
       oooDropped.update(ooo)
+      dupDropped.update(dup)
       out.iterator
     }
   }
@@ -128,7 +144,12 @@ object StreamingCuration {
     * its tokens do NOT charge the budget (in the backfill prefix they
     * would have displaced later docs, which is unreproducible online —
     * the drop keeps the stream's world consistent with what it
-    * admitted). Batch backfill remains the oracle-checked selection.
+    * admitted). In-batch at-least-once redelivery deduplicates through
+    * the same per-batch id set as [[QuotaProcessor]] (review r14: the
+    * replica used to emit twice AND charge the budget twice, evicting a
+    * later legitimate doc from the admit set) — one admit, one charge,
+    * counted in `dup_dropped`. Batch backfill remains the
+    * oracle-checked selection.
     */
   class TokenBudgetProcessor(budget: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -137,6 +158,7 @@ object StreamingCuration {
     @transient private var seen: ValueState[Long] = _
     @transient private var highWater: ValueState[Long] = _
     @transient private var oooDropped: ValueState[Long] = _
+    @transient private var dupDropped: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getValueState[Long]("seen_tokens",
@@ -144,6 +166,8 @@ object StreamingCuration {
       highWater = getHandle.getValueState[Long]("high_watermark",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       oooDropped = getHandle.getValueState[Long]("ooo_dropped",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      dupDropped = getHandle.getValueState[Long]("dup_dropped",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
@@ -153,18 +177,27 @@ object StreamingCuration {
       val cum0 = if (seen.exists()) seen.get() else 0L
       val hw0 = if (highWater.exists()) highWater.get() else Long.MinValue
       var ooo = if (oooDropped.exists()) oooDropped.get() else 0L
+      var dup = if (dupDropped.exists()) dupDropped.get() else 0L
       var hw = hw0
+      // review r14 (the ADVICE r13 fix applied to BOTH processors): an
+      // in-batch at-least-once redelivery used to pass the watermark
+      // check, so one document was EMITTED twice and its tokens charged
+      // the budget twice — permanently evicting a later legitimate doc
+      // from the admit set the batch backfill would keep. Same per-batch
+      // id set as QuotaProcessor: one admit, one charge; the replica
+      // counts in dup_dropped (benign), never ooo_dropped
+      val seenIds = scala.collection.mutable.HashSet[Long]()
       val inOrder = rows.filter { r =>
-        val late = r.doc_id <= hw0
-        if (late) ooo += 1
-        else if (r.doc_id > hw) hw = r.doc_id
-        !late
+        if (r.doc_id <= hw0) { ooo += 1; false }
+        else if (!seenIds.add(r.doc_id)) { dup += 1; false }
+        else { if (r.doc_id > hw) hw = r.doc_id; true }
       }
       val (admitted, allTokens) =
         StreamingCuration.admitTokenPrefix(inOrder, cum0, budget)
       seen.update(cum0 + allTokens)
       highWater.update(hw)
       oooDropped.update(ooo)
+      dupDropped.update(dup)
       admitted.iterator
     }
   }
@@ -176,9 +209,12 @@ object StreamingCuration {
     * seen). Semantics: exactly the rows whose (doc_id, arrival)-ordered
     * prefix sum over the WHOLE batch fits `budget - cum0` — identical
     * to the STABLE sort by doc_id the reference runs, including
-    * duplicate doc_ids in one batch (at-least-once redelivery): equal
-    * ids tie-break by arrival order in heap evictions AND in the
-    * cutoff, so the kept set can never depend on heap internals.
+    * duplicate doc_ids: equal ids tie-break by arrival order in heap
+    * evictions AND in the cutoff, so the kept set can never depend on
+    * heap internals. (The processor dedups in-batch redeliveries BEFORE
+    * calling this — review r14 — so duplicates reach it only from
+    * callers that want literal multiset semantics; the stable tie-break
+    * keeps those deterministic.)
     */
   private[graft] def admitTokenPrefix(rows: Iterator[DocTok], cum0: Long,
                                       budget: Long): (Seq[DocTok], Long) = {
@@ -216,12 +252,15 @@ object StreamingCuration {
     * counters straight out of a quota stream's checkpoint via Spark's
     * state data source — one row per key with the primary admission
     * counter (`admitted` for [[QuotaProcessor]], `seen_tokens` for
-    * [[TokenBudgetProcessor]]), the high watermark, and the
-    * out-of-order drop count. `ooo_dropped > 0` IS the
-    * stream-vs-backfill divergence signal the guard exists for — a
-    * dashboard polls this exactly like [[Metrics.searchFreshness]],
-    * with no job against the corpus (the state files are
-    * keys-many rows).
+    * [[TokenBudgetProcessor]]), the high watermark, the out-of-order
+    * drop count, and the in-batch replay count. `ooo_dropped > 0` IS
+    * the stream-vs-backfill divergence signal the guard exists for
+    * (`dup_dropped` is benign delivery noise, reported separately so
+    * routine at-least-once redelivery never saturates the divergence
+    * signal — review r14); a dashboard polls this exactly like
+    * [[Metrics.searchFreshness]], with no job against the corpus (the
+    * state files are keys-many rows). Counters are monotone — rate
+    * alerts should diff consecutive polls.
     */
   def orderGuardStats(spark: org.apache.spark.sql.SparkSession,
                       checkpoint: String,
@@ -233,6 +272,7 @@ object StreamingCuration {
     read(primaryState)
       .join(read("high_watermark"), Seq("key"), "full_outer")
       .join(read("ooo_dropped"), Seq("key"), "full_outer")
+      .join(read("dup_dropped"), Seq("key"), "full_outer")
       .orderBy(col("key"))
   }
 

@@ -679,10 +679,16 @@ class ExtSpec extends SparkTestBase {
       .select(col("qid"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows("binary")._1 == (binTopK & truth).size.toLong)
-    // the cascade's wider binary pool (2× its int8 pool) gives the int8
-    // re-rank room to repair binary's misses — it can never do worse
-    // than the bare binary rung on this table
-    assert(rows("binary_int8")._1 >= rows("binary")._1)
+    // the cascade row's hits reconcile with the cascade's own standalone
+    // output at the table's parameters (NOT a >=-binary claim: the int8
+    // re-rank CAN evict a true hit the bare binary pool kept, so
+    // cross-checking against the rung's own output is the invariant,
+    // dominance is a dataset coincidence — review r14)
+    val casTopK = graft.ext.Rung.cascadeTopK(spark, dir, nQueries = 10,
+      k = 3, rescoreInt8 = 4, rescoreBinary = 2)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("binary_int8")._1 == (casTopK & truth).size.toLong)
   }
 
   test("streamed queries through the scan-based rungs emit exactly the " +

@@ -102,7 +102,13 @@ class StreamingCurationSpec extends SparkTestBase {
   }
 
   test("in-batch at-least-once replay admits once and charges quota " +
-    "once (ADVICE r13); serve_health surfaces the guard verdict") {
+    "once in BOTH processors (ADVICE r13 / review r14); benign replays " +
+    "count in dup_dropped and do NOT flip serve_health, cross-batch " +
+    "violations do") {
+    // — quota cap: doc 1 delivered twice IN ONE BATCH (above the
+    // watermark — the case the hw0 check alone missed): with n = 2 a
+    // double-charge would burn the quota and reject doc 2; set
+    // semantics admit {1, 2} and count the replica in dup_dropped
     val input = MemoryStream[DocMeta](38, spark, None)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_quota_dup_ckpt").toString
@@ -111,10 +117,6 @@ class StreamingCurationSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .format("memory").queryName("graft_stream_quota_dup").start()
     try {
-      // doc 1 delivered twice IN ONE BATCH (at-least-once redelivery
-      // above the watermark — the case the hw0 check alone missed):
-      // with n = 2 a double-charge would burn the quota and reject
-      // doc 2; set semantics admit {1, 2} and count one drop
       input.addData(DocMeta(1, "a", "en"), DocMeta(1, "a", "en"),
         DocMeta(2, "a", "en"))
       q.processAllAvailable()
@@ -124,20 +126,53 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
     val stats = StreamingCuration.orderGuardStats(spark, ckpt).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(stats("a") == ((2L, 2L, 1L)),
-      s"(admitted, high_watermark, ooo_dropped) for a: ${stats.get("a")}")
-    // the health face: a guard surface with recorded drops reads
-    // unhealthy (present + populated, divergence recorded), next to the
-    // standing-index rows
-    val health = graft.streaming.Metrics.serveHealth(spark,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats("a") == ((2L, 2L, 0L, 1L)),
+      s"(admitted, hw, ooo, dup) for a: ${stats.get("a")}")
+    // benign in-batch replay: the guard surface stays HEALTHY
+    val healthy = graft.streaming.Metrics.serveHealth(spark,
       "/root/testdata/sf0.001",
       Seq(("quota_dup_guard", ckpt, "admitted")))
       .collect().map(r => r.getString(0) ->
         (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
-    assert(health("quota_dup_guard") == ((true, true, false)),
-      s"guard row: ${health.get("quota_dup_guard")}")
-    assert(health("rung_binary") == ((true, true, true)))
+    assert(healthy("quota_dup_guard") == ((true, true, true)),
+      s"guard row: ${healthy.get("quota_dup_guard")}")
+    assert(healthy("rung_binary") == ((true, true, true)))
+
+    // — token budget: same replica, budget 250 — a double-charge (200
+    // for one doc) would evict doc 6 from the admit set the backfill
+    // keeps; and a CROSS-batch late doc flips the health latch
+    import StreamingCuration.DocTok
+    val inTok = MemoryStream[DocTok](39, spark, None)
+    val ckptTok = java.nio.file.Files
+      .createTempDirectory("graft_tok_dup_ckpt").toString
+    val qt = StreamingCuration.quotaTokensStream(inTok.toDS(), budget = 250)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptTok)
+      .format("memory").queryName("graft_stream_tok_dup").start()
+    try {
+      inTok.addData(DocTok(5, "b", 100L), DocTok(5, "b", 100L),
+        DocTok(6, "b", 100L))
+      qt.processAllAvailable()
+      val admitted = spark.table("graft_stream_tok_dup")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(admitted.sorted == Seq(5L, 6L), s"got $admitted")
+      inTok.addData(DocTok(3, "b", 10L)) // late cross-batch: genuine ooo
+      qt.processAllAvailable()
+    } finally qt.stop()
+    val tokStats = StreamingCuration.orderGuardStats(spark, ckptTok,
+      "seen_tokens").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(tokStats("b") == ((200L, 6L, 1L, 1L)),
+      s"(seen_tokens, hw, ooo, dup) for b: ${tokStats.get("b")}")
+    val unhealthy = graft.streaming.Metrics.serveHealth(spark,
+      "/root/testdata/sf0.001",
+      Seq(("tok_guard", ckptTok, "seen_tokens")))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(unhealthy("tok_guard") == ((true, true, false)),
+      s"guard row after a cross-batch violation: ${unhealthy.get("tok_guard")}")
   }
 
   test("cross-batch order guard: a late doc neither admits nor charges " +
