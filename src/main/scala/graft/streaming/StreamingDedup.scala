@@ -252,6 +252,17 @@ object StreamingDedup {
     */
   def admissionOrderStats(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fail with the probe's own contract, not a raw path-glob error: an
+    // outDir with no committed batches yet (or a typo'd path) must read
+    // as "nothing recorded here", the searchFreshness guard class
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(outDir)) &&
+      fs.listStatus(new Path(outDir))
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("v=")),
+      s"admissionOrderStats: no recorded verdict markers under $outDir — " +
+        "check the admission stream's outDir (markers appear after its " +
+        "first committed batch)")
     val v = spark.read.option("basePath", outDir)
       .parquet(s"$outDir/v=*")
       .select(col("v").cast("long").as("batch_id"), col("doc_id"),

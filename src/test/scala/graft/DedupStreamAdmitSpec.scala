@@ -115,6 +115,13 @@ class DedupStreamAdmitSpec extends SparkTestBase {
         // a copy of the admitted novelA → rejected, so 1 admitted
         assert(stats(1L) == ((2L, 1L, 40300L, 1L)), s"b1: ${stats.get(1L)}")
       } finally q.stop()
+      // a marker dir with no recorded batches fails with the probe's
+      // contract, not a raw path-glob error
+      val empty = Files.createTempDirectory("graft_ooo_empty").toString
+      val e = intercept[IllegalArgumentException] {
+        StreamingDedup.admissionOrderStats(spark, empty)
+      }
+      assert(e.getMessage.contains("no recorded verdict markers"))
     } finally dropIndex()
   }
 
