@@ -173,6 +173,65 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("the cascade's int8 mid-stage fetch prunes to the binary pool's " +
+    "cids: a literal IN is pushed into the standing int8-table scan " +
+    "(the funnel never re-reads the full 64 B table)") {
+    purgeIdx()
+    try {
+      Rung.ensureBinaryIndex(spark, dir, 10)
+      Rung.ensureInt8Index(spark, dir, 10)
+      val q = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          Similarity.packSigns(col("embedding"), 1, 32).as("qh1"),
+          Similarity.packSigns(col("embedding"), 33, 64).as("qh2"))
+      val pool1 = Rung.binaryPool(spark, dir, 10, q, 24)
+      val q8 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          graft.catalyst.HashExpressions.packInt8(
+            expr("transform(embedding, v -> CAST(0 AS DOUBLE))")).as("qq8"),
+          lit(1.0).as("qscale"), lit(1.0).as("qn"))
+      val stage2 = Rung.cascadeStage2(spark, dir, pool1, q8, 10, 12)
+      stage2.collect()
+      val plan = stage2.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_rung_i8_"),
+        s"stage 2 does not scan the standing int8 table\n$plan")
+      val scans = plan.split("\n").filter(l =>
+        l.contains("PushedFilters") && l.contains("graft_rung_i8") ||
+          l.contains("PushedFilters") && l.contains("In(cid"))
+      assert(scans.exists(_.matches(".*PushedFilters:.*In\\(cid.*")),
+        s"int8 mid-stage scan carries no pushed IN on cid\n$plan")
+    } finally purgeIdx()
+  }
+
+  test("an in-batch duplicate vec_id admits ONCE into every rung table " +
+    "— admission is a set operation per batch (ADVICE r14)") {
+    import spark.implicits._
+    purgeIdx()
+    try {
+      Rung.ensureBinaryIndex(spark, dir, 10)
+      Rung.ensureMatryoshkaIndex(spark, dir, 10, 16)
+      Rung.ensureInt8Index(spark, dir, 10)
+      val binT = Rung.binTable(dir, Rung.binKey(10))
+      val n0 = spark.table(binT).count()
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      // the same vector redelivered twice WITHIN one micro-batch
+      val batch = Seq((940000L, q0), (940000L, q0)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      Rung.appendToRungIndexes(spark, dir, batch, 10)
+      Seq(binT, Rung.mrlTable(dir, Rung.mrlKey(10, 16)),
+        Rung.i8Table(dir, Rung.i8Key(10))).foreach { t =>
+        assert(spark.table(t).count() == n0 + 1, t)
+        assert(spark.table(t).filter(col("cid") === 940000L).count() == 1L,
+          s"$t: in-batch duplicate appended twice")
+      }
+    } finally purgeIdx()
+  }
+
   test("packed int8 payload scores bit-identically to the unpacked " +
     "array form across the whole corpus") {
     import graft.catalyst.HashExpressions
