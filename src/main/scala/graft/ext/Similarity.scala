@@ -13,7 +13,11 @@ import graft.ops.Exact.round6
   * exact-answer path. The candidate side streams through a codegen'd
   * projection; the only shuffle is the per-query top-k (row_number over a
   * window partitioned by query), which at scale is a partial top-k per
-  * partition followed by a k-sized merge. For a 100 TB corpus the scale
+  * partition followed by a k-sized merge — machine-checked: PlanAuditSpec
+  * and RungSpec pin `WindowGroupLimit(Partial/Final)` in the executed
+  * top-k plans, so an edit that defeats the pushdown (a second window
+  * column, a moved rank filter) fails a test instead of silently falling
+  * back to full-sort windows. For a 100 TB corpus the scale
   * path is LSH/IVF bucketing (same bucket-join shape as
   * [[TextDedup.candidatePairs]]) — planned as the next increment.
   *

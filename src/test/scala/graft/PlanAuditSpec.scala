@@ -23,6 +23,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("per-query top-k windows insert the rank-limit pushdown: " +
+    "WindowGroupLimit runs Partial per partition and Final after the " +
+    "exchange, so the window never sorts whole partitions (VERDICT r14 #2)") {
+    // the scale doctrine (Similarity.scala: partial top-k per partition +
+    // k-sized merge) machine-checked: Spark 4.1 inserts
+    // WindowGroupLimitExec for row_number + rank<=k filters; a second
+    // window column or a moved filter silently defeats it, falling back
+    // to full-sort windows — the exact regression class this pins
+    Seq("ann_cosine_topk", "ann_int8_topk", "ann_ivf_topk", "ann_pq_topk",
+      "ann_binary_indexed", "ann_cascade_topk", "mine_hard_negatives")
+      .foreach { q =>
+        val p = executedPlan(q)
+        val wgl = p.split("\n").filter(_.contains("WindowGroupLimit"))
+        assert(wgl.nonEmpty,
+          s"$q: rank-limit pushdown missing — top-k window full-sorts\n$p")
+        assert(wgl.exists(_.contains("Partial")) &&
+          wgl.exists(_.contains("Final")),
+          s"$q: WindowGroupLimit present but not in partial+final form\n$p")
+      }
+  }
+
   test("broadcast-dim joins broadcast; no shuffle join against a dim table") {
     Seq("tpch_q5", "tpch_q8", "tpch_q9", "tpch_q14", "tpch_q19").foreach { q =>
       val p = executedPlan(q)

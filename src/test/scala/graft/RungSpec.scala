@@ -63,6 +63,13 @@ class RungSpec extends SparkTestBase {
           s"$name pool does not scan its rung table\n$plan")
         assert(!plan.contains("embeddings.parquet"),
           s"$name stage-1 pool still scans the float embeddings table\n$plan")
+        // the rank-limit pushdown (VERDICT r14 #2): the pool window must
+        // run as partial top-k per partition + k-sized merge, never a
+        // full-sort window over the whole rung scan
+        val wgl = plan.split("\n").filter(_.contains("WindowGroupLimit"))
+        assert(wgl.exists(_.contains("Partial")) &&
+          wgl.exists(_.contains("Final")),
+          s"$name pool window lacks the WindowGroupLimit pushdown\n$plan")
       }
     } finally purgeIdx()
   }
