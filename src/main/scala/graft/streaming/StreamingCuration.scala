@@ -269,11 +269,22 @@ object StreamingCuration {
       .option("path", checkpoint).option("stateVarName", name).load()
       .select(col("key.value").as("key"),
         col("value.value").as(name))
-    read(primaryState)
+    val base = read(primaryState)
       .join(read("high_watermark"), Seq("key"), "full_outer")
       .join(read("ooo_dropped"), Seq("key"), "full_outer")
-      .join(read("dup_dropped"), Seq("key"), "full_outer")
-      .orderBy(col("key"))
+    // `dup_dropped` was added in r14: a checkpoint written by the
+    // pre-r14 processors has no such state variable and the state data
+    // source throws resolving it — fall back to a null column so
+    // existing deployments' checkpoints stay readable (ADVICE r14); the
+    // null (vs 0) says "not tracked here", and the serveHealth guard
+    // overload only inspects ooo_dropped either way
+    scala.util.Try(read("dup_dropped")) match {
+      case scala.util.Success(d) =>
+        base.join(d, Seq("key"), "full_outer").orderBy(col("key"))
+      case scala.util.Failure(_) =>
+        base.withColumn("dup_dropped", lit(null).cast("long"))
+          .orderBy(col("key"))
+    }
   }
 
   /** Document stream → the per-source token-budget admit stream. */

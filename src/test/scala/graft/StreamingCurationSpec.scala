@@ -787,4 +787,82 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(fwd.map(r => (r.doc_id, r.pkey)) == expected,
       s"streaming sample diverged from batch: $fwd vs $expected")
   }
+
+  test("orderGuardStats stays readable on a pre-r14 checkpoint with no " +
+    "dup_dropped state: the column comes back null, the health guard " +
+    "still evaluates (ADVICE r14)") {
+    // a checkpoint written by the pre-r14 processors carries only the
+    // three legacy state variables; the stats probe (and the serveHealth
+    // guard overload riding it) must not throw on the missing one
+    val input = MemoryStream[DocMeta](45, spark, None)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_legacy_guard_ckpt").toString
+    val q = input.toDS().groupByKey(_.source)
+      .transformWithState(new LegacyQuotaProcessor(10),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("graft_stream_legacy_guard").start()
+    try {
+      input.addData(DocMeta(1, "a", "en"), DocMeta(2, "a", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = StreamingCuration.orderGuardStats(spark, ckpt).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "a" && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L && r.getLong(3) == 0L, r.toString)
+    assert(r.isNullAt(4), s"dup_dropped should be null, got $r")
+    val health = graft.streaming.Metrics.serveHealth(spark,
+      "/root/testdata/sf0.001",
+      Seq(("legacy_guard", ckpt, "admitted")))
+      .collect().map(row => row.getString(0) ->
+        (row.getBoolean(1), row.getBoolean(2), row.getBoolean(3))).toMap
+    assert(health("legacy_guard") == ((true, true, true)),
+      s"guard row: ${health.get("legacy_guard")}")
+  }
+}
+
+/** The r13-era quota processor: only the three legacy state variables,
+  * no `dup_dropped` — exists solely so the spec can write a checkpoint
+  * shaped like a pre-r14 deployment's.
+  */
+private class LegacyQuotaProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DocMeta, DocMeta] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var admitted: ValueState[Long] = _
+  @transient private var highWater: ValueState[Long] = _
+  @transient private var oooDropped: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    admitted = getHandle.getValueState[Long]("admitted",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    highWater = getHandle.getValueState[Long]("high_watermark",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    oooDropped = getHandle.getValueState[Long]("ooo_dropped",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[DocMeta],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[DocMeta] = {
+    var count = if (admitted.exists()) admitted.get() else 0L
+    val hw0 = if (highWater.exists()) highWater.get() else Long.MinValue
+    var ooo = if (oooDropped.exists()) oooDropped.get() else 0L
+    var hw = hw0
+    val out = scala.collection.mutable.ArrayBuffer[DocMeta]()
+    rows.foreach { r =>
+      if (r.doc_id <= hw0) ooo += 1
+      else {
+        if (r.doc_id > hw) hw = r.doc_id
+        if (count < n) { out += r; count += 1 }
+      }
+    }
+    admitted.update(count)
+    highWater.update(hw)
+    oooDropped.update(ooo)
+    out.iterator
+  }
 }
