@@ -56,13 +56,33 @@ object Exact {
   def round9(c: Column): Column =
     floorD(c.cast("double") * lit(1e9) + lit(0.5)) / lit(1e9)
 
-  /** Oracle-SQL text form of [[round6]] (DuckDB and Spark SQL both parse
-    * it; floor of a double is a double in DuckDB and a BIGINT in Spark,
-    * and the final float division restores the same double either way). */
+  /** Oracle-SQL text form of [[round6]] — the DUCKDB-side twin. DuckDB's
+    * `floor` on a double is the total double floor, so there the text
+    * form equals [[round6]] on ALL doubles. When SPARK parses this text
+    * it lowers to Spark's LongType `floor`, which retains the BOUNDED
+    * domain the Column form retired (NaN → 0, ±Inf and |x·1e6| > 2^63
+    * saturate at Long.Min/MaxValue) — for a Spark-parsed expression with
+    * the Column form's totality use [[sqlRound6Spark]] instead
+    * (ADVICE r14). On the registry's domain (every oracle value is
+    * finite with |x·1e6| ≪ 2^63) the two parses agree bit-for-bit,
+    * which is why this one string can serve as the shared oracle text. */
   def sqlRound6(e: String): String =
     s"floor(CAST(($e) AS DOUBLE)*1000000 + 0.5)/1000000"
 
-  /** Oracle-SQL text form of [[round9]]. */
+  /** Oracle-SQL text form of [[round9]] — same bounded-domain note as
+    * [[sqlRound6]] when Spark parses it. */
   def sqlRound9(e: String): String =
     s"floor(CAST(($e) AS DOUBLE)*1000000000 + 0.5)/1000000000"
+
+  /** SPARK-SQL text form of [[round6]] that keeps the Column form's
+    * totality: floors through the SQL-registered
+    * `graft_floor_double` (double → double `Math.floor`), so NaN/±Inf/
+    * huge inputs behave exactly like [[round6]]. NOT valid DuckDB —
+    * use [[sqlRound6]] for oracle text. */
+  def sqlRound6Spark(e: String): String =
+    s"graft_floor_double(CAST(($e) AS DOUBLE)*1000000 + 0.5)/1000000"
+
+  /** The 9-digit sibling of [[sqlRound6Spark]]. */
+  def sqlRound9Spark(e: String): String =
+    s"graft_floor_double(CAST(($e) AS DOUBLE)*1000000000 + 0.5)/1000000000"
 }

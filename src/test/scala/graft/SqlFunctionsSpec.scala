@@ -319,6 +319,40 @@ class SqlFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("sqlRound6Spark/sqlRound9Spark Spark-parse to the TOTAL double " +
+    "floor — NaN/±Inf/huge match the Column form bit-for-bit, where the " +
+    "plain oracle text form saturates through Spark's LongType floor " +
+    "(ADVICE r14: the two parses of sqlRound6 diverge at the edges)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Exact.{round6, round9, sqlRound6, sqlRound6Spark,
+      sqlRound9Spark}
+    graft.catalyst.Functions.register(spark)
+    val edge = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.23456785e13, 2.0e14, 0.1234565,
+      -0.1234565, 1.0 / 3.0)
+    val df = edge.toDF("x")
+    val viaCol = df.select(round6(col("x")).as("r6"),
+        round9(col("x")).as("r9")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val viaSpark = df.selectExpr(s"${sqlRound6Spark("x")} AS r6",
+        s"${sqlRound9Spark("x")} AS r9").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    viaCol.zip(viaSpark).zip(edge).foreach { case (((c6, c9), (s6, s9)), x) =>
+      assert(java.lang.Double.compare(c6, s6) == 0 &&
+        java.lang.Double.compare(c9, s9) == 0,
+        s"Spark text form diverges from Column form on $x: " +
+          s"($s6,$s9) vs ($c6,$c9)")
+    }
+    // the documented bounded-domain caveat is REAL: Spark-parsing the
+    // plain oracle text form maps NaN through the LongType floor to 0.0
+    val plain = Seq(Double.NaN).toDF("x")
+      .selectExpr(s"${sqlRound6("x")} AS r6").collect().head.getDouble(0)
+    assert(plain == 0.0,
+      "expected Spark's parse of the plain text form to saturate NaN — " +
+        "if this changed, the sqlRound6 scaladoc caveat is stale")
+  }
+
   test("no round(x, 6|9) call sites remain in src/main (defect class " +
     "retired wholesale; graft.ops.Exact is the only rounding path)") {
     val root = new java.io.File("src/main/scala")
