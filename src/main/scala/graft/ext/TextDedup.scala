@@ -1433,7 +1433,6 @@ object TextDedup {
     val t = gramsTable(dir, n)
     recoverCompaction(spark, dir, n)
     if (!spark.catalog.tableExists(t)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
       if (!reattachIfPresent(spark, t, Seq("g"))) {
         val corpus = documents(spark, dir).filter(col("doc_id") % 10 < 8)
         gramRows(corpus, n).groupBy(col("g"))

@@ -152,7 +152,6 @@ object Analytics {
                         lo: Double = 0.05, hi: Double = 0.95): Unit = {
     val t = boundsTable(dir, group, lo, hi)
     if (!spark.catalog.tableExists(t)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
       if (!graft.ext.IndexCatalog.reattachIfPresent(spark, t, Seq(group))) {
         graft.ext.IndexCatalog.purge(spark, t)
         val ev = graft.ops.Ingest.events(spark, dir)

@@ -199,11 +199,11 @@ object Metrics {
 
   /** The one-stop operator health query (VERDICT r13 next #8) — the
     * dashboard face of the maintenance manifest: one row per STANDING
-    * surface of this corpus dir at the registered default shapes, each
-    * probed through the same machinery the maintenance loop and the
-    * freshness probes use. Columns are deliberately DETERMINISTIC
-    * booleans (the `agg_approx_percentile` oracle pattern — raw file
-    * mtimes would never hash-match a SQL oracle):
+    * surface of this corpus dir, each probed through the same machinery
+    * the maintenance loop and the freshness probes use. Columns are
+    * deliberately DETERMINISTIC booleans (the `agg_approx_percentile`
+    * oracle pattern — raw file mtimes would never hash-match a SQL
+    * oracle):
     *
     *   - `index_present`: catalog entry or committed data at the fixed
     *     location (the `*IndexExists` probes);
@@ -218,39 +218,58 @@ object Metrics {
     * queries build the same indexes), so the query doubles as the
     * build-everything smoke test a deployment runs after provisioning.
     *
+    * The shape knobs default to the registered shapes but are
+    * PARAMETERS (VERDICT r14 next #3): a non-default deployment passes
+    * its own — `shapes` via [[graft.tools.Maintenance.Shapes.fromEnv]],
+    * the same `SPARK_GRAFT_*` derivation the maintenance loop runs
+    * with — so the health face probes (and, absent, builds) the tables
+    * that deployment actually serves from, never a parallel
+    * default-shape set nobody uses.
+    *
     * The streaming-guard surfaces ([[graft.ext.Curation]] quota streams'
     * order-guard counters) need a live checkpoint and join this face
     * through the overload below; the batch-registered form covers the
     * standing-index surfaces.
     */
-  def serveHealth(spark: SparkSession, dir: String): DataFrame = {
+  def serveHealth(spark: SparkSession, dir: String,
+                  gramN: Int = 5, ivfNq: Int = 10, ivfNc: Int = 16,
+                  pqNq: Int = 10, rungNq: Int = 10, rungPrefix: Int = 16,
+                  winsorGroup: String = "event_type",
+                  shapes: graft.tools.Maintenance.Shapes =
+                    graft.tools.Maintenance.Shapes()): DataFrame = {
     import spark.implicits._
     import graft.ext.{IndexCatalog, Pq, Rung, Similarity, TextDedup}
     import graft.ops.Analytics
     TextDedup.ensureDedupIndex(spark, dir)
-    TextDedup.ensureSubstringIndex(spark, dir, 5)
-    Similarity.ensureIvfIndex(spark, dir, 10, 16)
-    Pq.ensurePqIndex(spark, dir, 10)
-    Pq.ensureIvfPqIndex(spark, dir, 10)
-    Rung.ensureBinaryIndex(spark, dir, 10)
-    Rung.ensureMatryoshkaIndex(spark, dir, 10, 16)
-    Rung.ensureInt8Index(spark, dir, 10)
-    Analytics.ensureBoundsIndex(spark, dir)
-    val ivfKey = Similarity.ivfKey(10, 16, 2, 3,
-      Similarity.defaultIvfSampleCap)
-    val pqKey = Pq.pqKey(10, 8, 16, 2, 3, Similarity.defaultIvfSampleCap)
-    val ivfpqKey = Pq.ivfpqKey(10, 16, 8, 16, 2, 3,
-      Similarity.defaultIvfSampleCap)
+    TextDedup.ensureSubstringIndex(spark, dir, gramN)
+    Similarity.ensureIvfIndex(spark, dir, ivfNq, ivfNc, shapes.ivfIters,
+      shapes.ivfSampleMod, shapes.ivfSampleCap)
+    Pq.ensurePqIndex(spark, dir, pqNq, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+    Pq.ensureIvfPqIndex(spark, dir, pqNq, ivfNc, shapes.pqNSub,
+      shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+      shapes.pqSampleCap)
+    Rung.ensureBinaryIndex(spark, dir, rungNq)
+    Rung.ensureMatryoshkaIndex(spark, dir, rungNq, rungPrefix)
+    Rung.ensureInt8Index(spark, dir, rungNq)
+    Analytics.ensureBoundsIndex(spark, dir, winsorGroup)
+    val ivfKey = Similarity.ivfKey(ivfNq, ivfNc, shapes.ivfIters,
+      shapes.ivfSampleMod, shapes.ivfSampleCap)
+    val pqKey = Pq.pqKey(pqNq, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+    val ivfpqKey = Pq.ivfpqKey(pqNq, ivfNc, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
     val surfaces = Seq(
       "dedup_bands" -> TextDedup.bandsTable(dir),
-      "grams" -> TextDedup.gramsTable(dir, 5),
+      "grams" -> TextDedup.gramsTable(dir, gramN),
       "ivf_cells" -> Similarity.ivfCellsTable(dir, ivfKey),
       "ivfpq_cells" -> Pq.ivfpqCellsTable(dir, ivfpqKey),
       "pq_codes" -> Pq.pqCodesTable(dir, pqKey),
-      "rung_binary" -> Rung.binTable(dir, Rung.binKey(10)),
-      "rung_int8" -> Rung.i8Table(dir, Rung.i8Key(10)),
-      "rung_matryoshka" -> Rung.mrlTable(dir, Rung.mrlKey(10, 16)),
-      "winsor_bounds" -> Analytics.boundsTable(dir, "event_type",
+      "rung_binary" -> Rung.binTable(dir, Rung.binKey(rungNq)),
+      "rung_int8" -> Rung.i8Table(dir, Rung.i8Key(rungNq)),
+      "rung_matryoshka" ->
+        Rung.mrlTable(dir, Rung.mrlKey(rungNq, rungPrefix)),
+      "winsor_bounds" -> Analytics.boundsTable(dir, winsorGroup,
         0.05, 0.95))
     val asOf = System.currentTimeMillis()
     surfaces.map { case (surface, table) =>
@@ -278,19 +297,26 @@ object Metrics {
     * lineage after investigating), not something a poll should do.
     */
   def serveHealth(spark: SparkSession, dir: String,
+                  guards: Seq[(String, String, String)]): DataFrame =
+    serveHealth(spark, dir)
+      .unionByName(guardHealth(spark, guards))
+      .orderBy(col("surface"))
+
+  /** The streaming-guard rows of [[serveHealth]] alone — split out so a
+    * non-default-shape deployment composes
+    * `serveHealth(spark, dir, shapes = …).unionByName(guardHealth(…))`
+    * instead of being forced onto the default-shape overload.
+    */
+  def guardHealth(spark: SparkSession,
                   guards: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
-    val guardRows = guards.map { case (surface, checkpoint, primary) =>
+    guards.map { case (surface, checkpoint, primary) =>
       val stats = scala.util.Try(
         StreamingCuration.orderGuardStats(spark, checkpoint, primary)
           .select(col("ooo_dropped")).collect())
       (surface, stats.isSuccess, stats.toOption.exists(_.nonEmpty),
         stats.toOption.exists(rows =>
           rows.nonEmpty && rows.forall(r => r.isNullAt(0) || r.getLong(0) == 0L)))
-    }
-    serveHealth(spark, dir)
-      .unionByName(guardRows
-        .toDF("surface", "index_present", "has_data", "healthy"))
-      .orderBy(col("surface"))
+    }.toDF("surface", "index_present", "has_data", "healthy")
   }
 }

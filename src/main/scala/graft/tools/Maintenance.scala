@@ -55,12 +55,34 @@ object Maintenance {
     * permanently on any non-default index; now a non-default shape is
     * coverable by setting the matching vars).
     */
-  private[graft] final case class Shapes(
+  final case class Shapes(
       ivfIters: Int = 2, ivfSampleMod: Int = 3,
       ivfSampleCap: Int = graft.ext.Similarity.defaultIvfSampleCap,
       pqNSub: Int = 8, pqKSub: Int = 16, pqIters: Int = 2,
       pqSampleMod: Int = 3,
       pqSampleCap: Int = graft.ext.Similarity.defaultIvfSampleCap)
+
+  object Shapes {
+    /** The ONE derivation of the shape manifest from `SPARK_GRAFT_*`
+      * env vars — shared by the maintenance loop's passes, its coverage
+      * keys, AND [[graft.streaming.Metrics.serveHealth]] (VERDICT r14
+      * next #3), so the health face and the maintenance manifest probe
+      * the same tables by construction.
+      */
+    def fromEnv(env: Map[String, String] = sys.env): Shapes = Shapes(
+      ivfIters = env.getOrElse("SPARK_GRAFT_IVF_ITERS", "2").toInt,
+      ivfSampleMod =
+        env.getOrElse("SPARK_GRAFT_IVF_SAMPLE_MOD", "3").toInt,
+      ivfSampleCap = env.getOrElse("SPARK_GRAFT_IVF_SAMPLE_CAP",
+        graft.ext.Similarity.defaultIvfSampleCap.toString).toInt,
+      pqNSub = env.getOrElse("SPARK_GRAFT_PQ_NSUB", "8").toInt,
+      pqKSub = env.getOrElse("SPARK_GRAFT_PQ_KSUB", "16").toInt,
+      pqIters = env.getOrElse("SPARK_GRAFT_PQ_ITERS", "2").toInt,
+      pqSampleMod =
+        env.getOrElse("SPARK_GRAFT_PQ_SAMPLE_MOD", "3").toInt,
+      pqSampleCap = env.getOrElse("SPARK_GRAFT_PQ_SAMPLE_CAP",
+        graft.ext.Similarity.defaultIvfSampleCap.toString).toInt)
+  }
 
   private[graft] def manifestReport(spark: SparkSession,
       gramDir: Option[String], gramN: Int,
@@ -193,19 +215,7 @@ object Maintenance {
     // full shape manifest (VERDICT r13 #4): the same vars feed the
     // coverage keys AND the passes, so a non-default-shape index is
     // maintainable by configuring them — not purge-and-rebuild-only
-    val shapes = Shapes(
-      ivfIters = sys.env.getOrElse("SPARK_GRAFT_IVF_ITERS", "2").toInt,
-      ivfSampleMod =
-        sys.env.getOrElse("SPARK_GRAFT_IVF_SAMPLE_MOD", "3").toInt,
-      ivfSampleCap = sys.env.getOrElse("SPARK_GRAFT_IVF_SAMPLE_CAP",
-        graft.ext.Similarity.defaultIvfSampleCap.toString).toInt,
-      pqNSub = sys.env.getOrElse("SPARK_GRAFT_PQ_NSUB", "8").toInt,
-      pqKSub = sys.env.getOrElse("SPARK_GRAFT_PQ_KSUB", "16").toInt,
-      pqIters = sys.env.getOrElse("SPARK_GRAFT_PQ_ITERS", "2").toInt,
-      pqSampleMod =
-        sys.env.getOrElse("SPARK_GRAFT_PQ_SAMPLE_MOD", "3").toInt,
-      pqSampleCap = sys.env.getOrElse("SPARK_GRAFT_PQ_SAMPLE_CAP",
-        graft.ext.Similarity.defaultIvfSampleCap.toString).toInt)
+    val shapes = Shapes.fromEnv()
     // Optional: PQ codes-table file-growth compaction (round 10) — pass
     // the indexed corpus dir as SPARK_GRAFT_PQ_DIR (+ _NQ / _MAX_FILES).
     // Stream admission appends one file set per micro-batch; past the

@@ -116,4 +116,47 @@ class MaintenanceManifestSpec extends SparkTestBase {
         warns.mkString("\n"))
     } finally TextDedup.purgeDedupIndex(spark, dir)
   }
+
+  test("Shapes.fromEnv derives the manifest from the same SPARK_GRAFT_* " +
+    "vars the passes run with; defaults when unset") {
+    assert(Maintenance.Shapes.fromEnv(Map.empty) == Maintenance.Shapes())
+    val s = Maintenance.Shapes.fromEnv(Map(
+      "SPARK_GRAFT_IVF_ITERS" -> "3", "SPARK_GRAFT_PQ_NSUB" -> "16",
+      "SPARK_GRAFT_PQ_SAMPLE_CAP" -> "1234"))
+    assert(s.ivfIters == 3 && s.pqNSub == 16 && s.pqSampleCap == 1234)
+    assert(s.ivfSampleMod == 3 && s.pqKSub == 16)
+  }
+
+  test("serveHealth parameterized with a non-default shape probes THAT " +
+    "deployment's tables and builds no default-shape ghosts " +
+    "(VERDICT r14 next #3)") {
+    import graft.ext.Rung
+    // distinguishable families that are cheap to build twice: the rung
+    // tables (keyed by nQueries/dPrefix) and the gram index (keyed by n)
+    Rung.purgeRungIndexes(spark, dir, 10, 16)
+    Rung.purgeRungIndexes(spark, dir, 12, 8)
+    TextDedup.purgeSubstringIndex(spark, dir, 4)
+    try {
+      val health = graft.streaming.Metrics.serveHealth(spark, dir,
+        gramN = 4, rungNq = 12, rungPrefix = 8).collect()
+      assert(health.length == 9)
+      health.foreach { r =>
+        assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+          r.toString)
+      }
+      // the non-default surfaces were probed (and thus ensure-built)…
+      assert(Rung.binaryIndexExists(spark, dir, 12))
+      assert(Rung.matryoshkaIndexExists(spark, dir, 12, 8))
+      assert(Rung.int8IndexExists(spark, dir, 12))
+      assert(TextDedup.substringIndexExists(spark, dir, 4))
+      // …and the DEFAULT-shape rung tables were NOT built as a parallel
+      // ghost set (the r14 hardcoded form's failure mode)
+      assert(!Rung.binaryIndexExists(spark, dir, 10))
+      assert(!Rung.matryoshkaIndexExists(spark, dir, 10, 16))
+      assert(!Rung.int8IndexExists(spark, dir, 10))
+    } finally {
+      Rung.purgeRungIndexes(spark, dir, 12, 8)
+      TextDedup.purgeSubstringIndex(spark, dir, 4)
+    }
+  }
 }
