@@ -38,7 +38,9 @@ import graft.ops.Exact.round6
   * tables carry derived payloads only, so stream-admitted vectors
   * surface in stage 1; the exact stage-2 rescore fetches from the
   * caller's raw-vector store (here the embeddings table), which the
-  * ingest must also feed.
+  * ingest must also feed. The contract is CODE, not a caveat:
+  * [[graft.streaming.StreamingSimilarity.startEmbeddingIngest]] lands
+  * raw + all derived rows in one idempotent batch body.
   */
 object Rung {
 

@@ -66,7 +66,8 @@ object StreamingSimilarity {
     * per table, and a crash between the three appends replays into
     * anti-join no-ops for the tables already written. The raw-store
     * caveat applies: exact stage-2 rescoring of admitted vectors needs
-    * the ingest to also land them in the raw embeddings store.
+    * the ingest to also land them in the raw embeddings store — use
+    * [[startEmbeddingIngest]] when this loop should own that too.
     */
   def startRungAdmission(spark: SparkSession, dir: String,
                          vecs: DataFrame, checkpoint: String,
@@ -78,6 +79,45 @@ object StreamingSimilarity {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Rung.appendToRungIndexes(spark, dir, batch, nQueries, dPrefix)
+        ()
+      }
+      .start()
+  }
+
+  /** The COMPOSED vector-ingest loop (VERDICT r14 next #4) — closes the
+    * raw-store caveat the per-index admission loops each documented:
+    * ONE foreachBatch body that lands a micro-batch's RAW
+    * (vec_id, embedding[, label]) rows in the corpus embeddings store
+    * ([[Similarity.appendToEmbeddings]]) AND its derived rung rows
+    * ([[Rung.appendToRungIndexes]]; optionally the PQ codes via
+    * `alsoPq`), all idempotent at vector granularity — so exact stage-2
+    * rescores see stream-admitted vectors with no side agreement, and a
+    * later purge+rebuild/compaction (which retrains from the embeddings
+    * table) RETAINS them instead of silently dropping admitted-only
+    * derived rows.
+    *
+    * Raw rows land FIRST: a crash anywhere in the window replays into
+    * anti-join no-ops for whatever already committed, and no committed
+    * derived row ever lacks its raw backing — the order that makes the
+    * search-visible state monotonically consistent. Requires a
+    * directory-backed embeddings store (the appendToEmbeddings
+    * contract; a single-file corpus snapshot fails loudly).
+    */
+  def startEmbeddingIngest(spark: SparkSession, dir: String,
+                           vecs: DataFrame, checkpoint: String,
+                           nQueries: Int, dPrefix: Int = 16,
+                           alsoPq: Boolean = false): StreamingQuery = {
+    Rung.ensureBinaryIndex(spark, dir, nQueries)
+    Rung.ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
+    Rung.ensureInt8Index(spark, dir, nQueries)
+    if (alsoPq) Pq.ensurePqIndex(spark, dir, nQueries)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true) // read by raw + each index
+        Similarity.appendToEmbeddings(spark, dir, b)
+        Rung.appendToRungIndexes(spark, dir, b, nQueries, dPrefix)
+        if (alsoPq) Pq.appendToPqIndex(spark, dir, b, nQueries)
         ()
       }
       .start()

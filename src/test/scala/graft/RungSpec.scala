@@ -395,6 +395,61 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("composed ingest lands raw + rung rows in one body: the indexed " +
+    "search returns the stream-admitted vector THROUGH the exact rescore " +
+    "with no manual raw append; replay is a no-op in both stores; " +
+    "compaction retains it (VERDICT r14 next #4)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // a directory-backed copy of the corpus — the single-file testdata
+    // snapshot is read-only, which appendToEmbeddings rejects loudly
+    val tmp = Files.createTempDirectory("graft_ingest_corpus").toString
+    Similarity.embeddings(spark, dir)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    try {
+      val bad = intercept[IllegalArgumentException] {
+        Similarity.appendToEmbeddings(spark, dir,
+          Seq((1L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+      }
+      assert(bad.getMessage.contains("single parquet FILE"))
+      val q0 = Similarity.embeddings(spark, tmp)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Float])](96, spark, None)
+      val sq = graft.streaming.StreamingSimilarity.startEmbeddingIngest(
+        spark, tmp, input.toDF().toDF("vec_id", "embedding"), ckpt,
+        nQueries = 10)
+      try {
+        input.addData((950000L, q0))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      // the clone of q0's vector wins q0's top-1 through the EXACT
+      // stage-2 rescore — its raw row landed in the same batch body
+      val top = Rung.binaryIndexedTopK(spark, tmp, 10, 3)
+        .filter(col("qid") === 0L && col("rank") === 1L).collect().head
+      assert(top.getLong(1) == 950000L,
+        s"admitted vector not surfaced through exact rescore: $top")
+      assert(top.getDouble(3) > 0.999998, top.toString)
+      // replay: re-running the batch body is a no-op in BOTH stores
+      val nRaw = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+      val binT = Rung.binTable(tmp, Rung.binKey(10))
+      val nBin = spark.table(binT).count()
+      val replay = Seq((950000L, q0)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      Similarity.appendToEmbeddings(spark, tmp, replay)
+      Rung.appendToRungIndexes(spark, tmp, replay, 10)
+      assert(spark.read.parquet(s"$tmp/embeddings.parquet").count() == nRaw)
+      assert(spark.table(binT).count() == nBin)
+      // compaction rebuilds from the raw store — the admitted vector
+      // SURVIVES (pre-ingest, admitted-only derived rows were dropped)
+      assert(Rung.compactRungIndexesIfNeeded(spark, tmp, 10, maxFiles = 1))
+      assert(spark.table(binT).filter(col("cid") === 950000L).count() == 1L)
+    } finally Rung.purgeRungIndexes(spark, tmp)
+  }
+
   test("crash between the three per-table appends replays safely: the " +
     "already-written table anti-joins the batch to a no-op, the others " +
     "catch up — no duplicates, no gaps") {
