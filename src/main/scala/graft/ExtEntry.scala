@@ -518,6 +518,14 @@ object ExtEntry {
     "serve_health" -> ((s, dir) =>
       graft.streaming.Metrics.serveHealth(s, dir)),
 
+    // the rung-admission observability face (VERDICT r14 #5): the three
+    // standing tables' cross-table cid agreement — the drift an
+    // unreplayed crash window leaves; on a freshly ensured corpus every
+    // count equals the candidate partition's row count, which the
+    // oracle computes from the raw embeddings table cross-engine
+    "rung_consistency" -> ((s, dir) =>
+      Rung.rungConsistency(s, dir, nQueries = 10)),
+
     // the external-vector forms of the two new rungs — every search
     // family carries the caller-supplied-panel surface (r12 contract)
     "ann_external_binary" -> ((s, dir) =>
@@ -3285,6 +3293,17 @@ object ExtEntry {
         |  ('winsor_bounds', TRUE, TRUE, TRUE)
         |) AS t(surface, index_present, has_data, healthy)
         |ORDER BY surface""".stripMargin,
+
+    // every rung table carries exactly the candidate partition once —
+    // the counts are checked cross-engine against the raw corpus
+    "rung_consistency" ->
+      """SELECT CAST(n AS BIGINT) AS n_binary,
+        |  CAST(n AS BIGINT) AS n_matryoshka,
+        |  CAST(n AS BIGINT) AS n_int8,
+        |  CAST(n AS BIGINT) AS n_common,
+        |  CAST(1 AS BIGINT) AS max_multiplicity,
+        |  TRUE AS consistent
+        |FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10)""".stripMargin,
 
     // mirrors semanticDedup: trained cells over the WHOLE table
     // (nQueries = 0), rank-capped membership, within-cell smaller-id

@@ -276,6 +276,59 @@ object Rung {
     appendToTable(spark, i8Table(dir, i8Key(nQueries)), i8Frame(rows))
   }
 
+  /** The admission stream's OBSERVABILITY face (VERDICT r14 next #5).
+    *
+    * Why no ORDER counters here, unlike
+    * [[graft.streaming.StreamingDedup.admissionOrderStats]] /
+    * [[graft.streaming.StreamingCuration.orderGuardStats]]: rung
+    * admission is a SET UNION — each batch anti-joins out
+    * already-present cids and appends pure per-row derivations, so the
+    * final table state is the union of all admitted cids REGARDLESS of
+    * arrival order, and no per-key decision (which dup survives, which
+    * doc charges quota) ever depends on it. Order observability would
+    * measure a quantity nothing downstream is sensitive to.
+    *
+    * What CAN diverge is the three tables drifting apart: a crash
+    * window whose stream is decommissioned before replaying (the
+    * binary append landed, the others never caught up), or an
+    * out-of-band write. This probe makes that visible: one row with
+    * each table's row count, the count of cids present EXACTLY ONCE in
+    * all three, the max per-table multiplicity, and `consistent` —
+    * true iff every cid appears exactly once in each table (so row
+    * counts == n_common and multiplicity == 1). Scale shape: three
+    * cid-only column-pruned scans unioned into ONE groupBy(cid) rollup
+    * (the tables are cid-bucketed, so the agg is co-partitioned) and a
+    * single-row reduce — no joins, no window.
+    */
+  def rungConsistency(spark: SparkSession, dir: String, nQueries: Int = 10,
+                      dPrefix: Int = 16): DataFrame = {
+    ensureBinaryIndex(spark, dir, nQueries)
+    ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
+    ensureInt8Index(spark, dir, nQueries)
+    def cids(table: String, tag: String) =
+      spark.table(table).select(col("cid"), lit(tag).as("t"))
+    val perCid = cids(binTable(dir, binKey(nQueries)), "b")
+      .unionByName(cids(mrlTable(dir, mrlKey(nQueries, dPrefix)), "m"))
+      .unionByName(cids(i8Table(dir, i8Key(nQueries)), "i"))
+      .groupBy(col("cid"))
+      .agg(sum(when(col("t") === "b", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("t") === "m", 1L).otherwise(0L)).as("nm"),
+        sum(when(col("t") === "i", 1L).otherwise(0L)).as("ni"))
+    perCid.agg(
+      sum(col("nb")).as("n_binary"),
+      sum(col("nm")).as("n_matryoshka"),
+      sum(col("ni")).as("n_int8"),
+      sum(when(col("nb") === 1L && col("nm") === 1L && col("ni") === 1L,
+        1L).otherwise(0L)).as("n_common"),
+      max(greatest(col("nb"), col("nm"), col("ni")))
+        .as("max_multiplicity"))
+      .select(col("n_binary"), col("n_matryoshka"), col("n_int8"),
+        col("n_common"), col("max_multiplicity"),
+        (col("n_binary") === col("n_common") &&
+          col("n_matryoshka") === col("n_common") &&
+          col("n_int8") === col("n_common")).as("consistent"))
+  }
+
   // ————————————————————————— the indexed searches —————————————————————————
 
   /** The head-rows query panel each indexed form scores against —

@@ -487,6 +487,41 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("rungConsistency reads true on ensured tables, flags the drift an " +
+    "unreplayed crash window leaves, and clears when the replay lands " +
+    "(VERDICT r14 #5)") {
+    import spark.implicits._
+    purgeIdx()
+    try {
+      val nCand = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") >= 10).count()
+      val ok = Rung.rungConsistency(spark, dir, 10).collect().head
+      assert(ok.getLong(0) == nCand && ok.getLong(3) == nCand &&
+        ok.getLong(4) == 1L && ok.getBoolean(5), ok.toString)
+      // simulate the unreplayed crash window: only the binary append
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val batch = Seq((960000L, q0)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val binT = Rung.binTable(dir, Rung.binKey(10))
+      Rung.binFrame(batch.select(col("vec_id").as("cid"), col("embedding")))
+        .write.mode("append").bucketBy(8, "cid").sortBy("cid")
+        .saveAsTable(binT)
+      spark.catalog.refreshTable(binT)
+      val drifted = Rung.rungConsistency(spark, dir, 10).collect().head
+      assert(!drifted.getBoolean(5), drifted.toString)
+      assert(drifted.getLong(0) == nCand + 1 &&
+        drifted.getLong(3) == nCand, drifted.toString)
+      // the foreachBatch replay converges all three; the probe clears
+      Rung.appendToRungIndexes(spark, dir, batch, 10)
+      val healed = Rung.rungConsistency(spark, dir, 10).collect().head
+      assert(healed.getBoolean(5) && healed.getLong(3) == nCand + 1,
+        healed.toString)
+    } finally purgeIdx()
+  }
+
   test("catalog loss reattaches the surviving rung tables; results " +
     "unchanged and nothing rebuilds") {
     purgeIdx()
