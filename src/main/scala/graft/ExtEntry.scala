@@ -2904,17 +2904,18 @@ object ExtEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
          |  FROM casp2) r WHERE rk <= 3),
          |hits AS (
-         |  SELECT 'float32' AS method, 256 AS b, count(*) AS n_hits FROM truth
-         |  UNION ALL SELECT 'int8', 64, count(*)
+         |  SELECT 'float32' AS method, 256 AS b, 0 AS b2, count(*) AS n_hits FROM truth
+         |  UNION ALL SELECT 'int8', 64, 256, count(*)
          |    FROM i8 JOIN truth USING (qid, cid)
-         |  UNION ALL SELECT 'matryoshka16', 64, count(*)
+         |  UNION ALL SELECT 'matryoshka16', 64, 256, count(*)
          |    FROM mt JOIN truth USING (qid, cid)
-         |  UNION ALL SELECT 'binary', 16, count(*)
+         |  UNION ALL SELECT 'binary', 16, 256, count(*)
          |    FROM bn JOIN truth USING (qid, cid)
-         |  UNION ALL SELECT 'binary_int8', 16, count(*)
+         |  UNION ALL SELECT 'binary_int8', 16, 320, count(*)
          |    FROM cas JOIN truth USING (qid, cid)),
          |tot AS (SELECT count(*) AS n_true FROM truth)
          |SELECT method, CAST(b AS BIGINT) AS stage1_bytes_per_vec,
+         |  CAST(b2 AS BIGINT) AS stage2_bytes_per_pool_row,
          |  CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
          |  floor(CAST((CAST(n_hits AS DOUBLE) / n_true) AS DOUBLE)*1000000 + 0.5)/1000000
          |    AS recall

@@ -1378,28 +1378,39 @@ object Similarity {
     val truth = bruteForceTopK(spark, dir, nQueries, k)
       .select(col("qid"), col("cid")).localCheckpoint(true)
     val totals = truth.agg(count(lit(1)).as("n_true"))
-    def hitsOf(name: String, bytesPerVec: Long,
+    // stage2_bytes_per_pool_row is the method's FULL price past stage 1
+    // (VERDICT r14 next #8): the bytes read per POOL row by every later
+    // stage — pool-bounded reads only, since each fetch is IN-pruned to
+    // its pool's cids (RungSpec pins the pushed predicates). float32
+    // has no later stage (stage 1 IS exact); the single-rescore rungs
+    // fetch the 256 B float row per pool member; the cascade reads the
+    // 64 B int8 payload for its (wider) binary pool plus the 256 B
+    // float row for its int8 pool — per-pool-row it is the PRICIEST
+    // tail, which together with the 16 B stage 1 is the honest trade.
+    def hitsOf(name: String, bytesPerVec: Long, stage2Bytes: Long,
                df: DataFrame): DataFrame =
       df.select(col("qid"), col("cid"))
         .join(broadcast(truth), Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"),
-          lit(bytesPerVec).as("stage1_bytes_per_vec"), col("n_hits"))
+          lit(bytesPerVec).as("stage1_bytes_per_vec"),
+          lit(stage2Bytes).as("stage2_bytes_per_pool_row"), col("n_hits"))
     Seq(
-      hitsOf("float32", 256L, truth),
-      hitsOf("int8", 64L,
+      hitsOf("float32", 256L, 0L, truth),
+      hitsOf("int8", 64L, 256L,
         int8RescoreTopK(spark, dir, nQueries, k, rescoreFactor)),
-      hitsOf("matryoshka16", 64L,
+      hitsOf("matryoshka16", 64L, 256L,
         matryoshkaRescoreTopK(spark, dir, nQueries, k,
           dPrefix = 16, rescoreFactor = rescoreFactor)),
-      hitsOf("binary", 16L,
+      hitsOf("binary", 16L, 256L,
         binaryRescoreTopK(spark, dir, nQueries, k, rescoreFactor)),
-      hitsOf("binary_int8", 16L,
+      hitsOf("binary_int8", 16L, 320L,
         Rung.cascadeTopK(spark, dir, nQueries, k,
           rescoreInt8 = rescoreFactor, rescoreBinary = 2)))
       .reduce(_ unionByName _)
       .crossJoin(broadcast(totals))
-      .select(col("method"), col("stage1_bytes_per_vec"), col("n_hits"),
+      .select(col("method"), col("stage1_bytes_per_vec"),
+        col("stage2_bytes_per_pool_row"), col("n_hits"),
         col("n_true"),
         round6(col("n_hits").cast("double") / col("n_true")).as("recall"))
       .orderBy(col("method"))
