@@ -1364,6 +1364,32 @@ object Pipeline {
     startAll(spark, raw, cfg, format) ++
       Seq(startRetention(spark, cfg), startAnomaly(spark, cfg))
 
+  /** The orchestration demo extended to the similarity-serving side
+    * (VERDICT r14 next #6): the five maintained event stages PLUS the
+    * vector lifecycle — the composed raw+rung ingest
+    * ([[StreamingSimilarity.startEmbeddingIngest]]: raw embeddings
+    * store and all three standing rung tables, one idempotent batch
+    * body) and the query-side rung search stream serving each query
+    * batch against the SAME standing tables the ingest appends into.
+    * One deployment shape: an event pipeline and a vector search
+    * surface sharing a session, every stage a concurrent
+    * StreamingQuery with its own checkpoint; a query arriving after a
+    * vector's ingest batch sees it, exact rescore included.
+    */
+  def startAllWithSearch(spark: SparkSession, raw: DataFrame, cfg: Config,
+                         corpusDir: String, vecs: DataFrame,
+                         queries: DataFrame, vecCheckpoint: String,
+                         searchCheckpoint: String, nQueries: Int, k: Int,
+                         format: graft.storage.TableFormat =
+                           graft.storage.TableFormat.parquet)
+                        (sink: DataFrame => Unit): Seq[StreamingQuery] =
+    startAllWithAnalytics(spark, raw, cfg, format) ++ Seq(
+      StreamingSimilarity.startEmbeddingIngest(spark, corpusDir, vecs,
+        vecCheckpoint, nQueries),
+      StreamingSimilarity.startScanSearchStream(queries, searchCheckpoint)(
+        b => graft.ext.Rung.binaryIndexedTopK(spark, corpusDir, b,
+          nQueries, k, rescoreFactor = 4))(sink))
+
   /** Tiny markers for gold-fold replay protection: one global batch id
     * (fast path: whole batch already applied) plus one per gold bucket
     * (bucket-granular idempotence for crashes mid-swap).

@@ -20,11 +20,20 @@ import graft.streaming.Pipeline
   * whole-pipeline twin of the reference's main.py deployment; the
   * default measures stage 1 only, which is what the published baseline
   * covers.
+  *
+  * `StreamBench <events> search` (VERDICT r14 next #6) co-deploys the
+  * VECTOR lifecycle with the full chain via
+  * [[Pipeline.startAllWithSearch]]: per event batch, 100 new vectors
+  * ride the composed raw+rung ingest and 10 query vectors ride the
+  * rung search stream against the same standing tables — the
+  * admit-and-search soak. Event throughput is reported as before;
+  * vec/query counts and emitted result rows ride along in the JSON.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val totalEvents = args.headOption.map(_.toInt).getOrElse(200000)
-    val full = args.contains("full")
+    val search = args.contains("search")
+    val full = args.contains("full") || search
     val batchSize = 10000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -58,8 +67,30 @@ object StreamBench {
     val progress = new graft.streaming.Metrics.ProgressLog()
     spark.streams.addListener(progress)
     val input = MemoryStream[Event](99, spark, None)
+    // the vector side of `search` mode: a directory-backed copy of the
+    // corpus (the ingest's raw store must accept appends), the two
+    // MemoryStreams, and a counting sink for emitted search results
+    val corpusSrc = sys.env.getOrElse("SPARK_GRAFT_SEARCH_CORPUS",
+      "/root/testdata/sf0.001")
+    val vecInput = MemoryStream[(Long, Seq[Float])](98, spark, None)
+    val qInput = MemoryStream[(Long, Seq[Double])](97, spark, None)
+    val searchRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val corpusDir =
+      if (!search) "" else {
+        val cd = java.nio.file.Files
+          .createTempDirectory("graft_sbench_corpus").toString
+        spark.read.parquet(s"$corpusSrc/embeddings.parquet")
+          .write.parquet(s"$cd/embeddings.parquet")
+        cd
+      }
     val queries =
-      if (full) Pipeline.startAll(spark, input.toDF(), cfg)
+      if (search)
+        Pipeline.startAllWithSearch(spark, input.toDF(), cfg, corpusDir,
+          vecInput.toDF().toDF("vec_id", "embedding"),
+          qInput.toDF().toDF("qid", "qe"),
+          s"${cfg.baseDir}/vec_ckpt", s"${cfg.baseDir}/search_ckpt",
+          nQueries = 10, k = 5)(res => searchRows.addAndGet(res.count()))
+      else if (full) Pipeline.startAll(spark, input.toDF(), cfg)
       else Seq(Pipeline.startSilver(spark, input.toDF(), cfg))
     // drain the chain in dependency order: silver files feed gold, gold
     // change files feed serve
@@ -83,6 +114,8 @@ object StreamBench {
     drainAll()
 
     val perBatch = sys.env.get("SPARK_GRAFT_STREAMBENCH_DEBUG").isDefined
+    var vecsSent = 0L
+    var queriesSent = 0L
     val start = System.nanoTime()
     while (sent < totalEvents) {
       val n = math.min(batchSize, totalEvents - sent)
@@ -94,6 +127,18 @@ object StreamBench {
       val dupes = (0 until n / 20).map(k => fresh(rnd.nextInt(n)))
       val b0 = System.nanoTime()
       input.addData(rnd.shuffle(fresh ++ dupes))
+      if (search) {
+        // the vector side rides every event batch: 100 new vectors
+        // through the composed ingest, 10 queries through the search
+        // stream — both concurrent with the event stages
+        vecInput.addData((0 until 100).map(j =>
+          (10000000L + vecsSent + j,
+            Seq.fill(64)(rnd.nextFloat() * 2 - 1))))
+        vecsSent += 100
+        qInput.addData((0 until 10).map(j =>
+          (queriesSent + j, Seq.fill(64)(rnd.nextDouble() * 2 - 1))))
+        queriesSent += 10
+      }
       pace()
       if (perBatch)
         println(f"[sbench] batch $batchNo%3d ${(System.nanoTime() - b0) / 1e9}%6.2f s")
@@ -126,7 +171,14 @@ object StreamBench {
     val stageRates = Seq("graft_silver", "graft_gold", "graft_serve")
       .map(q => q -> progress.sustainedRate(q)).filter(_._2 > 0)
       .map { case (q, r) => f""""$q":${r}%.1f""" }.mkString("{", ",", "}")
-    if (full) {
+    if (search) {
+      val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
+      val admitted = spark.table(graft.ext.Rung.binTable(corpusDir,
+        graft.ext.Rung.binKey(10)))
+        .filter(org.apache.spark.sql.functions.col("cid") >= 10000000L)
+        .count()
+      println(s"""{"metric":"pipeline_search_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"vecs_ingested":$vecsSent,"vecs_in_rung":$admitted,"search_queries":$queriesSent,"search_rows":${searchRows.get()},"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
+    } else if (full) {
       val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
       println(s"""{"metric":"pipeline_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     } else

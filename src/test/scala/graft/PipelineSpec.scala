@@ -735,6 +735,52 @@ class PipelineSpec extends SparkTestBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("seven concurrent stages (startAllWithSearch): the event views " +
+    "hold AND a stream-ingested vector is served through the rung search " +
+    "stream, exact rescore included (VERDICT r14 next #6)") {
+    import java.nio.file.Files
+    val cfg = freshCfg()
+    val srcDir = "/root/testdata/sf0.001"
+    val corpus = Files.createTempDirectory("graft_search_corpus").toString
+    graft.ext.Similarity.embeddings(spark, srcDir)
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val input = MemoryStream[Event](15, spark, None)
+    val vecs = MemoryStream[(Long, Seq[Float])](17, spark, None)
+    val panel = MemoryStream[(Long, Seq[Double])](18, spark, None)
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val qs = Pipeline.startAllWithSearch(spark, input.toDF(), cfg, corpus,
+      vecs.toDF().toDF("vec_id", "embedding"),
+      panel.toDF().toDF("qid", "qe"),
+      s"${cfg.baseDir}/vec_ckpt", s"${cfg.baseDir}/search_ckpt",
+      nQueries = 10, k = 3)(res => got.synchronized { got ++= res.collect() })
+    def settle(): Unit = qs.foreach(_.processAllAvailable())
+    try {
+      val t0 = 1700000000000L
+      val q0 = graft.ext.Similarity.embeddings(spark, corpus)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      // batch 1: events + a new vector (a clone of corpus vec 0)
+      input.addData(ev("s1", "g1", 1.0f, t0), ev("s2", "g2", 2.0f, t0 + 10))
+      vecs.addData((970000L, q0))
+      settle()
+      // batch 2: a query equal to vec 0 — the freshly ingested clone
+      // must be its top hit THROUGH the exact rescore
+      panel.addData((0L, q0.map(_.toDouble)))
+      settle()
+      val silverIds = spark.read.parquet(cfg.silverPath)
+        .select("id").as[String].collect().sorted.toSeq
+      assert(silverIds == Seq("s1", "s2"), s"got $silverIds")
+      val hits = got.synchronized(got.toSeq)
+      assert(hits.nonEmpty, "search stream emitted nothing")
+      val top = hits.filter(r => r.getLong(0) == 0L && r.getLong(2) == 1L)
+      assert(top.map(_.getLong(1)) == Seq(970000L),
+        s"ingested vector not served as top-1: $hits")
+    } finally {
+      qs.foreach(_.stop())
+      graft.ext.Rung.purgeRungIndexes(spark, corpus)
+    }
+  }
+
   test("vacuumGoldChanges reclaims consumed versions; serve state intact") {
     val cfg = freshCfg()
     val input = MemoryStream[Event](19, spark, None)
