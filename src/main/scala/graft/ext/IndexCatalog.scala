@@ -18,6 +18,30 @@ private[graft] object IndexCatalog {
   def tableLocation(spark: SparkSession, table: String): Path =
     new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
 
+  /** Collect the distinct long keys of a CHECKPOINTED frame, capped at
+    * [[TextDedup.indexPruneMaxKeys]] + 1 — the collect half of the
+    * adaptive literal-IN prune every standing-surface probe/fetch runs
+    * (one definition, VERDICT r14 review: the pattern had grown three
+    * hand-rolled copies). Callers pass the result to [[pruneToKeys]];
+    * a batch that blew past the cap comes back oversized and the prune
+    * falls back to the flat scan, which is then the right plan anyway.
+    */
+  def collectKeys(frame: org.apache.spark.sql.DataFrame,
+                  keyCol: String): Seq[Long] =
+    frame.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
+      .limit(TextDedup.indexPruneMaxKeys + 1)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** The prune half: `base` filtered by a pushed literal IN on
+    * `keyCol` when `keys` is under the cap, else `base` untouched.
+    */
+  def pruneToKeys(base: org.apache.spark.sql.DataFrame, keyCol: String,
+                  keys: Seq[Long]): org.apache.spark.sql.DataFrame =
+    if (keys.length <= TextDedup.indexPruneMaxKeys)
+      base.filter(org.apache.spark.sql.functions.col(keyCol)
+        .isin(keys: _*))
+    else base
+
   /** Inventory of standing-index data directories present under the
     * warehouse: (family, directory name), family decided by the
     * table-name prefix each index builder uses. An unknown `graft_`

@@ -558,14 +558,10 @@ object Pq {
       newVecs.select(col("vec_id").as("cid"), col("embedding")),
       spark.table(bt), nSub)))
       .localCheckpoint(true)
-    val cids = batchCodes.select(col("cid")).distinct()
-      .limit(TextDedup.indexPruneMaxKeys + 1)
-      .collect().map(_.getLong(0)).toSeq
-    val existing =
-      if (cids.length <= TextDedup.indexPruneMaxKeys)
-        spark.table(kt).filter(col("cid").isin(cids: _*))
-      else spark.table(kt)
-    batchCodes.join(existing.select(col("cid")), Seq("cid"), "left_anti")
+    val cids = IndexCatalog.collectKeys(batchCodes, "cid")
+    batchCodes.join(
+      IndexCatalog.pruneToKeys(spark.table(kt), "cid", cids)
+        .select(col("cid")), Seq("cid"), "left_anti")
   }
 
   // ——————— IVF-PQ: coarse cells over compressed codes (the faiss shape) ———————

@@ -213,8 +213,8 @@ object Rung {
     * the [[Pq.appendToPqIndex]] contract.
     */
   private def appendToTable(spark: SparkSession, table: String,
-                            batch: DataFrame): Unit = {
-    val appendRows = appendFrame(spark, table, batch)
+                            batch: DataFrame, cids: Seq[Long]): Unit = {
+    val appendRows = appendFrame(spark, table, batch, Some(cids))
     appendRows.write.mode("append")
       .bucketBy(8, "cid").sortBy("cid")
       .saveAsTable(table)
@@ -223,19 +223,25 @@ object Rung {
 
   /** The frame an admission appends — split out so the spec asserts the
     * executed plan (pruned idempotency probe), the [[Pq.pqAppendFrame]]
-    * pattern.
+    * pattern. `cids` carries the batch's precollected key set when the
+    * caller already has it (the three per-table appends share ONE
+    * collect — review r15); without it the frame is checkpointed and
+    * its keys collected here.
     */
   private[graft] def appendFrame(spark: SparkSession, table: String,
-                                 batchRows: DataFrame): DataFrame = {
-    val b = batchRows.localCheckpoint(true)
-    val cids = b.select(col("cid")).distinct()
-      .limit(TextDedup.indexPruneMaxKeys + 1)
-      .collect().map(_.getLong(0)).toSeq
-    val existing =
-      if (cids.length <= TextDedup.indexPruneMaxKeys)
-        spark.table(table).filter(col("cid").isin(cids: _*))
-      else spark.table(table)
-    b.join(existing.select(col("cid")), Seq("cid"), "left_anti")
+                                 batchRows: DataFrame,
+                                 cids: Option[Seq[Long]] = None)
+      : DataFrame = {
+    val (b, keys) = cids match {
+      // derived from an already-checkpointed deduped batch and read
+      // exactly once below — no second checkpoint needed
+      case Some(ks) => (batchRows, ks)
+      case None =>
+        val c = batchRows.localCheckpoint(true)
+        (c, IndexCatalog.collectKeys(c, "cid"))
+    }
+    b.join(IndexCatalog.pruneToKeys(spark.table(table), "cid", keys)
+      .select(col("cid")), Seq("cid"), "left_anti")
   }
 
   /** Admit a (vec_id, embedding) batch into ALL THREE standing rung
@@ -270,10 +276,14 @@ object Rung {
     val rows = newVecs.select(col("vec_id").as("cid"), col("embedding"))
       .dropDuplicates("cid")
       .localCheckpoint(true)
-    appendToTable(spark, binTable(dir, binKey(nQueries)), binFrame(rows))
+    // the three tables share the batch's key set — collect it ONCE
+    val cids = IndexCatalog.collectKeys(rows, "cid")
+    appendToTable(spark, binTable(dir, binKey(nQueries)), binFrame(rows),
+      cids)
     appendToTable(spark, mrlTable(dir, mrlKey(nQueries, dPrefix)),
-      mrlFrame(rows, dPrefix))
-    appendToTable(spark, i8Table(dir, i8Key(nQueries)), i8Frame(rows))
+      mrlFrame(rows, dPrefix), cids)
+    appendToTable(spark, i8Table(dir, i8Key(nQueries)), i8Frame(rows),
+      cids)
   }
 
   /** The admission stream's OBSERVABILITY face (VERDICT r14 next #5).
@@ -314,13 +324,17 @@ object Rung {
       .agg(sum(when(col("t") === "b", 1L).otherwise(0L)).as("nb"),
         sum(when(col("t") === "m", 1L).otherwise(0L)).as("nm"),
         sum(when(col("t") === "i", 1L).otherwise(0L)).as("ni"))
+    // coalesce the empty-partition case (a corpus with no candidates
+    // builds three empty tables): aggregates over zero groups are null,
+    // which would diverge from the oracle's 0/0/0/0/1/TRUE row and NPE
+    // a consumer reading `consistent` — vacuously consistent instead
     perCid.agg(
-      sum(col("nb")).as("n_binary"),
-      sum(col("nm")).as("n_matryoshka"),
-      sum(col("ni")).as("n_int8"),
-      sum(when(col("nb") === 1L && col("nm") === 1L && col("ni") === 1L,
-        1L).otherwise(0L)).as("n_common"),
-      max(greatest(col("nb"), col("nm"), col("ni")))
+      coalesce(sum(col("nb")), lit(0L)).as("n_binary"),
+      coalesce(sum(col("nm")), lit(0L)).as("n_matryoshka"),
+      coalesce(sum(col("ni")), lit(0L)).as("n_int8"),
+      coalesce(sum(when(col("nb") === 1L && col("nm") === 1L &&
+        col("ni") === 1L, 1L).otherwise(0L)), lit(0L)).as("n_common"),
+      coalesce(max(greatest(col("nb"), col("nm"), col("ni"))), lit(1L))
         .as("max_multiplicity"))
       .select(col("n_binary"), col("n_matryoshka"), col("n_int8"),
         col("n_common"), col("max_multiplicity"),
@@ -376,14 +390,9 @@ object Rung {
     * scan+broadcast-join plan, which is then the right plan anyway.
     */
   private def poolPruned(base: DataFrame, keyCol: String,
-                         pool: DataFrame): DataFrame = {
-    val cids = pool.select(col("cid")).distinct()
-      .limit(TextDedup.indexPruneMaxKeys + 1)
-      .collect().map(_.getLong(0)).toSeq
-    if (cids.length <= TextDedup.indexPruneMaxKeys)
-      base.filter(col(keyCol).isin(cids: _*))
-    else base
-  }
+                         pool: DataFrame): DataFrame =
+    IndexCatalog.pruneToKeys(base, keyCol,
+      IndexCatalog.collectKeys(pool, "cid"))
 
   private def exactRescore(spark: SparkSession, dir: String,
                            pool: DataFrame, qf: DataFrame, nQueries: Int,

@@ -67,14 +67,9 @@ object Similarity {
       .select(base.columns.map(col): _*)
       .dropDuplicates("vec_id")
       .localCheckpoint(true)
-    val ids = batch.select(col("vec_id")).distinct()
-      .limit(TextDedup.indexPruneMaxKeys + 1)
-      .collect().map(_.getLong(0)).toSeq
-    val existing =
-      if (ids.length <= TextDedup.indexPruneMaxKeys)
-        base.filter(col("vec_id").isin(ids: _*))
-      else base
-    batch.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val ids = IndexCatalog.collectKeys(batch, "vec_id")
+    batch.join(IndexCatalog.pruneToKeys(base, "vec_id", ids)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
       .write.mode("append").parquet(path.toString)
   }
 

@@ -227,11 +227,24 @@ object Metrics {
     * default-shape set nobody uses.
     *
     * The streaming-guard surfaces ([[graft.ext.Curation]] quota streams'
-    * order-guard counters) need a live checkpoint and join this face
-    * through the overload below; the batch-registered form covers the
-    * standing-index surfaces.
+    * order-guard counters) roll in through `guards`: each
+    * (surface, checkpoint, primaryState) names a quota/token-budget
+    * stream checkpoint whose
+    * [[graft.streaming.StreamingCuration.orderGuardStats]] counters
+    * become one row — `index_present` = the state store is readable,
+    * `has_data` = ≥1 key tracked, `healthy` = ZERO cross-batch
+    * out-of-order drops recorded across keys (a nonzero `ooo_dropped`
+    * IS the stream-vs-backfill divergence signal; benign in-batch
+    * replays count in the separate `dup_dropped` and never flip this).
+    * The counter is monotone, so `healthy` is a strict
+    * has-never-diverged latch by design: clearing it is an operator
+    * decision, not something a poll should do. ONE signature carries
+    * both guards and shapes (review r15: a separate guards overload
+    * hardwired the default shapes, reintroducing the ghost-table
+    * failure mode on its callers).
     */
   def serveHealth(spark: SparkSession, dir: String,
+                  guards: Seq[(String, String, String)] = Seq.empty,
                   gramN: Int = 5, ivfNq: Int = 10, ivfNc: Int = 16,
                   pqNq: Int = 10, rungNq: Int = 10, rungPrefix: Int = 16,
                   winsorGroup: String = "event_type",
@@ -272,40 +285,21 @@ object Metrics {
       "winsor_bounds" -> Analytics.boundsTable(dir, winsorGroup,
         0.05, 0.95))
     val asOf = System.currentTimeMillis()
-    surfaces.map { case (surface, table) =>
+    val batchFace = surfaces.map { case (surface, table) =>
       val present = IndexCatalog.hasCommittedData(spark, table)
       val lag = scala.util.Try(
         searchFreshness(spark, table, asOf)
           .select(col("lag_ms")).collect().head.getLong(0))
       (surface, present, lag.isSuccess, lag.toOption.exists(_ >= 0L))
     }.toDF("surface", "index_present", "has_data", "healthy")
+    (if (guards.isEmpty) batchFace
+     else batchFace.unionByName(guardHealth(spark, guards)))
       .orderBy(col("surface"))
   }
 
-  /** [[serveHealth]] plus the STREAMING order-guard surfaces: each
-    * (surface, checkpoint) names a quota/token-budget stream checkpoint
-    * whose [[graft.streaming.StreamingCuration.orderGuardStats]]
-    * counters roll into one row — `index_present` = the state store is
-    * readable, `has_data` = ≥1 key tracked, `healthy` = ZERO
-    * CROSS-BATCH out-of-order drops recorded across keys (a nonzero
-    * `ooo_dropped` IS the stream-vs-backfill divergence signal, so it
-    * surfaces here as unhealthy for a dashboard to drill into via the
-    * stats reader; benign in-batch replays count in the separate
-    * `dup_dropped` and never flip this — review r14). The counter is
-    * monotone, so `healthy` is a strict has-never-diverged latch by
-    * design: clearing it is an operator decision (restart the stream's
-    * lineage after investigating), not something a poll should do.
-    */
-  def serveHealth(spark: SparkSession, dir: String,
-                  guards: Seq[(String, String, String)]): DataFrame =
-    serveHealth(spark, dir)
-      .unionByName(guardHealth(spark, guards))
-      .orderBy(col("surface"))
-
-  /** The streaming-guard rows of [[serveHealth]] alone — split out so a
-    * non-default-shape deployment composes
-    * `serveHealth(spark, dir, shapes = …).unionByName(guardHealth(…))`
-    * instead of being forced onto the default-shape overload.
+  /** The streaming-guard rows of [[serveHealth]] alone — also callable
+    * directly when a dashboard wants the guard surfaces without
+    * re-probing (and possibly re-building) the standing indexes.
     */
   def guardHealth(spark: SparkSession,
                   guards: Seq[(String, String, String)]): DataFrame = {

@@ -1383,12 +1383,25 @@ object Pipeline {
                          format: graft.storage.TableFormat =
                            graft.storage.TableFormat.parquet)
                         (sink: DataFrame => Unit): Seq[StreamingQuery] =
-    startAllWithAnalytics(spark, raw, cfg, format) ++ Seq(
-      StreamingSimilarity.startEmbeddingIngest(spark, corpusDir, vecs,
-        vecCheckpoint, nQueries),
-      StreamingSimilarity.startScanSearchStream(queries, searchCheckpoint)(
-        b => graft.ext.Rung.binaryIndexedTopK(spark, corpusDir, b,
-          nQueries, k, rescoreFactor = 4))(sink))
+    startAllWithAnalytics(spark, raw, cfg, format) ++
+      searchStages(spark, corpusDir, vecs, queries, vecCheckpoint,
+        searchCheckpoint, nQueries, k)(sink)
+
+  /** The vector half of [[startAllWithSearch]] alone — composed ingest
+    * + rung search stream — so a bench or deployment can pair it with
+    * ANY event-side stage set (StreamBench's search soak rides it next
+    * to the same three stages `full` mode runs, keeping the two modes'
+    * event throughput comparable — review r15).
+    */
+  def searchStages(spark: SparkSession, corpusDir: String, vecs: DataFrame,
+                   queries: DataFrame, vecCheckpoint: String,
+                   searchCheckpoint: String, nQueries: Int, k: Int)
+                  (sink: DataFrame => Unit): Seq[StreamingQuery] = Seq(
+    StreamingSimilarity.startEmbeddingIngest(spark, corpusDir, vecs,
+      vecCheckpoint, nQueries),
+    StreamingSimilarity.startScanSearchStream(queries, searchCheckpoint)(
+      b => graft.ext.Rung.binaryIndexedTopK(spark, corpusDir, b,
+        nQueries, k, rescoreFactor = 4))(sink))
 
   /** Tiny markers for gold-fold replay protection: one global batch id
     * (fast path: whole batch already applied) plus one per gold bucket

@@ -277,13 +277,20 @@ object StreamingCuration {
     // source throws resolving it — fall back to a null column so
     // existing deployments' checkpoints stay readable (ADVICE r14); the
     // null (vs 0) says "not tracked here", and the serveHealth guard
-    // overload only inspects ooo_dropped either way
+    // face only inspects ooo_dropped either way. The catch is NARROW
+    // (review r15): only an error naming the missing variable takes the
+    // fallback — a transient I/O failure on the same read must SURFACE,
+    // not masquerade as a pre-r14 checkpoint
     scala.util.Try(read("dup_dropped")) match {
       case scala.util.Success(d) =>
         base.join(d, Seq("key"), "full_outer").orderBy(col("key"))
-      case scala.util.Failure(_) =>
+      case scala.util.Failure(e)
+          if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .exists(c => Option(c.getMessage)
+              .exists(_.contains("dup_dropped"))) =>
         base.withColumn("dup_dropped", lit(null).cast("long"))
           .orderBy(col("key"))
+      case scala.util.Failure(e) => throw e
     }
   }
 

@@ -114,7 +114,13 @@ object StreamingSimilarity {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint(true) // read by raw + each index
+        // dedup ONCE and checkpoint, so every store sees the SAME
+        // survivor when a batch carries one vec_id twice with different
+        // payloads (review r15: per-store dropDuplicates could keep
+        // different rows — a permanent raw-vs-derived disagreement the
+        // consistency probe cannot see); each append's own dedup is a
+        // no-op on the already-unique frame
+        val b = batch.dropDuplicates("vec_id").localCheckpoint(true)
         Similarity.appendToEmbeddings(spark, dir, b)
         Rung.appendToRungIndexes(spark, dir, b, nQueries, dPrefix)
         if (alsoPq) Pq.appendToPqIndex(spark, dir, b, nQueries)

@@ -22,12 +22,14 @@ import graft.streaming.Pipeline
   * covers.
   *
   * `StreamBench <events> search` (VERDICT r14 next #6) co-deploys the
-  * VECTOR lifecycle with the full chain via
-  * [[Pipeline.startAllWithSearch]]: per event batch, 100 new vectors
-  * ride the composed raw+rung ingest and 10 query vectors ride the
-  * rung search stream against the same standing tables — the
-  * admit-and-search soak. Event throughput is reported as before;
-  * vec/query counts and emitted result rows ride along in the JSON.
+  * VECTOR lifecycle with the same three event stages `full` runs
+  * ([[Pipeline.startAll]] ++ [[Pipeline.searchStages]]): per event
+  * batch, 100 new vectors ride the composed raw+rung ingest and 10
+  * query vectors ride the rung search stream against the same standing
+  * tables — the admit-and-search soak, with events/sec directly
+  * comparable to full-mode numbers so the delta prices the vector
+  * side. Vec/query counts and emitted result rows ride along in the
+  * JSON.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -83,13 +85,20 @@ object StreamBench {
           .write.parquet(s"$cd/embeddings.parquet")
         cd
       }
+    // search mode pairs the SAME three event stages `full` runs with the
+    // two vector stages, so its events/sec is comparable to full-mode
+    // numbers and the delta is attributable to the vector lifecycle
+    // (the 7-stage startAllWithSearch demo is spec-pinned in
+    // PipelineSpec; benching it would fold retention+anomaly cost into
+    // the event rate and misprice the search side)
     val queries =
       if (search)
-        Pipeline.startAllWithSearch(spark, input.toDF(), cfg, corpusDir,
-          vecInput.toDF().toDF("vec_id", "embedding"),
-          qInput.toDF().toDF("qid", "qe"),
-          s"${cfg.baseDir}/vec_ckpt", s"${cfg.baseDir}/search_ckpt",
-          nQueries = 10, k = 5)(res => searchRows.addAndGet(res.count()))
+        Pipeline.startAll(spark, input.toDF(), cfg) ++
+          Pipeline.searchStages(spark, corpusDir,
+            vecInput.toDF().toDF("vec_id", "embedding"),
+            qInput.toDF().toDF("qid", "qe"),
+            s"${cfg.baseDir}/vec_ckpt", s"${cfg.baseDir}/search_ckpt",
+            nQueries = 10, k = 5)(res => searchRows.addAndGet(res.count()))
       else if (full) Pipeline.startAll(spark, input.toDF(), cfg)
       else Seq(Pipeline.startSilver(spark, input.toDF(), cfg))
     // drain the chain in dependency order: silver files feed gold, gold
