@@ -193,13 +193,41 @@ object Rung {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(loc).count(_.getPath.getName.startsWith("part-")) > maxFiles
     }
-    if (fire) {
-      purgeRungIndexes(spark, dir, nQueries, dPrefix)
-      ensureBinaryIndex(spark, dir, nQueries)
-      ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
-      ensureInt8Index(spark, dir, nQueries)
-    }
+    if (fire) rebuildRungIndexes(spark, dir, nQueries, dPrefix)
     fire
+  }
+
+  /** The HEAL half of [[rungConsistency]] — the maintenance pass that
+    * turns the probe into a closed loop: when the three tables disagree
+    * (an unreplayed crash window from a decommissioned stream, or an
+    * out-of-band write), the rung payloads are DERIVED state, so the
+    * purge+rebuild from the embeddings store IS the repair — exactly
+    * the file-growth compaction's mechanism with a different trigger.
+    * Returns whether a rebuild ran. Same guards and single-maintainer
+    * contract as [[compactRungIndexesIfNeeded]]: run quiesced.
+    */
+  def repairRungIndexesIfNeeded(spark: SparkSession, dir: String,
+                                nQueries: Int,
+                                dPrefix: Int = 16): Boolean = {
+    require(binaryIndexExists(spark, dir, nQueries) &&
+      matryoshkaIndexExists(spark, dir, nQueries, dPrefix) &&
+      int8IndexExists(spark, dir, nQueries),
+      s"repairRungIndexesIfNeeded: no standing rung tables for dir=$dir, " +
+        s"nQueries=$nQueries, dPrefix=$dPrefix (check SPARK_GRAFT_RUNG_* " +
+        "against the built tables' shape) — the repair rule heals " +
+        "existing tables, it does not build them")
+    val fire = !rungConsistency(spark, dir, nQueries, dPrefix)
+      .collect().head.getBoolean(5)
+    if (fire) rebuildRungIndexes(spark, dir, nQueries, dPrefix)
+    fire
+  }
+
+  private def rebuildRungIndexes(spark: SparkSession, dir: String,
+                                 nQueries: Int, dPrefix: Int): Unit = {
+    purgeRungIndexes(spark, dir, nQueries, dPrefix)
+    ensureBinaryIndex(spark, dir, nQueries)
+    ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
+    ensureInt8Index(spark, dir, nQueries)
   }
 
   // ————————————————————————— streaming admission —————————————————————————

@@ -274,6 +274,13 @@ object Maintenance {
       val rungCompacted = rungDir.exists(d => graft.ext.Rung
         .compactRungIndexesIfNeeded(spark, d, rungNq, rungMaxFiles,
           rungPrefix))
+      // consistency heal (round 15): an unreplayed admission crash
+      // window leaves the three rung tables disagreeing — the probe
+      // detects it, and since rung payloads are derived state the
+      // purge+rebuild is the repair. Skipped when this tick's
+      // compaction already rebuilt (trivially consistent).
+      val rungRepaired = !rungCompacted && rungDir.exists(d => graft.ext
+        .Rung.repairRungIndexesIfNeeded(spark, d, rungNq, rungPrefix))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -284,7 +291,8 @@ object Maintenance {
         winsorDir.fold("")(d =>
           s" + winsor bounds drift for $d (refroze=$refroze)") +
         rungDir.fold("")(d =>
-          s" + rung file growth for $d (compacted=$rungCompacted)") +
+          s" + rung file growth for $d (compacted=$rungCompacted, " +
+            s"repaired=$rungRepaired)") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

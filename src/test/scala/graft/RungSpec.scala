@@ -522,6 +522,37 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("repairRungIndexesIfNeeded: calm on consistent tables, rebuilds " +
+    "on a doctored crash-window drift, and the probe reads healed after") {
+    import spark.implicits._
+    purgeIdx()
+    try {
+      Rung.ensureBinaryIndex(spark, dir, 10)
+      Rung.ensureMatryoshkaIndex(spark, dir, 10, 16)
+      Rung.ensureInt8Index(spark, dir, 10)
+      assert(!Rung.repairRungIndexesIfNeeded(spark, dir, 10))
+      // the unreplayed crash window: a row only the binary table has
+      val q0 = Similarity.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val binT = Rung.binTable(dir, Rung.binKey(10))
+      val n0 = spark.table(binT).count()
+      Rung.binFrame(Seq((980000L, q0)).toDF("vec_id", "embedding")
+          .select(col("vec_id").as("cid"),
+            col("embedding").cast("array<float>").as("embedding")))
+        .write.mode("append").bucketBy(8, "cid").sortBy("cid")
+        .saveAsTable(binT)
+      spark.catalog.refreshTable(binT)
+      assert(Rung.repairRungIndexesIfNeeded(spark, dir, 10))
+      // healed: rebuilt from the raw store, so the orphan row is gone
+      // and the probe reads consistent again
+      assert(spark.table(binT).count() == n0)
+      val after = Rung.rungConsistency(spark, dir, 10).collect().head
+      assert(after.getBoolean(5), after.toString)
+      assert(!Rung.repairRungIndexesIfNeeded(spark, dir, 10))
+    } finally purgeIdx()
+  }
+
   test("catalog loss reattaches the surviving rung tables; results " +
     "unchanged and nothing rebuilds") {
     purgeIdx()
