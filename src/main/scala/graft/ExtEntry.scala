@@ -510,6 +510,13 @@ object ExtEntry {
     "ann_cascade_topk" -> ((s, dir) =>
       Rung.cascadeTopK(s, dir, nQueries = 10, k = 5)),
 
+    // the funnel's width-tuning artifact (round 15) — recall@k +
+    // per-stage pool rows across a (rescoreBinary, rescoreInt8) grid,
+    // one scored pass feeding every width; the bytes-vs-recall
+    // frontier a deployment picks its cascade widths from
+    "ann_cascade_sweep" -> ((s, dir) =>
+      Rung.cascadeSweep(s, dir, nQueries = 10, k = 3)),
+
     // the operator-health dashboard row set (VERDICT r13 #8): every
     // standing surface probed through the maintenance/freshness
     // machinery, reported as deterministic booleans (mtimes stay
@@ -525,6 +532,13 @@ object ExtEntry {
     // oracle computes from the raw embeddings table cross-engine
     "rung_consistency" -> ((s, dir) =>
       Rung.rungConsistency(s, dir, nQueries = 10)),
+
+    // row-level index completeness (round 15): each per-vector standing
+    // index carries exactly one row per raw candidate — the third face
+    // of index health (present/fresh, internally consistent, COMPLETE);
+    // counts checked cross-engine against the raw embeddings table
+    "index_coverage" -> ((s, dir) =>
+      graft.streaming.Metrics.indexCoverage(s, dir)),
 
     // the external-vector forms of the two new rungs — every search
     // family carries the caller-supplied-panel surface (r12 contract)
@@ -3293,6 +3307,83 @@ object ExtEntry {
         |  ('rung_matryoshka', TRUE, TRUE, TRUE),
         |  ('winsor_bounds', TRUE, TRUE, TRUE)
         |) AS t(surface, index_present, has_data, healthy)
+        |ORDER BY surface""".stripMargin,
+
+    // the cascade width grid replayed off ONE pair-scoring CTE chain
+    // (the compression_recall prefix minus the matryoshka columns);
+    // the width CTEs are GENERATED from Rung.cascadeSweepWidths so the
+    // engine rows and the oracle can never drift apart
+    "ann_cascade_sweep" -> {
+      val k = 3
+      val widthCtes = graft.ext.Rung.cascadeSweepWidths.zipWithIndex
+        .map { case ((b, i), n) =>
+          s"""p$n AS (SELECT qid, cid, sim, a_i8 FROM (SELECT qid, cid, sim, a_i8,
+             |    row_number() OVER (PARTITION BY qid ORDER BY hamm, cid) AS brk
+             |  FROM ex0) t WHERE brk <= ${b * i * k}),
+             |r$n AS (SELECT qid, cid, sim FROM (SELECT qid, cid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY a_i8 DESC, cid) AS irk
+             |  FROM p$n) t WHERE irk <= ${i * k}),
+             |f$n AS (SELECT qid, cid FROM (SELECT qid, cid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+             |  FROM r$n) t WHERE rk <= $k)""".stripMargin
+        }.mkString(",\n")
+      val hitRows = graft.ext.Rung.cascadeSweepWidths.zipWithIndex
+        .map { case ((b, i), n) =>
+          s"""  SELECT CAST($b AS INTEGER) AS rescore_binary,
+             |    CAST($i AS INTEGER) AS rescore_int8,
+             |    CAST(${b * i * k} AS BIGINT) AS pool1_rows_per_query,
+             |    CAST(${i * k} AS BIGINT) AS pool2_rows_per_query,
+             |    count(*) AS n_hits FROM f$n JOIN truth USING (qid, cid)""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h1,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+         |        ELSE 0 END)) AS BIGINT) AS h2
+         |  FROM embeddings),
+         |s2 AS (SELECT *, list_transform(embedding,
+         |    v -> CASE WHEN scale = 0 THEN 0
+         |      ELSE floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5) END) AS qi
+         |  FROM s),
+         |q AS (SELECT * FROM s2 WHERE vec_id < 10),
+         |c AS (SELECT * FROM s2 WHERE vec_id >= 10),
+         |ex0 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.nrm * c.nrm) AS sim,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.qi[i] * c.qi[i])) * q.scale * c.scale / 16129.0
+         |      / (q.nrm * c.nrm) AS a_i8,
+         |    bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamm
+         |  FROM q, c),
+         |truth AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM ex0) t WHERE rk <= $k),
+         |$widthCtes,
+         |hits AS (
+         |$hitRows),
+         |tot AS (SELECT count(*) AS n_true FROM truth)
+         |SELECT rescore_binary, rescore_int8, pool1_rows_per_query,
+         |  pool2_rows_per_query, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  floor(CAST((CAST(n_hits AS DOUBLE) / n_true) AS DOUBLE)*1000000 + 0.5)/1000000
+         |    AS recall
+         |FROM hits, tot ORDER BY rescore_binary, rescore_int8""".stripMargin
+    },
+
+    // every per-vector index carries exactly the candidate partition —
+    // the counts are checked cross-engine against the raw corpus
+    "index_coverage" ->
+      """WITH n AS (SELECT count(*) AS c FROM embeddings WHERE vec_id >= 10)
+        |SELECT surface, CAST(c AS BIGINT) AS n_indexed,
+        |  CAST(c AS BIGINT) AS n_candidates, TRUE AS complete
+        |FROM (VALUES ('ivf_cells'), ('ivfpq_cells'), ('pq_codes'),
+        |  ('rung_binary'), ('rung_int8'), ('rung_matryoshka')) t(surface), n
         |ORDER BY surface""".stripMargin,
 
     // every rung table carries exactly the candidate partition once —

@@ -653,6 +653,90 @@ object Rung {
       col("ascore").desc, poolK)
   }
 
+  /** The registered width grid [[cascadeSweep]] prices — ONE constant
+    * so the engine rows and the DuckDB oracle's generated CTEs can
+    * never drift apart.
+    */
+  val cascadeSweepWidths: Seq[(Int, Int)] =
+    Seq((1, 2), (2, 2), (2, 4), (4, 4))
+
+  /** Width-tuning artifact for the composed funnel — the
+    * `ann_nprobe_sweep` sibling: recall@k of the binary→int8→float
+    * cascade across a (rescoreBinary, rescoreInt8) width grid, next to
+    * each width's per-query pool rows. Stage 2 reads 64 B for each of
+    * `pool1_rows_per_query`, the exact tail 256 B for each of
+    * `pool2_rows_per_query`, so the table IS the bytes-vs-recall
+    * frontier a deployment picks its funnel widths from, the way
+    * `ann_nprobe_sweep` picks the probe width.
+    *
+    * ONE scored pass feeds every width: the three standing payloads
+    * join once per (qid, cid) — a TUNING artifact priced like
+    * [[Similarity.compressionRecall]]'s truth pass (it reads the float
+    * rows corpus-wide once; the production search path never does) —
+    * then each width is a rank-filter cascade over the shared
+    * checkpointed stage-1 frame, capped at the widest pool. Ranking
+    * doubles are the identical IEEE sequences as the search operators,
+    * so each width row equals what [[cascadeTopK]] at that width would
+    * score (ties toward the smaller cid throughout).
+    */
+  def cascadeSweep(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+                   widths: Seq[(Int, Int)] = cascadeSweepWidths)
+      : DataFrame = {
+    ensureBinaryIndex(spark, dir, nQueries)
+    ensureInt8Index(spark, dir, nQueries)
+    val qSide = headQueries(spark, dir, nQueries)
+      .select(col("qid"), col("qe"),
+        packSigns(col("qe"), 1, 32).as("qh1"),
+        packSigns(col("qe"), 33, 64).as("qh2"))
+      .join(int8Queries(spark, dir, nQueries), Seq("qid"))
+    val scored = spark.table(binTable(dir, binKey(nQueries)))
+      .join(spark.table(i8Table(dir, i8Key(nQueries))), Seq("cid"))
+      .join(embeddings(spark, dir).filter(col("vec_id") >= nQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        Seq("cid"))
+      .crossJoin(broadcast(qSide))
+      .select(col("qid"), col("cid"),
+        expr("bit_count(qh1 ^ ch1) + bit_count(qh2 ^ ch2)").as("hamm"),
+        (HashExpressions.dotInt8(col("qq8"), col("q8")) *
+          col("qscale") * col("cscale") /
+          lit(127.0 * 127.0) / (col("qn") * col("cn"))).as("ascore"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+    val wHamm = Window.partitionBy(col("qid"))
+      .orderBy(col("hamm").asc, col("cid").asc)
+    val wSim = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val wI8 = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("cid").asc)
+    val maxPool1 = widths.map { case (b, i) => b * i * k }.max
+    val pool1All = scored
+      .withColumn("brk", row_number().over(wHamm))
+      .filter(col("brk") <= maxPool1)
+      .localCheckpoint(true)
+    val truth = scored.withColumn("rk", row_number().over(wSim))
+      .filter(col("rk") <= k).select(col("qid"), col("cid"))
+      .localCheckpoint(true)
+    val totals = truth.agg(count(lit(1)).as("n_true"))
+    widths.map { case (b, i) =>
+      pool1All.filter(col("brk") <= b * i * k)
+        .withColumn("irk", row_number().over(wI8))
+        .filter(col("irk") <= i * k)
+        .withColumn("rk", row_number().over(wSim))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("cid"))
+        .join(broadcast(truth), Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(b).as("rescore_binary"), lit(i).as("rescore_int8"),
+          lit(b.toLong * i * k).as("pool1_rows_per_query"),
+          lit(i.toLong * k).as("pool2_rows_per_query"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("rescore_binary"), col("rescore_int8"),
+        col("pool1_rows_per_query"), col("pool2_rows_per_query"),
+        col("n_hits"), col("n_true"),
+        round6(col("n_hits").cast("double") / col("n_true")).as("recall"))
+      .orderBy(col("rescore_binary"), col("rescore_int8"))
+  }
+
   /** The binary→int8→float funnel both cascade forms share: `q` is the
     * normalized (qid, qe, qn) frame, `q8` its packed int8 side.
     */

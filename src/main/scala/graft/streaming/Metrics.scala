@@ -297,6 +297,83 @@ object Metrics {
       .orderBy(col("surface"))
   }
 
+  /** Row-level COMPLETENESS of every per-vector standing index (round
+    * 15) — the third face of the index-health triangle: [[serveHealth]]
+    * says present-and-fresh (file probes), [[graft.ext.Rung
+    * .rungConsistency]] says internally consistent (the rung tables
+    * agree with each other), and this says COMPLETE — each index
+    * carries exactly one row per candidate vector in the raw store.
+    * The number a deployment actually wants after an ingest backlog,
+    * a crash, or a partial rebuild is "how many corpus rows is the
+    * index missing", which no mtime probe can answer.
+    *
+    * One row per surface: (surface, n_indexed, n_candidates, complete).
+    * Covers the six one-row-per-vector surfaces (IVF cells, IVF-PQ
+    * cells, PQ codes, the three rungs); the document-side indexes
+    * (bands, grams) are deliberately absent — their row counts are
+    * bands/grams per doc, not docs, so "rows == corpus" is not their
+    * completeness invariant. Scale shape: one count aggregate per
+    * index table (column-pruned, no join) plus one over the raw
+    * candidates, unioned and broadcast-joined to the single candidate
+    * count — no shuffle beyond the final reduces.
+    *
+    * Same ensure-first contract and shape parameters as
+    * [[serveHealth]], so on a freshly ensured corpus every row reads
+    * complete — the oracle checks the counts cross-engine against the
+    * raw embeddings table.
+    */
+  def indexCoverage(spark: SparkSession, dir: String,
+                    ivfNq: Int = 10, ivfNc: Int = 16, pqNq: Int = 10,
+                    rungNq: Int = 10, rungPrefix: Int = 16,
+                    shapes: graft.tools.Maintenance.Shapes =
+                      graft.tools.Maintenance.Shapes()): DataFrame = {
+    import graft.ext.{Pq, Rung, Similarity}
+    Similarity.ensureIvfIndex(spark, dir, ivfNq, ivfNc, shapes.ivfIters,
+      shapes.ivfSampleMod, shapes.ivfSampleCap)
+    Pq.ensurePqIndex(spark, dir, pqNq, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+    Pq.ensureIvfPqIndex(spark, dir, pqNq, ivfNc, shapes.pqNSub,
+      shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+      shapes.pqSampleCap)
+    Rung.ensureBinaryIndex(spark, dir, rungNq)
+    Rung.ensureMatryoshkaIndex(spark, dir, rungNq, rungPrefix)
+    Rung.ensureInt8Index(spark, dir, rungNq)
+    val ivfKey = Similarity.ivfKey(ivfNq, ivfNc, shapes.ivfIters,
+      shapes.ivfSampleMod, shapes.ivfSampleCap)
+    val pqKey = Pq.pqKey(pqNq, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+    val ivfpqKey = Pq.ivfpqKey(pqNq, ivfNc, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+    // all six surfaces index the SAME candidate partition: vec_id >=
+    // their nQueries (the registered shapes share nq=10; with split
+    // nq parameters the per-surface candidate sets could differ, so
+    // pin them equal rather than silently comparing across partitions)
+    require(ivfNq == pqNq && pqNq == rungNq,
+      s"indexCoverage: split nQueries ($ivfNq/$pqNq/$rungNq) would make " +
+        "the shared n_candidates column meaningless — probe per family " +
+        "instead")
+    val cand = Similarity.embeddings(spark, dir)
+      .filter(col("vec_id") >= rungNq)
+      .agg(count(lit(1)).as("n_candidates"))
+    Seq(
+      "ivf_cells" -> Similarity.ivfCellsTable(dir, ivfKey),
+      "ivfpq_cells" -> Pq.ivfpqCellsTable(dir, ivfpqKey),
+      "pq_codes" -> Pq.pqCodesTable(dir, pqKey),
+      "rung_binary" -> Rung.binTable(dir, Rung.binKey(rungNq)),
+      "rung_int8" -> Rung.i8Table(dir, Rung.i8Key(rungNq)),
+      "rung_matryoshka" ->
+        Rung.mrlTable(dir, Rung.mrlKey(rungNq, rungPrefix)))
+      .map { case (surface, table) =>
+        spark.table(table).agg(count(lit(1)).as("n_indexed"))
+          .select(lit(surface).as("surface"), col("n_indexed"))
+      }
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(cand))
+      .select(col("surface"), col("n_indexed"), col("n_candidates"),
+        (col("n_indexed") === col("n_candidates")).as("complete"))
+      .orderBy(col("surface"))
+  }
+
   /** The streaming-guard rows of [[serveHealth]] alone — also callable
     * directly when a dashboard wants the guard surfaces without
     * re-probing (and possibly re-building) the standing indexes.

@@ -93,6 +93,32 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("cascadeSweep rows equal the cascade operator at each width: " +
+    "n_hits is that width's cascadeTopK truth overlap — the one-pass " +
+    "sweep changes the plan, not the frontier") {
+    purgeIdx()
+    try {
+      val truth = Similarity.bruteForceTopK(spark, dir, 10, 3)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sweep = Rung.cascadeSweep(spark, dir, 10, 3).collect()
+      assert(sweep.length == Rung.cascadeSweepWidths.length)
+      sweep.foreach { row =>
+        val (b, i) = (row.getInt(0), row.getInt(1))
+        val got = Rung.cascadeTopK(spark, dir, 10, 3,
+          rescoreInt8 = i, rescoreBinary = b)
+          .select(col("qid"), col("cid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(row.getLong(4) == got.intersect(truth).size.toLong,
+          s"width ($b,$i): sweep says ${row.getLong(4)}, operator " +
+            s"overlap is ${got.intersect(truth).size}")
+        assert(row.getLong(5) == truth.size.toLong)
+        assert(row.getLong(2) == b.toLong * i * 3 &&
+          row.getLong(3) == i.toLong * 3)
+      }
+    } finally purgeIdx()
+  }
+
   test("external panels against the standing rung tables equal the " +
     "on-the-fly external forms at minCid = nQueries; the external int8 " +
     "funnel with a corpus-covering pool equals exact brute force") {
@@ -520,6 +546,50 @@ class RungSpec extends SparkTestBase {
       assert(healed.getBoolean(5) && healed.getLong(3) == nCand + 1,
         healed.toString)
     } finally purgeIdx()
+  }
+
+  test("indexCoverage: complete on a fresh build, flags EVERY per-vector " +
+    "index when a raw row lands without its index rows, and the rebuild " +
+    "restores complete (round 15)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ext.{Pq, Similarity => Sim}
+    val tmp = Files.createTempDirectory("graft_cov_corpus").toString
+    Sim.embeddings(spark, dir).write.parquet(s"$tmp/embeddings.parquet")
+    def purgeAll(): Unit = {
+      Sim.purgeIvfIndex(spark, tmp)
+      Pq.purgePqIndex(spark, tmp)
+      Pq.purgeIvfPqIndex(spark, tmp)
+      Rung.purgeRungIndexes(spark, tmp)
+    }
+    purgeAll()
+    try {
+      val fresh = graft.streaming.Metrics.indexCoverage(spark, tmp)
+        .collect()
+      assert(fresh.length == 6)
+      fresh.foreach(r => assert(r.getBoolean(3), r.toString))
+      val nCand = fresh.head.getLong(2)
+      // the backlog scenario: a raw row lands with NO index append
+      val q0 = Sim.embeddings(spark, tmp)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      Sim.appendToEmbeddings(spark, tmp,
+        Seq((990000L, q0)).toDF("vec_id", "embedding")
+          .select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")))
+      val behind = graft.streaming.Metrics.indexCoverage(spark, tmp)
+        .collect()
+      behind.foreach { r =>
+        assert(!r.getBoolean(3), r.toString)
+        assert(r.getLong(2) == nCand + 1 && r.getLong(1) == nCand,
+          r.toString)
+      }
+      // purge + re-probe: the ensure-first contract rebuilds from the
+      // raw store, so every surface reads complete again
+      purgeAll()
+      graft.streaming.Metrics.indexCoverage(spark, tmp).collect()
+        .foreach(r => assert(r.getBoolean(3), r.toString))
+    } finally purgeAll()
   }
 
   test("repairRungIndexesIfNeeded: calm on consistent tables, rebuilds " +
