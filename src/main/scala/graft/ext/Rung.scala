@@ -218,7 +218,22 @@ object Rung {
         "existing tables, it does not build them")
     val fire = !rungConsistency(spark, dir, nQueries, dPrefix)
       .collect().head.getBoolean(5)
-    if (fire) rebuildRungIndexes(spark, dir, nQueries, dPrefix)
+    if (fire) {
+      rebuildRungIndexes(spark, dir, nQueries, dPrefix)
+      // re-probe (review r15): a rebuild can only heal drift that
+      // ORIGINATED in the derived tables. If the raw store itself is
+      // inconsistent (duplicate vec_ids from a bad backfill), the
+      // rebuild faithfully reproduces the inconsistency and a silent
+      // `true` here would have every maintenance tick pay a full
+      // purge+rebuild forever while logging successful healing.
+      val healed = rungConsistency(spark, dir, nQueries, dPrefix)
+        .collect().head.getBoolean(5)
+      require(healed,
+        s"repairRungIndexesIfNeeded: rebuild did NOT restore consistency " +
+          s"for dir=$dir — the inconsistency originates in the raw " +
+          "embeddings store (duplicate vec_ids?); repair the store, the " +
+          "derived rung tables only mirror it")
+    }
     fire
   }
 
@@ -708,11 +723,16 @@ object Rung {
     val wI8 = Window.partitionBy(col("qid"))
       .orderBy(col("ascore").desc, col("cid").asc)
     val maxPool1 = widths.map { case (b, i) => b * i * k }.max
-    val pool1All = scored
+    // the one scored pass, materialized ONCE — both the stage-1 pool
+    // and the truth panel derive from the checkpoint (review r15: two
+    // independent localCheckpoints re-ran the corpus-wide scoring join
+    // twice, doubling the artifact's documented price)
+    val sc = scored.localCheckpoint(true)
+    val pool1All = sc
       .withColumn("brk", row_number().over(wHamm))
       .filter(col("brk") <= maxPool1)
       .localCheckpoint(true)
-    val truth = scored.withColumn("rk", row_number().over(wSim))
+    val truth = sc.withColumn("rk", row_number().over(wSim))
       .filter(col("rk") <= k).select(col("qid"), col("cid"))
       .localCheckpoint(true)
     val totals = truth.agg(count(lit(1)).as("n_true"))

@@ -328,6 +328,13 @@ object Metrics {
                     shapes: graft.tools.Maintenance.Shapes =
                       graft.tools.Maintenance.Shapes()): DataFrame = {
     import graft.ext.{Pq, Rung, Similarity}
+    // validated BEFORE any ensure runs (review r15): a mismatched call
+    // must throw without first training and persisting spurious
+    // standing tables under the bad shapes
+    require(ivfNq == pqNq && pqNq == rungNq,
+      s"indexCoverage: split nQueries ($ivfNq/$pqNq/$rungNq) would make " +
+        "the shared n_candidates column meaningless — probe per family " +
+        "instead")
     Similarity.ensureIvfIndex(spark, dir, ivfNq, ivfNc, shapes.ivfIters,
       shapes.ivfSampleMod, shapes.ivfSampleCap)
     Pq.ensurePqIndex(spark, dir, pqNq, shapes.pqNSub, shapes.pqKSub,
@@ -345,13 +352,8 @@ object Metrics {
     val ivfpqKey = Pq.ivfpqKey(pqNq, ivfNc, shapes.pqNSub, shapes.pqKSub,
       shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
     // all six surfaces index the SAME candidate partition: vec_id >=
-    // their nQueries (the registered shapes share nq=10; with split
-    // nq parameters the per-surface candidate sets could differ, so
-    // pin them equal rather than silently comparing across partitions)
-    require(ivfNq == pqNq && pqNq == rungNq,
-      s"indexCoverage: split nQueries ($ivfNq/$pqNq/$rungNq) would make " +
-        "the shared n_candidates column meaningless — probe per family " +
-        "instead")
+    // their nQueries (the registered shapes share nq=10; the equal-nq
+    // precondition is validated up top, before the ensures)
     val cand = Similarity.embeddings(spark, dir)
       .filter(col("vec_id") >= rungNq)
       .agg(count(lit(1)).as("n_candidates"))

@@ -623,6 +623,31 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("repair fails LOUDLY when the inconsistency originates in the RAW " +
+    "store: the rebuild reproduces it, so a silent success would thrash " +
+    "a full rebuild every maintenance tick (review r15)") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_badraw_corpus").toString
+    Similarity.embeddings(spark, dir)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    // a bad backfill: one candidate's raw row duplicated in the store
+    Similarity.embeddings(spark, dir).filter(col("vec_id") === 20L)
+      .write.mode("append").parquet(s"$tmp/embeddings.parquet")
+    try {
+      Rung.ensureBinaryIndex(spark, tmp, 10)
+      Rung.ensureMatryoshkaIndex(spark, tmp, 10, 16)
+      Rung.ensureInt8Index(spark, tmp, 10)
+      // the build faithfully mirrors the store: already inconsistent
+      val probe = Rung.rungConsistency(spark, tmp, 10).collect().head
+      assert(!probe.getBoolean(5) && probe.getLong(4) == 2L,
+        probe.toString)
+      val e = intercept[IllegalArgumentException] {
+        Rung.repairRungIndexesIfNeeded(spark, tmp, 10)
+      }
+      assert(e.getMessage.contains("raw"), e.getMessage)
+    } finally Rung.purgeRungIndexes(spark, tmp)
+  }
+
   test("catalog loss reattaches the surviving rung tables; results " +
     "unchanged and nothing rebuilds") {
     purgeIdx()
