@@ -623,6 +623,48 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("composed ingest survives a checkpoint restart: cross-restart " +
+    "redelivery lands exactly once in the raw store AND every rung " +
+    "table, and the consistency probe reads clean") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ingest_restart").toString
+    Similarity.embeddings(spark, dir)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    try {
+      val q0 = Similarity.embeddings(spark, tmp)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val ckpt = Files.createTempDirectory("graft_ingest_restart_ck").toString
+      val input = MemoryStream[(Long, Seq[Float])](95, spark, None)
+      def start() = graft.streaming.StreamingSimilarity.startEmbeddingIngest(
+        spark, tmp, input.toDF().toDF("vec_id", "embedding"), ckpt,
+        nQueries = 10)
+      val nRaw0 = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+      val q1 = start()
+      try {
+        input.addData((951000L, q0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the same checkpoint; the first vector is
+      // REDELIVERED across the restart alongside a new one
+      input.addData((951000L, q0), (951001L, q0))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(spark.read.parquet(s"$tmp/embeddings.parquet")
+        .count() == nRaw0 + 2)
+      Seq(951000L, 951001L).foreach { id =>
+        assert(spark.read.parquet(s"$tmp/embeddings.parquet")
+          .filter(col("vec_id") === id).count() == 1L, s"raw $id")
+        assert(spark.table(Rung.binTable(tmp, Rung.binKey(10)))
+          .filter(col("cid") === id).count() == 1L, s"rung $id")
+      }
+      val probe = Rung.rungConsistency(spark, tmp, 10).collect().head
+      assert(probe.getBoolean(5), probe.toString)
+    } finally Rung.purgeRungIndexes(spark, tmp)
+  }
+
   test("repair fails LOUDLY when the inconsistency originates in the RAW " +
     "store: the rebuild reproduces it, so a silent success would thrash " +
     "a full rebuild every maintenance tick (review r15)") {
