@@ -623,6 +623,62 @@ class RungSpec extends SparkTestBase {
     } finally purgeIdx()
   }
 
+  test("composed ingest with alsoPq lands the PQ codes row too, and a " +
+    "same-batch vec_id collision with DIFFERENT payloads keeps ONE " +
+    "survivor whose raw row and derived rung payload AGREE (review r15)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ext.Pq
+    val tmp = Files.createTempDirectory("graft_ingest_pq").toString
+    Similarity.embeddings(spark, dir)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    try {
+      Pq.ensurePqIndex(spark, tmp, 10)
+      val e1 = Similarity.embeddings(spark, tmp)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val e2 = Similarity.embeddings(spark, tmp)
+        .filter(col("vec_id") === 1L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val ckpt = Files.createTempDirectory("graft_ingest_pq_ck").toString
+      val input = MemoryStream[(Long, Seq[Float])](94, spark, None)
+      val sq = graft.streaming.StreamingSimilarity.startEmbeddingIngest(
+        spark, tmp, input.toDF().toDF("vec_id", "embedding"), ckpt,
+        nQueries = 10, alsoPq = true)
+      try {
+        // the pathological batch: one vec_id, two DIFFERENT payloads
+        input.addData((952000L, e1), (952000L, e2))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      // exactly one survivor everywhere, PQ included
+      val rawRows = spark.read.parquet(s"$tmp/embeddings.parquet")
+        .filter(col("vec_id") === 952000L).collect()
+      assert(rawRows.length == 1)
+      val pqKey = Pq.pqKey(10, 8, 16, 2, 3,
+        Similarity.defaultIvfSampleCap)
+      assert(spark.table(Pq.pqCodesTable(tmp, pqKey))
+        .filter(col("cid") === 952000L).count() == 1L)
+      // raw and derived AGREE: the rung row equals the frame builder
+      // applied to whichever raw payload survived
+      val survived = rawRows.head.getSeq[Float](
+        rawRows.head.fieldIndex("embedding"))
+      val want = Rung.binFrame(Seq((952000L, survived))
+          .toDF("cid", "embedding")
+          .select(col("cid"),
+            col("embedding").cast("array<float>").as("embedding")))
+        .collect().head
+      val got = spark.table(Rung.binTable(tmp, Rung.binKey(10)))
+        .filter(col("cid") === 952000L).collect().head
+      assert(got.getLong(1) == want.getLong(1) &&
+        got.getLong(2) == want.getLong(2),
+        s"raw survivor and rung payload diverge: $got vs $want")
+    } finally {
+      Rung.purgeRungIndexes(spark, tmp)
+      graft.ext.Pq.purgePqIndex(spark, tmp, 10)
+    }
+  }
+
   test("composed ingest survives a checkpoint restart: cross-restart " +
     "redelivery lands exactly once in the raw store AND every rung " +
     "table, and the consistency probe reads clean") {
