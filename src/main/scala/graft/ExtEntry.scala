@@ -190,7 +190,7 @@ object ExtEntry {
     // sparse regions kept whole (the semantic-coverage sampling move)
     "sample_cluster_balanced" -> ((s, dir) =>
       Similarity.clusterBalancedSample(s, dir, nQueries = 10,
-        nCentroids = 16, cap = 20)),
+        nCentroids = Similarity.AutoShape, cap = 20)),
 
     // Product-Quantization ADC search (Jégou et al. 2011): candidates
     // carry 8 code bytes instead of 256 float bytes, scoring is 8
@@ -231,7 +231,8 @@ object ExtEntry {
         .orderBy(col("v1"), col("v2"))),
 
     "dedup_embedding_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(s, dir, 0.4)
+      Similarity.lshNearDupPairs(s, dir, 0.4,
+          nPlanes = Similarity.AutoShape)
         .orderBy(col("v1"), col("v2"))),
 
     // the langid heuristic's per-language quality report: guess vs
@@ -443,7 +444,8 @@ object ExtEntry {
 
     // the embedding-space twin, behind semanticDedup's 0.4
     "semantic_threshold_sweep" -> ((s, dir) =>
-      Similarity.semanticThresholdSweep(s, dir)),
+      Similarity.semanticThresholdSweep(s, dir,
+        nCentroids = Similarity.AutoShape)),
 
     // the quality-axis sweep: docs/tokens surviving each candidate
     // quality cutoff — the filter-strength curve a dataset card quotes
@@ -554,17 +556,19 @@ object ExtEntry {
 
     // SemDeDup: centroid-blocked embedding dedup over trained IVF cells
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(s, dir, threshold = 0.4, nCentroids = 16)),
+      Similarity.semanticDedup(s, dir, threshold = 0.4,
+        nCentroids = Similarity.AutoShape)),
 
     // kNN graph: per-vector top-m within-cell neighbors — the batch
     // artifact graph clustering and cluster-balanced sampling consume
-    "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir, m = 3)),
+    "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir, m = 3,
+      nCentroids = Similarity.AutoShape)),
 
     // connected components over the verified semantic edges — the
     // embedding-space twin of dedup_cluster
     "cluster_semantic" -> ((s, dir) =>
       Similarity.semanticClusters(s, dir, threshold = 0.4,
-        nCentroids = 16)),
+        nCentroids = Similarity.AutoShape)),
 
     // label x label-centroid mean-cosine matrix — the linear-probe
     // sanity check; exact micro-int centroids, DECIMAL mean sims

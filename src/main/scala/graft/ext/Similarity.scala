@@ -194,6 +194,55 @@ object Similarity {
     */
   val defaultIvfSampleCap: Int = 4096
 
+  /** Shape sentinel: resolve the blocking geometry from the corpus
+    * count at run time. The corpus-PAIR operators (near-dup pairs, kNN
+    * graph, SemDeDup, cluster sampling) block the whole corpus against
+    * itself, so a FIXED shape is quadratic past some size: bucket/cell
+    * population grows ×s at ×s data and in-block pairs grow ×s² until
+    * [[TextDedup.maxBucket]] caps them — after which TIME stops growing
+    * but beyond-cap members silently contribute no candidates (recall
+    * collapse). The ×10 scale bench measured exactly this:
+    * dedup_embedding_lsh ran 21× on 10× data with the fixed 4-plane
+    * shape. The auto rules below keep expected block population
+    * constant instead, and resolve to the historical constants at every
+    * oracle-checked SF (20 / 200 / 2000 embeddings), so the registered
+    * queries' DuckDB oracles are shape-identical where they run.
+    *
+    * The per-QUERY top-k paths (IVF/PQ/rung searches) don't need this:
+    * their work is query-panel × bounded-candidate, already measured
+    * sub-linear (1.1–2.9× at ×10).
+    */
+  val AutoShape: Int = -1
+
+  /** Corpus-size-driven cell count: ⌈n/128⌉ clamped to [16, 2048] —
+    * expected cell population stays ~128, so within-cell pair work per
+    * cell is constant and total pair work linear in n. The 2048 ceiling
+    * is [[defaultIvfSampleCap]]/2: past ~256k vectors the driver-side
+    * trainer would average <2 sample vectors per centroid — raise
+    * sampleCap (it's a knob) or assign hierarchically (coarse √C cells,
+    * then fine cells within) before raising the ceiling.
+    */
+  def autoCells(n: Long): Int =
+    math.min(2048L, math.max(16L, (n + 127) / 128)).toInt
+
+  /** Corpus-size-driven sign-LSH width: the smallest p ≥ 4 with
+    * ⌈n/2^p⌉ ≤ 125 — expected bucket population stays ≤ ~125 per band,
+    * so candidate generation is linear in n. Widening bands lowers the
+    * per-band collision probability of TRUE near-dup pairs ((1-θ/π)^p —
+    * the LSH n^ρ law: sub-quadratic candidate cost is bought with
+    * recall at fixed band count); a deployment holding a recall target
+    * while scaling adds BANDS (cost grows with that polylog band
+    * count), tuned with the [[semanticThresholdSweep]]-class artifacts.
+    */
+  def autoPlanes(n: Long): Int = {
+    var p = 4
+    while (p < 24 && (n + (1L << p) - 1) / (1L << p) > 125) p += 1
+    p
+  }
+
+  private def resolveCells(emb: DataFrame, nCentroids: Int): Int =
+    if (nCentroids == AutoShape) autoCells(emb.count()) else nCentroids
+
   /** The k-means training sample: every `sampleMod`-th candidate vector,
     * restricted to the first `sampleCap` stride hits via a DETERMINISTIC
     * id upper bound (`vec_id < nQueries + sampleCap·sampleMod` — that
@@ -370,7 +419,11 @@ object Similarity {
                             sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, dir)
-    val trained = trainIvfCentroids(emb, nQueries, nCentroids, iters,
+    // auto shape counts the CANDIDATE side — the population being celled
+    val cells0 = if (nCentroids == AutoShape)
+      autoCells(emb.filter(col("vec_id") >= nQueries).count())
+    else nCentroids
+    val trained = trainIvfCentroids(emb, nQueries, cells0, iters,
       sampleMod, sampleCap)
     val cents = trained.zipWithIndex.toSeq
       .map { case (a, i) => (i.toLong, a.toSeq) }.toDF("cent_id", "cemb")
@@ -688,8 +741,8 @@ object Similarity {
                nCentroids: Int = 16, iters: Int = 2, sampleMod: Int = 3,
                sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     val emb = embeddings(spark, dir)
-    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
-      sampleCap)
+    val cells = cellAssignment(spark, emb, resolveCells(emb, nCentroids),
+      iters, sampleMod, sampleCap)
     val edges = cells.groupBy(col("cent_id"))
       .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
         TextDedup.maxBucket).as("ids"))
@@ -754,8 +807,8 @@ object Similarity {
                     nCentroids: Int, iters: Int = 2, sampleMod: Int = 3,
                     sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     val emb = embeddings(spark, dir)
-    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
-      sampleCap)
+    val cells = cellAssignment(spark, emb, resolveCells(emb, nCentroids),
+      iters, sampleMod, sampleCap)
     val drops = semanticPairs(emb, cells, threshold)
       .select(col("v2").as("vec_id")).distinct()
     cells
@@ -778,8 +831,8 @@ object Similarity {
                              sampleCap: Int = defaultIvfSampleCap)
       : DataFrame = {
     val emb = embeddings(spark, dir)
-    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
-      sampleCap)
+    val cells = cellAssignment(spark, emb, resolveCells(emb, nCentroids),
+      iters, sampleMod, sampleCap)
     val thArr = array(ths.sorted.map(lit): _*)
     semanticPairs(emb, cells, ths.min)
       .select(explode(filter(thArr, t => col("cos") >= t)).as("threshold"),
@@ -809,8 +862,8 @@ object Similarity {
                        iters: Int = 2, sampleMod: Int = 3,
                        sampleCap: Int = defaultIvfSampleCap): DataFrame = {
     val emb = embeddings(spark, dir)
-    val cells = cellAssignment(spark, emb, nCentroids, iters, sampleMod,
-      sampleCap)
+    val cells = cellAssignment(spark, emb, resolveCells(emb, nCentroids),
+      iters, sampleMod, sampleCap)
     TextDedup.clusters(semanticPairs(emb, cells, threshold)
         .select(col("v1").as("d1"), col("v2").as("d2")))
       .groupBy(col("lbl").as("cluster_id"))
@@ -901,13 +954,14 @@ object Similarity {
     */
   def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double,
                       nBands: Int = 4, nPlanes: Int = 4): DataFrame = {
-    val planes = planeVectors(nBands * nPlanes, 64)
     val e = embeddings(spark, dir)
+    val p = if (nPlanes == AutoShape) autoPlanes(e.count()) else nPlanes
+    val planes = planeVectors(nBands * p, 64)
     val banded = e.select(col("vec_id"), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band"),
           signBucket(col("embedding"),
-            planes.slice(b * nPlanes, (b + 1) * nPlanes)).as("bucket"))
+            planes.slice(b * p, (b + 1) * p)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
     val cand = banded.groupBy(col("band"), col("bucket"))

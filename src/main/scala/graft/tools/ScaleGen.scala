@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replica-based scale-up generator for the measured 10×/100× bench.
+  *
+  * The registry's plan audit argues each query survives a 100×
+  * scale-up; this tool makes that a MEASUREMENT: it writes a
+  * `factor`-times-larger copy of a testdata dir to `outDir` (same
+  * table names/schemas, so `Bench` runs against it unchanged via
+  * SPARK_GRAFT_SF_DIR) and BENCH_DELTA records the observed time
+  * ratios per query family.
+  *
+  * Scaling model — what a larger corpus actually looks like, not a
+  * degenerate one:
+  *   - Facts (customer/supplier/part/orders/lineitem, events,
+  *     documents, embeddings) are replicated `factor` times with
+  *     every key column offset by `replica * 10_000_000` (all base
+  *     keys are < 10M), preserving FK joins WITHIN a replica — the
+  *     same shape a bigger TPC-H SF has. Replica 0 is the base data
+  *     byte-for-byte, so fixed query panels (vec_id < nQueries,
+  *     eval-set doc_id ranges) keep their meaning while the corpus
+  *     side grows.
+  *   - Dimensions (region, nation) are copied ONCE: bigger data does
+  *     not mean more nations, and the broadcast-ability the plans
+  *     rely on must stay honest.
+  *   - Document text is word-rotated by 7·replica positions per
+  *     replica (cyclically), so replicas are NOT trivial near-dups:
+  *     shingle/MinHash/SimHash signatures decorrelate while length,
+  *     vocabulary, and language distributions are preserved exactly.
+  *     Without this, every LSH bucket would hold `factor` identical
+  *     signatures and candidate pairs would grow ×factor² — a
+  *     distortion real corpora don't have (near-dup MASS scales
+  *     linearly: each base near-dup pair recurs once per replica).
+  *   - Embeddings are cyclically shifted by (7·replica) mod 64 dims
+  *     with a sign flip every 64 replicas (shift collisions repeat at
+  *     replica+64, where the flip keeps them distinct), so replica
+  *     vectors have ~random cosine to their base: norms and
+  *     per-dimension moments are preserved, no artificial duplicate
+  *     mass, IVF/PQ training sees a genuinely larger corpus.
+  *
+  * Timestamps are kept as-is: a larger corpus over the same window is
+  * the higher-traffic shape, so time-bucketed aggregations grow rows
+  * per bucket with a constant group count — the scaling that actually
+  * stresses partial aggregation.
+  *
+  * Usage: runMain graft.tools.ScaleGen <baseDir> <outDir> <factor>
+  */
+object ScaleGen {
+
+  private val KeyOffset = 10000000L
+
+  /** Cross-join with the replica spine and offset the given key
+    * columns by replica*KeyOffset. The spine is `factor` rows —
+    * always broadcast.
+    */
+  private def replicate(spark: SparkSession, df: DataFrame, factor: Int,
+                        keyCols: Seq[String]): DataFrame = {
+    val reps = broadcast(spark.range(factor.toLong).toDF("rep"))
+    val crossed = df.crossJoin(reps)
+    keyCols.foldLeft(crossed) { (d, k) =>
+      d.withColumn(k, (col(k) + col("rep") * KeyOffset).cast("long"))
+    }
+  }
+
+  /** Rotate the space-tokenized words of `c` left by `by` positions
+    * (mod word count). Pure column expression; empty/one-word texts
+    * pass through.
+    */
+  private def rotateWords(c: org.apache.spark.sql.Column,
+                          by: org.apache.spark.sql.Column) = {
+    val words = split(c, " ")
+    val n = size(words)
+    val s = by % greatest(n, lit(1))
+    array_join(
+      concat(slice(words, s + 1, n - s), slice(words, lit(1), s)), " ")
+  }
+
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Write the `factor`-times replica of `baseDir` to `outDir`. */
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+               factor: Int): Unit = {
+    require(factor >= 1 && factor * KeyOffset < Long.MaxValue / 4,
+      s"factor out of range: $factor")
+    def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    // the replica spine is generation scaffolding — never part of the
+    // output schema
+    def write(df: DataFrame, t: String): Unit =
+      df.drop("rep").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // dims: copied once — more data, same nations/regions
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    // TPC-H facts: offset every key so FK joins hold within a replica
+    write(replicate(spark, read("customer"), factor, Seq("c_custkey")),
+      "customer")
+    write(replicate(spark, read("supplier"), factor, Seq("s_suppkey")),
+      "supplier")
+    write(replicate(spark, read("part"), factor, Seq("p_partkey")), "part")
+    write(replicate(spark, read("orders"), factor,
+      Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(spark, read("lineitem"), factor,
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+
+    // events: more users over the same time window (higher traffic)
+    write(replicate(spark, read("events"), factor,
+      Seq("event_id", "user_id")), "events")
+
+    // documents: word-rotation decorrelates shingles across replicas
+    write(
+      replicate(spark, read("documents"), factor, Seq("doc_id"))
+        .withColumn("text",
+          rotateWords(col("text"), (col("rep") * 7).cast("int"))),
+      "documents")
+
+    // embeddings: dim-shift + per-64-replica sign flip — random cosine
+    // to the base vector, identical norm/moment distributions
+    val emb = replicate(spark, read("embeddings"), factor, Seq("vec_id"))
+    val shift = ((col("rep") * 7) % 64).cast("int")
+    val sign = when((col("rep") / 64).cast("int") % 2 === 1, lit(-1.0f))
+      .otherwise(lit(1.0f))
+    val shifted = concat(
+      slice(col("embedding"), shift + 1, size(col("embedding")) - shift),
+      slice(col("embedding"), lit(1), shift))
+    write(
+      emb.withColumn("embedding",
+        transform(shifted, x => (x * sign).cast("float"))),
+      "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ScaleGen <baseDir> <outDir> <factor>")
+    val Array(baseDir, outDir, factorStr) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalegen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, baseDir, outDir, factorStr.toInt)
+    val counts =
+      tables.map(t => t -> spark.read.parquet(s"$outDir/$t.parquet").count())
+    spark.stop()
+    counts.foreach { case (t, n) => println(s"$t: $n rows") }
+  }
+}
+
