@@ -55,12 +55,18 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // per-query progress on stderr (NOT the driver-scraped stdout):
+    // a hung query at a big SF is identifiable from the log tail
+    // instead of a jstack guessing game
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
     val names = selected.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
-    for (_ <- 1 to reps; (name, fn) <- names) {
+    for (rep <- 1 to reps; (name, fn) <- names) {
+      if (verbose) System.err.println(s"[bench] rep $rep start $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (verbose) System.err.println(f"[bench] rep $rep done  $name $sec%.2f s")
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map { case (name, _) => name -> best(name) }

@@ -431,16 +431,17 @@ object Similarity {
     val cand = emb.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding")).as("en"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid"))
-      .orderBy(col("acos").desc, col("cent_id").asc)
+    // argmax as a map-side-combined aggregate, not a window — the
+    // cellAssignment fix (a cid window would shuffle+sort all n×C
+    // cross-join rows); same tie semantics (max acos, then min cent_id)
     val cells = cand.crossJoin(broadcast(cents))
       .select(col("cid"),
         (dot(col("ce"), col("cemb")) / (col("en") * col("cn"))).as("acos"),
         col("cent_id"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("cent_id"), col("cid"))
+      .groupBy(col("cid"))
+      .agg(max(struct(col("acos"), (-col("cent_id")).as("neg_cent"),
+        col("cent_id"))).as("best"))
+      .select(col("best.cent_id").as("cent_id"), col("cid"))
     val hk = substring(md5(col("cid").cast("string")), 1, 4)
     val salt = conv(substring(md5(col("cid").cast("string")), 5, 1), 16, 10)
       .cast("int")
@@ -709,17 +710,23 @@ object Similarity {
       .select(col("cent_id"), col("cemb"), norm(col("cemb")).as("cn"))
     val vecs = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("en"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("acos").desc, col("cent_id").asc)
+    // argmax as an AGGREGATE, not a window: the broadcast cross join
+    // emits n×C rows, and a vec_id window would SHUFFLE AND SORT all of
+    // them (at the ×100 scale bench that was 312M rows carrying the
+    // pre-projection payload — cluster_semantic ran 612 s, one task
+    // sorting 4 GB pages). All C rows of a vec are produced by the same
+    // mapper, so hash-agg max(struct) collapses them map-side and the
+    // exchange carries n rows. Tie semantics match the old window
+    // (max acos, then MIN cent_id — the negated field).
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         (dot(col("embedding"), col("cemb")) / (col("en") * col("cn")))
           .as("acos"),
         col("cent_id"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("acos"), (-col("cent_id")).as("neg_cent"),
+        col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"))
   }
 
   /** k-nearest-neighbor graph over the corpus embeddings — the batch
