@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Curation, Layout, Multimodal, Pq, Rung, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Classifier, Curation, Forget, Layout, Multimodal, Pq, Rung, Similarity, TextAnalysis, TextDedup}
 import graft.ops.Ingest
 import graft.ops.Exact.round6
 
@@ -542,6 +542,34 @@ object ExtEntry {
     "index_coverage" -> ((s, dir) =>
       graft.streaming.Metrics.indexCoverage(s, dir)),
 
+    // the deletion lifecycle (round 15): tombstones registered
+    // idempotently in the standing forget table, then each live search
+    // excludes them via ONE broadcast anti-join BEFORE its rank
+    // windows — deletion correctness between physical applies at zero
+    // extra scan bytes. The registered tombstone set is deterministic
+    // (candidates with vec_id % 23 == 5), so re-runs and bench reps are
+    // no-op appends and the DuckDB oracles weave the same predicate
+    // into the plain forms' SQL
+    "ann_forget_exact" -> ((s, dir) => {
+      Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
+      Forget.bruteForceTopKLive(s, dir, nQueries = 10, k = 5)
+    }),
+
+    "ann_forget_topk" -> ((s, dir) => {
+      Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
+      Forget.binaryIndexedTopKLive(s, dir, nQueries = 10, k = 5,
+        rescoreFactor = 4)
+    }),
+
+    // the erasure receipt: per-surface totals and forgotten-but-
+    // resident counts over the raw store, the three rung tables, and
+    // the tombstone log itself (all counts derivable cross-engine from
+    // the raw table + the deterministic rule)
+    "forget_audit" -> ((s, dir) => {
+      Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
+      Forget.forgetAudit(s, dir, nQueries = 10, dPrefix = 16)
+    }),
+
     // the external-vector forms of the two new rungs — every search
     // family carries the caller-supplied-panel surface (r12 contract)
     "ann_external_binary" -> ((s, dir) =>
@@ -807,6 +835,18 @@ object ExtEntry {
     // agree on what to remove?
     "filter_agreement" -> ((s, dir) => Curation.filterAgreement(s, dir))
   )
+
+  /** The deterministic tombstone set the registered forget queries
+    * share — candidates (vec_id >= 10) with vec_id % 23 == 5. ONE
+    * definition, mirrored verbatim in the oracles' WHERE predicate, so
+    * the engine's registrations and the SQL can never drift; the
+    * determinism is what makes re-runs idempotent no-op appends.
+    */
+  private def registeredForgetSet(s: SparkSession,
+                                  dir: String): DataFrame =
+    Similarity.embeddings(s, dir)
+      .filter(col("vec_id") >= 10 && col("vec_id") % 23 === 5)
+      .select(col("vec_id"))
 
   // DuckDB equivalents. Shared fragments:
   private val cap = graft.ext.TextDedup.maxBucket
@@ -3400,6 +3440,85 @@ object ExtEntry {
         |  CAST(1 AS BIGINT) AS max_multiplicity,
         |  TRUE AS consistent
         |FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10)""".stripMargin,
+
+    // the live (tombstone-filtered) exact search: the ann_cosine_topk
+    // chain with the registered deterministic deletion predicate woven
+    // into the candidate CTE — a vector the engine tombstones must
+    // never appear in any rank, and the ranks close up as if it had
+    // never been admitted
+    "ann_forget_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        |  WHERE vec_id >= 10 AND NOT (vec_id % 23 = 5)),
+        |sims AS (SELECT qid, cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS sim
+        |  FROM q, c),
+        |rk AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM sims)
+        |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the live binary-rung indexed search: ann_binary_topk's two-stage
+    // chain, candidates filtered by the same deletion predicate BEFORE
+    // the Hamming pool window (the engine's filter-before-rank
+    // contract — a tombstoned row must not occupy a pool slot either)
+    "ann_forget_topk" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (32 - i))
+        |        ELSE 0 END)) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (64 - i))
+        |        ELSE 0 END)) AS BIGINT) AS h2
+        |  FROM embeddings),
+        |q AS (SELECT * FROM s WHERE vec_id < 10),
+        |c AS (SELECT * FROM s WHERE vec_id >= 10 AND NOT (vec_id % 23 = 5)),
+        |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    q.embedding AS qe, c.embedding AS ce, q.nrm AS qnn, c.nrm AS cnn,
+        |    bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamm
+        |  FROM q, c),
+        |pool AS (SELECT qid, cid, qe, ce, qnn, cnn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY hamm, cid) AS ark FROM ap) WHERE ark <= 20),
+        |ex AS (SELECT qid, cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+        |      / (qnn * cnn) AS sim
+        |  FROM pool),
+        |rk AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM ex)
+        |SELECT qid, cid, rank, floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000 AS sim FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the erasure receipt, pre-apply: every per-vector surface still
+    // physically holds the tombstoned rows (read-path filtering is
+    // what serves deletion correctness between applies), so each
+    // resident count equals the deterministic set's size — all counts
+    // derivable cross-engine from the raw table + the rule
+    "forget_audit" ->
+      """WITH t AS (SELECT count(*) AS n FROM embeddings
+        |    WHERE vec_id >= 10 AND vec_id % 23 = 5),
+        |  c AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
+        |  e AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT surface, CAST(rows_total AS BIGINT) AS rows_total,
+        |  CAST(forgotten_resident AS BIGINT) AS forgotten_resident
+        |FROM (
+        |  SELECT 'raw_embeddings' AS surface, e.n AS rows_total,
+        |    t.n AS forgotten_resident FROM e, t
+        |  UNION ALL SELECT 'rung_binary', c.n, t.n FROM c, t
+        |  UNION ALL SELECT 'rung_int8', c.n, t.n FROM c, t
+        |  UNION ALL SELECT 'rung_matryoshka', c.n, t.n FROM c, t
+        |  UNION ALL SELECT 'tombstones', t.n, t.n FROM t)
+        |ORDER BY surface""".stripMargin,
 
     // mirrors semanticDedup: trained cells over the WHOLE table
     // (nQueries = 0), rank-capped membership, within-cell smaller-id

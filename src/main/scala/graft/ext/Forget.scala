@@ -1,0 +1,362 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity.packSigns
+
+/** Tombstone-based DELETION lifecycle for the vector corpus — the
+  * right-to-be-forgotten surface a 100 TB deployment cannot implement
+  * by rewriting tables per request (a single deletion would cost a full
+  * corpus rewrite in the raw store plus one per derived index). The
+  * shape is the deletion-vector design production table formats use
+  * (Delta/Iceberg deletion vectors; Lucene's live-docs bitmap), built
+  * here from the same standing-table machinery as the other surfaces:
+  *
+  *   - a STANDING tombstone table (`graft_forget_<dir>`, one `cid` per
+  *     forgotten vector, cid-bucketed) that [[forgetVectors]] appends to
+  *     idempotently — the [[Rung.appendToRungIndexes]] replay contract:
+  *     in-batch dedup + anti-join against the table (probe pruned to the
+  *     batch's ids by a literal IN), so an at-least-once deletion feed
+  *     redelivering a request is a no-op;
+  *   - a READ-PATH filter ([[excludeForgotten]]): a broadcast LEFT-ANTI
+  *     join of a scan against the tombstone set. The tombstone side is
+  *     bounded by the apply threshold (deletions between compactions),
+  *     so at 100 TB the filter costs one broadcast and ZERO extra scan
+  *     bytes — no shuffle, no index rewrite. It must sit BEFORE any
+  *     rank window: filtering a rank-capped pool after the fact would
+  *     shrink k instead of excluding the row from competition, breaking
+  *     the never-admitted identity the spec pins;
+  *   - filtered search forms ([[bruteForceTopKLive]],
+  *     [[binaryIndexedTopKLive]]) that equal their plain forms over a
+  *     corpus the forgotten vectors never entered — ForgetSpec builds
+  *     the counterfactual corpus and pins row-for-row equality;
+  *   - a dashboard face ([[forgetAudit]]): per-surface totals and
+  *     forgotten-but-resident counts, the number a privacy review asks
+  *     for ("how many deleted vectors still have index rows?");
+  *   - the PHYSICAL erase ([[applyForgetIfNeeded]]): rewrite the raw
+  *     embeddings store without the tombstoned rows (crash-safe
+  *     tmp/trash swap with a recovery preamble), purge+rebuild every
+  *     vector-derived standing surface present for the deployment's
+  *     shape (they retrain from the raw store, so the forgotten rows
+  *     cannot survive anywhere), then clear the tombstone log. This is
+  *     the one corpus-proportional pass, amortized over
+  *     `minTombstones` deletions — exactly the compaction economics the
+  *     rest of the index family runs on.
+  *
+  * The tombstone table is deliberately NOT in [[graft.streaming.Metrics
+  * .serveHealth]]'s surface list: absence is the healthy steady state
+  * (no pending deletions), not a missing index — [[forgetAudit]] is its
+  * dashboard face. Query-panel rows (`vec_id < nQueries`) are never
+  * filtered: tombstones govern the SEARCHED corpus; the panel is caller
+  * input.
+  *
+  * Reference scope note: the reference system (korntewin/kafka-streaming)
+  * has no deletion surface; this extends the engine the same way the
+  * dedup/ANN families do, following public designs (deletion vectors,
+  * tombstone logs) reimplemented from their descriptions.
+  */
+object Forget {
+
+  private[graft] def forgetTable(dir: String): String =
+    s"graft_forget_${IndexCatalog.indexKey(dir)}"
+
+  /** True when a tombstone table exists for `dir` (catalog entry or
+    * committed data at the fixed location — the shared predicate).
+    */
+  def forgetTableExists(spark: SparkSession, dir: String): Boolean =
+    IndexCatalog.hasCommittedData(spark, forgetTable(dir))
+
+  /** Drop the tombstone log (catalog entry and data). */
+  def purgeForgetTable(spark: SparkSession, dir: String): Unit =
+    IndexCatalog.purge(spark, forgetTable(dir))
+
+  /** The current tombstone set as a (cid) frame — empty when no table
+    * exists (the steady state of a corpus with no pending deletions; an
+    * EMPTY table is never persisted, so the reattach path never has to
+    * infer a schema from a data-less directory). Reattaches a prior
+    * session's surviving data like every standing surface.
+    */
+  def forgottenIds(spark: SparkSession, dir: String): DataFrame = {
+    val t = forgetTable(dir)
+    if (IndexCatalog.hasCommittedData(spark, t)) {
+      if (!spark.catalog.tableExists(t))
+        IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
+      spark.table(t).select(col("cid"))
+    } else spark.range(0).select(col("id").as("cid"))
+  }
+
+  /** Register a batch of deletion requests (`ids`: a `vec_id` column;
+    * other columns ignored). Idempotent at vector granularity — the
+    * admission-loop contract: the batch is deduped on vec_id, the
+    * standing table is anti-joined with its probe pruned to the batch's
+    * ids (adaptive [[TextDedup.indexPruneMaxKeys]] policy), and only
+    * genuinely new tombstones append. An empty batch (or an
+    * all-duplicates replay) writes nothing, so the table is only ever
+    * created by the first real deletion.
+    */
+  def forgetVectors(spark: SparkSession, dir: String,
+                    ids: DataFrame): Unit = {
+    val t = forgetTable(dir)
+    val rows = ids.select(col("vec_id").cast("long").as("cid"))
+      .dropDuplicates("cid").localCheckpoint(true)
+    val keys = IndexCatalog.collectKeys(rows, "cid")
+    if (keys.isEmpty) return
+    if (!forgetTableExists(spark, dir)) {
+      IndexCatalog.purge(spark, t) // clear a torn first write, if any
+      rows.write.mode("overwrite")
+        .bucketBy(8, "cid").sortBy("cid")
+        .option("path", IndexCatalog.tableLocation(spark, t).toString)
+        .saveAsTable(t)
+    } else {
+      if (!spark.catalog.tableExists(t))
+        IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
+      forgetAppendFrame(spark, t, rows, keys)
+        .write.mode("append")
+        .bucketBy(8, "cid").sortBy("cid")
+        .saveAsTable(t)
+      spark.catalog.refreshTable(t)
+    }
+  }
+
+  /** The frame a tombstone append writes — split out so the spec pins
+    * the pruned idempotency probe, the [[Rung.appendFrame]] pattern.
+    */
+  private[graft] def forgetAppendFrame(spark: SparkSession, table: String,
+                                       batchRows: DataFrame,
+                                       keys: Seq[Long]): DataFrame =
+    batchRows.join(
+      IndexCatalog.pruneToKeys(spark.table(table), "cid", keys)
+        .select(col("cid")),
+      Seq("cid"), "left_anti")
+
+  /** `frame` minus the rows whose `keyCol` is tombstoned — the ONE
+    * read-path filter every live search composes: a broadcast LEFT-ANTI
+    * join (tombstone side bounded by the apply threshold), zero extra
+    * scan bytes, applied BEFORE any rank window.
+    */
+  def excludeForgotten(spark: SparkSession, dir: String, frame: DataFrame,
+                       keyCol: String): DataFrame = {
+    val tomb = forgottenIds(spark, dir)
+      .select(col("cid").as("__forgotten_cid"))
+    frame.join(broadcast(tomb),
+      frame(keyCol) === col("__forgotten_cid"), "left_anti")
+  }
+
+  // ————————————————————————— the live (filtered) searches —————————————————————————
+
+  /** [[Similarity.bruteForceTopK]] over the live corpus — exact cosine
+    * top-k with tombstoned candidates excluded before ranking. Equals
+    * the plain form over a corpus the forgotten vectors never entered
+    * (ForgetSpec pins the counterfactual identity).
+    */
+  def bruteForceTopKLive(spark: SparkSession, dir: String, nQueries: Int,
+                         k: Int): DataFrame = {
+    val emb = Similarity.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        Similarity.norm(col("embedding")).as("qn"))
+    val c = excludeForgotten(spark, dir,
+      emb.filter(col("vec_id") >= nQueries), "vec_id")
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"))
+    Similarity.bruteForceOf(q, c, k)
+  }
+
+  /** [[Rung.binaryIndexedTopK]] over the live corpus: stage 1 scans the
+    * standing 16 B binary-rung table with the tombstone anti-join
+    * applied BEFORE the pool window (so a tombstoned row never occupies
+    * a pool slot), and the exact stage-2 rescore fetches only live pool
+    * cids — the raw store may still hold the forgotten bytes until the
+    * next [[applyForgetIfNeeded]], but no search result can contain
+    * them. Same plan budget as the unfiltered form plus one broadcast.
+    */
+  def binaryIndexedTopKLive(spark: SparkSession, dir: String, nQueries: Int,
+                            k: Int, rescoreFactor: Int = 4): DataFrame = {
+    Rung.ensureBinaryIndex(spark, dir, nQueries)
+    val q = Rung.headQueries(spark, dir, nQueries)
+      .withColumn("qh1", packSigns(col("qe"), 1, 32))
+      .withColumn("qh2", packSigns(col("qe"), 33, 64))
+    val liveScan = excludeForgotten(spark, dir,
+      spark.table(Rung.binTable(dir, Rung.binKey(nQueries))), "cid")
+    val pool = Rung.binaryPoolFrom(liveScan,
+      q.select(col("qid"), col("qh1"), col("qh2")), rescoreFactor * k)
+    Rung.exactRescore(spark, dir, pool, q, nQueries, k)
+  }
+
+  // ————————————————————————————— the dashboard face —————————————————————————————
+
+  /** Per-surface deletion audit — one row per standing surface of the
+    * vector corpus: total rows and FORGOTTEN-BUT-RESIDENT rows (a
+    * tombstoned cid still physically present — awaiting the next
+    * [[applyForgetIfNeeded]]), plus the tombstone log itself. After an
+    * apply, every `forgotten_resident` is 0 and `tombstones` is 0/0 —
+    * the erasure receipt a privacy review reads. Scale shape: one
+    * column-pruned scan per surface, each LEFT-joined to the broadcast
+    * tombstone set and reduced to a single row — no shuffle beyond the
+    * final one-row aggregates.
+    */
+  def forgetAudit(spark: SparkSession, dir: String, nQueries: Int = 10,
+                  dPrefix: Int = 16): DataFrame = {
+    Rung.ensureBinaryIndex(spark, dir, nQueries)
+    Rung.ensureMatryoshkaIndex(spark, dir, nQueries, dPrefix)
+    Rung.ensureInt8Index(spark, dir, nQueries)
+    val tomb = forgottenIds(spark, dir).localCheckpoint(true)
+    val marked = tomb.select(col("cid").as("k"), lit(1L).as("t"))
+    def row(surface: String, f: DataFrame, keyCol: String): DataFrame =
+      f.select(col(keyCol).as("k"))
+        .join(broadcast(marked), Seq("k"), "left")
+        .agg(count(lit(1)).as("rows_total"),
+          coalesce(sum(col("t")), lit(0L)).as("forgotten_resident"))
+        .select(lit(surface).as("surface"), col("rows_total"),
+          col("forgotten_resident"))
+    row("raw_embeddings", Similarity.embeddings(spark, dir), "vec_id")
+      .unionByName(row("rung_binary",
+        spark.table(Rung.binTable(dir, Rung.binKey(nQueries))), "cid"))
+      .unionByName(row("rung_int8",
+        spark.table(Rung.i8Table(dir, Rung.i8Key(nQueries))), "cid"))
+      .unionByName(row("rung_matryoshka",
+        spark.table(Rung.mrlTable(dir, Rung.mrlKey(nQueries, dPrefix))),
+        "cid"))
+      .unionByName(tomb.agg(count(lit(1)).as("rows_total"))
+        .select(lit("tombstones").as("surface"), col("rows_total"),
+          col("rows_total").as("forgotten_resident")))
+      .orderBy(col("surface"))
+  }
+
+  // ————————————————————————————— the physical erase —————————————————————————————
+
+  private def rawPath(dir: String) = new Path(s"$dir/embeddings.parquet")
+  private def tmpPath(dir: String) =
+    new Path(s"$dir/embeddings.parquet.rewrite")
+  private def trashPath(dir: String) =
+    new Path(s"$dir/embeddings.parquet.trash")
+
+  /** Recovery preamble for the raw-store swap — makes
+    * [[applyForgetIfNeeded]] safe to replay from ANY crash point. The
+    * swap order is: write rewrite dir (commits `_SUCCESS` last) →
+    * rename store→trash → rename rewrite→store → delete trash. So on
+    * entry:
+    *   - store missing + committed rewrite present ⇒ the crash hit
+    *     between the two renames: complete the swap;
+    *   - store missing + uncommitted rewrite + trash present ⇒ abort
+    *     the half-swap: restore trash (cannot happen under the stated
+    *     order, but a filesystem that reorders the rename is recovered
+    *     rather than data-lost);
+    *   - store present ⇒ any surviving trash/rewrite dirs are stale:
+    *     delete them.
+    * Fails loudly when no store can be recovered.
+    */
+  private[graft] def recoverRawSwap(spark: SparkSession,
+                                    dir: String): Unit = {
+    val real = rawPath(dir)
+    val fs = real.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(dir)
+    val trash = trashPath(dir)
+    def committed(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
+    if (!fs.exists(real) && committed(tmp)) fs.rename(tmp, real)
+    if (!fs.exists(real) && fs.exists(trash)) fs.rename(trash, real)
+    require(fs.exists(real),
+      s"recoverRawSwap: no embeddings store at $real and nothing to " +
+        "recover — the corpus dir has no raw store")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Physically apply the tombstone log when it has reached
+    * `minTombstones` entries: rewrite the raw embeddings store without
+    * the forgotten rows (the crash-safe swap above), purge+rebuild
+    * every vector-derived standing surface PRESENT for this
+    * deployment's shape (IVF cells, IVF-PQ cells, PQ codes, the three
+    * rungs — each retrains/re-derives from the rewritten raw store, so
+    * the forgotten vectors cannot survive in any of them), then clear
+    * the tombstone log. Returns the number of raw rows erased, or -1
+    * when below threshold / nothing pending.
+    *
+    * This is the corpus-proportional pass deletions amortize into —
+    * same economics as file-growth compaction; between applies the
+    * read-path filter serves correctness at broadcast cost. Shape
+    * parameters mirror [[graft.streaming.Metrics.serveHealth]] (env
+    * derivation via [[graft.tools.Maintenance.Shapes.fromEnv]]), so the
+    * maintenance loop erases exactly the surfaces it maintains.
+    * Single-maintainer contract: run quiesced — no admission stream,
+    * search, or sibling maintenance pass may touch the corpus dir or
+    * its standing tables during the apply. Requires a directory-backed
+    * store (the [[Similarity.appendToEmbeddings]] contract). Replay
+    * safety: a crash anywhere re-runs into the recovery preamble plus
+    * idempotent rebuilds — the tombstone log is cleared LAST, so no
+    * crash window can lose a pending deletion.
+    */
+  def applyForgetIfNeeded(spark: SparkSession, dir: String,
+                          ivfNq: Int = 10, ivfNc: Int = 16, pqNq: Int = 10,
+                          rungNq: Int = 10, rungPrefix: Int = 16,
+                          shapes: graft.tools.Maintenance.Shapes =
+                            graft.tools.Maintenance.Shapes(),
+                          minTombstones: Long = 1L): Long = {
+    recoverRawSwap(spark, dir)
+    if (!forgetTableExists(spark, dir)) return -1L
+    val tomb = forgottenIds(spark, dir).localCheckpoint(true)
+    val nTomb = tomb.count()
+    if (nTomb < minTombstones) return -1L
+    val real = rawPath(dir)
+    val fs = real.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(real).isDirectory,
+      s"applyForgetIfNeeded: $real is a single parquet FILE — a " +
+        "read-only corpus snapshot; the erase needs a directory-backed " +
+        "store (copy the snapshot into a directory first)")
+    val before = Similarity.embeddings(spark, dir)
+    val total = before.count()
+    // the rewrite: everything but the tombstoned rows, written beside
+    // the store and swapped in only once fully committed
+    before.join(broadcast(tomb.select(col("cid").as("__forgotten_cid"))),
+      col("vec_id") === col("__forgotten_cid"), "left_anti")
+      .write.mode("overwrite").parquet(tmpPath(dir).toString)
+    val erased =
+      total - spark.read.parquet(tmpPath(dir).toString).count()
+    fs.rename(real, trashPath(dir))
+    fs.rename(tmpPath(dir), real)
+    fs.delete(trashPath(dir), true)
+    spark.catalog.refreshByPath(real.toString)
+    // rebuild every vector-derived surface present for this shape —
+    // each is derived state, so purge+ensure from the rewritten store
+    // IS the erase (the compaction mechanism with a deletion trigger)
+    if (Rung.binaryIndexExists(spark, dir, rungNq) ||
+      Rung.matryoshkaIndexExists(spark, dir, rungNq, rungPrefix) ||
+      Rung.int8IndexExists(spark, dir, rungNq)) {
+      Rung.purgeRungIndexes(spark, dir, rungNq, rungPrefix)
+      Rung.ensureBinaryIndex(spark, dir, rungNq)
+      Rung.ensureMatryoshkaIndex(spark, dir, rungNq, rungPrefix)
+      Rung.ensureInt8Index(spark, dir, rungNq)
+    }
+    if (Similarity.ivfIndexExists(spark, dir, ivfNq, ivfNc,
+      shapes.ivfIters, shapes.ivfSampleMod, shapes.ivfSampleCap)) {
+      Similarity.purgeIvfIndex(spark, dir, ivfNq, ivfNc, shapes.ivfIters,
+        shapes.ivfSampleMod, shapes.ivfSampleCap)
+      Similarity.ensureIvfIndex(spark, dir, ivfNq, ivfNc, shapes.ivfIters,
+        shapes.ivfSampleMod, shapes.ivfSampleCap)
+    }
+    if (Pq.pqIndexExists(spark, dir, pqNq, shapes.pqNSub, shapes.pqKSub,
+      shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)) {
+      Pq.purgePqIndex(spark, dir, pqNq, shapes.pqNSub, shapes.pqKSub,
+        shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+      Pq.ensurePqIndex(spark, dir, pqNq, shapes.pqNSub, shapes.pqKSub,
+        shapes.pqIters, shapes.pqSampleMod, shapes.pqSampleCap)
+    }
+    if (IndexCatalog.hasCommittedData(spark,
+      Pq.ivfpqCellsTable(dir, Pq.ivfpqKey(pqNq, ivfNc, shapes.pqNSub,
+        shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+        shapes.pqSampleCap)))) {
+      Pq.purgeIvfPqIndex(spark, dir, pqNq, ivfNc, shapes.pqNSub,
+        shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+        shapes.pqSampleCap)
+      Pq.ensureIvfPqIndex(spark, dir, pqNq, ivfNc, shapes.pqNSub,
+        shapes.pqKSub, shapes.pqIters, shapes.pqSampleMod,
+        shapes.pqSampleCap)
+    }
+    // applied everywhere — clear the log LAST (a crash above replays
+    // with the tombstones intact; clearing first would lose them)
+    purgeForgetTable(spark, dir)
+    erased
+  }
+}

@@ -55,7 +55,8 @@ private[graft] object IndexCatalog {
     if (!fs.exists(wh)) return Seq.empty
     // order matters: ivfpq_ must match before ivf_
     val fams = Seq(
-      "graft_dedup_" -> "dedup", "graft_substr_grams_" -> "grams",
+      "graft_dedup_" -> "dedup", "graft_forget_" -> "forget",
+      "graft_substr_grams_" -> "grams",
       "graft_ivfpq_" -> "ivfpq", "graft_ivf_" -> "ivf", "graft_pq_" -> "pq",
       "graft_rung_" -> "rung", "graft_winsor_bounds_" -> "winsor")
     fs.listStatus(wh).filter(_.isDirectory).map(_.getPath.getName)

@@ -393,8 +393,8 @@ object Rung {
     * query-side (the panel is nQueries rows and broadcasts; deriving
     * its fingerprints per call is free, unlike the corpus side).
     */
-  private def headQueries(spark: SparkSession, dir: String,
-                          nQueries: Int): DataFrame =
+  private[graft] def headQueries(spark: SparkSession, dir: String,
+                                 nQueries: Int): DataFrame =
     embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
@@ -437,9 +437,9 @@ object Rung {
     IndexCatalog.pruneToKeys(base, keyCol,
       IndexCatalog.collectKeys(pool, "cid"))
 
-  private def exactRescore(spark: SparkSession, dir: String,
-                           pool: DataFrame, qf: DataFrame, nQueries: Int,
-                           k: Int): DataFrame = {
+  private[graft] def exactRescore(spark: SparkSession, dir: String,
+                                  pool: DataFrame, qf: DataFrame,
+                                  nQueries: Int, k: Int): DataFrame = {
     val p = pool.localCheckpoint(true)
     val cf = poolPruned(
       embeddings(spark, dir).filter(col("vec_id") >= nQueries),
@@ -467,9 +467,17 @@ object Rung {
   private[graft] def binaryPool(spark: SparkSession, dir: String,
                                 nQueries: Int, qh: DataFrame,
                                 poolK: Int): DataFrame =
+    binaryPoolFrom(spark.table(binTable(dir, binKey(nQueries))), qh, poolK)
+
+  /** [[binaryPool]] over a CALLER-SUPPLIED scan of the binary-rung
+    * table — the seam [[Forget.binaryIndexedTopKLive]] threads its
+    * tombstone anti-join through (the filter must precede the pool
+    * window, so it composes on the scan, not the pool).
+    */
+  private[graft] def binaryPoolFrom(scan: DataFrame, qh: DataFrame,
+                                    poolK: Int): DataFrame =
     poolOf(
-      spark.table(binTable(dir, binKey(nQueries)))
-        .crossJoin(broadcast(qh))
+      scan.crossJoin(broadcast(qh))
         .select(col("qid"), col("cid"),
           expr("bit_count(qh1 ^ ch1) + bit_count(qh2 ^ ch2)").as("hamm")),
       col("hamm").asc, poolK)

@@ -92,7 +92,8 @@ object Maintenance {
       winsorGroup: String = "event_type",
       rungDir: Option[String] = None, rungNq: Int = 10,
       rungPrefix: Int = 16,
-      shapes: Shapes = Shapes()): Seq[String] = {
+      shapes: Shapes = Shapes(),
+      forgetDir: Option[String] = None): Seq[String] = {
     import graft.ext.{IndexCatalog, Pq, Rung, Similarity, TextDedup}
     import graft.ops.Analytics
     gramDir.foreach { d =>
@@ -154,8 +155,13 @@ object Maintenance {
           Seq(Rung.binTable(d, Rung.binKey(rungNq)),
             Rung.mrlTable(d, Rung.mrlKey(rungNq, rungPrefix)),
             Rung.i8Table(d, Rung.i8Key(rungNq)))
-        }
-    val maintainable = Set("grams", "ivf", "pq", "winsor", "rung")
+        } ++
+        // no existence require: the tombstone log is CREATED by the
+        // first deletion — configured-but-absent is the healthy steady
+        // state, unlike the built-once indexes above
+        forgetDir.map(d => graft.ext.Forget.forgetTable(d))
+    val maintainable = Set("grams", "ivf", "pq", "winsor", "rung",
+      "forget")
     IndexCatalog.listIndexDirs(spark)
       .filter { case (fam, name) =>
         // exact name or a "_"-separated suffix of it (the gram log's
@@ -246,6 +252,17 @@ object Maintenance {
     val rungPrefix = sys.env.getOrElse("SPARK_GRAFT_RUNG_PREFIX", "16").toInt
     val rungMaxFiles =
       sys.env.getOrElse("SPARK_GRAFT_RUNG_MAX_FILES", "64").toInt
+    // Optional: tombstone apply — the physical right-to-be-forgotten
+    // pass (round 15). Pass the corpus dir as SPARK_GRAFT_FORGET_DIR
+    // (+ _MIN for the amortization threshold): when the standing
+    // tombstone log has reached _MIN entries, the raw store is
+    // rewritten without them, every vector-derived index present for
+    // the configured shape is purged+rebuilt, and the log is cleared.
+    // Between applies the read-path filter serves deletion correctness
+    // at broadcast cost. Quiesce searches and admission streams around
+    // the tick — the pass swaps the raw store they scan.
+    val forgetDir = sys.env.get("SPARK_GRAFT_FORGET_DIR")
+    val forgetMin = sys.env.getOrElse("SPARK_GRAFT_FORGET_MIN", "1").toLong
     // both-ways manifest validation BEFORE the first pass mutates
     // anything: a configured-but-absent index throws here. The coverage
     // half re-runs EVERY pass (one cheap listStatus) — an index another
@@ -253,7 +270,7 @@ object Maintenance {
     // after a restart
     def uncovered() = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
       ivfNc, pqDir, pqNq, winsorDir, winsorGroup, rungDir, rungNq,
-      rungPrefix, shapes)
+      rungPrefix, shapes, forgetDir)
     uncovered()
     do {
       uncovered().foreach(println)
@@ -281,6 +298,9 @@ object Maintenance {
       // compaction already rebuilt (trivially consistent).
       val rungRepaired = !rungCompacted && rungDir.exists(d => graft.ext
         .Rung.repairRungIndexesIfNeeded(spark, d, rungNq, rungPrefix))
+      val forgetErased = forgetDir.map(d => graft.ext.Forget
+        .applyForgetIfNeeded(spark, d, ivfNq, ivfNc, pqNq, rungNq,
+          rungPrefix, shapes, forgetMin))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -293,6 +313,8 @@ object Maintenance {
         rungDir.fold("")(d =>
           s" + rung file growth for $d (compacted=$rungCompacted, " +
             s"repaired=$rungRepaired)") +
+        forgetDir.fold("")(d =>
+          s" + tombstone apply for $d (erased=${forgetErased.get})") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

@@ -117,6 +117,33 @@ class MaintenanceManifestSpec extends SparkTestBase {
     } finally TextDedup.purgeDedupIndex(spark, dir)
   }
 
+  test("an on-disk tombstone log warns when no forget dir is configured " +
+    "(deletions accumulating with no apply pass IS drift); configuring " +
+    "it covers, and a configured-but-absent log is the healthy steady " +
+    "state — no throw") {
+    import graft.ext.Forget
+    import spark.implicits._
+    Forget.purgeForgetTable(spark, dir)
+    try {
+      // absent + configured: steady state, neither throw nor warning
+      val calm = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10, forgetDir = Some(dir))
+      assert(!calm.exists(_.contains("graft_forget_")), calm.mkString("\n"))
+      Forget.forgetVectors(spark, dir, Seq(42L).toDF("vec_id"))
+      val t = Forget.forgetTable(dir)
+      val inv = IndexCatalog.listIndexDirs(spark)
+      assert(inv.contains(("forget", t)), inv.mkString(", "))
+      // on disk, not configured: warns
+      val warns = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10)
+      assert(warns.exists(_.contains(t)), warns.mkString("\n"))
+      // configured: covered
+      val covered = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
+        None, 10, forgetDir = Some(dir))
+      assert(!covered.exists(_.contains(t)), covered.mkString("\n"))
+    } finally Forget.purgeForgetTable(spark, dir)
+  }
+
   test("Shapes.fromEnv derives the manifest from the same SPARK_GRAFT_* " +
     "vars the passes run with; defaults when unset") {
     assert(Maintenance.Shapes.fromEnv(Map.empty) == Maintenance.Shapes())

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkTestBase {
     // window column or a moved filter silently defeats it, falling back
     // to full-sort windows — the exact regression class this pins
     Seq("ann_cosine_topk", "ann_int8_topk", "ann_ivf_topk", "ann_pq_topk",
-      "ann_binary_indexed", "ann_cascade_topk", "mine_hard_negatives")
+      "ann_binary_indexed", "ann_cascade_topk", "mine_hard_negatives",
+      "ann_forget_exact", "ann_forget_topk")
       .foreach { q =>
         val p = executedPlan(q)
         val wgl = p.split("\n").filter(_.contains("WindowGroupLimit"))
@@ -240,6 +241,24 @@ class PlanAuditSpec extends SparkTestBase {
           l.matches(".*In\\(vec_id.*")),
           s"$q: rescore fetch carries no pushed IN on vec_id\n$p")
       }
+  }
+
+  test("r15 forget family: live searches plan broadcast-only with the " +
+    "rescore IN-prune intact, and the audit joins broadcast against " +
+    "the tombstone set") {
+    // the filter-before-rank and stage-1-scan pins live in ForgetSpec
+    // on the pool frame; the registered finals prove join discipline
+    Seq("ann_forget_exact", "ann_forget_topk", "forget_audit").foreach { q =>
+      val p = executedPlan(q)
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("SortMergeJoin"),
+        s"$q: tiny frame fell back to sort-merge\n$p")
+      assert(!finalPlan.contains("CartesianProduct"), s"$q\n$p")
+    }
+    val topk = executedPlan("ann_forget_topk")
+    assert(topk.split("\n").exists(l => l.contains("PushedFilters") &&
+      l.matches(".*In\\(vec_id.*")),
+      s"ann_forget_topk: rescore fetch carries no pushed IN on vec_id\n$topk")
   }
 
   test("winsorize bounds pass plans no single-reducer window — the value " +
