@@ -570,6 +570,23 @@ object ExtEntry {
       Forget.forgetAudit(s, dir, nQueries = 10, dPrefix = 16)
     }),
 
+    // the DOCUMENT-side deletion lifecycle: takedown requests name docs
+    // at least as often as vectors; tombstoned docs are excluded BEFORE
+    // the band-bucket grouping (bucket membership under the cap is
+    // order-sensitive — a post-hoc pair filter would differ from a
+    // corpus the doc never entered). Deterministic set: doc_id % 31 == 7
+    "dedup_forget_pairs" -> ((s, dir) => {
+      Forget.forgetDocs(s, dir, registeredForgetDocsSet(s, dir))
+      Forget.candidatePairsLive(s, dir).orderBy(col("d1"), col("d2"))
+    }),
+
+    // the doc-side erasure receipt — DISTINCT-key semantics (one doc
+    // spans many band rows; docs, not rows, are the privacy unit)
+    "forget_docs_audit" -> ((s, dir) => {
+      Forget.forgetDocs(s, dir, registeredForgetDocsSet(s, dir))
+      Forget.forgetDocsAudit(s, dir)
+    }),
+
     // the external-vector forms of the two new rungs — every search
     // family carries the caller-supplied-panel surface (r12 contract)
     "ann_external_binary" -> ((s, dir) =>
@@ -848,14 +865,28 @@ object ExtEntry {
       .filter(col("vec_id") >= 10 && col("vec_id") % 23 === 5)
       .select(col("vec_id"))
 
+  /** The doc-side deterministic tombstone set — doc_id % 31 == 7,
+    * mirrored verbatim in the doc oracles' predicate.
+    */
+  private def registeredForgetDocsSet(s: SparkSession,
+                                      dir: String): DataFrame =
+    TextDedup.documents(s, dir)
+      .filter(col("doc_id") % 31 === 7)
+      .select(col("doc_id"))
+
   // DuckDB equivalents. Shared fragments:
   private val cap = graft.ext.TextDedup.maxBucket
 
-  private val shinglesCte =
-    """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(
-      |  generate_series(1, greatest(len(w) - 2, 1)),
-      |  i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM docs)""".stripMargin
+  // Parameterized by the docs source so the live (tombstone-filtered)
+  // oracles weave the deletion predicate into the SAME chain instead of
+  // copying it (round 15).
+  private def shinglesCteFrom(src: String) =
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(w) - 2, 1)),
+       |  i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM docs)""".stripMargin
+
+  private val shinglesCte = shinglesCteFrom("documents")
 
   // The signature/banding pipeline shared by every MinHash oracle: per-doc
   // 8-chunk minhash signature → 4 band hashes (bands0, uncapped).
@@ -3517,6 +3548,36 @@ object ExtEntry {
         |  UNION ALL SELECT 'rung_binary', c.n, t.n FROM c, t
         |  UNION ALL SELECT 'rung_int8', c.n, t.n FROM c, t
         |  UNION ALL SELECT 'rung_matryoshka', c.n, t.n FROM c, t
+        |  UNION ALL SELECT 'tombstones', t.n, t.n FROM t)
+        |ORDER BY surface""".stripMargin,
+
+    // the live MinHash-LSH pairs: the dedup_minhash_lsh chain with the
+    // doc deletion predicate woven into its docs source — filtering
+    // BEFORE banding, so capped buckets fill with live docs only
+    "dedup_forget_pairs" ->
+      s"""WITH ${shinglesCteFrom(
+             "(SELECT * FROM documents WHERE NOT (doc_id % 31 = 7))")},
+         |$bandsCte
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+
+    // doc-side receipt, pre-apply: distinct-key semantics. The standing
+    // band table covers the STANDING-corpus partition (doc_id % 10 in
+    // 0..7 — the incremental-admission split ensureDedupIndex builds),
+    // so its key set and resident count carry that predicate; the raw
+    // store covers everything
+    "forget_docs_audit" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents WHERE doc_id % 31 = 7),
+        |  d AS (SELECT count(*) AS n FROM documents),
+        |  bc AS (SELECT count(*) AS n FROM documents
+        |    WHERE NOT (doc_id % 10 >= 8)),
+        |  bt AS (SELECT count(*) AS n FROM documents
+        |    WHERE doc_id % 31 = 7 AND NOT (doc_id % 10 >= 8))
+        |SELECT surface, CAST(keys_total AS BIGINT) AS keys_total,
+        |  CAST(forgotten_resident AS BIGINT) AS forgotten_resident
+        |FROM (
+        |  SELECT 'dedup_bands' AS surface, bc.n AS keys_total,
+        |    bt.n AS forgotten_resident FROM bc, bt
+        |  UNION ALL SELECT 'raw_documents', d.n, t.n FROM d, t
         |  UNION ALL SELECT 'tombstones', t.n, t.n FROM t)
         |ORDER BY surface""".stripMargin,
 

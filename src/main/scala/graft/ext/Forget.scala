@@ -62,6 +62,14 @@ object Forget {
   private[graft] def forgetTable(dir: String): String =
     s"graft_forget_${IndexCatalog.indexKey(dir)}"
 
+  /** The DOCUMENT-side tombstone log — takedown/deletion requests name
+    * documents at least as often as vectors; same machinery, keyed by
+    * doc_id against the `documents` store and its derived surfaces
+    * (dedup bands, substring grams).
+    */
+  private[graft] def forgetDocsTable(dir: String): String =
+    s"graft_forget_docs_${IndexCatalog.indexKey(dir)}"
+
   /** True when a tombstone table exists for `dir` (catalog entry or
     * committed data at the fixed location — the shared predicate).
     */
@@ -78,14 +86,19 @@ object Forget {
     * infer a schema from a data-less directory). Reattaches a prior
     * session's surviving data like every standing surface.
     */
-  def forgottenIds(spark: SparkSession, dir: String): DataFrame = {
-    val t = forgetTable(dir)
+  def forgottenIds(spark: SparkSession, dir: String): DataFrame =
+    idsOf(spark, forgetTable(dir))
+
+  /** The doc-side twin of [[forgottenIds]]. */
+  def forgottenDocIds(spark: SparkSession, dir: String): DataFrame =
+    idsOf(spark, forgetDocsTable(dir))
+
+  private def idsOf(spark: SparkSession, t: String): DataFrame =
     if (IndexCatalog.hasCommittedData(spark, t)) {
       if (!spark.catalog.tableExists(t))
         IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
       spark.table(t).select(col("cid"))
     } else spark.range(0).select(col("id").as("cid"))
-  }
 
   /** Register a batch of deletion requests (`ids`: a `vec_id` column;
     * other columns ignored). Idempotent at vector granularity — the
@@ -97,13 +110,23 @@ object Forget {
     * created by the first real deletion.
     */
   def forgetVectors(spark: SparkSession, dir: String,
-                    ids: DataFrame): Unit = {
-    val t = forgetTable(dir)
-    val rows = ids.select(col("vec_id").cast("long").as("cid"))
-      .dropDuplicates("cid").localCheckpoint(true)
+                    ids: DataFrame): Unit =
+    register(spark, forgetTable(dir),
+      ids.select(col("vec_id").cast("long").as("cid")))
+
+  /** The doc-side twin of [[forgetVectors]] (`ids`: a `doc_id`
+    * column) — same idempotent replay contract against the doc log.
+    */
+  def forgetDocs(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    register(spark, forgetDocsTable(dir),
+      ids.select(col("doc_id").cast("long").as("cid")))
+
+  private def register(spark: SparkSession, t: String,
+                       keyed: DataFrame): Unit = {
+    val rows = keyed.dropDuplicates("cid").localCheckpoint(true)
     val keys = IndexCatalog.collectKeys(rows, "cid")
     if (keys.isEmpty) return
-    if (!forgetTableExists(spark, dir)) {
+    if (!IndexCatalog.hasCommittedData(spark, t)) {
       IndexCatalog.purge(spark, t) // clear a torn first write, if any
       rows.write.mode("overwrite")
         .bucketBy(8, "cid").sortBy("cid")
@@ -137,9 +160,17 @@ object Forget {
     * scan bytes, applied BEFORE any rank window.
     */
   def excludeForgotten(spark: SparkSession, dir: String, frame: DataFrame,
-                       keyCol: String): DataFrame = {
-    val tomb = forgottenIds(spark, dir)
-      .select(col("cid").as("__forgotten_cid"))
+                       keyCol: String): DataFrame =
+    antiTomb(frame, keyCol, forgottenIds(spark, dir))
+
+  /** The doc-side twin of [[excludeForgotten]]. */
+  def excludeForgottenDocs(spark: SparkSession, dir: String,
+                           frame: DataFrame, keyCol: String): DataFrame =
+    antiTomb(frame, keyCol, forgottenDocIds(spark, dir))
+
+  private def antiTomb(frame: DataFrame, keyCol: String,
+                       tombIds: DataFrame): DataFrame = {
+    val tomb = tombIds.select(col("cid").as("__forgotten_cid"))
     frame.join(broadcast(tomb),
       frame(keyCol) === col("__forgotten_cid"), "left_anti")
   }
@@ -227,11 +258,12 @@ object Forget {
 
   // ————————————————————————————— the physical erase —————————————————————————————
 
-  private def rawPath(dir: String) = new Path(s"$dir/embeddings.parquet")
-  private def tmpPath(dir: String) =
-    new Path(s"$dir/embeddings.parquet.rewrite")
-  private def trashPath(dir: String) =
-    new Path(s"$dir/embeddings.parquet.trash")
+  private def rawPath(dir: String, store: String) =
+    new Path(s"$dir/$store.parquet")
+  private def tmpPath(dir: String, store: String) =
+    new Path(s"$dir/$store.parquet.rewrite")
+  private def trashPath(dir: String, store: String) =
+    new Path(s"$dir/$store.parquet.trash")
 
   /** Recovery preamble for the raw-store swap — makes
     * [[applyForgetIfNeeded]] safe to replay from ANY crash point. The
@@ -248,20 +280,47 @@ object Forget {
     *     delete them.
     * Fails loudly when no store can be recovered.
     */
-  private[graft] def recoverRawSwap(spark: SparkSession,
-                                    dir: String): Unit = {
-    val real = rawPath(dir)
+  private[graft] def recoverRawSwap(spark: SparkSession, dir: String,
+                                    store: String = "embeddings"): Unit = {
+    val real = rawPath(dir, store)
     val fs = real.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = tmpPath(dir)
-    val trash = trashPath(dir)
+    val tmp = tmpPath(dir, store)
+    val trash = trashPath(dir, store)
     def committed(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
     if (!fs.exists(real) && committed(tmp)) fs.rename(tmp, real)
     if (!fs.exists(real) && fs.exists(trash)) fs.rename(trash, real)
     require(fs.exists(real),
-      s"recoverRawSwap: no embeddings store at $real and nothing to " +
+      s"recoverRawSwap: no $store store at $real and nothing to " +
         "recover — the corpus dir has no raw store")
     if (fs.exists(trash)) fs.delete(trash, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** The shared rewrite half of both applies: write `live` beside the
+    * store, swap it in (the crash windows [[recoverRawSwap]] names),
+    * refresh path caches, and return the number of rows erased.
+    * Requires a directory-backed store — a single-file snapshot is a
+    * read-only corpus and fails loudly.
+    */
+  private def rewriteStore(spark: SparkSession, dir: String, store: String,
+                           before: DataFrame, total: Long,
+                           tomb: DataFrame, keyCol: String): Long = {
+    val real = rawPath(dir, store)
+    val fs = real.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(real).isDirectory,
+      s"applyForget: $real is a single parquet FILE — a read-only " +
+        "corpus snapshot; the erase needs a directory-backed store " +
+        "(copy the snapshot into a directory first)")
+    before.join(broadcast(tomb.select(col("cid").as("__forgotten_cid"))),
+      col(keyCol) === col("__forgotten_cid"), "left_anti")
+      .write.mode("overwrite").parquet(tmpPath(dir, store).toString)
+    val erased =
+      total - spark.read.parquet(tmpPath(dir, store).toString).count()
+    fs.rename(real, trashPath(dir, store))
+    fs.rename(tmpPath(dir, store), real)
+    fs.delete(trashPath(dir, store), true)
+    spark.catalog.refreshByPath(real.toString)
+    erased
   }
 
   /** Physically apply the tombstone log when it has reached
@@ -294,30 +353,18 @@ object Forget {
                           shapes: graft.tools.Maintenance.Shapes =
                             graft.tools.Maintenance.Shapes(),
                           minTombstones: Long = 1L): Long = {
-    recoverRawSwap(spark, dir)
+    // the log is cleared LAST by a completed apply, so log-absent means
+    // no apply is pending or mid-flight — gating the recovery (and the
+    // store requirement) behind it keeps this pass a true no-op on a
+    // deployment whose corpus dir has no vector store at all
     if (!forgetTableExists(spark, dir)) return -1L
+    recoverRawSwap(spark, dir)
     val tomb = forgottenIds(spark, dir).localCheckpoint(true)
     val nTomb = tomb.count()
     if (nTomb < minTombstones) return -1L
-    val real = rawPath(dir)
-    val fs = real.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.getFileStatus(real).isDirectory,
-      s"applyForgetIfNeeded: $real is a single parquet FILE — a " +
-        "read-only corpus snapshot; the erase needs a directory-backed " +
-        "store (copy the snapshot into a directory first)")
     val before = Similarity.embeddings(spark, dir)
-    val total = before.count()
-    // the rewrite: everything but the tombstoned rows, written beside
-    // the store and swapped in only once fully committed
-    before.join(broadcast(tomb.select(col("cid").as("__forgotten_cid"))),
-      col("vec_id") === col("__forgotten_cid"), "left_anti")
-      .write.mode("overwrite").parquet(tmpPath(dir).toString)
-    val erased =
-      total - spark.read.parquet(tmpPath(dir).toString).count()
-    fs.rename(real, trashPath(dir))
-    fs.rename(tmpPath(dir), real)
-    fs.delete(trashPath(dir), true)
-    spark.catalog.refreshByPath(real.toString)
+    val erased = rewriteStore(spark, dir, "embeddings", before,
+      before.count(), tomb, "vec_id")
     // rebuild every vector-derived surface present for this shape —
     // each is derived state, so purge+ensure from the rewritten store
     // IS the erase (the compaction mechanism with a deletion trigger)
@@ -357,6 +404,94 @@ object Forget {
     // applied everywhere — clear the log LAST (a crash above replays
     // with the tombstones intact; clearing first would lose them)
     purgeForgetTable(spark, dir)
+    erased
+  }
+
+  // ————————————————————————— the document-side family —————————————————————————
+
+  /** True when a doc tombstone log exists for `dir`. */
+  def forgetDocsTableExists(spark: SparkSession, dir: String): Boolean =
+    IndexCatalog.hasCommittedData(spark, forgetDocsTable(dir))
+
+  /** Drop the doc tombstone log (catalog entry and data). */
+  def purgeForgetDocsTable(spark: SparkSession, dir: String): Unit =
+    IndexCatalog.purge(spark, forgetDocsTable(dir))
+
+  /** [[TextDedup.candidatePairs]] over the live corpus — MinHash-LSH
+    * candidate pairs with tombstoned documents excluded BEFORE the
+    * band-bucket grouping, so a forgotten doc neither emits pairs nor
+    * occupies a capped bucket slot (the same filter-before-rank
+    * discipline as the vector searches: bucket membership under the
+    * [[TextDedup.maxBucket]] cap is order-sensitive, so a post-hoc pair
+    * filter would differ from a corpus the doc never entered —
+    * ForgetSpec pins the counterfactual identity). The standing-index
+    * path ([[TextDedup.nearDupPairsIndexed]]) composes the same
+    * [[excludeForgottenDocs]] anti-join on its band-table scan.
+    */
+  def candidatePairsLive(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.candidatePairsFromBands(
+      excludeForgottenDocs(spark, dir,
+        TextDedup.bands(TextDedup.signatures(spark, dir)), "doc_id"),
+      TextDedup.maxBucket)
+
+  /** The doc-side erasure receipt — DISTINCT-key semantics (one doc
+    * spans many band/gram rows, so "rows" is not the privacy-relevant
+    * unit): per surface, the distinct doc keys present and how many of
+    * them are tombstoned-but-resident. Surfaces: the raw documents
+    * store, the standing dedup band table (ensured; it covers the
+    * STANDING-corpus partition [[TextDedup.ensureDedupIndex]] builds —
+    * doc_id % 10 in 0..7 — so its counts carry that predicate), and the
+    * tombstone log itself. The substring gram log is audited by its own
+    * compaction cycle and is rebuilt by [[applyForgetDocsIfNeeded]]
+    * when present.
+    */
+  def forgetDocsAudit(spark: SparkSession, dir: String): DataFrame = {
+    TextDedup.ensureDedupIndex(spark, dir)
+    val tomb = forgottenDocIds(spark, dir).localCheckpoint(true)
+    val marked = tomb.select(col("cid").as("k"), lit(1L).as("t"))
+    def row(surface: String, f: DataFrame, keyCol: String): DataFrame =
+      f.select(col(keyCol).as("k")).distinct()
+        .join(broadcast(marked), Seq("k"), "left")
+        .agg(count(lit(1)).as("keys_total"),
+          coalesce(sum(col("t")), lit(0L)).as("forgotten_resident"))
+        .select(lit(surface).as("surface"), col("keys_total"),
+          col("forgotten_resident"))
+    row("raw_documents", TextDedup.documents(spark, dir), "doc_id")
+      .unionByName(row("dedup_bands",
+        spark.table(TextDedup.bandsTable(dir)), "doc_id"))
+      .unionByName(tomb.agg(count(lit(1)).as("keys_total"))
+        .select(lit("tombstones").as("surface"), col("keys_total"),
+          col("keys_total").as("forgotten_resident")))
+      .orderBy(col("surface"))
+  }
+
+  /** The doc-side physical erase: rewrite the documents store without
+    * the tombstoned rows (same crash-safe swap), rebuild the
+    * doc-derived standing surfaces present for `dir` (the dedup band
+    * table; the substring gram log at `gramN` when one exists — both
+    * re-derive from the rewritten store), clear the doc log LAST. Same
+    * threshold economics, replay safety, and single-maintainer
+    * contract as [[applyForgetIfNeeded]].
+    */
+  def applyForgetDocsIfNeeded(spark: SparkSession, dir: String,
+                              gramN: Int = 5,
+                              minTombstones: Long = 1L): Long = {
+    if (!forgetDocsTableExists(spark, dir)) return -1L
+    recoverRawSwap(spark, dir, "documents")
+    val tomb = forgottenDocIds(spark, dir).localCheckpoint(true)
+    if (tomb.count() < minTombstones) return -1L
+    val before = TextDedup.documents(spark, dir)
+    val erased = rewriteStore(spark, dir, "documents", before,
+      before.count(), tomb, "doc_id")
+    if (IndexCatalog.hasCommittedData(spark, TextDedup.bandsTable(dir))) {
+      TextDedup.purgeDedupIndex(spark, dir)
+      TextDedup.ensureDedupIndex(spark, dir)
+    }
+    if (TextDedup.substringIndexExists(spark, dir, gramN)) {
+      TextDedup.purgeSubstringIndex(spark, dir, gramN)
+      TextDedup.ensureSubstringIndex(spark, dir, gramN)
+    }
+    purgeForgetDocsTable(spark, dir)
     erased
   }
 }

@@ -294,6 +294,28 @@ object StreamingDedup {
     * replayed tag a no-op). Interleaved batch admissions and stream
     * batches see one corpus, both directions.
     */
+  /** The DOCUMENT deletion feed — the takedown twin of the vector
+    * stream ([[StreamingSimilarity.startForgetStream]]): each
+    * micro-batch of deletion requests (`doc_id` column) registers doc
+    * tombstones ([[graft.ext.Forget.forgetDocs]]), which the live dedup
+    * forms ([[graft.ext.Forget.candidatePairsLive]]) exclude before
+    * banding until the next physical apply
+    * ([[graft.ext.Forget.applyForgetDocsIfNeeded]], a maintenance pass
+    * — never run from inside this stream). Same no-marker replay
+    * contract as the admission loops: registration is idempotent at
+    * document granularity.
+    */
+  def startDocForgetStream(spark: SparkSession, dir: String,
+                           ids: DataFrame,
+                           checkpoint: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Forget.forgetDocs(spark, dir, batch)
+        ()
+      }
+      .start()
+
   def startSubstringAdmission(spark: SparkSession, dir: String,
                               docs: DataFrame, outDir: String,
                               checkpoint: String, n: Int = 5,

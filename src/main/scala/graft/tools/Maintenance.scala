@@ -156,10 +156,11 @@ object Maintenance {
             Rung.mrlTable(d, Rung.mrlKey(rungNq, rungPrefix)),
             Rung.i8Table(d, Rung.i8Key(rungNq)))
         } ++
-        // no existence require: the tombstone log is CREATED by the
+        // no existence require: the tombstone logs are CREATED by the
         // first deletion — configured-but-absent is the healthy steady
         // state, unlike the built-once indexes above
-        forgetDir.map(d => graft.ext.Forget.forgetTable(d))
+        forgetDir.toSeq.flatMap(d => Seq(graft.ext.Forget.forgetTable(d),
+          graft.ext.Forget.forgetDocsTable(d)))
     val maintainable = Set("grams", "ivf", "pq", "winsor", "rung",
       "forget")
     IndexCatalog.listIndexDirs(spark)
@@ -301,6 +302,8 @@ object Maintenance {
       val forgetErased = forgetDir.map(d => graft.ext.Forget
         .applyForgetIfNeeded(spark, d, ivfNq, ivfNc, pqNq, rungNq,
           rungPrefix, shapes, forgetMin))
+      val forgetDocsErased = forgetDir.map(d => graft.ext.Forget
+        .applyForgetDocsIfNeeded(spark, d, gramN, forgetMin))
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -314,7 +317,8 @@ object Maintenance {
           s" + rung file growth for $d (compacted=$rungCompacted, " +
             s"repaired=$rungRepaired)") +
         forgetDir.fold("")(d =>
-          s" + tombstone apply for $d (erased=${forgetErased.get})") +
+          s" + tombstone apply for $d (vectors=${forgetErased.get}, " +
+            s"docs=${forgetDocsErased.get})") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

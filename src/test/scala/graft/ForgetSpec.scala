@@ -200,6 +200,100 @@ class ForgetSpec extends SparkTestBase {
     } finally cleanup(a)
   }
 
+  private def docForgetCond = col("doc_id") % 31 === 7
+
+  private def copyDocs(tag: String, keepAll: Boolean): String = {
+    val tmp = Files.createTempDirectory(s"graft_forgetdoc_$tag").toString
+    val src = graft.ext.TextDedup.documents(spark, dir)
+    (if (keepAll) src else src.filter(!docForgetCond))
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def cleanupDocs(dirs: String*): Unit = dirs.foreach { d =>
+    graft.ext.TextDedup.purgeDedupIndex(spark, d)
+    Forget.purgeForgetDocsTable(spark, d)
+  }
+
+  test("doc-side counterfactual identity: live LSH candidate pairs over " +
+    "a tombstoned corpus equal the plain pairs over a corpus the " +
+    "forgotten docs never entered — filter-before-banding, so capped " +
+    "buckets fill with live docs only") {
+    import graft.ext.TextDedup
+    val a = copyDocs("full", keepAll = true)
+    val b = copyDocs("counterfactual", keepAll = false)
+    try {
+      Forget.forgetDocs(spark, a,
+        TextDedup.documents(spark, a).filter(docForgetCond)
+          .select(col("doc_id")))
+      assert(Forget.candidatePairsLive(spark, a)
+        .orderBy(col("d1"), col("d2")).collect().toSeq ==
+        TextDedup.candidatePairs(spark, b)
+          .orderBy(col("d1"), col("d2")).collect().toSeq)
+      // and the registration is idempotent across the two key spaces:
+      // doc tombstones never leak into the vector log
+      assert(!Forget.forgetTableExists(spark, a))
+    } finally cleanupDocs(a, b)
+  }
+
+  test("doc-side physical apply: the documents store is rewritten, the " +
+    "standing band table is rebuilt without the forgotten docs, the " +
+    "log clears, and the audit reads zero residue") {
+    import graft.ext.TextDedup
+    val a = copyDocs("apply", keepAll = true)
+    try {
+      val f = TextDedup.documents(spark, a).filter(docForgetCond)
+        .select(col("doc_id"))
+      val nF = f.count()
+      assert(nF > 0)
+      Forget.forgetDocs(spark, a, f)
+      TextDedup.ensureDedupIndex(spark, a)
+      val pre = Forget.forgetDocsAudit(spark, a).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(pre("raw_documents")._2 == nF)
+      assert(pre("dedup_bands")._2 > 0L) // the standing-partition share
+      val totalBefore = TextDedup.documents(spark, a).count()
+      val erased = Forget.applyForgetDocsIfNeeded(spark, a)
+      assert(erased == nF, s"erased=$erased expected=$nF")
+      assert(TextDedup.documents(spark, a).count() == totalBefore - nF)
+      assert(!Forget.forgetDocsTableExists(spark, a))
+      assert(spark.table(TextDedup.bandsTable(a))
+        .filter(col("doc_id") % 31 === 7).count() == 0L)
+      val post = Forget.forgetDocsAudit(spark, a).collect()
+      assert(post.forall(_.getLong(2) == 0L), post.mkString("\n"))
+      // replay after the clear is a no-op
+      assert(Forget.applyForgetDocsIfNeeded(spark, a) == -1L)
+    } finally cleanupDocs(a)
+  }
+
+  test("streaming doc deletion feed registers tombstones idempotently " +
+    "and the live pairs drop the doc's pairs immediately") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.TextDedup
+    import spark.implicits._
+    cleanupDocs(dir)
+    val ckpt = Files.createTempDirectory("graft_forgetdoc_ckpt").toString
+    try {
+      // pick a doc that participates in at least one candidate pair
+      val victim = TextDedup.candidatePairs(spark, dir)
+        .select(col("d1")).limit(1).collect().head.getLong(0)
+      val input = MemoryStream[Long](102, spark, None)
+      val sq = graft.streaming.StreamingDedup.startDocForgetStream(
+        spark, dir, input.toDF().toDF("doc_id"), ckpt)
+      try {
+        input.addData(victim, victim)
+        sq.processAllAvailable()
+        input.addData(victim)
+        sq.processAllAvailable()
+        assert(Forget.forgottenDocIds(spark, dir)
+          .collect().map(_.getLong(0)).toSeq == Seq(victim))
+        val live = Forget.candidatePairsLive(spark, dir).collect()
+        assert(!live.exists(r =>
+          r.getLong(0) == victim || r.getLong(1) == victim))
+      } finally sq.stop()
+    } finally cleanupDocs(dir)
+  }
+
   test("streaming deletion feed: tombstones land through the stream, " +
     "searches exclude them immediately, and redelivery — in-batch or " +
     "across batches — never duplicates the log") {

@@ -248,7 +248,8 @@ class PlanAuditSpec extends SparkTestBase {
     "the tombstone set") {
     // the filter-before-rank and stage-1-scan pins live in ForgetSpec
     // on the pool frame; the registered finals prove join discipline
-    Seq("ann_forget_exact", "ann_forget_topk", "forget_audit").foreach { q =>
+    Seq("ann_forget_exact", "ann_forget_topk", "forget_audit",
+      "dedup_forget_pairs", "forget_docs_audit").foreach { q =>
       val p = executedPlan(q)
       val finalPlan = p.split("== Initial Plan ==").head
       assert(!finalPlan.contains("SortMergeJoin"),
