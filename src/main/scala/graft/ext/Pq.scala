@@ -468,12 +468,17 @@ object Pq {
   def pqIndexedTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
                     nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
                     sampleMod: Int = 3, sampleCap: Int = defaultIvfSampleCap,
-                    rescoreFactor: Int = 4): DataFrame = {
+                    rescoreFactor: Int = 4,
+                    corpusFilter: DataFrame => DataFrame = identity)
+      : DataFrame = {
     ensurePqIndex(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
       sampleCap)
     val key = pqKey(nQueries, nSub, kSub, iters, sampleMod, sampleCap)
     val books = readBooks(spark, pqBooksTable(dir, key), nSub, kSub)
-    val pool = adcPool(spark, dir, spark.table(pqCodesTable(dir, key)),
+    // corpusFilter composes onto the codes scan BEFORE the ADC rank
+    // window (the Similarity.ivfIndexedSearch seam; identity = no-op)
+    val pool = adcPool(spark, dir,
+      corpusFilter(spark.table(pqCodesTable(dir, key))),
       books, nQueries, rescoreFactor * k)
     exactRescore(spark, dir, pool, nQueries, k)
   }
@@ -673,13 +678,15 @@ object Pq {
                 nProbe: Int, k: Int, nCentroids: Int = 16, nSub: Int = 8,
                 kSub: Int = 16, iters: Int = 2, sampleMod: Int = 3,
                 sampleCap: Int = defaultIvfSampleCap,
-                rescoreFactor: Int = 4): DataFrame =
+                rescoreFactor: Int = 4,
+                corpusFilter: DataFrame => DataFrame = identity)
+      : DataFrame =
     ivfpqSearch(spark, dir,
       embeddings(spark, dir).filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           norm(col("embedding")).as("qn")),
       nQueries, nProbe, k, nCentroids, nSub, kSub, iters, sampleMod,
-      sampleCap, rescoreFactor)
+      sampleCap, rescoreFactor, corpusFilter)
 
   /** [[ivfpqTopK]] for a CALLER-SUPPLIED query frame (qid, qe) —
     * out-of-corpus vectors against the SAME standing coarse-cell +
@@ -706,7 +713,9 @@ object Pq {
                           nQueries: Int, nProbe: Int, k: Int,
                           nCentroids: Int, nSub: Int, kSub: Int,
                           iters: Int, sampleMod: Int, sampleCap: Int,
-                          rescoreFactor: Int): DataFrame = {
+                          rescoreFactor: Int,
+                          corpusFilter: DataFrame => DataFrame = identity)
+      : DataFrame = {
     ensureIvfPqIndex(spark, dir, nQueries, nCentroids, nSub, kSub, iters,
       sampleMod, sampleCap)
     val key = ivfpqKey(nQueries, nCentroids, nSub, kSub, iters, sampleMod,
@@ -723,7 +732,8 @@ object Pq {
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cent_id"))
     val members = broadcast(probed)
-      .join(spark.table(ivfpqCellsTable(dir, key)), Seq("cent_id"))
+      .join(corpusFilter(spark.table(ivfpqCellsTable(dir, key))),
+        Seq("cent_id"))
       .select(col("qid"), col("cid"), col("codes"))
     val pool = topPoolOf(
       members.join(

@@ -502,9 +502,16 @@ object Rung {
   private[graft] def matryoshkaPool(spark: SparkSession, dir: String,
                                     nQueries: Int, dPrefix: Int,
                                     qp: DataFrame, poolK: Int): DataFrame =
+    matryoshkaPoolFrom(
+      spark.table(mrlTable(dir, mrlKey(nQueries, dPrefix))), qp, poolK)
+
+  /** [[matryoshkaPool]] over a caller-supplied scan — the
+    * [[binaryPoolFrom]] seam for the prefix rung.
+    */
+  private[graft] def matryoshkaPoolFrom(scan: DataFrame, qp: DataFrame,
+                                        poolK: Int): DataFrame =
     poolOf(
-      spark.table(mrlTable(dir, mrlKey(nQueries, dPrefix)))
-        .crossJoin(broadcast(qp))
+      scan.crossJoin(broadcast(qp))
         .select(col("qid"), col("cid"),
           (dot(col("qpe"), col("cpe")) / (col("qpn") * col("cpn")))
             .as("ascore")),
@@ -534,9 +541,15 @@ object Rung {
   private[graft] def int8Pool(spark: SparkSession, dir: String,
                               nQueries: Int, q8: DataFrame,
                               poolK: Int): DataFrame =
+    int8PoolFrom(spark.table(i8Table(dir, i8Key(nQueries))), q8, poolK)
+
+  /** [[int8Pool]] over a caller-supplied scan — the [[binaryPoolFrom]]
+    * seam for the int8 rung.
+    */
+  private[graft] def int8PoolFrom(scan: DataFrame, q8: DataFrame,
+                                  poolK: Int): DataFrame =
     poolOf(
-      spark.table(i8Table(dir, i8Key(nQueries)))
-        .crossJoin(broadcast(q8))
+      scan.crossJoin(broadcast(q8))
         .select(col("qid"), col("cid"),
           (HashExpressions.dotInt8(col("qq8"), col("q8")) *
             col("qscale") * col("cscale") /
@@ -546,8 +559,8 @@ object Rung {
   /** The query panel's int8 side: packed payload + scale + norm,
     * derived on the fly (nQueries rows).
     */
-  private def int8Queries(spark: SparkSession, dir: String,
-                          nQueries: Int): DataFrame =
+  private[graft] def int8Queries(spark: SparkSession, dir: String,
+                                 nQueries: Int): DataFrame =
     i8Frame(embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("cid"), col("embedding")))
       .select(col("cid").as("qid"), col("q8").as("qq8"),

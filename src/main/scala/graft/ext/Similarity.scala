@@ -1744,12 +1744,15 @@ object Similarity {
   def ivfIndexedTopK(spark: SparkSession, dir: String, nQueries: Int,
                      nCentroids: Int, nProbe: Int, k: Int,
                      iters: Int = 2, sampleMod: Int = 3,
-                     sampleCap: Int = defaultIvfSampleCap): DataFrame =
+                     sampleCap: Int = defaultIvfSampleCap,
+                     corpusFilter: DataFrame => DataFrame = identity)
+      : DataFrame =
     ivfIndexedSearch(spark, dir,
       embeddings(spark, dir).filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           norm(col("embedding")).as("qn")),
-      nQueries, nCentroids, nProbe, k, iters, sampleMod, sampleCap)
+      nQueries, nCentroids, nProbe, k, iters, sampleMod, sampleCap,
+      corpusFilter)
 
   /** [[ivfIndexedTopK]] for a CALLER-SUPPLIED query frame (qid, qe) —
     * vectors from OUTSIDE the corpus probe the SAME standing index
@@ -1767,10 +1770,17 @@ object Similarity {
     ivfIndexedSearch(spark, dir, normQueries(queries), nQueries, nCentroids,
       nProbe, k, iters, sampleMod, sampleCap)
 
+  /** `corpusFilter` composes a caller predicate onto the CELL-TABLE
+    * scan (before the per-query rank window — the filter-before-rank
+    * contract): the seam [[Forget.ivfIndexedTopKLive]] threads its
+    * tombstone anti-join through. Identity leaves the plan untouched.
+    */
   private def ivfIndexedSearch(spark: SparkSession, dir: String,
                                q: DataFrame, nQueries: Int, nCentroids: Int,
                                nProbe: Int, k: Int, iters: Int,
-                               sampleMod: Int, sampleCap: Int): DataFrame = {
+                               sampleMod: Int, sampleCap: Int,
+                               corpusFilter: DataFrame => DataFrame =
+                                 identity): DataFrame = {
     ensureIvfIndex(spark, dir, nQueries, nCentroids, iters, sampleMod,
       sampleCap)
     val key = ivfKey(nQueries, nCentroids, iters, sampleMod, sampleCap)
@@ -1779,7 +1789,7 @@ object Similarity {
     // caller-supplied frame is often a join result with no stats, and
     // without the hint this join plans sort-merge, shuffling the
     // cell-side rows (r12 Explain audit)
-    rankTopK(probed.join(spark.table(ivfCellsTable(dir, key)),
+    rankTopK(probed.join(corpusFilter(spark.table(ivfCellsTable(dir, key))),
         Seq("cent_id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),

@@ -52,6 +52,18 @@ class ForgetSpec extends SparkTestBase {
       assert(
         Forget.binaryIndexedTopKLive(spark, a, 10, 5).collect().toSeq ==
           Rung.binaryIndexedTopK(spark, b, 10, 5).collect().toSeq)
+      // every rung carries the live form — same one-filter composition
+      assert(
+        Forget.matryoshkaIndexedTopKLive(spark, a, 10, 5)
+          .collect().toSeq ==
+          Rung.matryoshkaIndexedTopK(spark, b, 10, 5).collect().toSeq)
+      assert(
+        Forget.int8IndexedTopKLive(spark, a, 10, 5).collect().toSeq ==
+          Rung.int8IndexedTopK(spark, b, 10, 5).collect().toSeq)
+      // the cascade filters ONCE at stage 1; later stages fetch only
+      // (already-live) pool cids
+      assert(Forget.cascadeTopKLive(spark, a, 10, 5).collect().toSeq ==
+        Rung.cascadeTopK(spark, b, 10, 5).collect().toSeq)
     } finally cleanup(a, b)
   }
 
@@ -198,6 +210,40 @@ class ForgetSpec extends SparkTestBase {
       assert(Similarity.embeddings(spark, a).count() == afterSwap)
       assert(!fs.exists(p("embeddings.parquet.trash")))
     } finally cleanup(a)
+  }
+
+  test("trained-index live forms (IVF / PQ / IVF-PQ): content exclusion " +
+    "is immediate — at full probe / corpus-covering pool each equals " +
+    "the exact scan of the LIVE corpus, while the frozen trained state " +
+    "retains only statistical influence until the next apply") {
+    import graft.ext.Pq
+    val a = copyCorpus("trained", keepAll = true)
+    try {
+      Forget.forgetVectors(spark, a,
+        Similarity.embeddings(spark, a).filter(forgetCond)
+          .select(col("vec_id")))
+      val exactLive = Forget.bruteForceTopKLive(spark, a, 10, 5)
+        .collect().toSeq
+      // IVF at nProbe = nCentroids degrades to the exact live scan
+      assert(Forget.ivfIndexedTopKLive(spark, a, 10, 16, 16, 5)
+        .collect().toSeq == exactLive)
+      // PQ with a corpus-covering ADC pool: the exact rescore tail
+      // makes the live top-k exact
+      assert(Forget.pqIndexedTopKLive(spark, a, 10, 5,
+        rescoreFactor = 200).collect().toSeq == exactLive)
+      // IVF-PQ with full probe AND covering pool
+      assert(Forget.ivfpqTopKLive(spark, a, 10, 16, 5,
+        rescoreFactor = 200).collect().toSeq == exactLive)
+      // and a narrow live search never emits a tombstoned cid
+      val narrow = Forget.ivfIndexedTopKLive(spark, a, 10, 16, 2, 5)
+        .collect()
+      assert(!narrow.exists(r => r.getLong(1) % 23 == 5))
+    } finally {
+      cleanup(a)
+      Similarity.purgeIvfIndex(spark, a)
+      Pq.purgePqIndex(spark, a)
+      Pq.purgeIvfPqIndex(spark, a)
+    }
   }
 
   private def docForgetCond = col("doc_id") % 31 === 7
