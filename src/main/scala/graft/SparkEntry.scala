@@ -90,8 +90,14 @@ object SparkEntry {
   /** Flagship: dedup'd per-group running aggregates (SURVEY §7.3) —
     * the batch analog of the reference's silver→gold pipeline.
     */
-  def goldFlagship(s: SparkSession, dir: String): DataFrame = {
-    val ev = silverBase(s, dir)
+  def goldFlagship(s: SparkSession, dir: String): DataFrame =
+    goldFlagshipOf(silverBase(s, dir))
+
+  /** The flagship gold rollup over a caller-supplied event frame — the
+    * seam the live (user-tombstone-filtered) form shares with the plain
+    * one, so the two can never drift.
+    */
+  private def goldFlagshipOf(ev: DataFrame): DataFrame = {
     // first-wins per event_id via min_by aggregation — one exchange, no
     // sort (the window-dedup twin is Dedup.latestPerKey; same rows)
     val ded = Dedup.latestPerKeyAgg(ev, Seq("event_id"),
@@ -104,6 +110,16 @@ object SparkEntry {
         max(col("event_timestamp")).as("last_event_timestamp"))
       .orderBy(col("user_id"))
   }
+
+  /** The deterministic user tombstone set the registered user-forget
+    * anchors share (user_id % 41 == 11), mirrored verbatim in their
+    * oracles' predicate — registered as STRING gids, the one key space
+    * spanning the batch tables' long ids and the pipeline's group_id.
+    */
+  private def registeredForgetUsersSet(s: SparkSession,
+                                       dir: String): DataFrame =
+    Ingest.events(s, dir).filter(col("user_id") % 41 === 11)
+      .select(col("user_id").cast("string").as("group_id")).distinct()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -162,6 +178,34 @@ object SparkEntry {
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_flagship" -> ((s, dir) => goldFlagship(s, dir)),
+
+    // the USER-deletion lifecycle in the reference's own domain (round
+    // 15): tombstoned users excluded at the SOURCE frame by one
+    // broadcast anti-join, so the gold rollup and the serving page
+    // close ranks as if the user never existed; physical erase across
+    // silver/gold/changes/serve is graft.streaming.UserForget's
+    // maintenance pass (spec-run — it rewrites pipeline dirs, which the
+    // read-only testdata corpus has none of)
+    "gold_forget_flagship" -> ((s, dir) => {
+      graft.streaming.UserForget.forgetUsers(s, dir,
+        registeredForgetUsersSet(s, dir))
+      goldFlagshipOf(graft.streaming.UserForget.excludeForgottenUsers(
+        s, dir, silverBase(s, dir), "user_id"))
+    }),
+
+    "serve_forget_page" -> ((s, dir) => {
+      graft.streaming.UserForget.forgetUsers(s, dir,
+        registeredForgetUsersSet(s, dir))
+      val live = graft.streaming.UserForget.excludeForgottenUsers(
+        s, dir, silverBase(s, dir), "user_id")
+      val gold = live.groupBy(col("user_id")).agg(
+        dsum(col("value")).as("cumulative_score"),
+        count(lit(1)).as("event_count"))
+      Serve.page(Serve.withDocId(gold, "user_id"), Seq(col("user_id")),
+          pageNo = 2, pageSize = 20)
+        .select(col("user_id"), col("_id"), col("cumulative_score"),
+          col("event_count"))
+    }),
 
     // P1-P5, P9: projections, casts, JSON parse, derived time columns
     "silver_projection" -> ((s, dir) =>
@@ -1313,6 +1357,32 @@ object SparkEntry {
         |  min(epoch_ms(ts)) AS first_event_timestamp,
         |  max(epoch_ms(ts)) AS last_event_timestamp
         |FROM ded GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the flagship chain with the user deletion predicate woven into its
+    // source — the engine filters the SOURCE frame, so the dedup window
+    // and the rollup see only live users
+    "gold_forget_flagship" ->
+      """WITH ded AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        |    FROM events WHERE NOT (user_id % 41 = 11)) WHERE rn = 1)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
+        |  count(*) AS event_count,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_score,
+        |  min(epoch_ms(ts)) AS first_event_timestamp,
+        |  max(epoch_ms(ts)) AS last_event_timestamp
+        |FROM ded GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the serving page with deleted users gone AND the page boundary
+    // closing ranks over the survivors (pagination must not leak a
+    // tombstoned user's slot as an empty hole)
+    "serve_forget_page" ->
+      """SELECT user_id, user_id AS _id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS cumulative_score,
+        |  count(*) AS event_count
+        |FROM events WHERE NOT (user_id % 41 = 11)
+        |GROUP BY user_id ORDER BY user_id LIMIT 20 OFFSET 20""".stripMargin,
 
     "silver_projection" ->
       """SELECT event_id, user_id, event_type, value,

@@ -223,12 +223,16 @@ object Pipeline {
     * rows stay exactly-once in gold and batch readers see the compacted
     * layout. Use [[compactSilverAuto]] to pick the right variant.
     */
-  def compactSilver(spark: SparkSession, cfg: Config): Unit = {
+  def compactSilver(spark: SparkSession, cfg: Config,
+                    rowFilter: Option[DataFrame => DataFrame] = None)
+      : Unit = {
     val dir = new Path(cfg.silverPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
     val tmp = new Path(cfg.silverPath + "_compacting")
-    spark.read.schema(Schemas.silverSchema).parquet(cfg.silverPath)
+    val base = spark.read.schema(Schemas.silverSchema)
+      .parquet(cfg.silverPath)
+    rowFilter.map(_(base)).getOrElse(base)
       .repartition(col("minute_timestamp"))
       .write.mode("overwrite").partitionBy("minute_timestamp")
       .parquet(tmp.toString)
@@ -269,7 +273,9 @@ object Pipeline {
     * row twice — the same read-uncommitted window the whole-dir swap has;
     * streaming gold is immune via invariants 1–2.
     */
-  def compactSilverLive(spark: SparkSession, cfg: Config): Unit = {
+  def compactSilverLive(spark: SparkSession, cfg: Config,
+                        rowFilter: Option[DataFrame => DataFrame] = None)
+      : Unit = {
     val dir = new Path(cfg.silverPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
@@ -280,7 +286,9 @@ object Pipeline {
         case None    => return // no gold source log yet — nothing is safe
       }
     // per bucket: committed part-* files plus any prior compact-* files;
-    // a bucket qualifies when merging actually shrinks its file count
+    // a bucket qualifies when merging actually shrinks its file count —
+    // or, under a rowFilter (the user-deletion scrub), whenever it has
+    // ANY eligible file: a single file still needs its rows rewritten
     val buckets = fs.listStatus(dir).toSeq.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("minute_timestamp="))
     val doomed: Seq[Path] = buckets.flatMap { b =>
@@ -291,14 +299,16 @@ object Pipeline {
           (n.startsWith("part-") && committed.contains(p.toUri.getPath)) ||
             n.startsWith("compact-")
         }
-      if (files.size >= 2) files else Nil
+      if (files.size >= 2 || (rowFilter.isDefined && files.nonEmpty)) files
+      else Nil
     }
     if (doomed.isEmpty) return
     val tmp = new Path(cfg.silverPath + "_compact_tmp")
     fs.delete(tmp, true)
-    spark.read.schema(Schemas.silverSchema)
+    val doomedBase = spark.read.schema(Schemas.silverSchema)
       .option("basePath", cfg.silverPath)
       .parquet(doomed.map(_.toString): _*)
+    rowFilter.map(_(doomedBase)).getOrElse(doomedBase)
       .repartition(col("minute_timestamp"))
       .write.mode("overwrite").partitionBy("minute_timestamp")
       .parquet(tmp.toString)
@@ -548,7 +558,7 @@ object Pipeline {
     * (the plain-Spark analog of the reference clustering gold by
     * `group_id`, bootstrap.py:50-56).
     */
-  private def goldBucket(cfg: Config): org.apache.spark.sql.Column =
+  private[streaming] def goldBucket(cfg: Config): org.apache.spark.sql.Column =
     pmod(crc32(col("group_id")), lit(cfg.goldBuckets)).cast("int")
 
   /** A2/J2 with the faithful batch-overwrite first/last semantics, plus
@@ -1193,7 +1203,7 @@ object Pipeline {
       .parquet(cfg.goldChangesPath)
   }
 
-  private def serveSnapshotBase(cfg: Config): String =
+  private[streaming] def serveSnapshotBase(cfg: Config): String =
     s"${cfg.baseDir}/serve_snapshot"
 
   /** Newest compacted snapshot version under `serve_snapshot/v=<n>`. */

@@ -1,0 +1,429 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.IndexCatalog
+import graft.model.Schemas
+import graft.streaming.Pipeline.Config
+
+/** USER-level deletion for the event pipeline — the reference's own
+  * domain (user-keyed events → silver → user-keyed gold → serve): a
+  * GDPR/takedown request names a `user_id`/`group_id`, and at scale the
+  * erase cannot cost a full-history rewrite per request. Same two-phase
+  * design as [[graft.ext.Forget]]:
+  *
+  *   - a STANDING tombstone log (`graft_forget_users_<baseDir>`, one
+  *     string `gid` per user) with idempotent registration — the
+  *     anti-join probe is the (bounded) log itself, so no IN-prune is
+  *     needed: the probe side never exceeds the apply threshold;
+  *   - a READ-PATH filter ([[excludeForgottenUsers]]) every serving
+  *     query composes — one broadcast anti-join, applied at the source
+  *     frame so aggregates/pages close ranks as if the user never
+  *     existed (`gold_forget_flagship` / `serve_forget_page` are the
+  *     oracle-checked registered forms);
+  *   - the PHYSICAL erase ([[applyForgetUsersIfNeeded]]): scrub every
+  *     user-keyed store of the pipeline — silver history, the gold
+  *     snapshot's touched buckets, the gold change feed, the serve
+  *     store and its compacted snapshots — then clear the log LAST.
+  *
+  * Streaming-contract discipline (what makes the scrub legal against
+  * the pipeline's own consumers, all quiesced — single-maintainer like
+  * compaction):
+  *
+  *   - SILVER is a gold-consumed file stream reading only `part-*`
+  *     names: the scrub reuses [[Pipeline.compactSilverLive]] with a
+  *     row filter — committed files rewrite into `compact-*` names the
+  *     gold glob ignores (the dataChange=false analog), crash-safe via
+  *     the same staged manifest. It runs ONLY when gold has committed
+  *     every silver file (else the pass holds back, returning -2): an
+  *     unconsumed file cannot be touched (gold still owes it a fold),
+  *     and scrubbing around it would let the user's rows fold into gold
+  *     AFTER the gold scrub.
+  *   - GOLD is one row per group_id in `gb=` bucket dirs: deletion is
+  *     dropping the users' rows from the touched buckets (no refold —
+  *     the row is entirely theirs), a filtered per-bucket swap.
+  *   - The GOLD CHANGE FEED is serve-consumed with NO name glob and
+  *     file-source accounting is BY PATH, so new names would re-plan
+  *     scrubbed history into serve (re-upserting stale postimages).
+  *     The scrub therefore rewrites IN PLACE under EXISTING names: per
+  *     (version, bucket) dir, rows minus the users merge into ONE
+  *     surviving original name, the rest delete — legal because the
+  *     pass requires serve drained (every change file committed ⇒ no
+  *     name is ever re-read). Crash-safe via a staged mirror + a
+  *     DELETE-then-MOVE manifest replayed on entry.
+  *   - SERVE (and its compacted `serve_snapshot/v=*` versions) has no
+  *     streaming reader accounting — filtered whole-dir swaps.
+  *   - RETENTION snapshots are deliberately NOT scrubbed: their rows
+  *     are (cohort_day, day_offset, n_active) — anonymous aggregate
+  *     counts carrying no user key. Erasing a user's historical +1
+  *     from an anonymous count is not a deletion-of-personal-data
+  *     operation, and decrementing would silently falsify published
+  *     analytics; deployments that want it rebuild the view from the
+  *     scrubbed silver (`Analytics.retentionFromActivity` backfill).
+  *
+  * Re-registration semantics: the erase removes HISTORY; a user whose
+  * events arrive after the apply accumulates a fresh gold row from
+  * zero — the GDPR-correct outcome, spec-pinned.
+  */
+object UserForget {
+
+  private[graft] def forgetUsersTable(baseDir: String): String =
+    s"graft_forget_users_${IndexCatalog.indexKey(baseDir)}"
+
+  def forgetUsersTableExists(spark: SparkSession, baseDir: String): Boolean =
+    IndexCatalog.hasCommittedData(spark, forgetUsersTable(baseDir))
+
+  def purgeForgetUsersTable(spark: SparkSession, baseDir: String): Unit =
+    IndexCatalog.purge(spark, forgetUsersTable(baseDir))
+
+  /** The current user tombstone set as a (gid string) frame — empty
+    * when no log exists (an empty log is never persisted).
+    */
+  def forgottenUserIds(spark: SparkSession, baseDir: String): DataFrame = {
+    val t = forgetUsersTable(baseDir)
+    if (IndexCatalog.hasCommittedData(spark, t)) {
+      if (!spark.catalog.tableExists(t))
+        IndexCatalog.reattachIfPresent(spark, t, Seq("gid"))
+      spark.table(t).select(col("gid"))
+    } else spark.range(0).select(col("id").cast("string").as("gid"))
+  }
+
+  /** Register deletion requests (`ids`: a `group_id` column; the batch
+    * anchors pass `user_id` cast to string — ONE key space across the
+    * batch tables' long ids and the pipeline's string group_id).
+    * Idempotent at user granularity: in-batch dedup + anti-join against
+    * the log. The probe is a flat scan of the log — the log is bounded
+    * by the apply threshold, so there is nothing to prune to.
+    */
+  def forgetUsers(spark: SparkSession, baseDir: String,
+                  ids: DataFrame): Unit = {
+    val t = forgetUsersTable(baseDir)
+    val rows = ids.select(col("group_id").cast("string").as("gid"))
+      .dropDuplicates("gid").localCheckpoint(true)
+    if (rows.limit(1).count() == 0L) return
+    if (!forgetUsersTableExists(spark, baseDir)) {
+      IndexCatalog.purge(spark, t) // clear a torn first write, if any
+      rows.write.mode("overwrite")
+        .bucketBy(8, "gid").sortBy("gid")
+        .option("path", IndexCatalog.tableLocation(spark, t).toString)
+        .saveAsTable(t)
+    } else {
+      if (!spark.catalog.tableExists(t))
+        IndexCatalog.reattachIfPresent(spark, t, Seq("gid"))
+      rows.join(spark.table(t).select(col("gid")), Seq("gid"), "left_anti")
+        .write.mode("append")
+        .bucketBy(8, "gid").sortBy("gid")
+        .saveAsTable(t)
+      spark.catalog.refreshTable(t)
+    }
+  }
+
+  /** `frame` minus rows whose `keyCol` names a tombstoned user — the
+    * read-path filter every serving query composes. `keyCol` may be the
+    * batch tables' long `user_id` or the pipeline's string `group_id`;
+    * both compare in the string key space.
+    */
+  def excludeForgottenUsers(spark: SparkSession, baseDir: String,
+                            frame: DataFrame, keyCol: String): DataFrame =
+    antiUsers(frame, keyCol, forgottenUserIds(spark, baseDir))
+
+  private def antiUsers(frame: DataFrame, keyCol: String,
+                        tomb: DataFrame): DataFrame =
+    frame.join(broadcast(tomb.select(col("gid").as("__forgotten_gid"))),
+      frame(keyCol).cast("string") === col("__forgotten_gid"), "left_anti")
+
+  /** The TAKEDOWN feed — deletion requests as a stream (`ids`: a
+    * `group_id` column): each micro-batch registers user tombstones,
+    * which the read-path filter serves immediately; the physical erase
+    * stays a maintenance pass ([[applyForgetUsersIfNeeded]] — never run
+    * from inside a stream: it rewrites the stores the stages read and
+    * write). Same no-marker replay contract as every registration:
+    * idempotent at user granularity, so at-least-once redelivery is a
+    * no-op.
+    */
+  def startForgetUsersStream(spark: SparkSession, baseDir: String,
+                             ids: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        forgetUsers(spark, baseDir, batch)
+        ()
+      }
+      .start()
+
+  // ————————————————————————————— the physical erase —————————————————————————————
+
+  private def committed(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS"))
+
+  /** Directory-swap recovery — the [[graft.ext.Forget.recoverRawSwap]]
+    * windows for an arbitrary store dir.
+    */
+  private def recoverDirSwap(fs: FileSystem, real: Path): Unit = {
+    val tmp = new Path(real.toString + ".rewrite")
+    val trash = new Path(real.toString + ".trash")
+    if (!fs.exists(real) && committed(fs, tmp)) fs.rename(tmp, real)
+    if (!fs.exists(real) && fs.exists(trash)) fs.rename(trash, real)
+    if (fs.exists(real)) {
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
+  /** Rewrite `real`'s contents as `write(tmp)` and swap it in. */
+  private def dirSwap(fs: FileSystem, real: Path)
+                     (write: String => Unit): Unit = {
+    val tmp = new Path(real.toString + ".rewrite")
+    val trash = new Path(real.toString + ".trash")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.rename(real, trash)
+    fs.rename(tmp, real)
+    fs.delete(trash, true)
+  }
+
+  private def scrubManifestPath(cfg: Config): Path =
+    new Path(s"${cfg.baseDir}/gold_changes_scrub_manifest")
+  private def scrubTmpBase(cfg: Config): Path =
+    new Path(s"${cfg.baseDir}/gold_changes_scrub_tmp")
+
+  /** Replays (or discards) a change-feed scrub plan left by a crash:
+    * DELETE lines first (the merged-away originals), then MOVE lines
+    * (staged scrubbed file → a surviving original name), each
+    * idempotent; manifest and staging dir removed last. Without a
+    * manifest, any staging dir is an incomplete stage — originals are
+    * intact, so it is simply discarded.
+    */
+  private[streaming] def replayScrubManifest(fs: FileSystem,
+                                             cfg: Config): Unit = {
+    val manifest = scrubManifestPath(cfg)
+    if (!fs.exists(manifest)) {
+      fs.delete(scrubTmpBase(cfg), true)
+      return
+    }
+    val in = fs.open(manifest)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.startsWith("DELETE\t")).foreach { l =>
+      val p = new Path(l.split('\t')(1))
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    lines.filter(_.startsWith("MOVE\t")).foreach { l =>
+      val Array(_, src, dst) = l.split('\t')
+      val (s, d) = (new Path(src), new Path(dst))
+      if (fs.exists(s)) {
+        if (fs.exists(d)) fs.delete(d, false)
+        fs.rename(s, d)
+      }
+    }
+    fs.delete(manifest, false)
+    fs.delete(scrubTmpBase(cfg), true)
+  }
+
+  /** Apply the user tombstone log to every user-keyed store of the
+    * pipeline under `cfg` once it holds `minTombstones` entries.
+    * Returns the number of silver event rows erased, `-1` when nothing
+    * is pending, or `-2` when pending but HELD BACK because a consumer
+    * has not drained (gold owes silver files a fold, or serve owes
+    * change files) — the vacuum-style deferral, so a maintenance loop
+    * keeps ticking and the erase lands on the first drained pass.
+    * Single-maintainer contract: run quiesced.
+    */
+  def applyForgetUsersIfNeeded(spark: SparkSession, cfg: Config,
+                               minTombstones: Long = 1L): Long = {
+    val base = new Path(cfg.baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!forgetUsersTableExists(spark, cfg.baseDir)) {
+      // a crash AFTER the log cleared cannot leave live swap debris
+      // (the log clears last), so no recovery is owed here
+      return -1L
+    }
+    // finish any crashed prior scrub before reading state
+    Pipeline.replayCompactionManifest(fs, cfg)
+    replayScrubManifest(fs, cfg)
+    Seq(new Path(cfg.goldChangesPath), new Path(cfg.servePath))
+      .foreach(recoverDirSwap(fs, _))
+    recoverGoldBuckets(fs, cfg)
+    recoverSnapshots(fs, cfg)
+    val tomb = forgottenUserIds(spark, cfg.baseDir).localCheckpoint(true)
+    if (tomb.count() < minTombstones) return -1L
+    // ——— drain guards (deferral, not failure) ———
+    val goldCommitted =
+      Pipeline.committedSourcePaths(fs, cfg.checkpoint("gold"))
+    val silverDir = new Path(cfg.silverPath)
+    goldCommitted.foreach { c =>
+      val pending = listDataFiles(fs, silverDir)
+        .filter(_.getName.startsWith("part-"))
+        .exists(p => !c.contains(p.toUri.getPath))
+      if (pending) return -2L
+    }
+    val serveCommitted =
+      Pipeline.committedSourcePaths(fs, cfg.checkpoint("serve"))
+    val changesDir = new Path(cfg.goldChangesPath)
+    serveCommitted.foreach { c =>
+      val pending = listDataFiles(fs, changesDir)
+        .exists(p => !c.contains(p.toUri.getPath))
+      if (pending) return -2L
+    }
+    def scrub(df: DataFrame, keyCol: String): DataFrame =
+      antiUsers(df, keyCol, tomb)
+    // ——— silver: history rows ———
+    val erased =
+      if (!fs.exists(silverDir)) 0L
+      else {
+        val silver = spark.read.schema(Schemas.silverSchema)
+          .parquet(cfg.silverPath)
+        val n = silver
+          .join(broadcast(tomb), col("group_id") === col("gid"),
+            "left_semi").count()
+        if (goldCommitted.isDefined)
+          Pipeline.compactSilverLive(spark, cfg, Some(scrub(_, "group_id")))
+        else
+          Pipeline.compactSilver(spark, cfg, Some(scrub(_, "group_id")))
+        n
+      }
+    // ——— gold: drop the users' rows from the touched buckets ———
+    val touched = tomb
+      .select(pmod(crc32(col("gid")), lit(cfg.goldBuckets)).cast("int")
+        .as("gb")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach { b =>
+      val bucket = new Path(cfg.goldPath, s"gb=$b")
+      if (fs.exists(bucket)) {
+        val rows = scrub(spark.read.parquet(bucket.toString), "group_id")
+          .localCheckpoint(true)
+        dirSwap(fs, bucket)(tmp => rows.write.parquet(tmp))
+      }
+    }
+    // ——— gold change feed ———
+    if (fs.exists(changesDir) && listDataFiles(fs, changesDir).nonEmpty) {
+      if (serveCommitted.isDefined) scrubChangesInPlace(spark, fs, cfg, tomb)
+      else dirSwap(fs, changesDir) { tmp =>
+        scrub(spark.read.option("basePath", cfg.goldChangesPath)
+          .parquet(cfg.goldChangesPath), "group_id")
+          .write.partitionBy("_commit_version", "gb").parquet(tmp)
+      }
+    }
+    // ——— serve store + compacted snapshots ———
+    val serveDir = new Path(cfg.servePath)
+    if (fs.exists(serveDir) && listDataFiles(fs, serveDir).nonEmpty)
+      dirSwap(fs, serveDir) { tmp =>
+        scrub(spark.read.option("basePath", cfg.servePath)
+          .parquet(cfg.servePath), "group_id")
+          .write.partitionBy("_serve_batch").parquet(tmp)
+      }
+    snapshotDirs(fs, cfg).foreach { v =>
+      val rows = scrub(spark.read.parquet(v.toString), "group_id")
+        .localCheckpoint(true)
+      dirSwap(fs, v)(tmp => rows.write.parquet(tmp))
+    }
+    spark.catalog.refreshByPath(cfg.baseDir)
+    // applied everywhere — clear the log LAST
+    purgeForgetUsersTable(spark, cfg.baseDir)
+    erased
+  }
+
+  /** The serve-drained in-place change-feed scrub: per (version, gb)
+    * leaf dir, the scrubbed rows merge into ONE surviving original
+    * name; every name either survives with scrubbed content or deletes
+    * — no NEW name exists for the serve source to re-plan. Staged
+    * fully, then a DELETE-then-MOVE manifest executes (crash at any
+    * point replays on the next apply).
+    */
+  private def scrubChangesInPlace(spark: SparkSession, fs: FileSystem,
+                                  cfg: Config, tomb: DataFrame): Unit = {
+    val changesDir = new Path(cfg.goldChangesPath)
+    val leaves = fs.listStatus(changesDir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_commit_version="))
+      .flatMap(v => fs.listStatus(v.getPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb=")))
+      .map(_.getPath)
+    val tmpBase = scrubTmpBase(cfg)
+    fs.delete(tmpBase, true)
+    val plan = leaves.flatMap { leaf =>
+      val originals = fs.listStatus(leaf).toSeq.filter(_.isFile)
+        .map(_.getPath)
+        .filter(p => !p.getName.startsWith(".") &&
+          !p.getName.startsWith("_"))
+      if (originals.isEmpty) Nil
+      else {
+        val rel = s"${leaf.getParent.getName}/${leaf.getName}"
+        val stage = new Path(tmpBase, rel)
+        antiUsers(spark.read.parquet(leaf.toString), "group_id", tomb)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val staged = fs.listStatus(stage).toSeq.filter(_.isFile)
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+        require(staged.size == 1,
+          s"change-feed scrub staged ${staged.size} files for $leaf")
+        val keep = originals.minBy(_.getName.toString)
+        originals.map(p => s"DELETE\t$p") :+ s"MOVE\t${staged.head}\t$keep"
+      }
+    }
+    if (plan.isEmpty) { fs.delete(tmpBase, true); return }
+    val manifest = scrubManifestPath(cfg)
+    val tmpManifest = new Path(manifest.toString + ".tmp")
+    val out = fs.create(tmpManifest, true)
+    try plan.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    fs.rename(tmpManifest, manifest)
+    replayScrubManifest(fs, cfg)
+  }
+
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        buf += f
+    }
+    buf.toSeq
+  }
+
+  private def snapshotDirs(fs: FileSystem, cfg: Config): Seq[Path] = {
+    val baseP = new Path(Pipeline.serveSnapshotBase(cfg))
+    if (!fs.exists(baseP)) Seq.empty
+    else fs.listStatus(baseP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath)
+  }
+
+  private def recoverGoldBuckets(fs: FileSystem, cfg: Config): Unit = {
+    val gold = new Path(cfg.goldPath)
+    if (!fs.exists(gold)) return
+    fs.listStatus(gold).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb=") &&
+        !s.getPath.getName.endsWith(".rewrite") &&
+        !s.getPath.getName.endsWith(".trash"))
+      .foreach(s => recoverDirSwap(fs, s.getPath))
+    // a bucket fully renamed away (real missing) is only recoverable
+    // from its surviving rewrite/trash sibling — handled by the name
+    // scan below
+    fs.listStatus(gold).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".rewrite") ||
+        p.getName.endsWith(".trash"))
+      .map(p => new Path(gold,
+        p.getName.stripSuffix(".rewrite").stripSuffix(".trash")))
+      .distinct
+      .foreach(recoverDirSwap(fs, _))
+  }
+
+  private def recoverSnapshots(fs: FileSystem, cfg: Config): Unit = {
+    val baseP = new Path(Pipeline.serveSnapshotBase(cfg))
+    if (!fs.exists(baseP)) return
+    fs.listStatus(baseP).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".rewrite") ||
+        p.getName.endsWith(".trash"))
+      .map(p => new Path(baseP,
+        p.getName.stripSuffix(".rewrite").stripSuffix(".trash")))
+      .distinct
+      .foreach(recoverDirSwap(fs, _))
+    snapshotDirs(fs, cfg).foreach(recoverDirSwap(fs, _))
+  }
+}

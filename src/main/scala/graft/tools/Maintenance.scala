@@ -93,7 +93,8 @@ object Maintenance {
       rungDir: Option[String] = None, rungNq: Int = 10,
       rungPrefix: Int = 16,
       shapes: Shapes = Shapes(),
-      forgetDir: Option[String] = None): Seq[String] = {
+      forgetDir: Option[String] = None,
+      userForgetBase: Option[String] = None): Seq[String] = {
     import graft.ext.{IndexCatalog, Pq, Rung, Similarity, TextDedup}
     import graft.ops.Analytics
     gramDir.foreach { d =>
@@ -160,7 +161,9 @@ object Maintenance {
         // first deletion — configured-but-absent is the healthy steady
         // state, unlike the built-once indexes above
         forgetDir.toSeq.flatMap(d => Seq(graft.ext.Forget.forgetTable(d),
-          graft.ext.Forget.forgetDocsTable(d)))
+          graft.ext.Forget.forgetDocsTable(d))) ++
+        userForgetBase.map(b =>
+          graft.streaming.UserForget.forgetUsersTable(b))
     val maintainable = Set("grams", "ivf", "pq", "winsor", "rung",
       "forget")
     IndexCatalog.listIndexDirs(spark)
@@ -264,6 +267,13 @@ object Maintenance {
     // the tick — the pass swaps the raw store they scan.
     val forgetDir = sys.env.get("SPARK_GRAFT_FORGET_DIR")
     val forgetMin = sys.env.getOrElse("SPARK_GRAFT_FORGET_MIN", "1").toLong
+    // The USER-deletion pass always runs against THIS pipeline's baseDir
+    // (it is the store set this loop maintains); it no-ops without a
+    // log, HOLDS BACK (-2) while gold/serve owe files a fold, and lands
+    // on the first drained pass — the vacuum deferral semantics.
+    // SPARK_GRAFT_USER_FORGET_MIN sets the amortization threshold.
+    val userForgetMin =
+      sys.env.getOrElse("SPARK_GRAFT_USER_FORGET_MIN", "1").toLong
     // both-ways manifest validation BEFORE the first pass mutates
     // anything: a configured-but-absent index throws here. The coverage
     // half re-runs EVERY pass (one cheap listStatus) — an index another
@@ -271,7 +281,7 @@ object Maintenance {
     // after a restart
     def uncovered() = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
       ivfNc, pqDir, pqNq, winsorDir, winsorGroup, rungDir, rungNq,
-      rungPrefix, shapes, forgetDir)
+      rungPrefix, shapes, forgetDir, Some(baseDir))
     uncovered()
     do {
       uncovered().foreach(println)
@@ -304,6 +314,8 @@ object Maintenance {
           rungPrefix, shapes, forgetMin))
       val forgetDocsErased = forgetDir.map(d => graft.ext.Forget
         .applyForgetDocsIfNeeded(spark, d, gramN, forgetMin))
+      val userErased = graft.streaming.UserForget
+        .applyForgetUsersIfNeeded(spark, cfg, userForgetMin)
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -319,6 +331,9 @@ object Maintenance {
         forgetDir.fold("")(d =>
           s" + tombstone apply for $d (vectors=${forgetErased.get}, " +
             s"docs=${forgetDocsErased.get})") +
+        (if (userErased >= 0) s" + user erase (rows=$userErased)"
+         else if (userErased == -2L) " + user erase HELD BACK (undrained)"
+         else "") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

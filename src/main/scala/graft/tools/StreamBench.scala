@@ -30,12 +30,23 @@ import graft.streaming.Pipeline
   * comparable to full-mode numbers so the delta prices the vector
   * side. Vec/query counts and emitted result rows ride along in the
   * JSON.
+  *
+  * `StreamBench <events> forget` co-deploys the TAKEDOWN feed with the
+  * same three event stages: one existing user tombstones every 5th
+  * event batch through [[UserForget.startForgetUsersStream]] (the
+  * read-path filter serves those deletions live), and after the chain
+  * drains and stops, ONE quiesced [[UserForget.applyForgetUsersIfNeeded]]
+  * physically erases the accumulated set across silver/gold/change
+  * feed/serve — the JSON carries both the riding-feed event rate
+  * (comparable to full mode) and the measured erase cost + per-store
+  * zero-residue booleans, so a deployment can price its takedown SLA.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val totalEvents = args.headOption.map(_.toInt).getOrElse(200000)
     val search = args.contains("search")
-    val full = args.contains("full") || search
+    val forget = args.contains("forget")
+    val full = args.contains("full") || search || forget
     val batchSize = 10000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -91,6 +102,7 @@ object StreamBench {
     // (the 7-stage startAllWithSearch demo is spec-pinned in
     // PipelineSpec; benching it would fold retention+anomaly cost into
     // the event rate and misprice the search side)
+    val forgetInput = MemoryStream[String](96, spark, None)
     val queries =
       if (search)
         Pipeline.startAll(spark, input.toDF(), cfg) ++
@@ -99,6 +111,11 @@ object StreamBench {
             qInput.toDF().toDF("qid", "qe"),
             s"${cfg.baseDir}/vec_ckpt", s"${cfg.baseDir}/search_ckpt",
             nQueries = 10, k = 5)(res => searchRows.addAndGet(res.count()))
+      else if (forget)
+        Pipeline.startAll(spark, input.toDF(), cfg) :+
+          graft.streaming.UserForget.startForgetUsersStream(spark,
+            cfg.baseDir, forgetInput.toDF().toDF("group_id"),
+            s"${cfg.baseDir}/forget_ckpt")
       else if (full) Pipeline.startAll(spark, input.toDF(), cfg)
       else Seq(Pipeline.startSilver(spark, input.toDF(), cfg))
     // drain the chain in dependency order: silver files feed gold, gold
@@ -148,6 +165,11 @@ object StreamBench {
           (queriesSent + j, Seq.fill(64)(rnd.nextDouble() * 2 - 1))))
         queriesSent += 10
       }
+      if (forget && batchNo % 5 == 0) {
+        // one takedown request every 5th event batch — a user already
+        // in the corpus, so the erase has real rows to remove
+        forgetInput.addData(groups(batchNo / 5 % groups.size))
+      }
       pace()
       if (perBatch)
         println(f"[sbench] batch $batchNo%3d ${(System.nanoTime() - b0) / 1e9}%6.2f s")
@@ -187,6 +209,25 @@ object StreamBench {
         .filter(org.apache.spark.sql.functions.col("cid") >= 10000000L)
         .count()
       println(s"""{"metric":"pipeline_search_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"vecs_ingested":$vecsSent,"vecs_in_rung":$admitted,"search_queries":$queriesSent,"search_rows":${searchRows.get()},"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
+    } else if (forget) {
+      import org.apache.spark.sql.functions.col
+      val uf = graft.streaming.UserForget
+      val tombstoned = uf.forgottenUserIds(spark, cfg.baseDir).count()
+      // the chain is drained and stopped — the quiesced single-pass
+      // erase is timed on its own clock (the takedown SLA number)
+      val e0 = System.nanoTime()
+      val erased = uf.applyForgetUsersIfNeeded(spark, cfg)
+      val eraseSecs = (System.nanoTime() - e0) / 1e9
+      // the feed fired at batch numbers 0, 5, …, ≤ batchNo-1
+      val deleted = (0 to (batchNo - 1) / 5)
+        .map(i => groups(i % groups.size)).distinct
+      def g2In(path: String): Long =
+        spark.read.option("basePath", path).parquet(path)
+          .filter(col("group_id").isin(deleted: _*)).count()
+      val clean = Seq(cfg.silverPath, cfg.goldPath, cfg.goldChangesPath,
+        cfg.servePath).forall(p => g2In(p) == 0L)
+      val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
+      println(s"""{"metric":"pipeline_forget_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"users_tombstoned":$tombstoned,"rows_erased":$erased,"erase_secs":$eraseSecs,"all_stores_clean":$clean,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     } else if (full) {
       val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
       println(s"""{"metric":"pipeline_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")

@@ -122,26 +122,43 @@ class MaintenanceManifestSpec extends SparkTestBase {
     "it covers, and a configured-but-absent log is the healthy steady " +
     "state — no throw") {
     import graft.ext.Forget
+    import graft.streaming.UserForget
     import spark.implicits._
-    Forget.purgeForgetTable(spark, dir)
+    // the registered forget queries (run by sibling suites against this
+    // dir) legitimately leave logs behind — scope this test to ITS OWN
+    // three tables, starting from a clean slate
+    def purgeAll(): Unit = {
+      Forget.purgeForgetTable(spark, dir)
+      Forget.purgeForgetDocsTable(spark, dir)
+      UserForget.purgeForgetUsersTable(spark, dir)
+    }
+    val mine = Seq(Forget.forgetTable(dir), Forget.forgetDocsTable(dir),
+      UserForget.forgetUsersTable(dir))
+    purgeAll()
     try {
       // absent + configured: steady state, neither throw nor warning
       val calm = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
-        None, 10, forgetDir = Some(dir))
-      assert(!calm.exists(_.contains("graft_forget_")), calm.mkString("\n"))
+        None, 10, forgetDir = Some(dir), userForgetBase = Some(dir))
+      assert(!calm.exists(w => mine.exists(w.contains)),
+        calm.mkString("\n"))
       Forget.forgetVectors(spark, dir, Seq(42L).toDF("vec_id"))
+      UserForget.forgetUsers(spark, dir, Seq("42").toDF("group_id"))
       val t = Forget.forgetTable(dir)
+      val ut = UserForget.forgetUsersTable(dir)
       val inv = IndexCatalog.listIndexDirs(spark)
       assert(inv.contains(("forget", t)), inv.mkString(", "))
-      // on disk, not configured: warns
+      assert(inv.contains(("forget", ut)), inv.mkString(", "))
+      // on disk, not configured: warns (both logs)
       val warns = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
         None, 10)
       assert(warns.exists(_.contains(t)), warns.mkString("\n"))
+      assert(warns.exists(_.contains(ut)), warns.mkString("\n"))
       // configured: covered
       val covered = Maintenance.manifestReport(spark, None, 5, None, 10, 16,
-        None, 10, forgetDir = Some(dir))
-      assert(!covered.exists(_.contains(t)), covered.mkString("\n"))
-    } finally Forget.purgeForgetTable(spark, dir)
+        None, 10, forgetDir = Some(dir), userForgetBase = Some(dir))
+      assert(!covered.exists(w => mine.exists(w.contains)),
+        covered.mkString("\n"))
+    } finally purgeAll()
   }
 
   test("Shapes.fromEnv derives the manifest from the same SPARK_GRAFT_* " +

@@ -249,7 +249,8 @@ class PlanAuditSpec extends SparkTestBase {
     // the filter-before-rank and stage-1-scan pins live in ForgetSpec
     // on the pool frame; the registered finals prove join discipline
     Seq("ann_forget_exact", "ann_forget_topk", "forget_audit",
-      "dedup_forget_pairs", "forget_docs_audit").foreach { q =>
+      "dedup_forget_pairs", "forget_docs_audit", "gold_forget_flagship",
+      "serve_forget_page").foreach { q =>
       val p = executedPlan(q)
       val finalPlan = p.split("== Initial Plan ==").head
       assert(!finalPlan.contains("SortMergeJoin"),
