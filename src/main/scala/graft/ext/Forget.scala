@@ -135,11 +135,18 @@ object Forget {
     } else {
       if (!spark.catalog.tableExists(t))
         IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
-      forgetAppendFrame(spark, t, rows, keys)
-        .write.mode("append")
-        .bucketBy(8, "cid").sortBy("cid")
-        .saveAsTable(t)
-      spark.catalog.refreshTable(t)
+      // probe before writing: a fully-replayed batch (every id already
+      // tombstoned — the common case for re-run registered queries and
+      // at-least-once redelivery) skips the zero-row append's write
+      // commit + catalog refresh entirely
+      val app = forgetAppendFrame(spark, t, rows, keys)
+        .localCheckpoint(true)
+      if (app.limit(1).count() > 0L) {
+        app.write.mode("append")
+          .bucketBy(8, "cid").sortBy("cid")
+          .saveAsTable(t)
+        spark.catalog.refreshTable(t)
+      }
     }
   }
 

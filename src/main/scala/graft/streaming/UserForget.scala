@@ -112,11 +112,18 @@ object UserForget {
     } else {
       if (!spark.catalog.tableExists(t))
         IndexCatalog.reattachIfPresent(spark, t, Seq("gid"))
-      rows.join(spark.table(t).select(col("gid")), Seq("gid"), "left_anti")
-        .write.mode("append")
-        .bucketBy(8, "gid").sortBy("gid")
-        .saveAsTable(t)
-      spark.catalog.refreshTable(t)
+      // probe before writing — a fully-replayed batch skips the
+      // zero-row append's write commit + catalog refresh (the
+      // [[graft.ext.Forget]] registration optimization)
+      val app = rows
+        .join(spark.table(t).select(col("gid")), Seq("gid"), "left_anti")
+        .localCheckpoint(true)
+      if (app.limit(1).count() > 0L) {
+        app.write.mode("append")
+          .bucketBy(8, "gid").sortBy("gid")
+          .saveAsTable(t)
+        spark.catalog.refreshTable(t)
+      }
     }
   }
 
@@ -142,29 +149,50 @@ object UserForget {
     * write). Same no-marker replay contract as every registration:
     * idempotent at user granularity, so at-least-once redelivery is a
     * no-op.
+    *
+    * `triggerMs` > 0 paces the feed (deletion requests are rare — an
+    * unthrottled feed spins empty micro-batches whose registration
+    * probes burn cores the event stages need; the 1M soak measured the
+    * full chain 2× slower under an unpaced feed); 0 keeps the default
+    * trigger for processAllAvailable-driven tests.
     */
   def startForgetUsersStream(spark: SparkSession, baseDir: String,
-                             ids: DataFrame, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    ids.writeStream
+                             ids: DataFrame, checkpoint: String,
+                             triggerMs: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = ids.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         forgetUsers(spark, baseDir, batch)
         ()
       }
-      .start()
+    (if (triggerMs > 0)
+      w.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+     else w).start()
+  }
 
   // ————————————————————————————— the physical erase —————————————————————————————
 
   private def committed(fs: FileSystem, p: Path): Boolean =
     fs.exists(new Path(p, "_SUCCESS"))
 
+  // Swap siblings are DOT-PREFIXED: Spark's file listing ignores hidden
+  // names at every level, so crash debris inside a partitioned parent
+  // (a half-swapped `gold/gb=3` staging dir, say) is invisible to any
+  // reader that races the recovery — partition discovery never sees a
+  // `gb=3.rewrite` it cannot parse.
+  private def swapTmp(real: Path): Path =
+    new Path(real.getParent, s".${real.getName}.rewrite")
+  private def swapTrash(real: Path): Path =
+    new Path(real.getParent, s".${real.getName}.trash")
+
   /** Directory-swap recovery — the [[graft.ext.Forget.recoverRawSwap]]
     * windows for an arbitrary store dir.
     */
   private def recoverDirSwap(fs: FileSystem, real: Path): Unit = {
-    val tmp = new Path(real.toString + ".rewrite")
-    val trash = new Path(real.toString + ".trash")
+    val tmp = swapTmp(real)
+    val trash = swapTrash(real)
     if (!fs.exists(real) && committed(fs, tmp)) fs.rename(tmp, real)
     if (!fs.exists(real) && fs.exists(trash)) fs.rename(trash, real)
     if (fs.exists(real)) {
@@ -176,8 +204,8 @@ object UserForget {
   /** Rewrite `real`'s contents as `write(tmp)` and swap it in. */
   private def dirSwap(fs: FileSystem, real: Path)
                      (write: String => Unit): Unit = {
-    val tmp = new Path(real.toString + ".rewrite")
-    val trash = new Path(real.toString + ".trash")
+    val tmp = swapTmp(real)
+    val trash = swapTrash(real)
     fs.delete(tmp, true)
     write(tmp.toString)
     fs.rename(real, trash)
@@ -320,7 +348,11 @@ object UserForget {
         .localCheckpoint(true)
       dirSwap(fs, v)(tmp => rows.write.parquet(tmp))
     }
-    spark.catalog.refreshByPath(cfg.baseDir)
+    // invalidate the per-store cached listings (a parent-path refresh
+    // does not reliably cover children)
+    Seq(cfg.silverPath, cfg.goldPath, cfg.goldChangesPath, cfg.servePath)
+      .foreach(p => if (fs.exists(new Path(p)))
+        spark.catalog.refreshByPath(p))
     // applied everywhere — clear the log LAST
     purgeForgetUsersTable(spark, cfg.baseDir)
     erased
@@ -336,14 +368,53 @@ object UserForget {
   private def scrubChangesInPlace(spark: SparkSession, fs: FileSystem,
                                   cfg: Config, tomb: DataFrame): Unit = {
     val changesDir = new Path(cfg.goldChangesPath)
+    // ONE pass over the feed finds the leaves that actually hold a
+    // tombstoned user's rows — deletions are sparse at deployment
+    // scale, so per-leaf rewrite jobs for untouched (version, bucket)
+    // dirs would dominate the erase wall (the 1M soak measured 322 s
+    // across 800 leaves before this prune)
+    val touched: Set[(Long, Int)] =
+      spark.read.option("basePath", cfg.goldChangesPath)
+        .parquet(cfg.goldChangesPath)
+        .join(broadcast(tomb.select(col("gid").as("__forgotten_gid"))),
+          col("group_id") === col("__forgotten_gid"), "left_semi")
+        .select(col("_commit_version").cast("long"),
+          col("gb").cast("int"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
     val leaves = fs.listStatus(changesDir).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("_commit_version="))
       .flatMap(v => fs.listStatus(v.getPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb=")))
       .map(_.getPath)
+      .filter { leaf =>
+        val key = for {
+          v <- leaf.getParent.getName.stripPrefix("_commit_version=")
+            .toLongOption
+          b <- leaf.getName.stripPrefix("gb=").toIntOption
+        } yield (v, b)
+        // unparsable partition names are rewritten defensively
+        key.forall(touched.contains)
+      }
     val tmpBase = scrubTmpBase(cfg)
     fs.delete(tmpBase, true)
+    if (leaves.isEmpty) return
+    // stage EVERY touched leaf's scrubbed rows in ONE job: repartition
+    // on the partition key gives each leaf exactly one staged file (the
+    // per-leaf coalesce(1) loop this replaces ran one Spark job per
+    // leaf — ~0.4 s of fixed overhead × versions × buckets at soak
+    // scale, the erase wall's dominant term)
+    val touchedSet = leaves.map(l =>
+      s"${l.getParent.getName}/${l.getName}").toSet
+    antiUsers(spark.read.option("basePath", cfg.goldChangesPath)
+      .parquet(cfg.goldChangesPath), "group_id", tomb)
+      .filter(concat(lit("_commit_version="),
+        col("_commit_version").cast("string"), lit("/gb="),
+        col("gb").cast("string")).isInCollection(touchedSet))
+      .repartition(col("_commit_version"), col("gb"))
+      .write.mode("overwrite")
+      .partitionBy("_commit_version", "gb").parquet(tmpBase.toString)
     val plan = leaves.flatMap { leaf =>
       val originals = fs.listStatus(leaf).toSeq.filter(_.isFile)
         .map(_.getPath)
@@ -353,14 +424,21 @@ object UserForget {
       else {
         val rel = s"${leaf.getParent.getName}/${leaf.getName}"
         val stage = new Path(tmpBase, rel)
-        antiUsers(spark.read.parquet(leaf.toString), "group_id", tomb)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val staged = fs.listStatus(stage).toSeq.filter(_.isFile)
-          .map(_.getPath).filter(_.getName.startsWith("part-"))
-        require(staged.size == 1,
+        val staged =
+          if (!fs.exists(stage)) Seq.empty
+          else fs.listStatus(stage).toSeq.filter(_.isFile)
+            .map(_.getPath).filter(_.getName.startsWith("part-"))
+        require(staged.size <= 1,
           s"change-feed scrub staged ${staged.size} files for $leaf")
-        val keep = originals.minBy(_.getName.toString)
-        originals.map(p => s"DELETE\t$p") :+ s"MOVE\t${staged.head}\t$keep"
+        // a leaf whose rows ALL belonged to deleted users stages zero
+        // part files — the plan is pure deletion (an empty leaf dir is
+        // a valid partition: readers list no data files and move on)
+        val deletes = originals.map(p => s"DELETE\t$p")
+        staged.headOption match {
+          case Some(s) =>
+            deletes :+ s"MOVE\t$s\t${originals.minBy(_.getName.toString)}"
+          case None => deletes
+        }
       }
     }
     if (plan.isEmpty) { fs.delete(tmpBase, true); return }
@@ -394,36 +472,34 @@ object UserForget {
       .map(_.getPath)
   }
 
+  /** Recover any interrupted swaps under `parent`: live dirs clean
+    * their debris; a dir fully renamed away (real missing) is found
+    * through its surviving hidden `.name.rewrite`/`.name.trash`
+    * sibling.
+    */
+  private def recoverSwapsUnder(fs: FileSystem, parent: Path,
+                                liveDirs: Seq[Path]): Unit = {
+    liveDirs.foreach(recoverDirSwap(fs, _))
+    fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(".") &&
+        (p.getName.endsWith(".rewrite") || p.getName.endsWith(".trash")))
+      .map(p => new Path(parent, p.getName.stripPrefix(".")
+        .stripSuffix(".rewrite").stripSuffix(".trash")))
+      .distinct
+      .foreach(recoverDirSwap(fs, _))
+  }
+
   private def recoverGoldBuckets(fs: FileSystem, cfg: Config): Unit = {
     val gold = new Path(cfg.goldPath)
     if (!fs.exists(gold)) return
-    fs.listStatus(gold).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb=") &&
-        !s.getPath.getName.endsWith(".rewrite") &&
-        !s.getPath.getName.endsWith(".trash"))
-      .foreach(s => recoverDirSwap(fs, s.getPath))
-    // a bucket fully renamed away (real missing) is only recoverable
-    // from its surviving rewrite/trash sibling — handled by the name
-    // scan below
-    fs.listStatus(gold).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".rewrite") ||
-        p.getName.endsWith(".trash"))
-      .map(p => new Path(gold,
-        p.getName.stripSuffix(".rewrite").stripSuffix(".trash")))
-      .distinct
-      .foreach(recoverDirSwap(fs, _))
+    recoverSwapsUnder(fs, gold, fs.listStatus(gold).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
+      .map(_.getPath))
   }
 
   private def recoverSnapshots(fs: FileSystem, cfg: Config): Unit = {
     val baseP = new Path(Pipeline.serveSnapshotBase(cfg))
     if (!fs.exists(baseP)) return
-    fs.listStatus(baseP).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".rewrite") ||
-        p.getName.endsWith(".trash"))
-      .map(p => new Path(baseP,
-        p.getName.stripSuffix(".rewrite").stripSuffix(".trash")))
-      .distinct
-      .foreach(recoverDirSwap(fs, _))
-    snapshotDirs(fs, cfg).foreach(recoverDirSwap(fs, _))
+    recoverSwapsUnder(fs, baseP, snapshotDirs(fs, cfg))
   }
 }

@@ -115,7 +115,7 @@ object StreamBench {
         Pipeline.startAll(spark, input.toDF(), cfg) :+
           graft.streaming.UserForget.startForgetUsersStream(spark,
             cfg.baseDir, forgetInput.toDF().toDF("group_id"),
-            s"${cfg.baseDir}/forget_ckpt")
+            s"${cfg.baseDir}/forget_ckpt", triggerMs = cfg.triggerMs)
       else if (full) Pipeline.startAll(spark, input.toDF(), cfg)
       else Seq(Pipeline.startSilver(spark, input.toDF(), cfg))
     // drain the chain in dependency order: silver files feed gold, gold

@@ -42,6 +42,13 @@ class UserForgetSpec extends SparkTestBase {
       silverQ.processAllAvailable()
       val goldQ = Pipeline.startGold(spark, cfg)
       try goldQ.processAllAvailable() finally goldQ.stop()
+      // a g2-ONLY batch makes one change-feed version whose rows all
+      // belong to the deleted user — the scrub's empty-leaf path (the
+      // staged rewrite has zero rows; the plan is pure deletion)
+      input.addData(ev("e0", "g2", 7.0f, t0 + 5500))
+      silverQ.processAllAvailable()
+      val goldQb = Pipeline.startGold(spark, cfg)
+      try goldQb.processAllAvailable() finally goldQb.stop()
       val serveQ = Pipeline.startServe(spark, cfg)
       try serveQ.processAllAvailable() finally serveQ.stop()
 
@@ -54,7 +61,7 @@ class UserForgetSpec extends SparkTestBase {
       assert(live.toSeq == Seq("g1", "g3"))
 
       val erased = UserForget.applyForgetUsersIfNeeded(spark, cfg)
-      assert(erased == 3L, s"erased=$erased (g2 has 3 silver rows)")
+      assert(erased == 4L, s"erased=$erased (g2 has 4 silver rows)")
       assert(!UserForget.forgetUsersTableExists(spark, cfg.baseDir))
       // every store scrubbed
       def g2In(path: String): Long =
