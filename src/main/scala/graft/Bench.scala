@@ -22,6 +22,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDirDefault = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
@@ -50,9 +51,17 @@ object Bench {
       case None    => SparkEntry.queries
     }
 
-    val warmDir = "/root/testdata/sf0.001"
+    // the tombstone fixture (both dirs — warmup runs every query too):
+    // registered once so the forget queries time the steady-state read
+    // path, not per-rep registration probes
+    Seq(warmDirDefault, sfDir).distinct.foreach { d =>
+      try SparkEntry.registerForgetFixtures(spark, d)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] forget fixture failed for $d: ${e.getMessage}")
+      }
+    }
     selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDirDefault).count() catch { case _: Throwable => () }
     }
 
     // per-query progress on stderr (NOT the driver-scraped stdout):
@@ -61,6 +70,16 @@ object Bench {
     val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
     val names = selected.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
+    // host-load provenance (r15 VERDICT next #2): the r15 driver bench
+    // read 22% above the same-HEAD canonical run with the shift diffuse
+    // across untouched plans — host noise, but nothing in the artifact
+    // let a reader adjudicate that. Record the 1-minute loadavg at the
+    // timed loop's start and end plus wall timestamps, so a hot-host
+    // run is identifiable from the JSON alone.
+    def loadavg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val wallStartMs = System.currentTimeMillis()
+    val loadStart = loadavg()
     for (rep <- 1 to reps; (name, fn) <- names) {
       if (verbose) System.err.println(s"[bench] rep $rep start $name")
       val t0 = System.nanoTime()
@@ -70,6 +89,8 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map { case (name, _) => name -> best(name) }
+    val loadEnd = loadavg()
+    val wallEndMs = System.currentTimeMillis()
     // Locale.ROOT: f"%.2f" under a comma-decimal default locale (de_DE)
     // would emit "1,23" — invalid JSON, recreating the parsed:null
     // failure this line exists to avoid. Double.toString is locale-safe.
@@ -82,7 +103,9 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val tv = if (round2) fmt2(total) else total.toString
-      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"n_queries":${results.size}}"""
+      val prov = s""""loadavg_start":${fmt2(loadStart)},"loadavg_end":${fmt2(loadEnd)},""" +
+        s""""wall_start_ms":$wallStartMs,"wall_sec":${fmt2((wallEndMs - wallStartMs) / 1e3)}"""
+      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"n_queries":${results.size},$prov}"""
     }
     // The driver scrapes a SMALL tail of stdout (~500 bytes observed):
     // r6/r7 lost the full 115-query line, and r8's slowest-10 compact

@@ -523,9 +523,33 @@ object ExtEntry {
     // standing surface probed through the maintenance/freshness
     // machinery, reported as deterministic booleans (mtimes stay
     // engine-side; the oracle pins the expected-healthy verdicts — the
-    // agg_approx_percentile error-bound pattern)
+    // agg_approx_percentile error-bound pattern). Since r16 the face
+    // carries the takedown-SLA guard row: the fixture-registered user
+    // tombstones are pending (has_data) and fresh against the 30-day
+    // clock (healthy) — a perpetually-deferred erase would flip it
     "serve_health" -> ((s, dir) =>
-      graft.streaming.Metrics.serveHealth(s, dir)),
+      graft.streaming.Metrics.serveHealth(s, dir,
+        forgetSla = Some((graft.streaming.Pipeline.Config(dir),
+          30L * 24 * 3600 * 1000)))),
+
+    // the takedown-SLA audit face (r15 VERDICT next #1): per tombstone
+    // log, how many requests await physical erase and whether the
+    // oldest is inside the legal clock; the users row also carries the
+    // drain-guard deferral reason ('none' here — no consumer owes
+    // files on a batch corpus). Ages stay engine-side (wall-clock);
+    // the deterministic columns are pinned cross-engine from the
+    // fixture predicates
+    "forget_sla" -> ((s, dir) => {
+      val vd = Forget.forgetSla(s, dir)
+        .select(col("log"), col("pending"),
+          lit("none").as("deferred_because"), col("sla_ok"))
+      val u = graft.streaming.UserForget
+        .forgetUsersAudit(s, graft.streaming.Pipeline.Config(dir))
+        .select(lit("users").as("log"),
+          col("pending_users").as("pending"), col("deferred_because"),
+          col("sla_ok"))
+      vd.unionByName(u).orderBy(col("log"))
+    }),
 
     // the rung-admission observability face (VERDICT r14 #5): the three
     // standing tables' cross-table cid agreement — the drift an
@@ -542,50 +566,43 @@ object ExtEntry {
     "index_coverage" -> ((s, dir) =>
       graft.streaming.Metrics.indexCoverage(s, dir)),
 
-    // the deletion lifecycle (round 15): tombstones registered
-    // idempotently in the standing forget table, then each live search
-    // excludes them via ONE broadcast anti-join BEFORE its rank
-    // windows — deletion correctness between physical applies at zero
-    // extra scan bytes. The registered tombstone set is deterministic
-    // (candidates with vec_id % 23 == 5), so re-runs and bench reps are
-    // no-op appends and the DuckDB oracles weave the same predicate
-    // into the plain forms' SQL
-    "ann_forget_exact" -> ((s, dir) => {
-      Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
-      Forget.bruteForceTopKLive(s, dir, nQueries = 10, k = 5)
-    }),
+    // the deletion lifecycle (round 15): tombstones in the standing
+    // forget table, then each live search excludes them via ONE
+    // broadcast anti-join BEFORE its rank windows — deletion
+    // correctness between physical applies at zero extra scan bytes.
+    // The tombstone sets are deterministic (vec_id % 23 == 5 /
+    // doc_id % 31 == 7 / user_id % 41 == 11) and PRE-REGISTERED by the
+    // Verify/Bench fixture ([[SparkEntry.registerForgetFixtures]]), so
+    // these queries price the steady-state read path — one broadcast
+    // anti-join — not per-run registration probes (r15 VERDICT next
+    // #5); the DuckDB oracles weave the same predicates into the plain
+    // forms' SQL
+    "ann_forget_exact" -> ((s, dir) =>
+      Forget.bruteForceTopKLive(s, dir, nQueries = 10, k = 5)),
 
-    "ann_forget_topk" -> ((s, dir) => {
-      Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
+    "ann_forget_topk" -> ((s, dir) =>
       Forget.binaryIndexedTopKLive(s, dir, nQueries = 10, k = 5,
-        rescoreFactor = 4)
-    }),
+        rescoreFactor = 4)),
 
     // the erasure receipt: per-surface totals and forgotten-but-
     // resident counts over the raw store, the three rung tables, and
     // the tombstone log itself (all counts derivable cross-engine from
     // the raw table + the deterministic rule)
-    "forget_audit" -> ((s, dir) => {
-      Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
-      Forget.forgetAudit(s, dir, nQueries = 10, dPrefix = 16)
-    }),
+    "forget_audit" -> ((s, dir) =>
+      Forget.forgetAudit(s, dir, nQueries = 10, dPrefix = 16)),
 
     // the DOCUMENT-side deletion lifecycle: takedown requests name docs
     // at least as often as vectors; tombstoned docs are excluded BEFORE
     // the band-bucket grouping (bucket membership under the cap is
     // order-sensitive — a post-hoc pair filter would differ from a
-    // corpus the doc never entered). Deterministic set: doc_id % 31 == 7
-    "dedup_forget_pairs" -> ((s, dir) => {
-      Forget.forgetDocs(s, dir, registeredForgetDocsSet(s, dir))
-      Forget.candidatePairsLive(s, dir).orderBy(col("d1"), col("d2"))
-    }),
+    // corpus the doc never entered)
+    "dedup_forget_pairs" -> ((s, dir) =>
+      Forget.candidatePairsLive(s, dir).orderBy(col("d1"), col("d2"))),
 
     // the doc-side erasure receipt — DISTINCT-key semantics (one doc
     // spans many band rows; docs, not rows, are the privacy unit)
-    "forget_docs_audit" -> ((s, dir) => {
-      Forget.forgetDocs(s, dir, registeredForgetDocsSet(s, dir))
-      Forget.forgetDocsAudit(s, dir)
-    }),
+    "forget_docs_audit" -> ((s, dir) =>
+      Forget.forgetDocsAudit(s, dir)),
 
     // the external-vector forms of the two new rungs — every search
     // family carries the caller-supplied-panel surface (r12 contract)
@@ -864,6 +881,17 @@ object ExtEntry {
     Similarity.embeddings(s, dir)
       .filter(col("vec_id") >= 10 && col("vec_id") % 23 === 5)
       .select(col("vec_id"))
+
+  /** The vector + doc halves of the Verify/Bench tombstone fixture —
+    * idempotent, so calling it before every run is a no-op append once
+    * registered ([[SparkEntry.registerForgetFixtures]] composes the
+    * users half).
+    */
+  private[graft] def registerForgetFixtures(s: SparkSession,
+                                            dir: String): Unit = {
+    Forget.forgetVectors(s, dir, registeredForgetSet(s, dir))
+    Forget.forgetDocs(s, dir, registeredForgetDocsSet(s, dir))
+  }
 
   /** The doc-side deterministic tombstone set — doc_id % 31 == 7,
     * mirrored verbatim in the doc oracles' predicate.
@@ -3369,7 +3397,9 @@ object ExtEntry {
 
     // deterministic health booleans only — the mtime/lag numbers stay
     // engine-side (agg_approx_percentile error-bound pattern); the
-    // oracle pins the expected-healthy verdict per standing surface
+    // oracle pins the expected-healthy verdict per standing surface.
+    // user_forget_sla: the fixture-registered tombstones are pending
+    // (has_data) and inside the 30-day clock (healthy)
     "serve_health" ->
       """SELECT surface, index_present, has_data, healthy FROM (VALUES
         |  ('dedup_bands', TRUE, TRUE, TRUE),
@@ -3380,9 +3410,28 @@ object ExtEntry {
         |  ('rung_binary', TRUE, TRUE, TRUE),
         |  ('rung_int8', TRUE, TRUE, TRUE),
         |  ('rung_matryoshka', TRUE, TRUE, TRUE),
+        |  ('user_forget_sla', TRUE, TRUE, TRUE),
         |  ('winsor_bounds', TRUE, TRUE, TRUE)
         |) AS t(surface, index_present, has_data, healthy)
         |ORDER BY surface""".stripMargin,
+
+    // the takedown-SLA face: pending counts from the three fixture
+    // predicates, no deferral (a batch corpus has no consumer debt),
+    // every clock fresh; the age numbers stay engine-side
+    "forget_sla" ->
+      """WITH v AS (SELECT count(*) AS n FROM embeddings
+        |    WHERE vec_id >= 10 AND vec_id % 23 = 5),
+        |  d AS (SELECT count(*) AS n FROM documents WHERE doc_id % 31 = 7),
+        |  u AS (SELECT count(DISTINCT user_id) AS n FROM events
+        |    WHERE user_id % 41 = 11)
+        |SELECT log, CAST(pending AS BIGINT) AS pending, deferred_because,
+        |  sla_ok
+        |FROM (
+        |  SELECT 'docs' AS log, d.n AS pending,
+        |    'none' AS deferred_because, TRUE AS sla_ok FROM d
+        |  UNION ALL SELECT 'users', u.n, 'none', TRUE FROM u
+        |  UNION ALL SELECT 'vectors', v.n, 'none', TRUE FROM v)
+        |ORDER BY log""".stripMargin,
 
     // the cascade width grid replayed off ONE pair-scoring CTE chain
     // (the compression_recall prefix minus the matryoshka columns);

@@ -121,6 +121,22 @@ object SparkEntry {
     Ingest.events(s, dir).filter(col("user_id") % 41 === 11)
       .select(col("user_id").cast("string").as("group_id")).distinct()
 
+  /** The Verify/Bench tombstone fixture (r15 VERDICT next #5): the
+    * three deterministic deletion sets (vec_id % 23 == 5,
+    * doc_id % 31 == 7, user_id % 41 == 11 — the predicates the DuckDB
+    * oracles mirror) registered ONCE per sf dir before the query loop,
+    * so the registered forget queries price the steady-state read path
+    * — one broadcast anti-join against the standing log — instead of
+    * re-paying idempotent registration probes per run. Registration
+    * stays part of the public API and its replay contract is
+    * spec-pinned; this only moves WHEN the fixture pays it.
+    */
+  def registerForgetFixtures(s: SparkSession, dir: String): Unit = {
+    ExtEntry.registerForgetFixtures(s, dir)
+    graft.streaming.UserForget.forgetUsers(s, dir,
+      registeredForgetUsersSet(s, dir))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     goldFlagship(spark, "/root/testdata/sf0.001")
@@ -185,17 +201,15 @@ object SparkEntry {
     // close ranks as if the user never existed; physical erase across
     // silver/gold/changes/serve is graft.streaming.UserForget's
     // maintenance pass (spec-run — it rewrites pipeline dirs, which the
-    // read-only testdata corpus has none of)
-    "gold_forget_flagship" -> ((s, dir) => {
-      graft.streaming.UserForget.forgetUsers(s, dir,
-        registeredForgetUsersSet(s, dir))
+    // read-only testdata corpus has none of). The tombstones are
+    // PRE-REGISTERED by the Verify/Bench fixture
+    // ([[registerForgetFixtures]]) so the queries price the read path,
+    // not registration (r15 VERDICT next #5)
+    "gold_forget_flagship" -> ((s, dir) =>
       goldFlagshipOf(graft.streaming.UserForget.excludeForgottenUsers(
-        s, dir, silverBase(s, dir), "user_id"))
-    }),
+        s, dir, silverBase(s, dir), "user_id"))),
 
     "serve_forget_page" -> ((s, dir) => {
-      graft.streaming.UserForget.forgetUsers(s, dir,
-        registeredForgetUsersSet(s, dir))
       val live = graft.streaming.UserForget.excludeForgottenUsers(
         s, dir, silverBase(s, dir), "user_id")
       val gold = live.groupBy(col("user_id")).agg(
@@ -518,6 +532,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_concurrent"),
           count_distinct(col("p_user")).as("n_users"))
         .orderBy(col("s_user"), col("session_start"))
+    }),
+
+    // the rank-CAPPED overlap join (VERDICT r15 next #7): overlap pair
+    // counts multiply with traffic density (measured 10–12× at ×10
+    // data — genuine pair multiplication, and ×100 multiplies again),
+    // so the deployable form bounds fan-out per left interval — each
+    // session keeps its first 3 overlapping sessions of other users by
+    // (start, user). The row_number ≤ cap window plans as
+    // WindowGroupLimit(Partial) before the exchange, so the shuffle is
+    // bounded by cap × sessions, never by the raw pair count
+    "join_interval_overlap_capped" -> ((s, dir) => {
+      val (_, iv) = sessionIntervals(s, dir, userMod = 5)
+      val a = iv.select(col("s_user").as("a_user"),
+        col("session_start").as("a_start"), col("session_end").as("a_end"))
+      val b = iv.select(col("s_user").as("b_user"),
+        col("session_start").as("b_start"), col("session_end").as("b_end"))
+      graft.ops.RangeJoin.intervalOverlapCapped(a, b,
+          "a_start", "a_end", "b_start", "b_end", 3600000L,
+          leftKeys = Seq("a_user", "a_start"),
+          rightOrder = Seq("b_start", "b_user"), cap = 3,
+          pairFilter = col("a_user") =!= col("b_user"))
+        .select(col("a_user"), col("a_start"), col("b_user"),
+          col("b_start"))
+        .orderBy(col("a_user"), col("a_start"), col("b_start"),
+          col("b_user"))
     }),
 
     // the overlap twin of join_range_auto: the join is WRITTEN naively
@@ -1603,6 +1642,34 @@ object SparkEntry {
 
     "join_interval_overlap" -> overlapJoinOracle,
     "join_overlap_auto" -> overlapJoinOracle,
+
+    // the capped form: same session intervals, pairs ranked per LEFT
+    // session by (right start, right user) and cut at 3 — the cap and
+    // the rank order are in the oracle, so the EXACT kept set is
+    // pinned cross-engine, not just its size
+    "join_interval_overlap_capped" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ems,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id % 5 = 0),
+        |m AS (SELECT user_id, event_id, ems,
+        |    CASE WHEN prev IS NULL OR ems - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ems, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |iv AS (SELECT user_id AS s_user, min(ems) AS session_start,
+        |    max(ems) + 1800000 AS session_end
+        |  FROM s GROUP BY user_id, sid),
+        |pairs AS (SELECT a.s_user AS a_user, a.session_start AS a_start,
+        |    b.s_user AS b_user, b.session_start AS b_start,
+        |    row_number() OVER (PARTITION BY a.s_user, a.session_start
+        |      ORDER BY b.session_start, b.s_user) AS rk
+        |  FROM iv a JOIN iv b
+        |    ON a.session_start <= b.session_end
+        |    AND b.session_start <= a.session_end
+        |    AND a.s_user <> b.s_user)
+        |SELECT a_user, a_start, b_user, b_start FROM pairs WHERE rk <= 3
+        |ORDER BY a_user, a_start, b_start, b_user""".stripMargin,
 
     "upsert_fold_alltime" ->
       """WITH p1 AS (

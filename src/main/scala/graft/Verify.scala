@@ -36,6 +36,14 @@ object Verify {
         SparkEntry.queries.filter { case (n, _) => s(n) }
       case None => SparkEntry.queries
     }
+    // the tombstone fixture: the deterministic deletion sets the forget
+    // queries' oracles assume, registered once so the queries price the
+    // read path (isolated like the per-query failures — a fixture error
+    // must not zero the other 200+ queries)
+    try SparkEntry.registerForgetFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] forget fixture failed: ${e.getMessage}")
+    }
     selected.foreach { case (name, fn) =>
       // coalesce(1) is REQUIRED, not a convenience: the driver's compare
       // (tools/check_oracle.py mirrors it) reads rows in file order and

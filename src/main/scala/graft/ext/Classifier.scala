@@ -147,6 +147,26 @@ object Classifier {
       }
     }
 
+  /** Drop every session's memoized model for `dir` — called by the
+    * doc-side physical erase ([[graft.ext.Forget.applyForgetDocsIfNeeded]])
+    * so a post-apply retrain trains from the REWRITTEN store: a cached
+    * model frame pins materialized pre-erase counts, and serving it
+    * after the apply would keep the forgotten docs' statistical
+    * influence alive in every downstream score (the trained-state
+    * deletion semantics, r15 VERDICT next #8).
+    */
+  private[graft] def invalidateModelsFor(dir: String): Unit =
+    modelCache.synchronized {
+      val it = modelCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._2 == dir) {
+          scala.util.Try(e.getValue.unpersist(false))
+          it.remove()
+        }
+      }
+    }
+
   /** The model collapsed to ONE broadcastable row: dense 4096-slot
     * per-class count arrays + smoothed class totals (as doubles, the
     * divisor halves of the weight formula).

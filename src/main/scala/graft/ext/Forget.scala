@@ -94,11 +94,21 @@ object Forget {
     idsOf(spark, forgetDocsTable(dir))
 
   private def idsOf(spark: SparkSession, t: String): DataFrame =
+    pendingOf(spark, t).select(col("cid"))
+
+  /** The pending requests of one log as (cid, req_ms) — registration
+    * wall-clock provenance for the SLA face ([[forgetSla]]). Legacy
+    * pre-req_ms rows read 0 (maximally overdue, never silently fresh)
+    * until a registration migrates the log.
+    */
+  private def pendingOf(spark: SparkSession, t: String): DataFrame =
     if (IndexCatalog.hasCommittedData(spark, t)) {
       if (!spark.catalog.tableExists(t))
         IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
-      spark.table(t).select(col("cid"))
-    } else spark.range(0).select(col("id").as("cid"))
+      val raw = spark.table(t)
+      if (raw.columns.contains("req_ms")) raw.select(col("cid"), col("req_ms"))
+      else raw.select(col("cid"), lit(0L).as("req_ms"))
+    } else spark.range(0).select(col("id").as("cid"), col("id").as("req_ms"))
 
   /** Register a batch of deletion requests (`ids`: a `vec_id` column;
     * other columns ignored). Idempotent at vector granularity — the
@@ -107,23 +117,28 @@ object Forget {
     * ids (adaptive [[TextDedup.indexPruneMaxKeys]] policy), and only
     * genuinely new tombstones append. An empty batch (or an
     * all-duplicates replay) writes nothing, so the table is only ever
-    * created by the first real deletion.
+    * created by the first real deletion. New tombstones record `reqMs`
+    * (default: now) as the SLA clock; replays keep the first
+    * registration's clock (anti-joined away before the write).
     */
   def forgetVectors(spark: SparkSession, dir: String,
-                    ids: DataFrame): Unit =
+                    ids: DataFrame, reqMs: Long = -1L): Unit =
     register(spark, forgetTable(dir),
-      ids.select(col("vec_id").cast("long").as("cid")))
+      ids.select(col("vec_id").cast("long").as("cid")), reqMs)
 
   /** The doc-side twin of [[forgetVectors]] (`ids`: a `doc_id`
     * column) — same idempotent replay contract against the doc log.
     */
-  def forgetDocs(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+  def forgetDocs(spark: SparkSession, dir: String, ids: DataFrame,
+                 reqMs: Long = -1L): Unit =
     register(spark, forgetDocsTable(dir),
-      ids.select(col("doc_id").cast("long").as("cid")))
+      ids.select(col("doc_id").cast("long").as("cid")), reqMs)
 
   private def register(spark: SparkSession, t: String,
-                       keyed: DataFrame): Unit = {
-    val rows = keyed.dropDuplicates("cid").localCheckpoint(true)
+                       keyed: DataFrame, reqMs: Long = -1L): Unit = {
+    val now = if (reqMs >= 0L) reqMs else System.currentTimeMillis()
+    val rows = keyed.dropDuplicates("cid")
+      .withColumn("req_ms", lit(now)).localCheckpoint(true)
     val keys = IndexCatalog.collectKeys(rows, "cid")
     if (keys.isEmpty) return
     if (!IndexCatalog.hasCommittedData(spark, t)) {
@@ -135,6 +150,17 @@ object Forget {
     } else {
       if (!spark.catalog.tableExists(t))
         IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
+      // one-time migration of a pre-req_ms log: legacy rows restart
+      // their SLA clock at this registration (true age unknown)
+      if (!spark.table(t).columns.contains("req_ms")) {
+        val legacy = spark.table(t).select(col("cid"))
+          .withColumn("req_ms", lit(now)).localCheckpoint(true)
+        IndexCatalog.purge(spark, t)
+        legacy.write.mode("overwrite")
+          .bucketBy(8, "cid").sortBy("cid")
+          .option("path", IndexCatalog.tableLocation(spark, t).toString)
+          .saveAsTable(t)
+      }
       // probe before writing: a fully-replayed batch (every id already
       // tombstoned — the common case for re-run registered queries and
       // at-least-once redelivery) skips the zero-row append's write
@@ -148,6 +174,35 @@ object Forget {
         spark.catalog.refreshTable(t)
       }
     }
+  }
+
+  /** The vector/doc takedown-SLA face (r15 VERDICT next #1) — one row
+    * per log: pending tombstones, the oldest request's age against
+    * `asOfMs`, and `sla_ok` (oldest within `slaMs`). These applies have
+    * no drain guard (they never defer — the threshold is the only
+    * gate), so the row has no reason column; the user-pipeline twin
+    * with deferral provenance is
+    * [[graft.streaming.UserForget.forgetUsersAudit]]. The registered
+    * `forget_sla` query keeps the age engine-side (wall-clock) and
+    * exposes the deterministic columns, the serveHealth lag pattern.
+    */
+  def forgetSla(spark: SparkSession, dir: String, asOfMs: Long = -1L,
+                slaMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    val asOf = if (asOfMs >= 0L) asOfMs else System.currentTimeMillis()
+    def rowOf(log: String, t: String): (String, Long, Long, Boolean) = {
+      val pend = pendingOf(spark, t).localCheckpoint(true)
+      val n = pend.count()
+      val oldest =
+        if (n == 0L) 0L
+        else math.max(0L,
+          asOf - pend.agg(min(col("req_ms"))).collect().head.getLong(0))
+      (log, n, oldest, oldest <= slaMs)
+    }
+    Seq(rowOf("docs", forgetDocsTable(dir)),
+      rowOf("vectors", forgetTable(dir)))
+      .toDF("log", "pending", "oldest_pending_ms", "sla_ok")
+      .orderBy(col("log"))
   }
 
   /** The frame a tombstone append writes — split out so the spec pins
@@ -568,6 +623,24 @@ object Forget {
     * re-derive from the rewritten store), clear the doc log LAST. Same
     * threshold economics, replay safety, and single-maintainer
     * contract as [[applyForgetIfNeeded]].
+    *
+    * Trained-state deletion semantics, doc side (r15 VERDICT next #8 —
+    * the [[ivfIndexedTopKLive]] frozen-centroid note's text twin).
+    * Doc-derived trained state falls in three classes, each with its
+    * own erase moment: (1) per-query-trained artifacts (DSIR weights,
+    * langid/quality scores) train from the store on every call, so the
+    * NEXT call after this apply excludes the forgotten docs by
+    * construction; (2) session-MEMOIZED models (the classifier's
+    * count model, the BPE dict) pin materialized pre-erase statistics,
+    * so this apply invalidates both memos for `dir` — a post-apply
+    * retrain provably equals training on a corpus the docs never
+    * entered (ForgetSpec pins it); (3) standing FROZEN state trained
+    * from OTHER stores (the winsorize bounds index freezes from the
+    * events table) is out of this apply's scope and follows its own
+    * refreeze cycle ([[graft.ops.Analytics.refreezeBoundsIndexIfNeeded]]
+    * in the maintenance loop) — the honest statement is the IVF one:
+    * frozen statistics retain the deleted rows' influence until that
+    * cycle retrains, while row CONTENT is gone immediately.
     */
   def applyForgetDocsIfNeeded(spark: SparkSession, dir: String,
                               gramN: Int = 5,
@@ -587,6 +660,10 @@ object Forget {
       TextDedup.purgeSubstringIndex(spark, dir, gramN)
       TextDedup.ensureSubstringIndex(spark, dir, gramN)
     }
+    // trained-state class (2): drop the session memos trained on the
+    // pre-erase store, so the next classifier/tokenizer call retrains
+    Classifier.invalidateModelsFor(dir)
+    TextAnalysis.invalidateBpeFor(dir)
     purgeForgetDocsTable(spark, dir)
     erased
   }

@@ -1319,6 +1319,24 @@ object TextAnalysis {
       }
     }
 
+  /** Drop every session's memoized BPE training for `dir` — the
+    * [[Classifier.invalidateModelsFor]] twin: the dict is checkpointed
+    * pre-erase state, and a post-apply tokenizer call must retrain from
+    * the rewritten documents store (trained-state deletion semantics,
+    * r15 VERDICT next #8).
+    */
+  private[graft] def invalidateBpeFor(dir: String): Unit =
+    bpeTrainCache.synchronized {
+      val it = bpeTrainCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._2 == dir) {
+          scala.util.Try(e.getValue._2.unpersist(false))
+          it.remove()
+        }
+      }
+    }
+
   /** The shared trainer loop behind [[bpeMerges]] and [[bpeEncode]]:
     * returns the ranked merge list AND the final dict
     * `(w, freq, syms)` — each distinct word's symbol sequence after all

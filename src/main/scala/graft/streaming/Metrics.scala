@@ -242,6 +242,16 @@ object Metrics {
     * both guards and shapes (review r15: a separate guards overload
     * hardwired the default shapes, reintroducing the ghost-table
     * failure mode on its callers).
+    *
+    * `forgetSla` = Some((pipelineCfg, slaMs)) adds the takedown-SLA
+    * guard row (r15 VERDICT next #1) — `user_forget_sla`:
+    * `index_present` = the user tombstone log exists, `has_data` =
+    * requests are pending, `healthy` = the oldest pending request is
+    * within `slaMs` ([[UserForget.forgetUsersAudit]]'s `sla_ok`). The
+    * erase's drain guards defer legally, but only this row makes a
+    * PERPETUAL deferral visible on the health face before the legal
+    * clock lapses; the age and reason stay engine-side on the audit
+    * row (the lag-number pattern above).
     */
   def serveHealth(spark: SparkSession, dir: String,
                   guards: Seq[(String, String, String)] = Seq.empty,
@@ -249,7 +259,9 @@ object Metrics {
                   pqNq: Int = 10, rungNq: Int = 10, rungPrefix: Int = 16,
                   winsorGroup: String = "event_type",
                   shapes: graft.tools.Maintenance.Shapes =
-                    graft.tools.Maintenance.Shapes()): DataFrame = {
+                    graft.tools.Maintenance.Shapes(),
+                  forgetSla: Option[(Pipeline.Config, Long)] = None)
+      : DataFrame = {
     import spark.implicits._
     import graft.ext.{IndexCatalog, Pq, Rung, Similarity, TextDedup}
     import graft.ops.Analytics
@@ -292,8 +304,18 @@ object Metrics {
           .select(col("lag_ms")).collect().head.getLong(0))
       (surface, present, lag.isSuccess, lag.toOption.exists(_ >= 0L))
     }.toDF("surface", "index_present", "has_data", "healthy")
-    (if (guards.isEmpty) batchFace
-     else batchFace.unionByName(guardHealth(spark, guards)))
+    val withSla = forgetSla.fold(batchFace) { case (cfg, slaMs) =>
+      val audit = UserForget.forgetUsersAudit(spark, cfg, slaMs = slaMs)
+        .collect().head
+      batchFace.unionByName(Seq((
+        "user_forget_sla",
+        UserForget.forgetUsersTableExists(spark, cfg.baseDir),
+        audit.getAs[Long]("pending_users") > 0L,
+        audit.getAs[Boolean]("sla_ok")))
+        .toDF("surface", "index_present", "has_data", "healthy"))
+    }
+    (if (guards.isEmpty) withSla
+     else withSla.unionByName(guardHealth(spark, guards)))
       .orderBy(col("surface"))
   }
 

@@ -267,11 +267,21 @@ object Maintenance {
     // the tick — the pass swaps the raw store they scan.
     val forgetDir = sys.env.get("SPARK_GRAFT_FORGET_DIR")
     val forgetMin = sys.env.getOrElse("SPARK_GRAFT_FORGET_MIN", "1").toLong
-    // The USER-deletion pass always runs against THIS pipeline's baseDir
-    // (it is the store set this loop maintains); it no-ops without a
-    // log, HOLDS BACK (-2) while gold/serve owe files a fold, and lands
-    // on the first drained pass — the vacuum deferral semantics.
+    // The USER-deletion pass runs against THIS pipeline's baseDir (it
+    // is the store set this loop maintains) but ONLY under the explicit
+    // SPARK_GRAFT_USER_FORGET=1 opt-in (r15 ADVICE): unlike the loop's
+    // other passes it is NOT safe beside live streams — the gold-bucket
+    // dirSwap can race a concurrent foldToGold swap, and the drain
+    // guard is check-then-act (a silver/change file committed between
+    // the guard and the scrub would fold the user back in). Enable it
+    // only on a tick that runs with the silver/gold/serve streams
+    // quiesced (the takedown feed itself may keep running — it only
+    // appends tombstones). When enabled it no-ops without a log, HOLDS
+    // BACK (-2) while gold/serve owe files a fold, and lands on the
+    // first drained pass — the vacuum deferral semantics.
     // SPARK_GRAFT_USER_FORGET_MIN sets the amortization threshold.
+    val userForgetEnabled = sys.env.get("SPARK_GRAFT_USER_FORGET")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val userForgetMin =
       sys.env.getOrElse("SPARK_GRAFT_USER_FORGET_MIN", "1").toLong
     // both-ways manifest validation BEFORE the first pass mutates
@@ -279,9 +289,13 @@ object Maintenance {
     // half re-runs EVERY pass (one cheap listStatus) — an index another
     // session builds mid-run must start warning on the next tick, not
     // after a restart
+    // when the user-erase pass is disabled, its log is NOT covered —
+    // a tombstone log growing on disk with no pass to apply it is
+    // exactly the unmaintained-surface drift the warning exists for
     def uncovered() = manifestReport(spark, gramDir, gramN, ivfDir, ivfNq,
       ivfNc, pqDir, pqNq, winsorDir, winsorGroup, rungDir, rungNq,
-      rungPrefix, shapes, forgetDir, Some(baseDir))
+      rungPrefix, shapes, forgetDir,
+      if (userForgetEnabled) Some(baseDir) else None)
     uncovered()
     do {
       uncovered().foreach(println)
@@ -314,8 +328,10 @@ object Maintenance {
           rungPrefix, shapes, forgetMin))
       val forgetDocsErased = forgetDir.map(d => graft.ext.Forget
         .applyForgetDocsIfNeeded(spark, d, gramN, forgetMin))
-      val userErased = graft.streaming.UserForget
-        .applyForgetUsersIfNeeded(spark, cfg, userForgetMin)
+      val userErased: Option[Long] = if (userForgetEnabled)
+        Some(graft.streaming.UserForget
+          .applyForgetUsersIfNeeded(spark, cfg, userForgetMin))
+      else None
       println(s"[maintenance] compacted ${cfg.silverPath} + " +
         f"vacuumed ${cfg.goldChangesPath}" +
         gramDir.fold("")(d => s" + folded gram log for $d") +
@@ -331,9 +347,10 @@ object Maintenance {
         forgetDir.fold("")(d =>
           s" + tombstone apply for $d (vectors=${forgetErased.get}, " +
             s"docs=${forgetDocsErased.get})") +
-        (if (userErased >= 0) s" + user erase (rows=$userErased)"
-         else if (userErased == -2L) " + user erase HELD BACK (undrained)"
-         else "") +
+        userErased.fold("")(n =>
+          if (n >= 0) s" + user erase (rows=$n)"
+          else if (n == -2L) " + user erase HELD BACK (undrained)"
+          else "") +
         f" in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (intervalSec > 0) Thread.sleep(intervalSec * 1000)
     } while (intervalSec > 0)

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, unix_millis}
 
 import graft.model.Event
 import graft.streaming.Pipeline
@@ -40,6 +41,13 @@ import graft.streaming.Pipeline
   * feed/serve — the JSON carries both the riding-feed event rate
   * (comparable to full mode) and the measured erase cost + per-store
   * zero-residue booleans, so a deployment can price its takedown SLA.
+  *
+  * `SPARK_GRAFT_EVENTS_SRC=<events.parquet>` (r15 VERDICT next #6)
+  * replaces the synthetic generator with a ts-ordered REPLAY of a real
+  * events table — point it at the ScaleGen ×10 corpus and the soak
+  * carries that corpus's user cardinality and per-key skew instead of
+  * the generator's uniform 200 groups; the event count is then the
+  * table's row count and the takedown feed draws from its users.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -130,8 +138,34 @@ object StreamBench {
     def pace(): Unit = queries.head.processAllAvailable()
 
     val rnd = new scala.util.Random(7)
-    val groups = (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
     val t0 = 1700000000000L
+    // SPARK_GRAFT_EVENTS_SRC (r15 VERDICT next #6): replay a REAL
+    // events table (a testdata/ScaleGen DIR holding events.parquet)
+    // through the chain instead of the synthetic generator, so the soak
+    // carries the corpus's actual user cardinality and per-key skew.
+    // Read via Ingest.events (ts-encoding sniffing — the round-8
+    // gotcha); rows replay in ts order (the watermark's in-order shape
+    // — late-data behavior is spec territory, PipelineSpec), keys
+    // become group ids, and the takedown feed draws from the corpus's
+    // own users.
+    val eventsSrc = sys.env.get("SPARK_GRAFT_EVENTS_SRC")
+    val replay: IndexedSeq[Event] = eventsSrc.fold(IndexedSeq.empty[Event]) { src =>
+      graft.ops.Ingest.events(spark, src)
+        .select(col("event_id").cast("string").as("eid"),
+          col("user_id").cast("string").as("gid"),
+          col("value").cast("float").as("v"),
+          unix_millis(col("ts").cast("timestamp")).as("tms"))
+        .orderBy(col("tms"), col("eid"))
+        .collect()
+        .map(r => Event(r.getString(0), r.getString(1), r.getFloat(2),
+          r.getLong(3)))
+        .toIndexedSeq
+    }
+    val groups: IndexedSeq[String] =
+      if (replay.nonEmpty) replay.map(_.group_id).distinct
+      else (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
+    val effectiveTotal =
+      if (replay.nonEmpty) replay.size else totalEvents
     var sent = 0
     var batchNo = 0
     // warmup batch (codegen + state store init), not timed
@@ -143,13 +177,15 @@ object StreamBench {
     var vecsSent = 0L
     var queriesSent = 0L
     val start = System.nanoTime()
-    while (sent < totalEvents) {
-      val n = math.min(batchSize, totalEvents - sent)
+    while (sent < effectiveTotal) {
+      val n = math.min(batchSize, effectiveTotal - sent)
       val base = t0 + 100000 + sent.toLong * 10
-      val fresh = (0 until n).map { k =>
-        Event(s"e-${sent + k}", groups((sent + k) % groups.size),
-          rnd.nextFloat(), base + k * 10)
-      }
+      val fresh =
+        if (replay.nonEmpty) replay.slice(sent, sent + n)
+        else (0 until n).map { k =>
+          Event(s"e-${sent + k}", groups((sent + k) % groups.size),
+            rnd.nextFloat(), base + k * 10)
+        }
       val dupes = (0 until n / 20).map(k => fresh(rnd.nextInt(n)))
       val b0 = System.nanoTime()
       input.addData(rnd.shuffle(fresh ++ dupes))
@@ -208,7 +244,7 @@ object StreamBench {
         graft.ext.Rung.binKey(10)))
         .filter(org.apache.spark.sql.functions.col("cid") >= 10000000L)
         .count()
-      println(s"""{"metric":"pipeline_search_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"vecs_ingested":$vecsSent,"vecs_in_rung":$admitted,"search_queries":$queriesSent,"search_rows":${searchRows.get()},"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
+      println(s"""{"metric":"pipeline_search_throughput","value":${effectiveTotal / secs},"unit":"events/sec","events":$effectiveTotal,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"vecs_ingested":$vecsSent,"vecs_in_rung":$admitted,"search_queries":$queriesSent,"search_rows":${searchRows.get()},"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     } else if (forget) {
       import org.apache.spark.sql.functions.col
       val uf = graft.streaming.UserForget
@@ -227,12 +263,12 @@ object StreamBench {
       val clean = Seq(cfg.silverPath, cfg.goldPath, cfg.goldChangesPath,
         cfg.servePath).forall(p => g2In(p) == 0L)
       val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
-      println(s"""{"metric":"pipeline_forget_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"users_tombstoned":$tombstoned,"rows_erased":$erased,"erase_secs":$eraseSecs,"all_stores_clean":$clean,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
+      println(s"""{"metric":"pipeline_forget_throughput","value":${effectiveTotal / secs},"unit":"events/sec","events":$effectiveTotal,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"users_tombstoned":$tombstoned,"rows_erased":$erased,"erase_secs":$eraseSecs,"all_stores_clean":$clean,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     } else if (full) {
       val serveRows = Pipeline.serveSnapshot(spark, cfg).count()
-      println(s"""{"metric":"pipeline_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
+      println(s"""{"metric":"pipeline_throughput","value":${effectiveTotal / secs},"unit":"events/sec","events":$effectiveTotal,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"serve_rows":$serveRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     } else
-      println(s"""{"metric":"silver_dedup_throughput","value":${totalEvents / secs},"unit":"events/sec","events":$totalEvents,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
+      println(s"""{"metric":"silver_dedup_throughput","value":${effectiveTotal / secs},"unit":"events/sec","events":$effectiveTotal,"batches":$batchNo,"secs":$secs,"silver_rows":$silverRows,"stage_rates":$stageRates,"baseline_events_per_sec":4000}""")
     spark.stop()
   }
 }

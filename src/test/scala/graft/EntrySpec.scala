@@ -24,6 +24,9 @@ class EntrySpec extends SparkTestBase {
 
   test("all queries execute and are non-degenerate on sf0.001") {
     val sf = "/root/testdata/sf0.001"
+    // the Verify/Bench contract: the tombstone fixture registers before
+    // the query loop (the forget queries price the read path)
+    SparkEntry.registerForgetFixtures(spark, sf)
     // serve_page (and its live twin) are legitimately empty at sf0.001:
     // page 2 needs > 20 users and the corpus has 15 (14 after the
     // registered tombstone set) — both non-degenerate from sf0.01 up

@@ -312,6 +312,41 @@ class ForgetSpec extends SparkTestBase {
     } finally cleanupDocs(a)
   }
 
+  test("trained-state deletion semantics (doc side, r15 VERDICT next #8): " +
+    "the physical apply invalidates the session-memoized classifier " +
+    "model and BPE dict — a post-apply retrain equals training on a " +
+    "corpus the forgotten docs never entered") {
+    import graft.ext.{Classifier, TextAnalysis, TextDedup}
+    val a = copyDocs("retrain", keepAll = true)
+    val b = copyDocs("retrain_cf", keepAll = false)
+    try {
+      Forget.forgetDocs(spark, a,
+        TextDedup.documents(spark, a).filter(docForgetCond)
+          .select(col("doc_id")))
+      def modelOf(d: String) = Classifier.trainedModel(spark, d)
+        .orderBy(col("feature_id")).collect().toSeq
+      def mergesOf(d: String) = TextAnalysis.bpeMerges(spark, d, 10)
+        .collect().toSeq
+      // memoize BOTH trained artifacts on the pre-erase store — without
+      // invalidation these cached frames would keep serving the
+      // forgotten docs' statistics after the apply
+      val preModel = modelOf(a)
+      val preMerges = mergesOf(a)
+      val cfModel = modelOf(b)
+      val cfMerges = mergesOf(b)
+      assert(preModel != cfModel && preMerges != cfMerges,
+        "fixture defect: the tombstoned docs must influence the " +
+          "trained artifacts for this test to pin anything")
+      assert(Forget.applyForgetDocsIfNeeded(spark, a) > 0L)
+      assert(modelOf(a) == cfModel,
+        "post-apply classifier retrain must equal the never-admitted " +
+          "corpus model (stale memo?)")
+      assert(mergesOf(a) == cfMerges,
+        "post-apply BPE retrain must equal the never-admitted corpus " +
+          "dict (stale memo?)")
+    } finally cleanupDocs(a, b)
+  }
+
   test("streaming doc deletion feed registers tombstones idempotently " +
     "and the live pairs drop the doc's pairs immediately") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -10,7 +10,15 @@ class PlanAuditSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // Verify/Bench-contract fixture, once per suite: the forget queries'
+  // plans are audited with the tombstone log POPULATED (a lazily-empty
+  // log would still broadcast, but the production shape is the one
+  // with a real probe side)
+  private lazy val forgetFixture: Unit =
+    SparkEntry.registerForgetFixtures(spark, sf)
+
   private def executedPlan(name: String): String = {
+    forgetFixture
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // let AQE settle on the final plan
     df.queryExecution.executedPlan.toString

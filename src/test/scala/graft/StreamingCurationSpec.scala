@@ -362,6 +362,41 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(!fired2 && (same eq bounds))
   }
 
+  test("trained-state deletion semantics (winsor bounds, r15 VERDICT " +
+    "next #8): frozen bounds retain a scrubbed user's statistical " +
+    "influence until the refreeze cycle — and the post-scrub refreeze " +
+    "equals bounds frozen on a history the user never entered") {
+    import graft.ops.Analytics
+    // user B's extreme tail sets the frozen hi bound; the deletion
+    // scrub removes B's rows (row CONTENT gone from any clip apply
+    // immediately), but the FROZEN state still carries B's quantiles —
+    // the same honesty note as IVF's frozen centroids
+    val aRows = (1 to 100).map(i => (i.toLong, "t", i.toDouble))
+    // B carries 90% of the mass, so the frozen p05/p95 land deep inside
+    // B's range — after the scrub the realized clip on A-only history
+    // deviates far past the rule's tolerance
+    val bRows = (1 to 900).map(i => (1000L + i, "t", 1e6 + i))
+    val full = (aRows ++ bRows).toDF("event_id", "event_type", "value")
+    val scrubbed = aRows.toDF("event_id", "event_type", "value")
+    val frozen = Analytics.winsorizeBounds(full, "event_type")
+      .localCheckpoint(true)
+    // the maintenance drift rule IS the refreeze cycle: the scrubbed
+    // history's realized clip collapses under B-inflated bounds, so the
+    // rule fires and the retrain lands on the next tick
+    assert(StreamingCuration.shouldRefreezeBounds(scrubbed, "event_type",
+      frozen), "post-scrub history must fire the drift rule")
+    val (fresh, fired) = StreamingCuration.refreezeBoundsIfNeeded(
+      scrubbed, "event_type", frozen)
+    assert(fired)
+    // the retrain excludes the scrubbed rows: bit-identical to bounds
+    // frozen on a history the user never entered
+    val cf = Analytics.winsorizeBounds(scrubbed, "event_type")
+      .orderBy(col("event_type")).collect().toSeq
+    assert(fresh.select(col("event_type"), col("lo_v"), col("hi_v"))
+      .orderBy(col("event_type")).collect().toSeq == cf,
+      "post-scrub refreeze must equal the never-admitted freeze")
+  }
+
   test("a tied/constant group reads calm under a freeze carrying its " +
     "realized clip rate — the theoretical quantile mass alone would " +
     "re-freeze such a group forever (r12 review)") {

@@ -125,10 +125,37 @@ class UserForgetSpec extends SparkTestBase {
       assert(UserForget.applyForgetUsersIfNeeded(spark, cfg) == -2L)
       // tombstone survives the deferral — nothing was lost
       assert(UserForget.forgottenUserIds(spark, cfg.baseDir).count() == 1L)
+      // the takedown-SLA probe makes the deferral VISIBLE (r15 VERDICT
+      // next #1): pending request with a nonzero age, the blocking
+      // reason named, and under a zero-tolerance SLA the guard flips
+      // unhealthy — a stuck gold consumer can no longer silently
+      // outlive the legal clock
+      val held = UserForget.forgetUsersAudit(spark, cfg, slaMs = 0L)
+        .collect().head
+      assert(held.getAs[Long]("pending_users") == 1L)
+      assert(held.getAs[Long]("oldest_pending_ms") > 0L,
+        "pending request must carry a nonzero age")
+      assert(held.getAs[String]("deferred_because") ==
+        "gold_owes_silver_files", held.toString)
+      assert(!held.getAs[Boolean]("sla_ok"),
+        "zero-tolerance SLA must flip unhealthy while held back")
+      // under a generous SLA the same held-back state is still healthy
+      assert(UserForget.forgetUsersAudit(spark, cfg)
+        .collect().head.getAs[Boolean]("sla_ok"))
       // drain gold, then the erase lands (u2 has 2 silver rows)
       val goldQ2 = Pipeline.startGold(spark, cfg)
       try goldQ2.processAllAvailable() finally goldQ2.stop()
+      assert(UserForget.deferralReason(spark, cfg).isEmpty,
+        "drained chain must report no deferral reason")
       assert(UserForget.applyForgetUsersIfNeeded(spark, cfg) == 2L)
+      // the apply clears the clock: no pending, no reason, healthy
+      // even at zero tolerance
+      val cleared = UserForget.forgetUsersAudit(spark, cfg, slaMs = 0L)
+        .collect().head
+      assert(cleared.getAs[Long]("pending_users") == 0L &&
+        cleared.getAs[Long]("oldest_pending_ms") == 0L &&
+        cleared.getAs[String]("deferred_because") == "none" &&
+        cleared.getAs[Boolean]("sla_ok"), cleared.toString)
       assert(spark.read.option("basePath", cfg.silverPath)
         .parquet(cfg.silverPath).filter(col("group_id") === "u2")
         .count() == 0L)
@@ -139,6 +166,83 @@ class UserForgetSpec extends SparkTestBase {
       silverQ.stop()
       UserForget.purgeForgetUsersTable(spark, cfg.baseDir)
     }
+  }
+
+  test("scrub-manifest replay is idempotent across the MOVE phase: a " +
+    "crash landing after the MOVE executed (src gone, dst scrubbed) " +
+    "replays without deleting the leaf's surviving rows — including " +
+    "against a legacy manifest that lists the MOVE destination as a " +
+    "DELETE line") {
+    import org.apache.hadoop.fs.Path
+    val cfg = freshCfg()
+    val fs = new Path(cfg.baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new Path(cfg.goldChangesPath, "_commit_version=1/gb=0")
+    val stage = new Path(s"${cfg.baseDir}/gold_changes_scrub_tmp",
+      "_commit_version=1/gb=0")
+    val manifest = new Path(s"${cfg.baseDir}/gold_changes_scrub_manifest")
+    def touch(p: Path, content: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    def writeManifest(lines: Seq[String]): Unit =
+      touch(manifest, lines.mkString("", "\n", "\n"))
+    def readFile(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val dst = new Path(leaf, "part-a")
+    val merged = new Path(leaf, "part-b")
+    val staged = new Path(stage, "part-staged")
+    val plan = Seq(s"DELETE\t$merged", s"MOVE\t$staged\t$dst")
+    // first replay: normal execution — merged original deleted, staged
+    // survivor installed under the surviving original name
+    touch(dst, "unscrubbed-a"); touch(merged, "unscrubbed-b")
+    touch(staged, "scrubbed")
+    writeManifest(plan)
+    UserForget.replayScrubManifest(fs, cfg)
+    assert(!fs.exists(merged) && !fs.exists(manifest))
+    assert(readFile(dst) == "scrubbed")
+    // the r15 ADVICE crash window: the MOVE already executed but the
+    // manifest survived — the replay must treat the leaf as complete,
+    // not re-delete the scrubbed survivor
+    writeManifest(plan)
+    UserForget.replayScrubManifest(fs, cfg)
+    assert(fs.exists(dst) && readFile(dst) == "scrubbed",
+      "replay after a post-MOVE crash deleted the scrubbed survivor")
+    // defensive half: a legacy manifest that (wrongly) lists the MOVE
+    // destination as a DELETE line must still not lose the survivor
+    writeManifest(s"DELETE\t$dst" +: plan)
+    UserForget.replayScrubManifest(fs, cfg)
+    assert(fs.exists(dst) && readFile(dst) == "scrubbed",
+      "replay executed a DELETE naming the MOVE destination")
+  }
+
+  test("unrecoverable swap debris fails loudly: a gold bucket gone with " +
+    "only an uncommitted rewrite sibling surviving aborts the apply " +
+    "instead of silently vanishing; a store dir that never existed " +
+    "stays silent") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val cfg = freshCfg()
+    val fs = new Path(cfg.baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      UserForget.forgetUsers(spark, cfg.baseDir, Seq("x").toDF("group_id"))
+      // a fresh pipeline (no gold/changes/serve dirs at all) recovers
+      // nothing and defers nothing — the apply proceeds to a clean
+      // erase of the (empty) stores rather than throwing
+      assert(UserForget.applyForgetUsersIfNeeded(spark, cfg) >= -2L)
+      UserForget.forgetUsers(spark, cfg.baseDir, Seq("x").toDF("group_id"))
+      // fabricate the impossible-under-protocol debris: the bucket dir
+      // is gone, an UNCOMMITTED rewrite survives, no trash
+      fs.mkdirs(new Path(cfg.goldPath, ".gb=0.rewrite"))
+      val e = intercept[IllegalArgumentException] {
+        UserForget.applyForgetUsersIfNeeded(spark, cfg)
+      }
+      assert(e.getMessage.contains("lost outside the swap protocol"))
+    } finally UserForget.purgeForgetUsersTable(spark, cfg.baseDir)
   }
 
   test("registration is idempotent across batches and in-batch " +
@@ -155,6 +259,14 @@ class UserForgetSpec extends SparkTestBase {
       UserForget.forgetUsers(spark, base, Seq("b", "c").toDF("group_id"))
       assert(UserForget.forgottenUserIds(spark, base)
         .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+      // redelivery cannot refresh a request's SLA clock: "a" keeps its
+      // FIRST registration time even when a replay arrives much later
+      UserForget.forgetUsers(spark, base, Seq("a").toDF("group_id"),
+        reqMs = 9999999999999L)
+      val reqs = UserForget.pendingRequests(spark, base).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(reqs("a") < 9999999999999L,
+        s"replay refreshed the SLA clock: ${reqs("a")}")
     } finally UserForget.purgeForgetUsersTable(spark, base)
   }
 }
