@@ -142,10 +142,13 @@ object ExtEntry {
 
     // the same mining against the standing whole-table IVF index:
     // both directions probe 2 cells per query (the CCMatrix deployment
-    // shape); nProbe = nCentroids identity pinned in ExtSpec
+    // shape); nProbe = nCentroids identity pinned in ExtSpec. Cells are
+    // AutoShape (≈n/128 — r16 ×100 finding: fixed cells made the probe
+    // quadratic in corpus size); resolves to the oracle's 16 at every
+    // verify SF
     "mine_bitext_ivf" -> ((s, dir) =>
       Similarity.mineBitextIndexed(s, dir, labelX = 0, labelY = 1,
-        kNN = 4, nCentroids = 16, nProbe = 2)),
+        kNN = 4, nCentroids = Similarity.AutoShape, nProbe = 2)),
 
     // IVF index health: occupancy distribution, exact order-statistic
     // assignment-similarity quantiles, drifted fraction — the inputs to

@@ -958,35 +958,43 @@ object Similarity {
     * shuffle-of-(band, bucket, id)-tuples plan with the sorted-first-K
     * membership cap ([[TextDedup.maxBucket]]) bounding a degenerate
     * bucket (e.g. a mass of near-zero or duplicated embeddings).
+    *
+    * Scoring is IN-BUCKET (r16 — a finding from the measured ×100
+    * point): each bucket row carries (vec_id, embedding, norm) structs,
+    * so candidate pairs score their cosine inside the aggregate's
+    * output partition and only SURVIVORS reach the cross-band distinct.
+    * The previous shape emitted bare id-pairs and re-joined the
+    * embeddings table twice to fetch vectors — at ×100 (200k vectors,
+    * ~39M capped candidates) those two pair-sized shuffles plus a
+    * pair-sized distinct dominated the query 5×. Candidate MEMBERSHIP
+    * is unchanged (same sorted-first-K cap on the same ids — structs
+    * sort by vec_id), so the oracle and every recall artifact hold.
     */
   def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double,
                       nBands: Int = 4, nPlanes: Int = 4): DataFrame = {
     val e = embeddings(spark, dir)
     val p = if (nPlanes == AutoShape) autoPlanes(e.count()) else nPlanes
     val planes = planeVectors(nBands * p, 64)
-    val banded = e.select(col("vec_id"), explode(array(
+    val banded = e.select(col("vec_id"), col("embedding"), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band"),
           signBucket(col("embedding"),
             planes.slice(b * p, (b + 1) * p)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
-    val cand = banded.groupBy(col("band"), col("bucket"))
-      .agg(slice(sort_array(collect_set(col("vec_id"))), 1,
+      .select(col("bb.band"), col("bb.bucket"),
+        struct(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("n")).as("v"))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_set(col("v"))), 1,
         TextDedup.maxBucket).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(TextDedup.pairsOf(col("ids"))).as("p"))
-      .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        norm(col("embedding")).as("n1")), Seq("v1"))
-      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        norm(col("embedding")).as("n2")), Seq("v2"))
-      .select(col("v1"), col("v2"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .select(col("p.d1.vec_id").as("v1"), col("p.d2.vec_id").as("v2"),
+        (dot(col("p.d1.embedding"), col("p.d2.embedding")) /
+          (col("p.d1.n") * col("p.d2.n"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"), round6(col("cos")).as("cos"))
+      .distinct()
   }
 
   /** Exact top-k cosine neighbors of each query vector (vec_id < nQueries)
@@ -1229,15 +1237,30 @@ object Similarity {
   def mineBitextIndexed(spark: SparkSession, dir: String, labelX: Int,
                         labelY: Int, kNN: Int, nCentroids: Int,
                         nProbe: Int): DataFrame = {
-    ensureIvfIndex(spark, dir, nQueries = 0, nCentroids)
-    val key = ivfKey(0, nCentroids, 2, 3, defaultIvfSampleCap)
+    // AutoShape resolves cells from the corpus size (≈n/128 — the r16
+    // ×100 finding: a FIXED cell count makes per-cell population, and
+    // with it every query's scored-candidate set, grow linearly with
+    // the corpus — the probe's cost law goes quadratic. Corpus-driven
+    // cells hold population ~constant, so the mining stays linear; at
+    // the verify SFs (≤2k vectors) AutoShape resolves to the legacy 16,
+    // so the oracle's trained-cell chain is unchanged where it runs.)
+    val nc = resolveCells(embeddings(spark, dir), nCentroids)
+    ensureIvfIndex(spark, dir, nQueries = 0, nc)
+    val key = ivfKey(0, nc, 2, 3, defaultIvfSampleCap)
     val cents = spark.table(ivfCentsTable(dir, key))
     val cells = spark.table(ivfCellsTable(dir, key))
     val emb = embeddings(spark, dir)
     val labels = emb.select(col("vec_id").as("cid"), col("label"))
+    // the query side here is CORPUS-sized (half the table), unlike the
+    // bounded panels every other probeCells caller passes — spread it
+    // across the full shuffle width before the probe, or the per-query
+    // cell-ranking window inherits the raw scan's partitioning (a
+    // single-file table would sort queries × nc rows in one task)
+    val probeWidth = spark.sessionState.conf.numShufflePartitions
     def sideQ(lbl: Int) = emb.filter(col("label") === lbl)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
+      .repartition(probeWidth, col("qid"))
     // one direction: probe per query, score the probed cells' members
     // carrying the candidate-side label (each vector lives in exactly
     // one cell, so pairs are already unique)

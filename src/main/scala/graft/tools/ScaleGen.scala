@@ -87,13 +87,21 @@ object ScaleGen {
       s"factor out of range: $factor")
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
     // the replica spine is generation scaffolding — never part of the
-    // output schema
+    // output schema. Facts write as ~factor files (capped at 64): the
+    // base sf dirs are single-file, and inheriting that layout at ×100
+    // caps scan parallelism at the 128 MB split size — an 80 MB
+    // embeddings table would read as ONE partition, which is not the
+    // shape any real 100× table has (r16 finding: the single-file ×100
+    // corpus serialized a corpus-sized probe window into one task).
     def write(df: DataFrame, t: String): Unit =
-      df.drop("rep").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.drop("rep").repartition(math.min(64, factor))
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    def writeOnce(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     // dims: copied once — more data, same nations/regions
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    writeOnce(read("region"), "region")
+    writeOnce(read("nation"), "nation")
 
     // TPC-H facts: offset every key so FK joins hold within a replica
     write(replicate(spark, read("customer"), factor, Seq("c_custkey")),
