@@ -18,6 +18,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the Verify/Bench fixture: audit the forget queries' plans with
+    // the tombstone logs POPULATED (the production probe side)
+    graft.SparkEntry.registerForgetFixtures(spark, dir)
     if (args.nonEmpty && args(0) != "all") {
       graft.SparkEntry.queries(args(0))(spark, dir).explain("formatted")
     } else {
