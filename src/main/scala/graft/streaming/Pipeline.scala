@@ -42,15 +42,38 @@ import graft.ops.{Aggregate, Dedup}
   */
 object Pipeline {
 
+  /** @param goldFoldEvery fold cadence in micro-batches. 1 (default)
+    *   folds every batch — the reference's per-batch MERGE shape. >1
+    *   COALESCES: each batch appends its per-group partials to a pending
+    *   delta log (one shuffle + one small append, O(increment) whatever
+    *   the active-group count) and a bucket folds into the snapshot only
+    *   when it holds that many pending batches — the LSM-memtable trade
+    *   the ×10 replay soak motivated (r16: per-batch fold cost was
+    *   ACTIVE-GROUP-proportional; at ~10k active groups/batch every
+    *   bucket rewrote every batch). Serve freshness then lags ≤
+    *   goldFoldEvery batches; [[flushGold]] folds the remainder on
+    *   drain/maintenance.
+    * @param silverHbSize minute-buckets per silver partition directory.
+    *   The MERGE key stays (minute_timestamp, id); this only sets the
+    *   DIRECTORY granularity. 20 × 180 s = 1 h — at 3-minute dirs a
+    *   time-ordered replay wrote ~1,440 partition dirs per 10k-event
+    *   batch (the r16 ×10-replay small-file storm: listings, per-dir
+    *   writes, and downstream file-count-driven triggers all scaled
+    *   with it); hourly dirs keep partition pruning while bounding
+    *   dirs at 8,760/year.
+    */
   final case class Config(
       baseDir: String,
       watermarkDelay: String = "30 seconds",
       triggerMs: Long = 0L,
       goldBuckets: Int = 64,
-      compactEvery: Long = 0L) {
+      compactEvery: Long = 0L,
+      goldFoldEvery: Int = 1,
+      silverHbSize: Int = 20) {
     def silverPath: String = s"$baseDir/silver"
     def goldPath: String = s"$baseDir/gold"
     def goldChangesPath: String = s"$baseDir/gold_changes"
+    def goldPendingPath: String = s"$baseDir/gold_pending"
     def servePath: String = s"$baseDir/serve"
     def checkpoint(name: String): String = s"$baseDir/checkpoints/$name"
   }
@@ -131,9 +154,24 @@ object Pipeline {
       .start()
   }
 
-  /** J1: anti-join the batch against the already-written buckets only
-    * (dynamic IN-list prune → parquet partition pruning), then append.
-    * Idempotent per (minute_timestamp, id).
+  /** Silver partition-directory value of a minute bucket: `hb` = hour
+    * bucket (with the default [[Config.silverHbSize]] = 20 × 180 s).
+    * A DATA column in every silver frame but a DIRECTORY name on disk —
+    * `minute_timestamp` stays a normal parquet column, and batch/stream
+    * readers get `hb` appended from the dir names.
+    */
+  private[streaming] def silverHb(cfg: Config): org.apache.spark.sql.Column =
+    floor(col("minute_timestamp") / lit(cfg.silverHbSize)).cast("long")
+
+  /** J1: anti-join the batch against the already-written hour buckets
+    * only, then append. Idempotent per (minute_timestamp, id).
+    *
+    * The target prune is DIRECT-PATH, not a filter: the batch's touched
+    * `hb` values name their partition directories outright, so the
+    * target read lists only those dirs — no whole-table partition
+    * discovery per micro-batch (at the r16 ×10-replay shape discovery
+    * re-listed every silver dir each batch, a cost that grew with
+    * table age, not batch size).
     */
   def mergeToSilver(spark: SparkSession, batch: DataFrame, cfg: Config,
                     batchUnique: Boolean = false): Unit = {
@@ -151,31 +189,35 @@ object Pipeline {
     // two actions follow (bucket collect + the merge write); without a
     // persist each would re-execute the full batch plan — in the
     // streaming path that plan includes the RocksDB state-store read
-    val batchDedup = batchDedup0.persist()
+    val batchDedup = batchDedup0.withColumn("hb", silverHb(cfg)).persist()
     try {
+      val hbs = batchDedup.select("hb").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val existingDirs =
+        if (!fs.exists(out)) Nil
+        else hbs.map(h => new Path(out, s"hb=$h")).filter(fs.exists(_))
+          .map(_.toString)
       val fresh =
-        if (!fs.exists(out)) batchDedup
+        if (existingDirs.isEmpty) batchDedup
         else {
-          // P10: collect the touched buckets, prune the target scan to them
-          val buckets = batchDedup.select("minute_timestamp").distinct()
-            .collect().map(_.getLong(0)).toSeq
           val existing = spark.read
             .schema(Schemas.silverSchema)
-            .parquet(cfg.silverPath)
-            .filter(col("minute_timestamp").isin(buckets: _*))
+            .option("basePath", cfg.silverPath)
+            .parquet(existingDirs: _*)
           // two-phase broadcast-of-the-batch anti-join: the target bucket
           // is streamed map-side, never shuffled — the shape that holds
           // when one bucket is GBs (the single left-anti could only
           // broadcast the target side)
           Dedup.insertOnlyMergeSmallBatch(batchDedup, existing,
-            "minute_timestamp", "id", Some(buckets))
+            "minute_timestamp", "id", None)
         }
-      // cluster the append by bucket so each micro-batch lands ~one file
-      // per bucket instead of shuffle-partitions × buckets small files —
-      // keeps the per-batch target re-scan (and 100 TB compaction debt) flat
-      fresh.select(Schemas.silverSchema.fieldNames.map(col): _*)
-        .repartition(col("minute_timestamp"))
-        .write.mode("append").partitionBy("minute_timestamp")
+      // cluster the append by hour bucket so each micro-batch lands ~one
+      // file per touched hour instead of shuffle-partitions × dirs small
+      // files — keeps the per-batch target re-scan (and 100 TB compaction
+      // debt) flat
+      fresh.select((Schemas.silverSchema.fieldNames.toSeq :+ "hb").map(col): _*)
+        .repartition(col("hb"))
+        .write.mode("append").partitionBy("hb")
         .parquet(cfg.silverPath)
     } finally batchDedup.unpersist(false)
   }
@@ -231,10 +273,10 @@ object Pipeline {
     if (!fs.exists(dir)) return
     val tmp = new Path(cfg.silverPath + "_compacting")
     val base = spark.read.schema(Schemas.silverSchema)
-      .parquet(cfg.silverPath)
+      .parquet(cfg.silverPath) // partition col hb appended from dir names
     rowFilter.map(_(base)).getOrElse(base)
-      .repartition(col("minute_timestamp"))
-      .write.mode("overwrite").partitionBy("minute_timestamp")
+      .repartition(col("hb"))
+      .write.mode("overwrite").partitionBy("hb")
       .parquet(tmp.toString)
     fs.delete(dir, true)
     fs.rename(tmp, dir)
@@ -290,7 +332,7 @@ object Pipeline {
     // or, under a rowFilter (the user-deletion scrub), whenever it has
     // ANY eligible file: a single file still needs its rows rewritten
     val buckets = fs.listStatus(dir).toSeq.filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("minute_timestamp="))
+      s.isDirectory && s.getPath.getName.startsWith("hb="))
     val doomed: Seq[Path] = buckets.flatMap { b =>
       val files = fs.listStatus(b.getPath).toSeq.filter(_.isFile)
         .map(_.getPath)
@@ -309,14 +351,14 @@ object Pipeline {
       .option("basePath", cfg.silverPath)
       .parquet(doomed.map(_.toString): _*)
     rowFilter.map(_(doomedBase)).getOrElse(doomedBase)
-      .repartition(col("minute_timestamp"))
-      .write.mode("overwrite").partitionBy("minute_timestamp")
+      .repartition(col("hb"))
+      .write.mode("overwrite").partitionBy("hb")
       .parquet(tmp.toString)
     // stage the plan: every rename-in (tmp part file → live bucket under a
     // compact- name gold ignores) and every delete of a merged source
     val moves = fs.listStatus(tmp).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("minute_timestamp="))
+        s.getPath.getName.startsWith("hb="))
       .flatMap { b =>
         fs.listStatus(b.getPath).toSeq.filter(_.isFile)
           .filter(_.getPath.getName.startsWith("part-"))
@@ -517,7 +559,13 @@ object Pipeline {
     fs.mkdirs(silverDir) // allow starting before stage 1's first commit
     tolerateVacuumedFiles(spark)
     spark.readStream
-      .schema(Schemas.silverSchema)
+      // the hb partition column is DECLARED (not inferred): a stream
+      // started on the pre-first-commit empty dir would otherwise plan a
+      // 6-column schema and fail schema assertion once hb= dirs appear
+      .schema(org.apache.spark.sql.types.StructType(
+        Schemas.silverSchema.fields :+
+          org.apache.spark.sql.types.StructField("hb",
+            org.apache.spark.sql.types.LongType)))
       .option("maxFilesPerTrigger", 50)
       // the compaction contract: gold folds ONLY part-* files, so
       // [[compactSilverLive]]'s compact-* rewrites of already-committed
@@ -586,111 +634,260 @@ object Pipeline {
     */
   def foldToGold(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: Config): Unit = {
-    val goldDir = new Path(cfg.goldPath)
-    val fs = goldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(cfg.goldPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (GoldState.lastBatchId(fs, cfg) >= batchId) return // replayed batch
-    // persisted BEFORE the touched-bucket collect: the collect, the fold,
-    // and the change feed all consume this frame, and without the persist
-    // each action would re-read the batch files and re-run the partial
+    // persisted: two actions consume this frame (the touched-bucket
+    // collect and the pending append / direct fold), and without the
+    // persist each would re-read the batch files and re-run the partial
     // agg shuffle (tiny frame — one row per (group, batch))
     val partialAll = Aggregate
       .partial(batch, "group_id", "score", "event_timestamp")
       .withColumn("gb", goldBucket(cfg))
+      .withColumn("_pending_batch", lit(batchId))
       .persist()
-    val touched = partialAll.select("gb").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    // bucket-granular replay guard: skip buckets this batch already folded
-    val remaining = touched.filter(b => GoldState.bucketBatchId(fs, cfg, b) < batchId)
-    if (remaining.isEmpty) {
-      GoldState.writeBatchId(fs, cfg, batchId)
-      partialAll.unpersist(false)
-      return
-    }
-    val partial = partialAll.filter(col("gb").isin(remaining: _*)).drop("gb")
-    val existingFull: Option[DataFrame] =
-      if (!fs.exists(goldDir)) None
-      else Some(spark.read.parquet(cfg.goldPath)
-        .filter(col("gb").isin(remaining: _*)) // partition pruning
-        .drop("gb").persist())
-    val folded = existingFull match {
-      case Some(g) => Aggregate.fold(g.drop("updated_at"), partial, "group_id")
-      case None =>
-        partial.select(col("group_id"),
-          col("batch_score").as("cumulative_score"),
-          col("batch_events").as("event_count"),
-          (col("batch_score").cast("double") / col("batch_events")).as("avg_score"),
-          col("batch_first").as("first_event_timestamp"),
-          col("batch_last").as("last_event_timestamp"))
-    }
-    val out = folded
-      .withColumn("cumulative_score", col("cumulative_score").cast("double"))
-      .withColumn("updated_at",
-        (unix_timestamp(current_timestamp()) * 1000).cast("long"))
-      .withColumn("gb", goldBucket(cfg))
-    // 1. stage the folded buckets (materializes the read of the OLD gold)
-    val tmp = new Path(cfg.goldPath + s"_tmp_$batchId")
-    out.write.mode("overwrite").partitionBy("gb").parquet(tmp.toString)
-    // 2. emit the change feed while the old gold is still readable
-    writeGoldChanges(spark, existingFull, tmp.toString, partial, batchId, cfg)
-    // 3. swap each touched bucket in; mark it immediately so a crash
-    //    mid-loop replays only the unswapped tail
-    fs.mkdirs(goldDir)
-    remaining.foreach { b =>
-      val src = new Path(tmp, s"gb=$b")
-      val dst = new Path(goldDir, s"gb=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
-      GoldState.writeBucketBatchId(fs, cfg, b, batchId)
-    }
-    fs.delete(tmp, true)
-    GoldState.writeBatchId(fs, cfg, batchId)
-    partialAll.unpersist(false)
-    existingFull.foreach(_.unpersist())
+    try {
+      if (cfg.goldFoldEvery <= 1) {
+        // per-batch fold (the reference's MERGE cadence). A pending log
+        // left by an earlier coalescing configuration folds first so a
+        // cadence change can never strand deltas.
+        if (fs.exists(new Path(cfg.goldPendingPath))) flushGold(spark, cfg)
+        val touched = partialAll.select("gb").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        foldBuckets(spark, fs, cfg, partialAll, touched, batchId)
+        GoldState.writeBatchId(fs, cfg, batchId)
+      } else {
+        // LSM path: append the increment, fold only the due buckets.
+        // Dynamic partition overwrite of `_pending_batch=<id>` makes the
+        // append idempotent under micro-batch replay; one file per
+        // (batch, bucket) by the repartition.
+        partialAll.repartition(col("gb"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_pending_batch", "gb")
+          .parquet(cfg.goldPendingPath)
+        GoldState.writeBatchId(fs, cfg, batchId)
+        val due = duePendingBuckets(fs, cfg, batchId)
+        if (due.nonEmpty) foldPending(spark, fs, cfg, due, batchId)
+      }
+    } finally partialAll.unpersist(false)
   }
 
-  /** Columns of a gold-change row (minus the partition columns
-    * `_commit_version`, `gb`).
+  /** Fold every pending delta into the gold snapshot — the drain /
+    * maintenance flush for `goldFoldEvery > 1` deployments (tests and
+    * benches call it between draining gold and draining serve; the
+    * user-erase calls it so no tombstoned partial can outlive the
+    * scrub in the pending log). No-op when nothing is pending.
+    * Single-maintainer contract: the gold stream must be idle.
     */
-  private def changeProjection(df: DataFrame, changeType: String): DataFrame =
-    df.select(col("group_id"),
-      col("cumulative_score").cast("double").as("cumulative_score"),
-      col("event_count").cast("long").as("event_count"),
-      col("avg_score").cast("double").as("avg_score"),
-      col("first_event_timestamp"), col("last_event_timestamp"),
-      col("updated_at"), lit(changeType).as("_change_type"))
+  def flushGold(spark: SparkSession, cfg: Config): Unit = {
+    val fs = new Path(cfg.goldPendingPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(cfg.goldPendingPath))) return
+    val upTo = GoldState.lastBatchId(fs, cfg)
+    if (upTo < 0L) return
+    val pend = pendingLeaves(fs, cfg, upTo)
+    val due = pend.map(_._2).distinct.sorted
+    if (due.nonEmpty) foldPending(spark, fs, cfg, due, upTo)
+  }
 
-  /** Appends this fold's preimage/postimage/insert rows to
-    * `gold_changes`, partitioned by (_commit_version, gb) with DYNAMIC
-    * partition overwrite — a replayed bucket rewrites exactly its own
-    * (batch, bucket) partition, leaving already-applied buckets' change
-    * files untouched.
+  /** Unconsumed pending leaves `(batchId, gb, path)` with batchId ≤
+    * `upTo` and batchId beyond the bucket's folded-through marker.
     */
-  private def writeGoldChanges(spark: SparkSession,
-      existingFull: Option[DataFrame], foldedTmpDir: String,
-      partial: DataFrame, batchId: Long, cfg: Config): Unit = {
-    val foldedOnDisk = spark.read.parquet(foldedTmpDir)
-    val touchedKeys = partial.select("group_id")
-    val changes = existingFull match {
-      case Some(g) =>
-        val pre = changeProjection(
-          g.join(touchedKeys, Seq("group_id"), "left_semi"), "update_preimage")
-        val existKeys = g.select("group_id")
-        val post = foldedOnDisk.drop("gb")
-          .join(touchedKeys, Seq("group_id"), "left_semi")
-        val postU = changeProjection(
-          post.join(existKeys, Seq("group_id"), "left_semi"), "update_postimage")
-        val ins = changeProjection(
-          post.join(existKeys, Seq("group_id"), "left_anti"), "insert")
-        pre.unionByName(postU).unionByName(ins)
-      case None => changeProjection(foldedOnDisk.drop("gb"), "insert")
+  private def pendingLeaves(fs: org.apache.hadoop.fs.FileSystem,
+                            cfg: Config, upTo: Long): Seq[(Long, Int, Path)] = {
+    val base = new Path(cfg.goldPendingPath)
+    if (!fs.exists(base)) return Nil
+    val markers = scala.collection.mutable.Map.empty[Int, Long]
+    def markerOf(b: Int): Long =
+      markers.getOrElseUpdate(b, GoldState.bucketBatchId(fs, cfg, b))
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_pending_batch="))
+      .flatMap { v =>
+        v.getPath.getName.stripPrefix("_pending_batch=").toLongOption
+          .filter(_ <= upTo).toSeq.flatMap { bid =>
+            fs.listStatus(v.getPath).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
+              .flatMap(g => g.getPath.getName.stripPrefix("gb=").toIntOption
+                .filter(gb => bid > markerOf(gb))
+                .map(gb => (bid, gb, g.getPath)))
+          }
+      }
+  }
+
+  /** Buckets due a fold at `version`: holding ≥ goldFoldEvery pending
+    * batches, or any pending batch older than goldFoldEvery batches
+    * (the staleness bound for buckets touched rarely).
+    */
+  private def duePendingBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                                cfg: Config, version: Long): Seq[Int] =
+    pendingLeaves(fs, cfg, version)
+      .groupBy(_._2)
+      .collect { case (gb, ls)
+        if ls.size >= cfg.goldFoldEvery ||
+          ls.map(_._1).min <= version - cfg.goldFoldEvery => gb }
+      .toSeq.sorted
+
+  /** Fold the due buckets' pending deltas into the snapshot at
+    * `version`, then reclaim the consumed pending leaves. Crash
+    * anywhere: the per-bucket markers gate re-consumption (a leaf at or
+    * below its bucket's marker is never read again) and reclamation is
+    * pure space cleanup, retried on the next fold.
+    */
+  private def foldPending(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem, cfg: Config,
+                          due: Seq[Int], version: Long): Unit = {
+    val leaves = pendingLeaves(fs, cfg, version).filter(l => due.contains(l._2))
+    if (leaves.nonEmpty) {
+      val pend = spark.read
+        .option("basePath", cfg.goldPendingPath)
+        .parquet(leaves.map(_._3.toString): _*)
+      foldBuckets(spark, fs, cfg, pend, due, version)
     }
-    changes
-      .withColumn("_commit_version", lit(batchId))
+    // reclaim every leaf the markers now cover (incl. leaves a prior
+    // crashed fold consumed but could not delete)
+    val consumed = fs.listStatus(new Path(cfg.goldPendingPath)).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_pending_batch="))
+    consumed.foreach { v =>
+      v.getPath.getName.stripPrefix("_pending_batch=").toLongOption.foreach { bid =>
+        fs.listStatus(v.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gb="))
+          .foreach { g =>
+            g.getPath.getName.stripPrefix("gb=").toIntOption.foreach { gb =>
+              if (bid <= GoldState.bucketBatchId(fs, cfg, gb))
+                fs.delete(g.getPath, true)
+            }
+          }
+        if (fs.listStatus(v.getPath).isEmpty) fs.delete(v.getPath, true)
+      }
+    }
+    spark.catalog.refreshByPath(cfg.goldPendingPath)
+  }
+
+  /** The fold itself — ONE full-outer join computes the new snapshot
+    * rows AND both change-feed images (r16 measured the previous shape —
+    * re-reading the staged fold and classifying changes through three
+    * more joins — as a per-batch fixed cost that multiplied at high
+    * group cardinality).
+    *
+    * `pend` holds per-(group, batch) partials (`_pending_batch` column
+    * present). Merging partials first is EXACT: decimal sums are
+    * associative, and the faithful batch-overwrite first/last semantics
+    * (SURVEY §7.5-3) survive coalescing as max_by(_, _pending_batch) —
+    * the last touching batch's min/max, exactly what folding the batches
+    * one at a time would leave.
+    */
+  private def foldBuckets(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem, cfg: Config,
+                          pend: DataFrame, buckets: Seq[Int],
+                          version: Long): Unit = {
+    val goldDir = new Path(cfg.goldPath)
+    // bucket-granular replay guard: a crash mid-swap re-folds only the
+    // buckets whose marker still lags
+    val remaining = buckets
+      .filter(b => GoldState.bucketBatchId(fs, cfg, b) < version).sorted
+    if (remaining.isEmpty) return
+    val merged = pend.filter(col("gb").isin(remaining: _*))
+      .groupBy(col("group_id")).agg(
+        sum(col("batch_score")).as("batch_score"),
+        sum(col("batch_events")).as("batch_events"),
+        max_by(col("batch_first"), col("_pending_batch")).as("batch_first"),
+        max_by(col("batch_last"), col("_pending_batch")).as("batch_last"))
+    val existing: DataFrame =
+      if (!fs.exists(goldDir))
+        spark.range(0).select(
+          lit("").as("group_id"), lit(0.0).as("cumulative_score"),
+          lit(0L).as("event_count"), lit(0.0).as("avg_score"),
+          lit(0L).as("first_event_timestamp"),
+          lit(0L).as("last_event_timestamp"), lit(0L).as("updated_at"))
+      else spark.read.parquet(cfg.goldPath)
+        .filter(col("gb").isin(remaining: _*)) // partition pruning
+        .drop("gb")
+    // the MERGE arithmetic of Aggregate.fold, widened with the old row
+    // (preimages) and the touched/had-prior flags (change classification)
+    val joined = existing.alias("t").join(merged.alias("s"),
+      Seq("group_id"), "full_outer")
+    val newScore = coalesce(col("t.cumulative_score"), lit(0)) +
+      coalesce(col("s.batch_score"), lit(0))
+    val newCount = coalesce(col("t.event_count"), lit(0L)) +
+      coalesce(col("s.batch_events"), lit(0L))
+    val wide = joined.select(
+      col("group_id"),
+      col("t.cumulative_score").as("old_score"),
+      col("t.event_count").as("old_count"),
+      col("t.avg_score").as("old_avg"),
+      col("t.first_event_timestamp").as("old_first"),
+      col("t.last_event_timestamp").as("old_last"),
+      col("t.updated_at").as("old_updated"),
+      newScore.cast("double").as("cumulative_score"),
+      newCount.as("event_count"),
+      (newScore.cast("double") / newCount).as("avg_score"),
+      coalesce(col("s.batch_first"), col("t.first_event_timestamp"))
+        .as("first_event_timestamp"),
+      coalesce(col("s.batch_last"), col("t.last_event_timestamp"))
+        .as("last_event_timestamp"),
+      (unix_timestamp(current_timestamp()) * 1000).cast("long")
+        .as("updated_at"),
+      col("s.batch_events").isNotNull.as("__touched"),
+      col("t.event_count").isNotNull.as("__had_prior"))
       .withColumn("gb", goldBucket(cfg))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_commit_version", "gb")
-      .parquet(cfg.goldChangesPath)
+      .persist()
+    try {
+      // 1. stage the folded buckets (one file per bucket — materializes
+      //    the read of the OLD gold through the persist)
+      val tmp = new Path(cfg.goldPath + s"_tmp_$version")
+      wide.select(col("group_id"), col("cumulative_score"),
+          col("event_count"), col("avg_score"),
+          col("first_event_timestamp"), col("last_event_timestamp"),
+          col("updated_at"), col("gb"))
+        .repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb").parquet(tmp.toString)
+      // 2. emit the change feed while the old gold is still readable:
+      //    both images come off the SAME cached wide rows — no re-read,
+      //    no classification joins. One file per (version, bucket) leaf.
+      val oldRow = struct(
+        col("group_id"),
+        col("old_score").cast("double").as("cumulative_score"),
+        col("old_count").cast("long").as("event_count"),
+        col("old_avg").cast("double").as("avg_score"),
+        col("old_first").as("first_event_timestamp"),
+        col("old_last").as("last_event_timestamp"),
+        col("old_updated").as("updated_at"),
+        lit("update_preimage").as("_change_type"))
+      val newRow = struct(
+        col("group_id"),
+        col("cumulative_score"),
+        col("event_count").cast("long").as("event_count"),
+        col("avg_score"),
+        col("first_event_timestamp"), col("last_event_timestamp"),
+        col("updated_at"),
+        when(col("__had_prior"), lit("update_postimage"))
+          .otherwise(lit("insert")).as("_change_type"))
+      wide.filter(col("__touched"))
+        .select(col("gb"), explode(array(
+          when(col("__had_prior"), oldRow), newRow)).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("c.*"), col("gb"))
+        .withColumn("_commit_version", lit(version))
+        .repartition(col("gb"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_commit_version", "gb")
+        .parquet(cfg.goldChangesPath)
+      // 3. swap each touched bucket in; mark it immediately so a crash
+      //    mid-loop replays only the unswapped tail
+      fs.mkdirs(goldDir)
+      remaining.foreach { b =>
+        val src = new Path(tmp, s"gb=$b")
+        val dst = new Path(goldDir, s"gb=$b")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+        GoldState.writeBucketBatchId(fs, cfg, b, version)
+      }
+      fs.delete(tmp, true)
+    } finally wide.unpersist(false)
   }
 
   /** Alternative gold path: per-group running aggregates held in the

@@ -80,9 +80,15 @@ object StreamBench {
     // batch — pure fixed overhead at bench scale
     val goldBuckets =
       sys.env.getOrElse("SPARK_GRAFT_GOLD_BUCKETS", "8").toInt
+    // SPARK_GRAFT_GOLD_FOLD_EVERY > 1 turns on the coalesced (pending
+    // delta-log) gold fold — the increment-proportional shape for
+    // high-group-cardinality replays; drainAll flushes the remainder so
+    // end-state checks are unaffected
+    val goldFoldEvery =
+      sys.env.getOrElse("SPARK_GRAFT_GOLD_FOLD_EVERY", "1").toInt
     val cfg = Pipeline.Config(
       java.nio.file.Files.createTempDirectory("graft_sbench").toString,
-      goldBuckets = goldBuckets)
+      goldBuckets = goldBuckets, goldFoldEvery = goldFoldEvery)
     // per-stage progress (the dashboard-metrics analog): sustained rates
     // reported per query alongside the end-to-end number
     val progress = new graft.streaming.Metrics.ProgressLog()
@@ -127,8 +133,15 @@ object StreamBench {
       else if (full) Pipeline.startAll(spark, input.toDF(), cfg)
       else Seq(Pipeline.startSilver(spark, input.toDF(), cfg))
     // drain the chain in dependency order: silver files feed gold, gold
-    // change files feed serve
-    def drainAll(): Unit = queries.foreach(_.processAllAvailable())
+    // change files feed serve; under a coalescing fold cadence the gold
+    // remainder flushes between the passes (no-op at the default cadence)
+    def drainAll(): Unit = {
+      queries.foreach(_.processAllAvailable())
+      if (full) {
+        Pipeline.flushGold(spark, cfg)
+        queries.foreach(_.processAllAvailable())
+      }
+    }
     // Per-batch pacing: block on stage 1 only. Gold and serve run
     // CONCURRENTLY on their own triggers — exactly how [[Pipeline.startAll]]
     // deploys them (and how the reference's main.py runs its three jobs) —
@@ -149,23 +162,38 @@ object StreamBench {
     // become group ids, and the takedown feed draws from the corpus's
     // own users.
     val eventsSrc = sys.env.get("SPARK_GRAFT_EVENTS_SRC")
-    val replay: IndexedSeq[Event] = eventsSrc.fold(IndexedSeq.empty[Event]) { src =>
-      graft.ops.Ingest.events(spark, src)
+    // The replay STREAMS through the driver (ADVICE r16): a ts-ordered
+    // range-partitioned sort iterated partition-by-partition via
+    // toLocalIterator, so driver memory holds ONE sorted partition
+    // (~250k events), not the corpus — the ×100 events table (10M rows)
+    // replays without touching the driver heap ceiling.
+    val replayFrame = eventsSrc.map { src =>
+      val ev = graft.ops.Ingest.events(spark, src)
         .select(col("event_id").cast("string").as("eid"),
           col("user_id").cast("string").as("gid"),
           col("value").cast("float").as("v"),
           unix_millis(col("ts").cast("timestamp")).as("tms"))
-        .orderBy(col("tms"), col("eid"))
-        .collect()
-        .map(r => Event(r.getString(0), r.getString(1), r.getFloat(2),
-          r.getLong(3)))
-        .toIndexedSeq
+      val n = ev.count()
+      val parts = math.max(8, (n / 250000L).toInt)
+      (ev.repartitionByRange(parts, col("tms"), col("eid"))
+        .sortWithinPartitions(col("tms"), col("eid"))
+        .persist(), n)
     }
-    val groups: IndexedSeq[String] =
-      if (replay.nonEmpty) replay.map(_.group_id).distinct
-      else (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
-    val effectiveTotal =
-      if (replay.nonEmpty) replay.size else totalEvents
+    val replayBatches: Iterator[Seq[Event]] =
+      replayFrame.fold(Iterator.empty[Seq[Event]]) { case (df, _) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator())
+          .asScala
+          .map(r => Event(r.getString(0), r.getString(1), r.getFloat(2),
+            r.getLong(3)))
+          .grouped(batchSize)
+      }
+    val groups: IndexedSeq[String] = replayFrame match {
+      case Some((df, _)) => df.select(col("gid")).distinct()
+        .orderBy(col("gid")).collect().map(_.getString(0)).toIndexedSeq
+      case None => (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
+    }
+    val effectiveTotal: Int =
+      replayFrame.fold(totalEvents) { case (_, n) => n.toInt }
     var sent = 0
     var batchNo = 0
     // warmup batch (codegen + state store init), not timed
@@ -178,14 +206,14 @@ object StreamBench {
     var queriesSent = 0L
     val start = System.nanoTime()
     while (sent < effectiveTotal) {
-      val n = math.min(batchSize, effectiveTotal - sent)
       val base = t0 + 100000 + sent.toLong * 10
       val fresh =
-        if (replay.nonEmpty) replay.slice(sent, sent + n)
-        else (0 until n).map { k =>
+        if (replayFrame.nonEmpty) replayBatches.next().toIndexedSeq
+        else (0 until math.min(batchSize, effectiveTotal - sent)).map { k =>
           Event(s"e-${sent + k}", groups((sent + k) % groups.size),
             rnd.nextFloat(), base + k * 10)
         }
+      val n = fresh.size
       val dupes = (0 until n / 20).map(k => fresh(rnd.nextInt(n)))
       val b0 = System.nanoTime()
       input.addData(rnd.shuffle(fresh ++ dupes))
@@ -222,6 +250,12 @@ object StreamBench {
         fmt.optimize(spark, cfg)
         if (full) {
           fmt.optimizeServe(spark, cfg) // keep serveSnapshot O(tail)
+          // retention horizon on the change feed (the VACUUM analog):
+          // serve-consumed versions beyond the floor are reclaimed, so
+          // the feed's live tail — what a user-erase must stage — stays
+          // bounded by the floor, not by the batch count so far
+          fmt.vacuumChangeFeed(spark, cfg,
+            keepVersions = 2 * compactEvery)
           // the flatness evidence: serving-view scan cost must track the
           // key count + uncompacted tail, NOT the batch count so far
           val s0 = System.nanoTime()

@@ -476,7 +476,7 @@ class PipelineSpec extends SparkTestBase {
       }
     } finally q.stop()
     def files() = new java.io.File(cfg.silverPath).listFiles()
-      .filter(_.getName.startsWith("minute_timestamp="))
+      .filter(_.getName.startsWith("hb="))
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
     val before = spark.read.parquet(cfg.silverPath)
       .orderBy("id").collect().map(_.toString).toSeq
@@ -501,7 +501,7 @@ class PipelineSpec extends SparkTestBase {
     // plant a compact-* file holding a poison row inside the bucket dir:
     // per the pathGlobFilter contract gold must never plan it into a batch
     val bucket = new java.io.File(cfg.silverPath).listFiles()
-      .find(_.getName.startsWith("minute_timestamp=")).get
+      .find(_.getName.startsWith("hb=")).get
     val partFile = bucket.listFiles().find(f =>
       f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
     val poison = spark.read.parquet(partFile.toString)
@@ -532,7 +532,7 @@ class PipelineSpec extends SparkTestBase {
     val silverQ = Pipeline.startSilver(spark, input.toDF(), cfg)
     val goldQ = Pipeline.startGold(spark, cfg)
     def silverFiles() = new java.io.File(cfg.silverPath).listFiles()
-      .filter(_.getName.startsWith("minute_timestamp="))
+      .filter(_.getName.startsWith("hb="))
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
     try {
       // several micro-batches → several part files in the same bucket
@@ -650,6 +650,91 @@ class PipelineSpec extends SparkTestBase {
       ("g2", "insert", 1L, 2.0, 1L),
       ("g1", "update_preimage", 2L, 1.0, 1L),
       ("g1", "update_postimage", 2L, 4.0, 2L)))
+  }
+
+  test("coalesced gold fold (goldFoldEvery > 1): per-batch cost is one " +
+    "pending append, buckets fold on cadence, flushGold drains the " +
+    "remainder to the exact per-batch-fold end state") {
+    val cfg = freshCfg().copy(goldFoldEvery = 3)
+    val goldDir = new java.io.File(cfg.goldPath)
+    val pendDir = new java.io.File(cfg.goldPendingPath)
+    def fold(rows: Seq[(String, Float, Long)], batchId: Long) =
+      Pipeline.foldToGold(spark,
+        rows.toDF("group_id", "score", "event_timestamp"), batchId, cfg)
+    // batches 0 and 1 only append to the pending delta log — no snapshot
+    fold(Seq(("g1", 1.0f, 100L), ("g2", 2.0f, 200L)), 0L)
+    fold(Seq(("g1", 3.0f, 50L)), 1L)
+    assert(!goldDir.exists(), "fold ran before the cadence was due")
+    assert(pendDir.listFiles().count(_.getName.startsWith("_pending_batch=")) == 2)
+    // batch 2 makes g1's bucket due (3 pending batches) — g2's bucket is
+    // due too (its single pending batch is now goldFoldEvery old iff
+    // batch math says so); assert via totals rather than bucket layout
+    fold(Seq(("g1", 5.0f, 400L)), 2L)
+    assert(goldDir.exists(), "cadence-due fold did not run")
+    // a replayed batch id is a no-op (global marker)
+    fold(Seq(("g1", 99.0f, 999L)), 2L)
+    // two more batches, then flush the remainder
+    fold(Seq(("g2", 4.0f, 300L), ("g3", 7.0f, 700L)), 3L)
+    Pipeline.flushGold(spark, cfg)
+    val gold = spark.read.parquet(cfg.goldPath)
+      .collect().map(r => r.getAs[String]("group_id") ->
+        ((r.getAs[Double]("cumulative_score"), r.getAs[Long]("event_count"),
+          r.getAs[Long]("first_event_timestamp"),
+          r.getAs[Long]("last_event_timestamp")))).toMap
+    // totals are exact; first/last carry the LAST touching batch's
+    // min/max — the same faithful batch-overwrite semantics folding the
+    // batches one at a time leaves (SURVEY §7.5-3)
+    assert(gold("g1") == ((9.0, 3L, 400L, 400L)), gold("g1").toString)
+    assert(gold("g2") == ((6.0, 2L, 300L, 300L)), gold("g2").toString)
+    assert(gold("g3") == ((7.0, 1L, 700L, 700L)), gold("g3").toString)
+    // the pending log is fully reclaimed after the flush
+    val left = Option(pendDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.getName.startsWith("_pending_batch="))
+    assert(left.isEmpty, s"pending leaves survived the flush: $left")
+    // the change feed's latest postimage per key equals the snapshot —
+    // what a serve consumer folds to
+    val latest = graft.ops.Dedup.latestPerKeyAgg(
+      spark.read.parquet(cfg.goldChangesPath)
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("group_id"), col("cumulative_score"),
+          col("event_count"), col("_commit_version").cast("long")),
+      Seq("group_id"), col("_commit_version"), latest = true)
+      .collect().map(r => r.getAs[String]("group_id") ->
+        ((r.getAs[Double]("cumulative_score"), r.getAs[Long]("event_count"))))
+      .toMap
+    assert(latest == gold.view.mapValues(v => (v._1, v._2)).toMap,
+      s"change feed latest $latest vs gold $gold")
+  }
+
+  test("coalesced chain end-to-end: startAll at goldFoldEvery=2 + flush " +
+    "serves the same state as the per-batch chain") {
+    val cfg = freshCfg().copy(goldFoldEvery = 2)
+    val input = MemoryStream[Event](48, spark, None)
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    def settle(): Unit = {
+      qs.foreach(_.processAllAvailable())
+      Pipeline.flushGold(spark, cfg)
+      qs.foreach(_.processAllAvailable())
+    }
+    try {
+      val t0 = 1700000000000L
+      input.addData(ev("c1", "g1", 1.0f, t0), ev("c2", "g2", 2.0f, t0 + 1000))
+      qs.foreach(_.processAllAvailable()) // batch 0: pending only
+      input.addData(ev("c3", "g1", 3.0f, t0 + 2000),
+        ev("c1", "g1", 1.0f, t0)) // duplicate — must not reach pending
+      settle()
+      val streamed = Pipeline.serveSnapshot(spark, cfg)
+        .select(col("_id"), col("cumulative_score"), col("event_count"))
+        .orderBy("_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = Pipeline.serveProjection(spark, cfg)
+        .select(col("_id"), col("cumulative_score"), col("event_count"))
+        .orderBy("_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"\n$streamed\nvs\n$batch")
+      assert(streamed.map(_(2)) == Seq(2L, 1L))
+    } finally qs.foreach(_.stop())
   }
 
   test("three concurrent stages: streamed serving state == batch projection") {
