@@ -46,6 +46,14 @@ object ExtEntry {
     "dedup_incremental" -> ((s, dir) =>
       TextDedup.incrementalDedupIndexed(s, dir, 0.5)),
 
+    // the deployment cost law (VERDICT r16 next #3): a FIXED ~100-doc
+    // admission batch against the standing index — the shape AdmitBench
+    // measured ~flat in corpus size, now oracle-registered so the scale
+    // artifact grades it (dedup_incremental's 20%-holdout batch is
+    // corpus-proportional by construction and reads like the corpus)
+    "dedup_incremental_fixed" -> ((s, dir) =>
+      TextDedup.incrementalDedupIndexedFixed(s, dir, 0.5)),
+
     "split_leakage" -> ((s, dir) =>
       Curation.splitLeakage(s, dir, 0.5)),
 
@@ -137,8 +145,12 @@ object ExtEntry {
     // margin-based bitext mining: per label-0 vector its best label-1
     // match by the ratio margin (neighborhood-density-normalized
     // cosine — the LASER/CCMatrix aligned-pair recipe)
+    // panel-capped at the sf0.1 corpus size (2,000): identical output
+    // at every verify SF, bounded wall on full-registry scale runs —
+    // the unbounded baseline survives as the ExtSpec identity pin
     "mine_bitext" -> ((s, dir) =>
-      Similarity.mineBitext(s, dir, labelX = 0, labelY = 1, kNN = 4)),
+      Similarity.mineBitext(s, dir, labelX = 0, labelY = 1, kNN = 4,
+        idCap = 2000L)),
 
     // the same mining against the standing whole-table IVF index:
     // both directions probe 2 cells per query (the CCMatrix deployment
@@ -229,8 +241,9 @@ object ExtEntry {
     // zero-shuffle; narrows every downstream embedding exchange 8×
     "emb_project" -> ((s, dir) => Similarity.projectRandom(s, dir, 8)),
 
+    // panel-capped at the sf0.1 corpus size (2,000) — see mine_bitext
     "dedup_embedding" -> ((s, dir) =>
-      Similarity.labelBlockedPairs(s, dir, 0.4)
+      Similarity.labelBlockedPairs(s, dir, 0.4, idCap = 2000L)
         .orderBy(col("v1"), col("v2"))),
 
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -531,9 +544,14 @@ object ExtEntry {
     // tombstones are pending (has_data) and fresh against the 30-day
     // clock (healthy) — a perpetually-deferred erase would flip it
     "serve_health" -> ((s, dir) =>
+      // forgetSlaAsOfMs = -2: the guard row's clock anchors at the
+      // fixture log's own oldest registration, so the pinned
+      // healthy=TRUE verdict is warehouse-age-invariant (live
+      // deployments keep the wall-clock default — ADVICE r16)
       graft.streaming.Metrics.serveHealth(s, dir,
         forgetSla = Some((graft.streaming.Pipeline.Config(dir),
-          30L * 24 * 3600 * 1000)))),
+          30L * 24 * 3600 * 1000)),
+        forgetSlaAsOfMs = -2L)),
 
     // the takedown-SLA audit face (r15 VERDICT next #1): per tombstone
     // log, how many requests await physical erase and whether the
@@ -543,11 +561,19 @@ object ExtEntry {
     // the deterministic columns are pinned cross-engine from the
     // fixture predicates
     "forget_sla" -> ((s, dir) => {
-      val vd = Forget.forgetSla(s, dir)
-        .select(col("log"), col("pending"),
-          lit("none").as("deferred_because"), col("sla_ok"))
+      // asOfMs = -2: each log's clock anchors at its own oldest
+      // registration, so the pinned sla_ok=TRUE verdicts are
+      // warehouse-age-invariant (ADVICE r16: the wall-clock form made
+      // the gate fail deterministically once a standing fixture log
+      // outlived the 30-day window); deferred_because is engine-side
+      // in forgetSla itself (structurally 'none' — no drain condition
+      // exists for the batch-corpus applies)
+      val vd = Forget.forgetSla(s, dir, asOfMs = -2L)
+        .select(col("log"), col("pending"), col("deferred_because"),
+          col("sla_ok"))
       val u = graft.streaming.UserForget
-        .forgetUsersAudit(s, graft.streaming.Pipeline.Config(dir))
+        .forgetUsersAudit(s, graft.streaming.Pipeline.Config(dir),
+          asOfMs = -2L)
         .select(lit("users").as("log"),
           col("pending_users").as("pending"), col("deferred_because"),
           col("sla_ok"))
@@ -1809,6 +1835,37 @@ object ExtEntry {
          |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.d_new
          |ORDER BY d.doc_id""".stripMargin,
 
+    // the fixed-increment twin: identical chain with the new side (and
+    // the verdict frame) bounded to doc_id < 500 — ~100 docs at every
+    // SF, the deployed daily-crawl batch
+    "dedup_incremental_fixed" ->
+      s"""WITH $shinglesCte,
+         |$sigBandsCte,
+         |corpusb AS (SELECT doc_id, b, bh FROM (
+         |    SELECT doc_id, b, bh,
+         |      row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rk
+         |    FROM bands0 WHERE doc_id % 10 < 8) WHERE rk <= ${graft.ext.TextDedup.maxBucket}),
+         |newb AS (SELECT doc_id, b, bh FROM bands0
+         |  WHERE doc_id % 10 >= 8 AND doc_id < 500),
+         |cand AS (SELECT DISTINCT n.doc_id AS d_new, c.doc_id AS d_old
+         |  FROM newb n JOIN corpusb c ON n.b = c.b AND n.bh = c.bh),
+         |ver AS (SELECT d_new, d_old,
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS j
+         |  FROM cand JOIN sh s1 ON s1.doc_id = d_new JOIN sh s2 ON s2.doc_id = d_old
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |best AS (SELECT d_new, d_old, j,
+         |    row_number() OVER (PARTITION BY d_new ORDER BY j DESC, d_old) AS rk,
+         |    count(*) OVER (PARTITION BY d_new) AS nm FROM ver)
+         |SELECT d.doc_id, coalesce(b.nm, 0) AS n_matches,
+         |  b.d_old AS best_match, floor(CAST((b.j) AS DOUBLE)*1000000 + 0.5)/1000000 AS best_jaccard,
+         |  b.d_old IS NULL AS keep
+         |FROM (SELECT doc_id FROM documents
+         |  WHERE doc_id % 10 >= 8 AND doc_id < 500) d
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.d_new
+         |ORDER BY d.doc_id""".stripMargin,
+
     // mirrors Curation.splitLeakage: the dedup_jaccard verified pairs,
     // each endpoint's split recomputed from its id (pure hash — no join
     // back to documents), cross-split rows only
@@ -2103,9 +2160,9 @@ object ExtEntry {
     "mine_bitext" -> {
       val cos = cosSql("CAST(xe[i] AS DOUBLE)", "CAST(ye[i] AS DOUBLE)")
       s"""WITH x AS (SELECT vec_id AS xid, embedding AS xe
-         |  FROM embeddings WHERE label = 0),
+         |  FROM embeddings WHERE label = 0 AND vec_id < 2000),
          |y AS (SELECT vec_id AS yid, embedding AS ye
-         |  FROM embeddings WHERE label = 1),
+         |  FROM embeddings WHERE label = 1 AND vec_id < 2000),
          |sims AS (SELECT xid, yid, $cos AS sim FROM x, y),
          |ax AS (SELECT xid,
          |    CAST(sum(CAST(floor(CAST((sim) AS DOUBLE)*1000000 + 0.5)/1000000
@@ -2276,7 +2333,8 @@ object ExtEntry {
       iters = 2, sampleMod = 3, sampleCap = Similarity.defaultIvfSampleCap),
 
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id < 2000),
         |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
         |    list_sum(list_transform(generate_series(1, 64),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /

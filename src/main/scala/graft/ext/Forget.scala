@@ -151,15 +151,14 @@ object Forget {
       if (!spark.catalog.tableExists(t))
         IndexCatalog.reattachIfPresent(spark, t, Seq("cid"))
       // one-time migration of a pre-req_ms log: legacy rows restart
-      // their SLA clock at this registration (true age unknown)
+      // their SLA clock at this registration (true age unknown). The
+      // rewrite stages beside the live log and swaps (ADVICE r16: a
+      // purge-then-overwrite here could lose every pending deletion to
+      // a crash between the purge and the rewrite's commit).
       if (!spark.table(t).columns.contains("req_ms")) {
         val legacy = spark.table(t).select(col("cid"))
           .withColumn("req_ms", lit(now)).localCheckpoint(true)
-        IndexCatalog.purge(spark, t)
-        legacy.write.mode("overwrite")
-          .bucketBy(8, "cid").sortBy("cid")
-          .option("path", IndexCatalog.tableLocation(spark, t).toString)
-          .saveAsTable(t)
+        IndexCatalog.rewriteInPlace(spark, t, Seq("cid"), legacy)
       }
       // probe before writing: a fully-replayed batch (every id already
       // tombstoned — the common case for re-run registered queries and
@@ -180,28 +179,41 @@ object Forget {
     * per log: pending tombstones, the oldest request's age against
     * `asOfMs`, and `sla_ok` (oldest within `slaMs`). These applies have
     * no drain guard (they never defer — the threshold is the only
-    * gate), so the row has no reason column; the user-pipeline twin
-    * with deferral provenance is
-    * [[graft.streaming.UserForget.forgetUsersAudit]]. The registered
-    * `forget_sla` query keeps the age engine-side (wall-clock) and
-    * exposes the deterministic columns, the serveHealth lag pattern.
+    * gate), so `deferred_because` is STRUCTURALLY `'none'`: a batch
+    * corpus has no consumer debt — there is no drain condition that
+    * could ever hold these applies back. The column is emitted here
+    * (engine-side, not bolted on by a caller) so the three-log SLA
+    * union shares one schema and the constant's reason lives beside
+    * its computation; the user-pipeline twin with REAL deferral
+    * provenance is [[graft.streaming.UserForget.forgetUsersAudit]].
+    *
+    * `asOfMs`: ≥ 0 pins the probe clock; -1 (default) wall clock —
+    * live operation; -2 anchors each log's clock at its own oldest
+    * registration (oldest age reads 0) — the warehouse-age-invariant
+    * form the registered correctness query uses (ADVICE r16: a
+    * wall-clock `sla_ok` fails Verify on any warehouse older than the
+    * SLA window with no code change).
     */
   def forgetSla(spark: SparkSession, dir: String, asOfMs: Long = -1L,
                 slaMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
     import spark.implicits._
-    val asOf = if (asOfMs >= 0L) asOfMs else System.currentTimeMillis()
-    def rowOf(log: String, t: String): (String, Long, Long, Boolean) = {
+    def rowOf(log: String, t: String): (String, Long, Long, String, Boolean) = {
       val pend = pendingOf(spark, t).localCheckpoint(true)
       val n = pend.count()
-      val oldest =
+      val minReq =
         if (n == 0L) 0L
-        else math.max(0L,
-          asOf - pend.agg(min(col("req_ms"))).collect().head.getLong(0))
-      (log, n, oldest, oldest <= slaMs)
+        else pend.agg(min(col("req_ms"))).collect().head.getLong(0)
+      val asOf =
+        if (asOfMs == -2L) minReq
+        else if (asOfMs >= 0L) asOfMs
+        else System.currentTimeMillis()
+      val oldest = if (n == 0L) 0L else math.max(0L, asOf - minReq)
+      (log, n, oldest, "none", oldest <= slaMs)
     }
     Seq(rowOf("docs", forgetDocsTable(dir)),
       rowOf("vectors", forgetTable(dir)))
-      .toDF("log", "pending", "oldest_pending_ms", "sla_ok")
+      .toDF("log", "pending", "oldest_pending_ms", "deferred_because",
+        "sla_ok")
       .orderBy(col("log"))
   }
 

@@ -73,14 +73,86 @@ private[graft] object IndexCatalog {
     * definition of "this standing index exists" every exists-guard and
     * health probe shares (review r14: three copies of this predicate
     * had grown; a marker-semantics change updated in one would leave
-    * the guards disagreeing about the same table).
+    * the guards disagreeing about the same table). Because every guard
+    * funnels through here, this is also where a torn [[rewriteInPlace]]
+    * heals: without the recovery, a crash between the swap's renames
+    * would read as "no data" and silently restart a tombstone log
+    * (ADVICE r16 — the migration purge could lose pending deletions).
     */
   def hasCommittedData(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table) || {
+      recoverRewrite(spark, table)
       val loc = tableLocation(spark, table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(new Path(loc, "_SUCCESS"))
     }
+
+  private def rewriteTmp(loc: Path): Path =
+    new Path(loc.getParent, s".${loc.getName}.rewrite")
+  private def rewriteTrash(loc: Path): Path =
+    new Path(loc.getParent, s".${loc.getName}.trash")
+
+  /** Crash-safe in-place rewrite of a standing table's committed rows
+    * (the one-time req_ms log migration): `rows` stage as a scratch
+    * EXTERNAL bucketed table at a hidden sibling location, then swap in
+    * by renames — at every instant the fixed location either holds (or
+    * is one [[recoverRewrite]] away from holding) a COMMITTED copy of
+    * the legacy or the migrated data. Replaces the purge-then-overwrite
+    * migration whose crash window lost every pending deletion request
+    * (ADVICE r16). Hidden (dot-prefixed) staging names keep the debris
+    * out of Spark listings and the warehouse index inventory.
+    */
+  def rewriteInPlace(spark: SparkSession, table: String,
+                     bucketCols: Seq[String],
+                     rows: org.apache.spark.sql.DataFrame): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = rewriteTmp(loc)
+    val trash = rewriteTrash(loc)
+    val scratch = table + "__rewrite"
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    fs.delete(tmp, true)
+    fs.delete(trash, true)
+    rows.write.mode("overwrite")
+      .bucketBy(8, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", tmp.toString)
+      .saveAsTable(scratch)
+    spark.sql(s"DROP TABLE IF EXISTS $scratch") // external — data stays
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    fs.rename(loc, trash)
+    fs.rename(tmp, loc)
+    fs.delete(trash, true)
+    reattachIfPresent(spark, table, bucketCols)
+  }
+
+  /** Heal a crashed [[rewriteInPlace]]: a committed live location wins
+    * (stale debris deleted — an uncommitted stage just means the
+    * migration reruns later); a missing live location promotes a
+    * COMMITTED stage (the crash landed between the two renames) or
+    * restores the surviving trash. Idempotent and cheap when nothing is
+    * torn; runs inside [[hasCommittedData]] so every exists-guard heals
+    * before it answers.
+    */
+  def recoverRewrite(spark: SparkSession, table: String): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = rewriteTmp(loc)
+    val trash = rewriteTrash(loc)
+    if (!fs.exists(new Path(loc, "_SUCCESS"))) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        fs.rename(tmp, loc)
+      } else if (fs.exists(trash)) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        fs.rename(trash, loc)
+      }
+    }
+    if (fs.exists(new Path(loc, "_SUCCESS"))) {
+      fs.delete(tmp, true)
+      fs.delete(trash, true)
+    }
+  }
 
   /** Re-register a prior session's surviving table data:
     * `CREATE TABLE … CLUSTERED BY … LOCATION` reattaches the bucketed

@@ -929,10 +929,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * blocking column stands in for any coarse partitioner — at scale the
     * all-pairs join happens only within blocks).
+    *
+    * `idCap` bounds the panel (`vec_id < idCap`): this is the DELIBERATE
+    * exact baseline whose scale path is [[lshNearDupPairs]], and its
+    * registered form caps at the sf0.1 corpus size (2,000) so identity
+    * with today's verify output holds at every verify SF while a
+    * full-registry scale run no longer spends its wall on the known
+    * all-pairs quadratic (VERDICT r15/r16 nit). Pass Long.MaxValue for
+    * the unbounded baseline (the twin-pinning specs do).
     */
   def labelBlockedPairs(spark: SparkSession, dir: String,
-                        threshold: Double): DataFrame = {
-    val e = embeddings(spark, dir)
+                        threshold: Double,
+                        idCap: Long = Long.MaxValue): DataFrame = {
+    val e = embeddings(spark, dir).filter(col("vec_id") < idCap)
     val a = e.select(col("label"), col("vec_id").as("v1"),
       col("embedding").as("e1"), norm(col("embedding")).as("n1"))
     val b = e.select(col("label"), col("vec_id").as("v2"),
@@ -1160,8 +1169,13 @@ object Similarity {
     * identity-pinned against at nProbe = nCentroids (ExtSpec).
     */
   def mineBitext(spark: SparkSession, dir: String, labelX: Int = 0,
-                 labelY: Int = 1, kNN: Int = 4): DataFrame = {
-    val emb = embeddings(spark, dir)
+                 labelY: Int = 1, kNN: Int = 4,
+                 idCap: Long = Long.MaxValue): DataFrame = {
+    // idCap (default unbounded): the registered form's panel bound —
+    // same rationale as [[labelBlockedPairs]]' cap (this brute-force
+    // X×Y baseline exists to pin [[mineBitextIndexed]]; a scale run
+    // should not pay its quadratic beyond the pin's SF)
+    val emb = embeddings(spark, dir).filter(col("vec_id") < idCap)
     val x = emb.filter(col("label") === labelX)
       .select(col("vec_id").as("xid"), col("embedding").as("xe"),
         norm(col("embedding")).as("xn"))

@@ -251,7 +251,10 @@ object Metrics {
     * erase's drain guards defer legally, but only this row makes a
     * PERPETUAL deferral visible on the health face before the legal
     * clock lapses; the age and reason stay engine-side on the audit
-    * row (the lag-number pattern above).
+    * row (the lag-number pattern above). `forgetSlaAsOfMs` is the
+    * audit's clock (-1 wall clock for live operation; -2 anchors at
+    * the log's own oldest registration — the warehouse-age-invariant
+    * form the registered `serve_health` query pins, ADVICE r16).
     */
   def serveHealth(spark: SparkSession, dir: String,
                   guards: Seq[(String, String, String)] = Seq.empty,
@@ -260,7 +263,8 @@ object Metrics {
                   winsorGroup: String = "event_type",
                   shapes: graft.tools.Maintenance.Shapes =
                     graft.tools.Maintenance.Shapes(),
-                  forgetSla: Option[(Pipeline.Config, Long)] = None)
+                  forgetSla: Option[(Pipeline.Config, Long)] = None,
+                  forgetSlaAsOfMs: Long = -1L)
       : DataFrame = {
     import spark.implicits._
     import graft.ext.{IndexCatalog, Pq, Rung, Similarity, TextDedup}
@@ -305,7 +309,8 @@ object Metrics {
       (surface, present, lag.isSuccess, lag.toOption.exists(_ >= 0L))
     }.toDF("surface", "index_present", "has_data", "healthy")
     val withSla = forgetSla.fold(batchFace) { case (cfg, slaMs) =>
-      val audit = UserForget.forgetUsersAudit(spark, cfg, slaMs = slaMs)
+      val audit = UserForget.forgetUsersAudit(spark, cfg,
+        asOfMs = forgetSlaAsOfMs, slaMs = slaMs)
         .collect().head
       batchFace.unionByName(Seq((
         "user_forget_sla",

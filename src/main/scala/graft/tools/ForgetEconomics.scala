@@ -62,7 +62,13 @@ object ForgetEconomics {
     val nCand = candidates.count()
     println(s"[forget-econ] corpus=$srcDir candidates=$nCand")
 
-    val rows = points.filter(_ <= nCand / 2).map { n =>
+    // no silent caps (ADVICE r16): a requested point beyond half the
+    // candidate set cannot run (the erase would dominate the corpus and
+    // stop measuring the apply) — say so instead of dropping it quietly
+    val (runnable, dropped) = points.partition(_ <= nCand / 2)
+    dropped.foreach(n => println(s"[forget-econ] SKIPPED point n=$n: " +
+      s"exceeds half the candidate set ($nCand candidates)"))
+    val rows = runnable.map { n =>
       // fresh scratch corpus per point: each apply starts from the same
       // raw store + standing surfaces, so points are comparable
       val scratch = java.nio.file.Files
@@ -94,11 +100,15 @@ object ForgetEconomics {
       val r = (n, secs, erased, raw + idx, secs / n)
       println(f"[forget-econ] n=$n%6d erase=${secs}%7.2f s " +
         f"bytes=${raw + idx}%12d per-tombstone=${secs / n}%9.5f s")
-      // scratch dirs + their standing tables are temp-dir garbage; drop
-      // the catalog entries so repeated points don't accumulate
+      // reclaim the point's scratch: purge the standing tables (catalog
+      // + warehouse data) and delete the cloned corpus — a 5-point
+      // sweep over the ×100 corpus would otherwise strand ~5 corpus
+      // copies plus index dirs in /tmp (ADVICE r16)
       Rung.purgeRungIndexes(spark, scratch, 10, 16)
       Similarity.purgeIvfIndex(spark, scratch, 10, 16)
       Pq.purgePqIndex(spark, scratch, 10)
+      val scratchP = new Path(scratch)
+      scratchP.getFileSystem(hconf).delete(scratchP, true)
       r
     }
     val json = rows.map { case (n, secs, erased, bytes, per) =>

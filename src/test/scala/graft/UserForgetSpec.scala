@@ -105,6 +105,108 @@ class UserForgetSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance-window orchestration: drain → stop → apply → restart " +
+    "erases the user end-to-end (coalesced fold cadence included) and " +
+    "the restarted chain keeps serving") {
+    import spark.implicits._
+    // goldFoldEvery = 2: the window must also flush pending deltas a
+    // coalescing deployment holds, or the tombstoned user's partials
+    // would outlive the scrub
+    val cfg = freshCfg().copy(goldFoldEvery = 2)
+    val input = MemoryStream[Event](115, spark, None)
+    val t0 = 1700000000000L
+    val qs = Pipeline.startAll(spark, input.toDF(), cfg)
+    try {
+      input.addData(
+        ev("m1", "u1", 1.0f, t0), ev("m2", "u2", 2.0f, t0 + 1000))
+      qs.foreach(_.processAllAvailable())
+      input.addData(
+        ev("m3", "u2", 3.0f, t0 + 2000), ev("m4", "u3", 4.0f, t0 + 3000))
+      qs.foreach(_.processAllAvailable())
+      UserForget.forgetUsers(spark, cfg.baseDir, Seq("u2").toDF("group_id"))
+
+      val (erased, restarted) = UserForget
+        .applyForgetUsersMaintenanceWindow(spark, cfg, qs) {
+          Pipeline.startAll(spark, input.toDF(), cfg)
+        }
+      try {
+        assert(erased == 2L, s"erased=$erased (u2 has 2 silver rows)")
+        def u2In(path: String): Long =
+          spark.read.option("basePath", path).parquet(path)
+            .filter(col("group_id") === "u2").count()
+        Seq(cfg.silverPath, cfg.goldPath, cfg.goldChangesPath,
+          cfg.servePath).foreach(p => assert(u2In(p) == 0L, s"$p not clean"))
+        // no tombstoned partial survives in the pending delta log either
+        val pend = new java.io.File(cfg.goldPendingPath)
+        assert(!pend.exists() || pend.listFiles()
+          .count(_.getName.startsWith("_pending_batch=")) == 0,
+          "pending deltas survived the windowed apply")
+        // the restarted chain ingests and serves new traffic
+        input.addData(ev("m5", "u1", 5.0f, t0 + 4000))
+        restarted.foreach(_.processAllAvailable())
+        Pipeline.flushGold(spark, cfg)
+        restarted.foreach(_.processAllAvailable())
+        val got = Pipeline.serveSnapshot(spark, cfg)
+          .select(col("_id"), col("event_count")).orderBy("_id")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(got == Seq("u1" -> 2L, "u3" -> 1L), got.toString)
+      } finally restarted.foreach(_.stop())
+    } finally {
+      qs.foreach(q => if (q.isActive) q.stop())
+      UserForget.purgeForgetUsersTable(spark, cfg.baseDir)
+    }
+  }
+
+  test("req_ms log migration is crash-safe: the rewrite stages beside " +
+    "the live log and swaps, and a crash in any window heals without " +
+    "losing a pending deletion (ADVICE r16)") {
+    import spark.implicits._
+    import graft.ext.IndexCatalog
+    val cfg = freshCfg()
+    val t = UserForget.forgetUsersTable(cfg.baseDir)
+    val loc = IndexCatalog.tableLocation(spark, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // plant a LEGACY (pre-req_ms) log: gid only
+      Seq("old1", "old2").toDF("gid").write
+        .bucketBy(8, "gid").sortBy("gid")
+        .option("path", loc.toString).saveAsTable(t)
+      // a new registration migrates in place: legacy rows gain req_ms,
+      // nothing is lost, the new tombstone appends
+      UserForget.forgetUsers(spark, cfg.baseDir,
+        Seq("new1").toDF("group_id"), reqMs = 42L)
+      val pend = UserForget.pendingRequests(spark, cfg.baseDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(pend == Seq(("new1", 42L), ("old1", 42L), ("old2", 42L)),
+        pend.toString)
+      // no swap debris after a clean migration
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc.getParent,
+        s".${loc.getName}.rewrite")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc.getParent,
+        s".${loc.getName}.trash")))
+
+      // crash window 1: the live dir was renamed away and the committed
+      // stage never promoted — every exists-guard must heal, not report
+      // "no data" (the window that silently restarted the log)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val tmp = new org.apache.hadoop.fs.Path(loc.getParent,
+        s".${loc.getName}.rewrite")
+      fs.rename(loc, tmp)
+      assert(UserForget.forgetUsersTableExists(spark, cfg.baseDir),
+        "a committed stage must heal to the live location")
+      assert(UserForget.pendingRequests(spark, cfg.baseDir).count() == 3L)
+
+      // crash window 2: the legacy data survives only at the trash path
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val trash = new org.apache.hadoop.fs.Path(loc.getParent,
+        s".${loc.getName}.trash")
+      fs.rename(loc, trash)
+      assert(UserForget.forgetUsersTableExists(spark, cfg.baseDir),
+        "surviving trash must restore the live location")
+      assert(UserForget.pendingRequests(spark, cfg.baseDir).count() == 3L)
+    } finally UserForget.purgeForgetUsersTable(spark, cfg.baseDir)
+  }
+
   test("drain guard: the apply HOLDS BACK (-2) while gold owes silver " +
     "files a fold — an unconsumed file would fold the user back into " +
     "gold after the scrub — and lands once drained") {
