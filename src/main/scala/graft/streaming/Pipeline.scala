@@ -495,10 +495,20 @@ object Pipeline {
     val paths = fs.listStatus(srcLog).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .flatMap { s =>
-        val in = fs.open(s.getPath)
+        // Tolerate an entry file vanishing between the list and the open:
+        // Spark's CompactibleFileStreamLog deletes plain entry files once
+        // a later N.compact (also in this listing) holds their entries,
+        // and a LIVE consumer runs that cleanup concurrently with this
+        // read (the ×100 replay soak hit exactly this at serve batch 82).
+        // Skipping is complete (the compact covers the entries) and its
+        // failure direction is safe regardless: a smaller committed set
+        // only makes reclaim/deferral callers retain MORE.
         val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
+          try {
+            val in = fs.open(s.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          } catch { case _: java.io.FileNotFoundException => Nil }
         lines.filter(_.startsWith("{")).flatMap { line =>
           sawEntryLine = true
           val node =

@@ -187,9 +187,15 @@ object StreamBench {
             r.getLong(3)))
           .grouped(batchSize)
       }
+    // The takedown feed fires every 5th batch and indexes `groups`
+    // cyclically, so it can never need more than batches/5 distinct
+    // users — cap the driver-side sample at 4096 (deterministic: the
+    // smallest gids) instead of collecting the corpus's full user set
+    // (150k strings at ×100, data-proportional for no reason).
     val groups: IndexedSeq[String] = replayFrame match {
       case Some((df, _)) => df.select(col("gid")).distinct()
-        .orderBy(col("gid")).collect().map(_.getString(0)).toIndexedSeq
+        .orderBy(col("gid")).limit(4096)
+        .collect().map(_.getString(0)).toIndexedSeq
       case None => (0 until 200).map(w => new java.util.UUID(7L, w.toLong).toString)
     }
     val effectiveTotal: Int =

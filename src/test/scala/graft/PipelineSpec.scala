@@ -962,6 +962,38 @@ class PipelineSpec extends SparkTestBase {
     assert(versions() == Seq("_commit_version=2", "_commit_version=3"))
   }
 
+  test("committedSourcePaths survives source-log compaction cleanup") {
+    // Spark's CompactibleFileStreamLog folds plain entry files into an
+    // N.compact and then DELETES the plain files — and a live consumer
+    // runs that cleanup concurrently with our reader (the ×100 replay
+    // soak raced it at serve batch 82: file listed, gone at open). Pin
+    // the property the FNF-skip relies on: the compact file alone still
+    // yields the full committed set.
+    val dir = java.nio.file.Files.createTempDirectory("graft_srclog").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(rel: String, lines: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+    def entry(path: String, batch: Long) =
+      s"""{"path":"file://$path","timestamp":1,"batchId":$batch}"""
+    write("sources/0/0", Seq("v1", entry("/data/a.parquet", 0L)))
+    write("sources/0/1", Seq("v1", entry("/data/b.parquet", 1L)))
+    write("sources/0/1.compact",
+      Seq("v1", entry("/data/a.parquet", 0L), entry("/data/b.parquet", 1L)))
+    write("commits/0", Seq("v1", "{}"))
+    write("commits/1", Seq("v1", "{}"))
+    val want = Set("/data/a.parquet", "/data/b.parquet")
+    assert(Pipeline.committedSourcePaths(fs, dir).contains(want))
+    // the cleanup Spark performs once the compact covers the history
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "sources/0/0"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "sources/0/1"), false)
+    assert(Pipeline.committedSourcePaths(fs, dir).contains(want))
+  }
+
   test("progress listener logs all three stages; freshness probe sees the serve table") {
     val cfg = freshCfg()
     val log = new graft.streaming.Metrics.ProgressLog(capacity = 100)
