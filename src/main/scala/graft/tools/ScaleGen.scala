@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
   *   - Dimensions (region, nation) are copied ONCE: bigger data does
   *     not mean more nations, and the broadcast-ability the plans
   *     rely on must stay honest.
-  *   - Document text is word-rotated by 7·replica positions per
-  *     replica (cyclically), so replicas are NOT trivial near-dups:
-  *     shingle/MinHash/SimHash signatures decorrelate while length,
-  *     vocabulary, and language distributions are preserved exactly.
-  *     Without this, every LSH bucket would hold `factor` identical
-  *     signatures and candidate pairs would grow ×factor² — a
-  *     distortion real corpora don't have (near-dup MASS scales
-  *     linearly: each base near-dup pair recurs once per replica).
+  *   - Document text is word-PERMUTED per replica (positions sorted by
+  *     md5(replica + ":" + index) — see [[permuteWords]]), so replicas
+  *     are NOT near-dups of their base or of each other: shingle/
+  *     MinHash signatures decorrelate while length, vocabulary, and
+  *     language distributions are preserved exactly. Without this,
+  *     every LSH bucket would hold `factor` correlated signatures and
+  *     candidate pairs would grow ×factor² — a distortion real corpora
+  *     don't have (near-dup MASS scales linearly: each base near-dup
+  *     pair recurs once per replica, which the position-keyed permutation
+  *     preserves). The r16 word-ROTATION failed exactly this: rotation
+  *     keeps all interior n-grams, replicas verified at Jaccard ~0.75,
+  *     and the r17 ×100 spot bench measured the quadratic pair mass as
+  *     16–21× wall per 10× data on the pipeline_* family.
   *   - Embeddings are cyclically shifted by (7·replica) mod 64 dims
   *     with a sign flip every 64 replicas (shift collisions repeat at
   *     replica+64, where the flip keeps them distinct), so replica
@@ -64,17 +69,41 @@ object ScaleGen {
     }
   }
 
-  /** Rotate the space-tokenized words of `c` left by `by` positions
-    * (mod word count). Pure column expression; empty/one-word texts
-    * pass through.
+  /** Reorder the space-tokenized words of `c` by `md5(rep + ":" + i)`
+    * (i = word position) — a deterministic per-replica pseudorandom
+    * permutation of the word POSITIONS. Pure column expression.
+    *
+    * Why a hash-keyed position sort and not a cyclic rotation (the r16
+    * form): rotation PRESERVES word n-grams — a rotated sequence shares
+    * every 3-gram shingle with its base except the few spanning the
+    * wrap boundary (measured Jaccard 0.75 on 16-word docs), so every
+    * replica verified as a near-dup of its base and candidate/verified
+    * pair mass grew ×factor², exactly the distortion the scaling model
+    * documents as unrealistic (the r17 ×100 spot bench read the
+    * pipeline_* family 16–21× per 10× data from this). The hash sort
+    * shreds consecutive n-grams, and keys differ per replica, so
+    * replicas decorrelate from the base AND from each other.
+    *
+    * The key must be the POSITION, not the word: sorting by
+    * `md5(rep:word)` canonicalizes word ORDER away, so any two docs
+    * with similar word BAGS become near-dups — measured 52,200
+    * within-replica pairs per 2,000 docs against 45 in the base, a
+    * worse distortion than the rotation's. Position keys give every
+    * same-length doc the same index permutation and never collapse
+    * order information: unrelated docs stay unrelated, while the base
+    * corpus's planted near-dup pairs — append/substitution edits whose
+    * shared words sit at the SAME positions — ride the same permutation
+    * and recur once per replica (near-dup MASS scales linearly, as the
+    * model requires). Docs of ≤ 3 words keep their single shingle under
+    * any reorder (bounded, realistic short-text repetition).
     */
-  private def rotateWords(c: org.apache.spark.sql.Column,
-                          by: org.apache.spark.sql.Column) = {
+  private def permuteWords(c: org.apache.spark.sql.Column,
+                           rep: org.apache.spark.sql.Column) = {
     val words = split(c, " ")
-    val n = size(words)
-    val s = by % greatest(n, lit(1))
-    array_join(
-      concat(slice(words, s + 1, n - s), slice(words, lit(1), s)), " ")
+    val keyed = transform(words, (w, i) =>
+      struct(md5(concat(rep.cast("string"), lit(":"), i.cast("string")))
+        .as("k"), w.as("w")))
+    array_join(transform(array_sort(keyed), s => s.getField("w")), " ")
   }
 
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -118,11 +147,13 @@ object ScaleGen {
     write(replicate(spark, read("events"), factor,
       Seq("event_id", "user_id")), "events")
 
-    // documents: word-rotation decorrelates shingles across replicas
+    // documents: per-replica word permutation decorrelates shingles
+    // across replicas (replica 0 stays byte-identical)
     write(
       replicate(spark, read("documents"), factor, Seq("doc_id"))
         .withColumn("text",
-          rotateWords(col("text"), (col("rep") * 7).cast("int"))),
+          when(col("rep") === 0, col("text"))
+            .otherwise(permuteWords(col("text"), col("rep")))),
       "documents")
 
     // embeddings: dim-shift + per-64-replica sign flip — random cosine

@@ -52,26 +52,67 @@ class ScaleGenSpec extends SparkTestBase {
     assert(partOrphans.isEmpty)
   }
 
-  test("text rotation: non-base replicas decorrelate shingles but keep " +
-    "the word multiset (length/vocab/lang marginals exact)") {
+  test("text permutation: non-base replicas decorrelate shingles but " +
+    "keep the word multiset (length/vocab/lang marginals exact)") {
     val joined = scaledT("documents")
       .filter(col("doc_id") >= 10000000L)
       .withColumn("base_id", col("doc_id") % 10000000L)
       .withColumn("rep", (col("doc_id") / 10000000L).cast("long"))
-      .select(col("base_id"), col("rep"), col("text").as("rot_text"))
+      .select(col("base_id"), col("rep"), col("text").as("perm_text"))
       .join(baseT("documents").select(col("doc_id").as("base_id"),
         col("text")), "base_id")
     val multisetDrift = joined.filter(
       array_sort(split(col("text"), " ")) =!=
-        array_sort(split(col("rot_text"), " "))).count()
+        array_sort(split(col("perm_text"), " "))).count()
     assert(multisetDrift === 0)
-    // rotation actually moved every text where it is not the identity
-    // permutation (it IS one when the word count divides 7·replica)
-    val identical = joined
-      .withColumn("rot", col("rep") * 7)
-      .filter(col("rot") % size(split(col("text"), " ")) =!= 0)
-      .filter(col("text") === col("rot_text")).count()
-    assert(identical === 0)
+    // the honesty pin the r16 rotation lacked: replicas must NOT be
+    // shingle near-dups of their base (rotation preserved interior
+    // n-grams, J ≈ 0.75, and pair mass grew ×factor² — the r17 ×100
+    // spot bench's pipeline_* super-linearity). Assert the 3-gram
+    // Jaccard vs base is below the 0.5 verify threshold for every
+    // replica of every doc long enough to have reorderable shingles.
+    val sh = (c: org.apache.spark.sql.Column) =>
+      graft.ext.TextDedup.shingles(split(c, " "), 3)
+    val jac = joined
+      .filter(size(split(col("text"), " ")) > 6)
+      .select((size(array_intersect(sh(col("text")), sh(col("perm_text"))))
+        .cast("double") /
+        size(array_union(sh(col("text")), sh(col("perm_text")))))
+        .as("j"))
+      .agg(max(col("j")).as("mx"), avg(col("j")).as("mean")).head()
+    assert(jac.getDouble(0) < 0.5,
+      s"a replica is a verified near-dup of its base: max J = ${jac.getDouble(0)}")
+    assert(jac.getDouble(1) < 0.1,
+      s"replicas correlate with their base: mean J = ${jac.getDouble(1)}")
+  }
+
+  test("permutation creates no artificial within-replica near-dup mass " +
+    "and planted base pairs recur once per replica") {
+    // all-pairs exact Jaccard per replica (the spec corpus is small
+    // enough): the permuted replicas must carry ~the base's pair count
+    // — not the ×factor² clique blowup of the r16 rotation, and not the
+    // bag-canonicalization explosion of a word-keyed sort (measured
+    // 52,200 pairs per 2,000 docs vs 45 base before this pin existed).
+    val sh = (c: org.apache.spark.sql.Column) =>
+      graft.ext.TextDedup.shingles(split(c, " "), 3)
+    def pairCount(rep: Long): Long = {
+      val docs = scaledT("documents")
+        .filter(col("doc_id") >= rep * 10000000L &&
+          col("doc_id") < (rep + 1) * 10000000L)
+        .select(col("doc_id"), sh(col("text")).as("s"))
+      docs.alias("a").crossJoin(docs.alias("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .filter(size(array_intersect(col("a.s"), col("b.s")))
+          .cast("double") /
+          size(array_union(col("a.s"), col("b.s"))) >= 0.5)
+        .count()
+    }
+    val base = pairCount(0)
+    for (r <- 1L to 2L) {
+      val c = pairCount(r)
+      assert(c <= base * 2 && c >= base / 2,
+        s"replica $r near-dup pair mass $c vs base $base")
+    }
   }
 
   test("embedding perturbation: norms exactly preserved, cosine to the " +
