@@ -914,30 +914,49 @@ object Curation {
       .select(col("node").as("doc_id"))
     val contam = decontaminate(spark, dir)
       .filter(col("contaminated")).select(col("doc_id"))
-    val s1 = base.join(keepExact, Seq("doc_id"), "left_semi")
-    val s2 = s1.join(nearDrops, Seq("doc_id"), "left_anti")
-    val s3 = s2.filter(col("n_tokens").between(20, 400) &&
-      col("stop_ratio") >= 0.01)
-    val s4 = s3.filter(col("source") =!= "src0")
-      .join(contam, Seq("doc_id"), "left_anti")
-    val totals = base.agg(count(lit(1)).as("n0_docs"),
-      sum(col("n_tokens")).as("n0_tokens"))
-    Seq((0L, "raw", base), (1L, "exact_dedup", s1),
-      (2L, "near_dedup", s2), (3L, "quality_gate", s3),
-      (4L, "decontam", s4))
-      .map { case (i, name, df) =>
-        df.agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"))
-          .select(lit(i).as("stage"), lit(name).as("stage_name"),
-            col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-      }
-      .reduce(_ unionByName _)
-      .crossJoin(broadcast(totals))
-      .select(col("stage"), col("stage_name"), col("n_docs"),
-        col("n_tokens"),
-        (col("n_docs").cast("double") / col("n0_docs").cast("double"))
+    // Stage membership as cumulative boolean flags over ONE pass
+    // (optimization round r17, guide §2.3/§2.4): the former per-stage
+    // aggregate branches re-ran the same semi/anti join chain once per
+    // stage (stage 4 recomputed stages 1–3's joins), so the funnel paid
+    // 10 joins and five aggregation branches for what one flagged frame
+    // and one aggregate express. The deletion sets are key-unique by
+    // construction (exactGroups keeps one id per group; clusters emits
+    // one row per node; contam is distinct), so a LEFT join + null
+    // probe is exactly the semi/anti semantics with multiplicity 1.
+    val flagged = base
+      .join(keepExact.withColumn("_ke", lit(1)), Seq("doc_id"), "left")
+      .join(nearDrops.withColumn("_nd", lit(1)), Seq("doc_id"), "left")
+      .join(contam.withColumn("_ct", lit(1)), Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"), col("_ct"),
+        col("_ke").isNotNull.as("f1"),
+        (col("_ke").isNotNull && col("_nd").isNull).as("f2"),
+        (col("n_tokens").between(20, 400) &&
+          col("stop_ratio") >= 0.01).as("gate"))
+      .select(col("n_tokens"), col("f1"), col("f2"),
+        (col("f2") && col("gate")).as("f3"),
+        (col("f2") && col("gate") && col("source") =!= "src0" &&
+          col("_ct").isNull).as("f4"))
+    def d(flag: org.apache.spark.sql.Column) = sum(when(flag, 1L))
+    def t(flag: org.apache.spark.sql.Column) =
+      sum(when(flag, col("n_tokens")))
+    val one = flagged.agg(
+      count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+      d(col("f1")).as("d1"), t(col("f1")).as("t1"),
+      d(col("f2")).as("d2"), t(col("f2")).as("t2"),
+      d(col("f3")).as("d3"), t(col("f3")).as("t3"),
+      d(col("f4")).as("d4"), t(col("f4")).as("t4"))
+    one.select(explode(array(
+        (0 until 5).map(i => struct(lit(i.toLong).as("stage"),
+          lit(Seq("raw", "exact_dedup", "near_dedup", "quality_gate",
+            "decontam")(i)).as("stage_name"),
+          coalesce(col(s"d$i"), lit(0L)).as("n_docs"),
+          coalesce(col(s"t$i"), lit(0L)).as("n_tokens"))): _*)).as("s"),
+      col("d0"), col("t0"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"),
+        (col("s.n_docs").cast("double") / col("d0").cast("double"))
           .as("kept_docs_frac"),
-        (col("n_tokens").cast("double") / col("n0_tokens").cast("double"))
+        (col("s.n_tokens").cast("double") / col("t0").cast("double"))
           .as("kept_tokens_frac"))
       .orderBy(col("stage"))
   }

@@ -1488,18 +1488,22 @@ object Similarity {
         .select(lit(name).as("method"),
           lit(bytesPerVec).as("stage1_bytes_per_vec"),
           lit(stage2Bytes).as("stage2_bytes_per_pool_row"), col("n_hits"))
-    Seq(
-      hitsOf("float32", 256L, 0L, truth),
-      hitsOf("int8", 64L, 256L,
+    // the five rungs are independent until the union — materialize them
+    // concurrently (guide §2.6) so the artifact's wall is the slowest
+    // rung, not the sum of five sequential window chains; each branch
+    // is a one-row aggregate, so the checkpoints hold five rows total
+    graft.ops.Concurrent.materialize(Seq(
+      () => hitsOf("float32", 256L, 0L, truth),
+      () => hitsOf("int8", 64L, 256L,
         int8RescoreTopK(spark, dir, nQueries, k, rescoreFactor)),
-      hitsOf("matryoshka16", 64L, 256L,
+      () => hitsOf("matryoshka16", 64L, 256L,
         matryoshkaRescoreTopK(spark, dir, nQueries, k,
           dPrefix = 16, rescoreFactor = rescoreFactor)),
-      hitsOf("binary", 16L, 256L,
+      () => hitsOf("binary", 16L, 256L,
         binaryRescoreTopK(spark, dir, nQueries, k, rescoreFactor)),
-      hitsOf("binary_int8", 16L, 320L,
+      () => hitsOf("binary_int8", 16L, 320L,
         Rung.cascadeTopK(spark, dir, nQueries, k,
-          rescoreInt8 = rescoreFactor, rescoreBinary = 2)))
+          rescoreInt8 = rescoreFactor, rescoreBinary = 2))))
       .reduce(_ unionByName _)
       .crossJoin(broadcast(totals))
       .select(col("method"), col("stage1_bytes_per_vec"),

@@ -1165,23 +1165,35 @@ object TextDedup {
     * decrease, so Σ labels is strictly monotone — a round that leaves
     * the sum unchanged changed nothing. One scalar action per round
     * (Pregel-style driver loop; no data is collected).
+    *
+    * Round cost (optimization round r17, guide §1.2): each round's
+    * checkpoint is LAZY and the convergence sum is the action that
+    * materializes it — one job per round instead of the former
+    * eager-checkpoint-then-sum pair. The seed's sum doubles as the
+    * empty-graph probe (replacing the separate `edges.isEmpty` action)
+    * AND as round 1's convergence baseline: labels are monotone
+    * non-increasing, so a first round that leaves the seed's sum
+    * unchanged was already the fixed point — on the near-clique graphs
+    * LSH emits, that is one whole round (two joins, a fold, a job)
+    * saved per call.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the seed-sum job below
     // seed with the one-hop minimum (edges are symmetric, so every node
     // appears as `a`): one aggregation that IS round 1's neighbor
     // propagation — saves the two join shuffles of a full first round
     var labels = edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("nbr_min"))
       .select(col("node"), least(col("node"), col("nbr_min")).as("lbl"))
-      .localCheckpoint(true)
-    // empty pair graph (corpus/threshold with no near-dups): sum() below
-    // would return null — nothing to propagate, return the empty frame
-    if (edges.isEmpty) return labels
-    var prevSum = BigDecimal(-1)
+      .localCheckpoint(false)
+    val seedRow = labels.agg(sum(col("lbl"))).collect()(0)
+    // empty pair graph (corpus/threshold with no near-dups): sum() is
+    // null — nothing to propagate, return the empty frame
+    if (seedRow.isNullAt(0)) return labels
+    var prevSum = BigDecimal(seedRow.getLong(0))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -1194,7 +1206,7 @@ object TextDedup {
       labels = labels.select(col("node"), col("lbl"))
         .unionByName(viaNbr).unionByName(viaJump)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val labelSum = BigDecimal(
         labels.agg(sum(col("lbl"))).collect()(0).getLong(0))
       converged = labelSum == prevSum
