@@ -361,13 +361,16 @@ object ExtEntry {
     // #3): the corpus-side minhash work is READ from the persisted
     // band/shingle tables — identical pairs by DedupIndexSpec's pin.
     "pipeline_curate" -> ((s, dir) => {
-      val keepExact = TextDedup.exactGroups(s, dir)
-        .select(col("keep_doc_id").as("doc_id"))
-      val labels = TextDedup.clusters(
-        TextDedup.nearDupPairsIndexed(s, dir, 0.5)
-          .select(col("d1"), col("d2")))
-      val nearDrops = labels.filter(col("node") =!= col("lbl"))
-        .select(col("node").as("doc_id"))
+      // the two deletion sets are independent — materialize them
+      // concurrently (r17, guide §2.6; same move as pretrainManifest)
+      val Seq(keepExact, nearDrops) = graft.ops.Concurrent.materialize(Seq(
+        () => TextDedup.exactGroups(s, dir)
+          .select(col("keep_doc_id").as("doc_id")),
+        () => TextDedup.clusters(
+            TextDedup.nearDupPairsIndexed(s, dir, 0.5)
+              .select(col("d1"), col("d2")))
+          .filter(col("node") =!= col("lbl"))
+          .select(col("node").as("doc_id"))))
       val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
       val toksAll = split(col("text"), " ")
       val toksLower = split(lower(col("text")), " ")

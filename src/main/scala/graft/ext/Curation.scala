@@ -900,20 +900,27 @@ object Curation {
     val stopRatio =
       size(filter(toksLower, x => array_contains(dict, x))).cast("double") /
         size(toksLower)
-    val base = documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        stopRatio.as("stop_ratio"))
-      .localCheckpoint(true) // one row per doc, four narrow columns
-    val keepExact = TextDedup.exactGroups(spark, dir)
-      .select(col("keep_doc_id").as("doc_id"))
-    val nearDrops = TextDedup.clusters(
-        TextDedup.nearDupPairsIndexed(spark, dir, 0.5)
-          .select(col("d1"), col("d2")))
-      .filter(col("node") =!= col("lbl"))
-      .select(col("node").as("doc_id"))
-    val contam = decontaminate(spark, dir)
-      .filter(col("contaminated")).select(col("doc_id"))
+    // the base projection and the three deletion sets are independent
+    // until the flag joins below — materialize them concurrently
+    // (r17, guide §2.6): the CC label propagation's driver rounds, the
+    // exact-group fold, and the decontam shingle semi-join overlap
+    // instead of running back to back. Each checkpoint is doc-keyed and
+    // narrow (base: 4 columns; the sets: doc_id only).
+    val Seq(base, keepExact, nearDrops, contam) =
+      graft.ops.Concurrent.materialize(Seq(
+        () => documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            stopRatio.as("stop_ratio")),
+        () => TextDedup.exactGroups(spark, dir)
+          .select(col("keep_doc_id").as("doc_id")),
+        () => TextDedup.clusters(
+            TextDedup.nearDupPairsIndexed(spark, dir, 0.5)
+              .select(col("d1"), col("d2")))
+          .filter(col("node") =!= col("lbl"))
+          .select(col("node").as("doc_id")),
+        () => decontaminate(spark, dir)
+          .filter(col("contaminated")).select(col("doc_id"))))
     // Stage membership as cumulative boolean flags over ONE pass
     // (optimization round r17, guide §2.3/§2.4): the former per-stage
     // aggregate branches re-ran the same semi/anti join chain once per
@@ -1048,20 +1055,29 @@ object Curation {
     * explode output rebalances itself through the downstream joins).
     */
   def pretrainManifest(spark: SparkSession, dir: String): DataFrame = {
-    val keepExact = TextDedup.exactGroups(spark, dir)
-      .select(col("keep_doc_id").as("doc_id"))
-    val nearDrops = TextDedup.clusters(
-      TextDedup.nearDupPairsIndexed(spark, dir, 0.5)
-        .select(col("d1"), col("d2")))
-      .filter(col("node") =!= col("lbl"))
-      .select(col("node").as("doc_id"))
     def sh(docs: DataFrame) = docs.select(col("doc_id"), col("source"),
       explode(TextDedup.shingles(split(col("text"), " "), 5)).as("g"))
-    val evalGrams = sh(documents(spark, dir).filter(col("source") === "src0"))
-      .select(col("g")).distinct()
-    val contam = sh(documents(spark, dir).filter(col("source") =!= "src0"))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
+    // the three deletion sets are independent until the manifest's
+    // join chain — materialize them concurrently (r17, guide §2.6) so
+    // the CC driver rounds, the exact-group fold, and the decontam
+    // shingle pass overlap; each checkpoint is a doc_id-only frame
+    val Seq(keepExact, nearDrops, contam) =
+      graft.ops.Concurrent.materialize(Seq(
+        () => TextDedup.exactGroups(spark, dir)
+          .select(col("keep_doc_id").as("doc_id")),
+        () => TextDedup.clusters(
+            TextDedup.nearDupPairsIndexed(spark, dir, 0.5)
+              .select(col("d1"), col("d2")))
+          .filter(col("node") =!= col("lbl"))
+          .select(col("node").as("doc_id")),
+        () => {
+          val evalGrams =
+            sh(documents(spark, dir).filter(col("source") === "src0"))
+              .select(col("g")).distinct()
+          sh(documents(spark, dir).filter(col("source") =!= "src0"))
+            .join(broadcast(evalGrams), Seq("g"), "left_semi")
+            .select(col("doc_id")).distinct()
+        }))
     val toksLower = split(lower(col("text")), " ")
     val dict = array(TextAnalysis.stopwords("en").map(lit): _*)
     val stopRatio =

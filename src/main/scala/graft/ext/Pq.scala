@@ -117,48 +117,79 @@ object Pq {
         dot(col("cq"), col("cq")).as("cn2"))
   }
 
-  /** The (cid, sub_id)-keyed argmin over the broadcast-joined per-code
-    * distances: `min(struct(dist, code))` IS the (dist asc, code asc)
-    * tie-broken argmin, and unlike a `row_number` window it is a
-    * map-side-combinable aggregate — the kSub per-code rows collapse
-    * kSub→1 BEFORE the exchange and nothing sorts. Input must carry
-    * (cid, sub_id, code, dist).
+  /** `‖cq‖²` as the identical left-to-right IEEE addition sequence the
+    * codegen'd [[Similarity.dot]] kernel produces — the literal twin of
+    * codebookDf's `cn2` column (exact anyway: micro integers < 2^53).
     */
-  private def argminByDist(scored: DataFrame): DataFrame =
-    scored.groupBy(col("cid"), col("sub_id"))
-      .agg(min(struct(col("dist"), col("code"))).as("m"))
-      .select(col("cid"), col("sub_id"),
-        col("m.code").as("code"), col("m.dist").as("dist"))
+  private def cn2Of(cq: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cq.length) { s += cq(i) * cq(i); i += 1 }
+    s
+  }
 
   /** The one encode pipeline BOTH the offline build and batch admission
     * run — one definition, so build-time and admitted codes can never
-    * diverge: subvector explode in micro-units, `‖sq‖²` hoisted, the
-    * broadcast codebook join, the exact-integer distance expansion.
-    * `vecs` must carry (cid, embedding); `cb` is a codebook frame with
-    * (sub_id, code, cq, cn2).
+    * diverge. SCAN-LOCAL since r17 (optimization guide §8 "use what you
+    * know"): the trained codebook is a driver-resident constant
+    * (nSub·kSub·subDim micro doubles — 8 KB at 8×16×8), so instead of
+    * exploding every vector into nSub rows, broadcast-joining kSub code
+    * rows onto each, and folding the kSub·nSub blow-up back through a
+    * (cid, sub_id) argmin exchange, the codebook inlines as LITERALS
+    * (the [[lutFrameOf]] move) and each row computes its own per-sub
+    * argmin in one projection: zero joins, zero exchanges, the same
+    * `‖a‖² − 2a·b + ‖b‖²` exact-integer distance expansion, and
+    * `array_min(struct(dist, code))` replays `min(struct(dist, code))`'s
+    * (dist asc, code asc) tie rule term for term. One row per vector:
+    * (cid, best = array<struct<sub_id, code, dist>> in sub order).
     */
-  private def encodeScored(vecs: DataFrame, cb: DataFrame,
-                           nSub: Int): DataFrame = {
+  private[graft] def encodeBest(vecs: DataFrame,
+                                books: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val nSub = books.length
     val subDim = dim / nSub
-    vecs
-      .select(col("cid"),
-        explode(array((0 until nSub).map { s =>
-          struct(lit(s.toLong).as("sub_id"),
-            microSub(col("embedding"), s, subDim).as("sq"))
-        }: _*)).as("ss"))
-      .select(col("cid"), col("ss.sub_id").as("sub_id"), col("ss.sq").as("sq"))
-      .withColumn("sn2", dot(col("sq"), col("sq")))
-      .join(broadcast(cb), Seq("sub_id"))
-      .select(col("cid"), col("sub_id"), col("code"),
-        (col("sn2") - lit(2.0) * dot(col("sq"), col("cq")) + col("cn2"))
-          .as("dist"))
+    vecs.select(col("cid"),
+      array((0 until nSub).map { s =>
+        val sq = microSub(col("embedding"), s, subDim)
+        val sn2 = dot(sq, sq)
+        val best = array_min(array(books(s).zipWithIndex.map { case (cq, c) =>
+          struct(
+            (sn2 - lit(2.0) * dot(sq, array(cq.map(lit): _*)) + lit(cn2Of(cq)))
+              .as("dist"),
+            lit(c.toLong).as("code"))
+        }: _*))
+        struct(lit(s.toLong).as("sub_id"),
+          best.getField("code").as("code"),
+          best.getField("dist").as("dist"))
+      }: _*).as("best"))
   }
+
+  /** [[encodeBest]] flattened to the classic (cid, sub_id, code, dist)
+    * assignment rows — what the per-code rollups consume.
+    */
+  private def encodeEnc(vecs: DataFrame,
+                        books: Array[Array[Array[Double]]]): DataFrame =
+    encodeBest(vecs, books)
+      .select(col("cid"), explode(col("best")).as("b"))
+      .select(col("cid"), col("b.sub_id").as("sub_id"),
+        col("b.code").as("code"), col("b.dist").as("dist"))
+
+  /** [[encodeBest]] projected to the persisted codes layout
+    * (cid, codes = array<struct<sub_id, code>> in sub order) — identical
+    * rows to the former groupBy(cid)+sort_array assembly, with no
+    * exchange: the array is already sub-ordered by construction.
+    */
+  private[graft] def codesOf(vecs: DataFrame,
+                             books: Array[Array[Array[Double]]]): DataFrame =
+    encodeBest(vecs, books)
+      .select(col("cid"),
+        transform(col("best"), b =>
+          struct(b.getField("sub_id").as("sub_id"),
+            b.getField("code").as("code"))).as("codes"))
 
   /** Trains the codebooks and encodes every candidate: one row per
     * (cid, sub_id) with the argmin-L2 `code` and its exact integer
-    * `dist` (micro² units). Broadcast codebook join, per-code work a
-    * single [[Similarity.dot]] with `‖sq‖²` hoisted per subvector,
-    * argmin via the combinable [[argminByDist]].
+    * `dist` (micro² units) — the scan-local [[encodeBest]] flattened,
+    * zero joins and zero exchanges in the encode.
     */
   private[graft] def assignments(spark: SparkSession, dir: String,
                                  nQueries: Int, nSub: Int, kSub: Int,
@@ -169,19 +200,23 @@ object Pq {
       trainPqCodebooks(emb, nQueries, nSub, kSub, iters, sampleMod, sampleCap)
     val cand = emb.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("cid"), col("embedding"))
-    val enc = argminByDist(
-      encodeScored(cand, codebookDf(spark, books), nSub))
-    (books, enc)
+    (books, encodeEnc(cand, books))
   }
 
-  /** Per-candidate code rows from the (cid, sub_id, code) assignment:
-    * one row per cid with `codes = array<struct<sub_id, code>>` in
-    * sub order — the 8-byte payload the ADC scan reads.
+  /** The trained candidate partition as persisted-layout code rows —
+    * train + the scan-local [[codesOf]] projection.
     */
-  private def groupCodes(enc: DataFrame): DataFrame =
-    enc.groupBy(col("cid"))
-      .agg(sort_array(collect_list(struct(col("sub_id"), col("code"))))
-        .as("codes"))
+  private def trainedCodes(spark: SparkSession, dir: String,
+                           nQueries: Int, nSub: Int, kSub: Int,
+                           iters: Int, sampleMod: Int, sampleCap: Int)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val emb = embeddings(spark, dir)
+    val books =
+      trainPqCodebooks(emb, nQueries, nSub, kSub, iters, sampleMod, sampleCap)
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    (books, codesOf(cand, books))
+  }
 
   /** The per-query LUT frame (qid, lut): `nSub·kSub` exact dot products
     * of the query subvector against each de-quantized sub-centroid,
@@ -294,10 +329,10 @@ object Pq {
              nSub: Int = 8, kSub: Int = 16, iters: Int = 2,
              sampleMod: Int = 3, sampleCap: Int = defaultIvfSampleCap,
              rescoreFactor: Int = 4): DataFrame = {
-    val (books, enc) =
-      assignments(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
+    val (books, codes) =
+      trainedCodes(spark, dir, nQueries, nSub, kSub, iters, sampleMod,
         sampleCap)
-    val pool = adcPool(spark, dir, groupCodes(enc), books, nQueries,
+    val pool = adcPool(spark, dir, codes, books, nQueries,
       rescoreFactor * k)
     exactRescore(spark, dir, pool, nQueries, k)
   }
@@ -363,13 +398,13 @@ object Pq {
       val reatK = IndexCatalog.reattachIfPresent(spark, kt, Seq("cid"))
       if (!(reatB && reatK)) {
         Seq(bt, kt).foreach(IndexCatalog.purge(spark, _))
-        val (books, enc) = assignments(spark, dir, nQueries, nSub, kSub,
+        val (books, codes) = trainedCodes(spark, dir, nQueries, nSub, kSub,
           iters, sampleMod, sampleCap)
         codebookDf(spark, books).write.mode("overwrite")
           .bucketBy(8, "sub_id").sortBy("sub_id")
           .option("path", IndexCatalog.tableLocation(spark, bt).toString)
           .saveAsTable(bt)
-        groupCodes(enc).write.mode("overwrite")
+        codes.write.mode("overwrite")
           .bucketBy(8, "cid").sortBy("cid")
           .option("path", IndexCatalog.tableLocation(spark, kt).toString)
           .saveAsTable(kt)
@@ -456,6 +491,21 @@ object Pq {
       .collect()
       .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
         r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(nSub)(s => Array.tabulate(kSub)(c => rows((s, c))))
+  }
+
+  /** [[readBooks]] with the shape inferred from the table itself — the
+    * admission path knows only the table names.
+    */
+  private def readBooksInferred(spark: SparkSession,
+                                bt: String): Array[Array[Array[Double]]] = {
+    val rows = spark.table(bt)
+      .select(col("sub_id"), col("code"), col("cq"))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getSeq[Double](2).toArray)).toMap
+    val nSub = rows.keys.map(_._1).max + 1
+    val kSub = rows.keys.map(_._2).max + 1
     Array.tabulate(nSub)(s => Array.tabulate(kSub)(c => rows((s, c))))
   }
 
@@ -558,10 +608,13 @@ object Pq {
                                    bt: String, kt: String,
                                    nSub: Int): DataFrame = {
     // checkpointed: read by the touched-cid collect and the append plan
-    // — one narrow row per batch vector
-    val batchCodes = groupCodes(argminByDist(encodeScored(
+    // — one narrow row per batch vector. The persisted codebook
+    // re-materializes to driver arrays (a constant nSub·kSub-row
+    // collect, the [[readBooks]] move) so admission runs the SAME
+    // scan-local [[codesOf]] encode as the offline build.
+    val batchCodes = codesOf(
       newVecs.select(col("vec_id").as("cid"), col("embedding")),
-      spark.table(bt), nSub)))
+      readBooksInferred(spark, bt))
       .localCheckpoint(true)
     val cids = IndexCatalog.collectKeys(batchCodes, "cid")
     batchCodes.join(
@@ -625,7 +678,7 @@ object Pq {
           .bucketBy(8, "cent_id").sortBy("cent_id")
           .option("path", IndexCatalog.tableLocation(spark, ct).toString)
           .saveAsTable(ct)
-        val (books, enc) = assignments(spark, dir, nQueries, nSub, kSub,
+        val (books, codes) = trainedCodes(spark, dir, nQueries, nSub, kSub,
           iters, sampleMod, sampleCap)
         codebookDf(spark, books).write.mode("overwrite")
           .bucketBy(8, "sub_id").sortBy("sub_id")
@@ -646,7 +699,7 @@ object Pq {
           .withColumn("rk", row_number().over(wAssign))
           .filter(col("rk") === 1)
           .select(col("cent_id"), col("cid"))
-        cells.join(groupCodes(enc), Seq("cid"))
+        cells.join(codes, Seq("cid"))
           .select(col("cent_id"), col("cid"), col("codes"))
           .write.mode("overwrite")
           .bucketBy(8, "cent_id").sortBy("cent_id")

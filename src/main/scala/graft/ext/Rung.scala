@@ -749,15 +749,19 @@ object Rung {
     // independent localCheckpoints re-ran the corpus-wide scoring join
     // twice, doubling the artifact's documented price)
     val sc = scored.localCheckpoint(true)
-    val pool1All = sc
-      .withColumn("brk", row_number().over(wHamm))
-      .filter(col("brk") <= maxPool1)
-      .localCheckpoint(true)
-    val truth = sc.withColumn("rk", row_number().over(wSim))
-      .filter(col("rk") <= k).select(col("qid"), col("cid"))
-      .localCheckpoint(true)
+    // the stage-1 pool and the truth panel both derive from the shared
+    // checkpoint but not from each other, and each width row is
+    // independent of its siblings — materialize both layers
+    // concurrently (r17, guide §2.6): pool/truth windows overlap, then
+    // the four width cascades overlap (each collapses to one row)
+    val Seq(pool1All, truth) = graft.ops.Concurrent.materialize(Seq(
+      () => sc
+        .withColumn("brk", row_number().over(wHamm))
+        .filter(col("brk") <= maxPool1),
+      () => sc.withColumn("rk", row_number().over(wSim))
+        .filter(col("rk") <= k).select(col("qid"), col("cid"))))
     val totals = truth.agg(count(lit(1)).as("n_true"))
-    widths.map { case (b, i) =>
+    graft.ops.Concurrent.materialize(widths.map { case (b, i) => () =>
       pool1All.filter(col("brk") <= b * i * k)
         .withColumn("irk", row_number().over(wI8))
         .filter(col("irk") <= i * k)
@@ -769,7 +773,7 @@ object Rung {
         .select(lit(b).as("rescore_binary"), lit(i).as("rescore_int8"),
           lit(b.toLong * i * k).as("pool1_rows_per_query"),
           lit(i.toLong * k).as("pool2_rows_per_query"), col("n_hits"))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
       .crossJoin(broadcast(totals))
       .select(col("rescore_binary"), col("rescore_int8"),
         col("pool1_rows_per_query"), col("pool2_rows_per_query"),

@@ -1197,14 +1197,19 @@ object TextDedup {
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val viaNbr = edges
-        .join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
-        .select(col("a").as("node"), col("lbl"))
-      val viaJump = labels.select(col("node"), col("lbl").as("mid"))
-        .join(labels.select(col("node").as("mid"), col("lbl")), Seq("mid"))
-        .select(col("node"), col("lbl"))
+      // one-hop propagation and pointer jumping share ONE join against
+      // `labels` (r17, guide §2.4): both lookups are "label of key" —
+      // key = the neighbor `b` for one-hop, key = the node's own label
+      // for the jump — so their probe sides union BEFORE the join and
+      // the round pays one keyed join (3 exchanges) instead of two (5).
+      val probes = edges.select(col("a").as("dst"), col("b").as("key"))
+        .unionByName(
+          labels.select(col("node").as("dst"), col("lbl").as("key")))
+      val propagated = probes
+        .join(labels.select(col("node").as("key"), col("lbl")), Seq("key"))
+        .select(col("dst").as("node"), col("lbl"))
       labels = labels.select(col("node"), col("lbl"))
-        .unionByName(viaNbr).unionByName(viaJump)
+        .unionByName(propagated)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       val labelSum = BigDecimal(

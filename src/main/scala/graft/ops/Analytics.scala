@@ -284,7 +284,12 @@ object Analytics {
       .orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = blocked.withColumn("_local_cum", sum(col(cntCol)).over(wLocal))
-    // one row per (group, block) — the only data through the rollup
+    // one row per (group, block) — the only data through the rollup.
+    // (r17 note: computing the block totals from `local` instead — max
+    // of the running sum, reusing the window's partitioning — was tried
+    // and measured SLOWER: the window subtree then executes in both
+    // branches, and re-sorting the grid costs more than the grid-sized
+    // exchange it saves. The `blocked`-sourced aggregate stands.)
     val wBlk = Window.partitionBy(gc: _*).orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val blkOff = blocked.groupBy((gc :+ col("_blk")): _*)
